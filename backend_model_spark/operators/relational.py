@@ -1,0 +1,81 @@
+"""Core relational operators, TPC-H-flavored, over the test star schema.
+
+Each function is ``(spark, sf_dir) -> DataFrame`` and has a matching
+ANSI-SQL oracle in :mod:`backend_model_spark.plans.registry`. Column
+aliases are stable and identical on both sides (the driver hashes
+values under name-sorted columns).
+
+Float discipline: aggregates stay in double precision end-to-end and
+are rounded **once at the edge** (``F.round(..., 2)``), so the
+Spark/DuckDB comparison is insensitive to partial-aggregation order.
+
+Reference parity: the reference's only aggregation surface is global
+mean/count/describe over one flat table (SURVEY.md §2.5, e.g.
+``EDA Notebook.ipynb`` cell 19 mean-price); grouped aggregation, joins
+and windows are the scale extension mandated by SURVEY.md §2.3/§2.6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from backend_model_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Flagship: pricing summary (TPC-H Q1 shape).
+# ---------------------------------------------------------------------------
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped pricing summary over lineitem (TPC-H Q1 shape).
+
+    Scale: a single map-side-combinable hash aggregate over the fact
+    table — no join, partial aggregation happens before the (tiny,
+    4-group) shuffle. The shipdate filter and 7-column projection push
+    into the parquet scan.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  ROUND(SUM(l_quantity), 2)                                          AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2)                                     AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+  ROUND(AVG(l_quantity), 6)                                          AS avg_qty,
+  ROUND(AVG(l_extendedprice), 6)                                     AS avg_price,
+  ROUND(AVG(l_discount), 6)                                          AS avg_disc,
+  COUNT(*)                                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""

@@ -1,0 +1,260 @@
+"""Global + grouped aggregation operators (SURVEY.md §2.5, A1-A8).
+
+The reference's aggregation surface is global-only (pandas ``mean``,
+``describe``, ``nunique``, ``corr`` over one flat table — EDA notebook
+cells 10/19/20/21). Here each is re-expressed as a distributed Spark
+aggregate over the test tables, plus the grouped flavor the scale
+extension requires.
+
+Scale notes: every aggregate below is map-side combinable (partial
+aggregation before the shuffle); ``countDistinct`` expands to a
+two-phase distinct aggregate, and the approximate variant
+(``approx_count_distinct``, HLL-based) is the 100 TB default when the
+exact count isn't contractually required.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backend_model_spark.sources.tables import load_table
+
+
+def global_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A1/A2/A6: count / mean / min / max / stddev, one row.
+
+    Mirrors ``df['price'].mean()`` + ``describe()`` (nb cells 19-20) on
+    the orders fact table.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("o_totalprice"), 6).alias("mean_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.stddev("o_totalprice"), 6).alias("stddev_price"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+GLOBAL_AGGS_ORACLE = """
+SELECT
+  COUNT(*)                          AS n_rows,
+  ROUND(AVG(o_totalprice), 6)       AS mean_price,
+  ROUND(MIN(o_totalprice), 2)       AS min_price,
+  ROUND(MAX(o_totalprice), 2)       AS max_price,
+  ROUND(STDDEV_SAMP(o_totalprice), 6) AS stddev_price,
+  ROUND(SUM(o_totalprice), 2)       AS sum_price
+FROM orders
+"""
+
+
+def count_distinct_per_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A4 (``df.nunique()``): exact distinct count per column.
+
+    One pass over orders; Spark plans a single expand + two-phase
+    aggregate. At 100 TB prefer ``approx_count_distinct`` (see
+    :func:`approx_distinct_orders`).
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.agg(
+        F.countDistinct("o_custkey").alias("nd_custkey"),
+        F.countDistinct("o_orderstatus").alias("nd_orderstatus"),
+        F.countDistinct("o_orderpriority").alias("nd_orderpriority"),
+        F.countDistinct("o_orderdate").alias("nd_orderdate"),
+    )
+
+
+COUNT_DISTINCT_ORACLE = """
+SELECT
+  COUNT(DISTINCT o_custkey)       AS nd_custkey,
+  COUNT(DISTINCT o_orderstatus)   AS nd_orderstatus,
+  COUNT(DISTINCT o_orderpriority) AS nd_orderpriority,
+  COUNT(DISTINCT o_orderdate)     AS nd_orderdate
+FROM orders
+"""
+
+
+def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A5 (``unique()``): distinct values of a column, sorted."""
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.select("o_orderpriority").distinct().orderBy("o_orderpriority")
+
+
+DISTINCT_VALUES_ORACLE = """
+SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority
+"""
+
+
+def null_count_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A3 (``isnull().sum().sum()``): total null cells.
+
+    Single projection of null flags summed in one aggregate — no
+    per-column passes.
+    """
+    cust = load_table(spark, "customer", sf_dir)
+    total = reduce(
+        lambda a, b: a + b,
+        [F.sum(F.col(c).isNull().cast("long")) for c in cust.columns],
+    )
+    return cust.agg(total.alias("total_nulls"))
+
+
+NULL_COUNT_ORACLE = """
+SELECT CAST(
+    SUM(CASE WHEN c_custkey    IS NULL THEN 1 ELSE 0 END)
+  + SUM(CASE WHEN c_name       IS NULL THEN 1 ELSE 0 END)
+  + SUM(CASE WHEN c_nationkey  IS NULL THEN 1 ELSE 0 END)
+  + SUM(CASE WHEN c_acctbal    IS NULL THEN 1 ELSE 0 END)
+  + SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+AS BIGINT) AS total_nulls
+FROM customer
+"""
+
+
+def correlation_with_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference A7 (``abs(df.corr()['price'])``): Pearson correlation
+    of each numeric lineitem column with l_extendedprice, |r|, one row.
+
+    Pearson corr is a single-pass distributive aggregate — Spark
+    computes all four in one stage over the fact table.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.agg(
+        *[
+            F.round(F.abs(F.corr(c, "l_extendedprice")), 6).alias(f"corr_{c}")
+            for c in ["l_quantity", "l_discount", "l_tax"]
+        ]
+    )
+
+
+CORRELATION_ORACLE = """
+SELECT
+  ROUND(ABS(CORR(l_quantity, l_extendedprice)), 6) AS corr_l_quantity,
+  ROUND(ABS(CORR(l_discount, l_extendedprice)), 6) AS corr_l_discount,
+  ROUND(ABS(CORR(l_tax, l_extendedprice)), 6)      AS corr_l_tax
+FROM lineitem
+"""
+
+
+def grouped_agg_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregation (scale extension of A2): per status/priority."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+GROUPED_AGG_ORACLE = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  COUNT(*)                     AS n_orders,
+  ROUND(SUM(o_totalprice), 2)  AS sum_price,
+  ROUND(AVG(o_totalprice), 6)  AS avg_price
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over status→priority with subtotal + grand-total rows."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  COUNT(*)                    AS n_orders,
+  ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over returnflag × linestatus (all grouping sets)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+CUBE_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  COUNT(*)                  AS n_items,
+  ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+def pivot_quantity_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns (explicit value list keeps the
+    plan a single aggregate — no extra distinct-values job)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag")
+    )
+
+
+PIVOT_ORACLE = """
+SELECT
+  l_returnflag,
+  ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+  ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def approx_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct — the 100 TB-scale path for A4.
+
+    No DuckDB oracle (different HLL implementations) → rows-only check.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_nd_custkey"),
+        F.approx_count_distinct("o_orderdate", 0.02).alias("approx_nd_orderdate"),
+    )

@@ -1,0 +1,228 @@
+"""Cleaning / scalar-function operators (SURVEY.md §2.2 + §2.8).
+
+The reference's wrangling surface — conditional updates (nb cell 16),
+junk filtering (cell 41), regex cleanup + first-token split (cell 40),
+casts (cells 44/78), epoch-days conversion (cell 86), exp/round (cell
+18) — re-expressed as native column expressions over the test tables.
+All of these were row-wise Python in the reference; here every one is
+a JVM-side codegen'd expression (no Python in the hot path).
+
+DuckDB parity notes baked into the oracles:
+* DuckDB ``regexp_replace`` is first-match-only without the ``'g'``
+  flag; Spark's replaces all occurrences — oracles always pass ``'g'``.
+* ``date_diff('day', a, b)`` (DuckDB) == ``datediff(b, a)`` (Spark),
+  both cast to INT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backend_model_spark.sources.tables import load_table
+
+
+def conditional_flag_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 (bool/'t'/'f' → 0/1 conditional update): encode order status
+    into int flags with CASE WHEN, count per flag combination."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.withColumn(
+            "is_open", F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)
+        )
+        .withColumn(
+            "is_urgent",
+            F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0),
+        )
+        .groupBy("is_open", "is_urgent")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("is_open", "is_urgent")
+    )
+
+
+CONDITIONAL_FLAG_ORACLE = """
+SELECT
+  CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS is_open,
+  CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS is_urgent,
+  COUNT(*) AS n_orders,
+  ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY 1, 2
+ORDER BY is_open, is_urgent
+"""
+
+
+def junk_value_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 (drop rows whose key matches junk literals): the reference's
+    junk-zipcode delete (nb:1464-1471), as an anti-isin filter that
+    pushes down to the scan."""
+    docs = load_table(spark, "documents", sf_dir)
+    junk = ["src13", "src7"]
+    return (
+        docs.filter(~F.col("source").isin(junk))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+JUNK_FILTER_ORACLE = """
+SELECT lang, COUNT(*) AS n_docs
+FROM documents
+WHERE source NOT IN ('src13', 'src7')
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def regex_clean_first_token(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4+F5 (regex scrub then first space-token, the zipcode cleaner
+    nb:1437-1452): scrub non-alphanumerics from p_type, take the first
+    token, count parts per token."""
+    part = load_table(spark, "part", sf_dir)
+    cleaned = F.split(
+        F.regexp_replace(F.col("p_type"), r"[^ a-zA-Z0-9]", " "), " "
+    ).getItem(0)
+    return (
+        part.withColumn("type_head", cleaned)
+        .groupBy("type_head")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("type_head")
+    )
+
+
+REGEX_CLEAN_ORACLE = """
+SELECT
+  string_split(regexp_replace(p_type, '[^ a-zA-Z0-9]', ' ', 'g'), ' ')[1] AS type_head,
+  COUNT(*) AS n_parts
+FROM part
+GROUP BY 1
+ORDER BY type_head
+"""
+
+
+def cast_string_priority_to_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 (string→int cast, ``astype(int)`` nb:1594): numeric prefix of
+    o_orderpriority ('1-URGENT' → 1) cast to int, aggregated."""
+    orders = load_table(spark, "orders", sf_dir)
+    prio = F.split(F.col("o_orderpriority"), "-").getItem(0).cast("int")
+    return (
+        orders.withColumn("prio_num", prio)
+        .groupBy("prio_num")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("prio_num")
+    )
+
+
+CAST_PRIORITY_ORACLE = """
+SELECT
+  CAST(string_split(o_orderpriority, '-')[1] AS INTEGER) AS prio_num,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1
+ORDER BY prio_num
+"""
+
+
+def epoch_days_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 (date → integer epoch-days, ``datetime_to_UTC_days`` nb cell
+    86): via ``datediff`` from 1970-01-01 — TZ-proof integer parity."""
+    orders = load_table(spark, "orders", sf_dir)
+    days = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+    return (
+        orders.withColumn("order_epoch_day", days)
+        .groupBy("order_epoch_day")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("order_epoch_day")
+        .limit(100)
+    )
+
+
+EPOCH_DAYS_ORACLE = """
+SELECT
+  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+    AS order_epoch_day,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1
+ORDER BY order_epoch_day
+LIMIT 100
+"""
+
+
+def exp_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F2 (``round(exp(log_price), 2)`` nb:575-578): log→exp
+    round-trip on o_totalprice, asserting the reference's price
+    inversion semantics."""
+    orders = load_table(spark, "orders", sf_dir)
+    price = F.round(F.exp(F.log(F.col("o_totalprice"))), 2)
+    return (
+        orders.select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price_orig"),
+            price.alias("price_roundtrip"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+EXP_LOG_ORACLE = """
+SELECT
+  o_orderkey,
+  o_totalprice AS price_orig,
+  ROUND(EXP(LN(o_totalprice)), 2) AS price_roundtrip
+FROM orders
+ORDER BY o_orderkey
+LIMIT 1000
+"""
+
+
+def dropna_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 (``dropna(axis=0)`` nb:538): row count before/after
+    any-null drop, the reference's null-budget invariant."""
+    ev = load_table(spark, "events", sf_dir)
+    before = ev.count()
+    after = ev.na.drop("any").count()
+    return spark.createDataFrame(
+        [(before, after)], "rows_before bigint, rows_after bigint"
+    )
+
+
+DROPNA_ORACLE = """
+SELECT
+  (SELECT COUNT(*) FROM events) AS rows_before,
+  (SELECT COUNT(*) FROM events
+   WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+     AND event_type IS NOT NULL AND value IS NOT NULL AND props IS NOT NULL)
+  AS rows_after
+"""
+
+
+def hcc_column_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 (high-cardinality-column detection, nb:813-815): distinct
+    count of every string column in documents, flagged >100."""
+    docs = load_table(spark, "documents", sf_dir)
+    string_cols = ["text", "lang", "source"]
+    counts = docs.agg(
+        *[F.countDistinct(c).alias(c) for c in string_cols]
+    ).collect()[0]
+    rows = [(c, int(counts[c]), bool(counts[c] > 100)) for c in string_cols]
+    return spark.createDataFrame(
+        rows, "column_name string, n_distinct bigint, is_hcc boolean"
+    ).orderBy("column_name")
+
+
+HCC_ORACLE = """
+SELECT * FROM (
+  SELECT 'text'   AS column_name, COUNT(DISTINCT text)   AS n_distinct, COUNT(DISTINCT text)   > 100 AS is_hcc FROM documents
+  UNION ALL
+  SELECT 'lang'   AS column_name, COUNT(DISTINCT lang)   AS n_distinct, COUNT(DISTINCT lang)   > 100 AS is_hcc FROM documents
+  UNION ALL
+  SELECT 'source' AS column_name, COUNT(DISTINCT source) AS n_distinct, COUNT(DISTINCT source) > 100 AS is_hcc FROM documents
+)
+ORDER BY column_name
+"""

@@ -1,0 +1,206 @@
+"""Window-function operators (SURVEY.md §2.6 extension surface).
+
+None exist in the reference (flat pandas); these are the ranking /
+offset / frame operators a scale pipeline needs. Every window carries
+a unique ordering key so results are deterministic for the oracle.
+
+Scale note: a window = one shuffle on partitionBy keys + per-partition
+sort. Partition keys are chosen high-cardinality (custkey, user_id) so
+partitions stay small; a window with no partitionBy would serialize
+the world through one task and is never used here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from backend_model_spark.sources.tables import load_table
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number per customer → each customer's top-2 orders by price."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+TOP_PER_CUSTOMER_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT
+    o_custkey, o_orderkey, o_totalprice,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+    ) AS INTEGER) AS rn
+  FROM orders
+)
+WHERE rn <= 2
+ORDER BY o_custkey, rn
+"""
+
+
+def running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum per customer over order history (rows frame with
+    a unique order key → deterministic across engines)."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(2000)
+    )
+
+
+RUNNING_TOTAL_ORACLE = """
+SELECT o_custkey, o_orderkey,
+  ROUND(SUM(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ), 2) AS running_total
+FROM orders
+ORDER BY o_custkey, o_orderkey
+LIMIT 2000
+"""
+
+
+def event_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): per-user delta between consecutive event values."""
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(
+                F.col("value") - F.lag("value", 1).over(w), 6
+            ).alias("value_delta"),
+        )
+        .orderBy("user_id", "event_id")
+        .limit(5000)
+    )
+
+
+EVENT_DELTAS_ORACLE = """
+SELECT user_id, event_id,
+  ROUND(value - LAG(value, 1) OVER (
+    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+  ), 6) AS value_delta
+FROM events
+ORDER BY user_id, event_id
+LIMIT 5000
+"""
+
+
+def rolling_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling mean over a 4-row frame per user (rowsBetween)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-3, 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(F.avg("value").over(w), 6).alias("rolling_avg_4"),
+        )
+        .orderBy("user_id", "event_id")
+        .limit(5000)
+    )
+
+
+ROLLING_AVG_ORACLE = """
+SELECT user_id, event_id,
+  ROUND(AVG(value) OVER (
+    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+  ), 6) AS rolling_avg_4
+FROM events
+ORDER BY user_id, event_id
+LIMIT 5000
+"""
+
+
+def dense_rank_parts_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank of part price within brand (rank semantics on ties
+    are engine-identical; price ties share a rank)."""
+    part = load_table(spark, "part", sf_dir)
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return (
+        part.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.dense_rank().over(w).alias("price_rank"),
+        )
+        .filter(F.col("price_rank") <= 3)
+        .orderBy("p_brand", "price_rank", "p_partkey")
+    )
+
+
+DENSE_RANK_ORACLE = """
+SELECT p_brand, p_partkey, p_retailprice, price_rank
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+    CAST(DENSE_RANK() OVER (
+      PARTITION BY p_brand ORDER BY p_retailprice DESC
+    ) AS INTEGER) AS price_rank
+  FROM part
+)
+WHERE price_rank <= 3
+ORDER BY p_brand, price_rank, p_partkey
+"""
+
+
+def ntile_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) balance quartiles per market segment + quartile stats."""
+    cust = load_table(spark, "customer", sf_dir)
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_acctbal",
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_balance"),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )
+
+
+NTILE_ORACLE = """
+SELECT c_mktsegment, quartile, COUNT(*) AS n_customers,
+       ROUND(AVG(c_acctbal), 6) AS avg_balance
+FROM (
+  SELECT c_mktsegment, c_acctbal,
+    CAST(NTILE(4) OVER (
+      PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC
+    ) AS INTEGER) AS quartile
+  FROM customer
+)
+GROUP BY c_mktsegment, quartile
+ORDER BY c_mktsegment, quartile
+"""

@@ -1,8 +1,103 @@
-"""Wires every operator into the registry. Import side-effectful."""
+"""Wires every operator into the registry. Import side-effectful.
+
+Naming convention: ``<family>_<operator>`` so CORRECTNESS reports read
+as an inventory of SURVEY.md §2.
+"""
 
 from __future__ import annotations
 
-from backend_model_spark.operators import relational
+from backend_model_spark.operators import (
+    aggregates,
+    cleaning,
+    joins,
+    relational,
+    sorts_sets,
+    windows,
+)
 from backend_model_spark.plans.registry import register
 
+# --- flagship / pricing ---------------------------------------------------
 register("q1_pricing_summary", relational.q1_pricing_summary, relational.Q1_ORACLE)
+
+# --- aggregates (SURVEY §2.5) ----------------------------------------------
+register("agg_global_stats", aggregates.global_aggs, aggregates.GLOBAL_AGGS_ORACLE)
+register(
+    "agg_count_distinct",
+    aggregates.count_distinct_per_column,
+    aggregates.COUNT_DISTINCT_ORACLE,
+)
+register(
+    "agg_distinct_values", aggregates.distinct_values, aggregates.DISTINCT_VALUES_ORACLE
+)
+register("agg_null_count", aggregates.null_count_total, aggregates.NULL_COUNT_ORACLE)
+register(
+    "agg_correlation",
+    aggregates.correlation_with_price,
+    aggregates.CORRELATION_ORACLE,
+)
+register(
+    "agg_grouped_orders",
+    aggregates.grouped_agg_orders_by_status,
+    aggregates.GROUPED_AGG_ORACLE,
+)
+register("agg_rollup", aggregates.rollup_orders, aggregates.ROLLUP_ORACLE)
+register("agg_cube", aggregates.cube_lineitem_flags, aggregates.CUBE_ORACLE)
+register("agg_pivot", aggregates.pivot_quantity_by_status, aggregates.PIVOT_ORACLE)
+register("agg_approx_distinct", aggregates.approx_distinct_orders, None)
+
+# --- sorts / limits / set ops (SURVEY §2.4, §2.7) ---------------------------
+register("sort_topk_orders", sorts_sets.topk_orders_by_price, sorts_sets.TOPK_ORDERS_ORACLE)
+register(
+    "sort_key_projection",
+    sorts_sets.sort_by_key_projection,
+    sorts_sets.SORT_PROJECTION_ORACLE,
+)
+register("set_union_all", sorts_sets.union_all_segments, sorts_sets.UNION_ALL_ORACLE)
+register("set_intersect", sorts_sets.intersect_custkeys, sorts_sets.INTERSECT_ORACLE)
+register("set_except_all", sorts_sets.except_custkeys, sorts_sets.EXCEPT_ORACLE)
+
+# --- cleaning / scalar functions (SURVEY §2.2, §2.8) ------------------------
+register(
+    "clean_conditional_flags",
+    cleaning.conditional_flag_update,
+    cleaning.CONDITIONAL_FLAG_ORACLE,
+)
+register("clean_junk_filter", cleaning.junk_value_filter, cleaning.JUNK_FILTER_ORACLE)
+register(
+    "clean_regex_first_token",
+    cleaning.regex_clean_first_token,
+    cleaning.REGEX_CLEAN_ORACLE,
+)
+register(
+    "clean_cast_priority",
+    cleaning.cast_string_priority_to_int,
+    cleaning.CAST_PRIORITY_ORACLE,
+)
+register("clean_epoch_days", cleaning.epoch_days_conversion, cleaning.EPOCH_DAYS_ORACLE)
+register("clean_exp_log_roundtrip", cleaning.exp_log_roundtrip, cleaning.EXP_LOG_ORACLE)
+register("clean_dropna_count", cleaning.dropna_count, cleaning.DROPNA_ORACLE)
+register("clean_hcc_detection", cleaning.hcc_column_cardinalities, cleaning.HCC_ORACLE)
+
+# --- joins (SURVEY §2.3) -----------------------------------------------------
+register(
+    "join_supplier_per_region",
+    joins.supplier_per_region,
+    joins.SUPPLIER_PER_REGION_ORACLE,
+)
+register("join_q3_shipping_priority", joins.q3_shipping_priority, joins.Q3_ORACLE)
+register("join_q5_region_revenue", joins.q5_region_revenue, joins.Q5_ORACLE)
+register("join_semi_recent", joins.customers_with_recent_orders, joins.SEMI_JOIN_ORACLE)
+register("join_anti_no_orders", joins.customers_without_orders, joins.ANTI_JOIN_ORACLE)
+register("join_outer_order_counts", joins.outer_join_order_counts, joins.OUTER_JOIN_ORACLE)
+
+# --- windows (SURVEY §2.6) ---------------------------------------------------
+register(
+    "window_top_per_customer",
+    windows.top_orders_per_customer,
+    windows.TOP_PER_CUSTOMER_ORACLE,
+)
+register("window_running_total", windows.running_order_total, windows.RUNNING_TOTAL_ORACLE)
+register("window_lag_deltas", windows.event_value_deltas, windows.EVENT_DELTAS_ORACLE)
+register("window_rolling_avg", windows.rolling_avg_events, windows.ROLLING_AVG_ORACLE)
+register("window_dense_rank", windows.dense_rank_parts_by_brand, windows.DENSE_RANK_ORACLE)
+register("window_ntile", windows.ntile_customer_balance, windows.NTILE_ORACLE)

@@ -1,0 +1,247 @@
+"""Event/time-series operators over the ``events`` table.
+
+The reference has no time-series surface (its only temporal column is
+collapsed to epoch-days, SURVEY.md §2.11); these are the batch halves
+of the streaming extension: time-bucket rollups, JSON prop parsing,
+gap-based sessionization, and an as-of join — each expressed so the
+same logic runs under Structured Streaming (see
+:mod:`backend_model_spark.streaming`).
+
+Scale notes: all operators shuffle once on ``user_id`` (high
+cardinality, ~uniform) or on the time bucket; sessionization is a
+window + prefix-sum, not a self-join; the as-of join is the
+union-tag-window formulation — O(n log n) per user, no range
+explosion, robust to 100 TB where a naive range join would be
+quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from backend_model_spark.sources.tables import load_table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def _us(col):
+    """Epoch microseconds of a timestamp_ntz column (UTC session)."""
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+def hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour rollup per event type (batch half of the
+    streaming windowed agg). Bucket emitted as a string so both
+    engines hash identical values."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_bucket"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("hour_bucket", "event_type")
+    )
+
+
+HOURLY_ROLLUP_ORACLE = """
+SELECT
+  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+  event_type,
+  COUNT(*) AS n_events,
+  ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour_bucket, event_type
+"""
+
+
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON ``props`` column (semi-structured ingestion):
+    extract ``$.k`` as int, aggregate per event type."""
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_PROPS_ORACLE = """
+SELECT
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+  ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,
+  MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): session counts and
+    sizes per user via lag + prefix-sum of session-start flags.
+
+    This is the batch formulation of ``F.session_window``; one shuffle
+    on user_id, one sort per partition.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = _us("ts") - F.lag(_us("ts"), 1).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0),
+    )
+    sessioned = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SESSIONIZE_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ) IS NULL
+         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ) > {SESSION_GAP_US}
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessioned AS (
+  SELECT user_id,
+    CAST(SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS session_id
+  FROM ordered
+),
+per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events
+  FROM sessioned
+  GROUP BY user_id, session_id
+)
+SELECT
+  user_id,
+  COUNT(*) AS n_sessions,
+  CAST(SUM(n_events) AS BIGINT) AS n_events,
+  MAX(n_events) AS max_session_events
+FROM per_session
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def asof_purchase_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    click at-or-before it; gap in microseconds.
+
+    Spark lacks a native as-of join — this is the union-tag-window
+    formulation: tag both sides, sort once per user, carry the last
+    click timestamp forward with ``last(ignorenulls)``. One shuffle,
+    no range-join explosion (cites reference gap: SURVEY.md §2.3 lists
+    as-of as extension surface).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("kind")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("kind")
+    )
+    tagged = clicks.unionByName(purchases)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("kind").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    with_click = tagged.withColumn(
+        "last_click_us",
+        F.last(F.when(F.col("kind") == 0, _us("ts")), ignorenulls=True).over(w),
+    )
+    return (
+        with_click.filter(F.col("kind") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            (_us("ts") - F.col("last_click_us")).alias("gap_us"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+ASOF_ORACLE = """
+SELECT
+  p.event_id AS purchase_id,
+  p.user_id,
+  epoch_us(p.ts) - (
+    SELECT MAX(epoch_us(c.ts))
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND c.user_id = p.user_id
+      AND c.ts <= p.ts
+  ) AS gap_us
+FROM events p
+WHERE p.event_type = 'purchase'
+ORDER BY purchase_id
+"""
+
+
+def event_type_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-style transition matrix: counts of consecutive
+    event-type pairs per user stream (lead over user timeline)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("next_type", F.lead("event_type", 1).over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("event_type", "next_type")
+    )
+
+
+TRANSITIONS_ORACLE = """
+SELECT event_type, next_type, COUNT(*) AS n_transitions
+FROM (
+  SELECT event_type,
+    LEAD(event_type) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+    ) AS next_type
+  FROM events
+)
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+ORDER BY event_type, next_type
+"""

@@ -9,6 +9,7 @@ from __future__ import annotations
 from backend_model_spark.operators import (
     aggregates,
     cleaning,
+    events_ops,
     joins,
     relational,
     sorts_sets,
@@ -101,3 +102,16 @@ register("window_lag_deltas", windows.event_value_deltas, windows.EVENT_DELTAS_O
 register("window_rolling_avg", windows.rolling_avg_events, windows.ROLLING_AVG_ORACLE)
 register("window_dense_rank", windows.dense_rank_parts_by_brand, windows.DENSE_RANK_ORACLE)
 register("window_ntile", windows.ntile_customer_balance, windows.NTILE_ORACLE)
+
+# --- events / time series (SURVEY §2.11 batch halves) ------------------------
+register(
+    "events_hourly_rollup", events_ops.hourly_event_rollup, events_ops.HOURLY_ROLLUP_ORACLE
+)
+register("events_json_props", events_ops.json_props_extract, events_ops.JSON_PROPS_ORACLE)
+register("events_sessionize", events_ops.sessionize_users, events_ops.SESSIONIZE_ORACLE)
+register("events_asof_join", events_ops.asof_purchase_to_click, events_ops.ASOF_ORACLE)
+register(
+    "events_transitions",
+    events_ops.event_type_transition_counts,
+    events_ops.TRANSITIONS_ORACLE,
+)

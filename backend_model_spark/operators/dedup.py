@@ -1,0 +1,367 @@
+"""Deduplication operators over ``documents`` — exact, n-gram Jaccard,
+MinHash(+LSH), and SimHash (BASELINE.json north-star surface).
+
+Scale design:
+* exact dedup = hash-groupBy on a digest key — one shuffle on a
+  uniformly distributed key; never a pairwise compare.
+* n-gram Jaccard = shingle → inverted-index self-join. Exact but
+  O(pairs sharing a shingle); at 100 TB you run the MinHash band-join
+  below FIRST to produce candidates, then this as the verify stage.
+* MinHash: per-doc signatures from k independent hash slices of the
+  shingle md5 — deterministic (md5-derived, no RNG), so both engines
+  compute identical signatures; the LSH band variant buckets
+  signature bands to turn all-pairs into an equi-join.
+* SimHash: 32-bit weighted bit-vote over token hashes — again
+  md5-derived for cross-engine determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backend_model_spark.sources.tables import load_table
+
+TOKENS = "split(trim(text), '\\\\s+')"
+# word 3-gram shingles over the token array (1-based slice, same as
+# DuckDB). Guard the short-doc case explicitly: Spark's sequence(1, 0)
+# yields a DESCENDING [1, 0], not an empty array.
+SHINGLES = (
+    f"CASE WHEN size({TOKENS}) < 3 THEN cast(array() as array<string>) "
+    f"ELSE transform(sequence(1, size({TOKENS}) - 2),"
+    f" i -> concat_ws(' ', slice({TOKENS}, i, 3))) END"
+)
+SHINGLES_SQL = r"""
+list_transform(
+  generate_series(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0)),
+  i -> string_split_regex(trim(text), '\s+')[i] || ' '
+    || string_split_regex(trim(text), '\s+')[i+1] || ' '
+    || string_split_regex(trim(text), '\s+')[i+2]
+)
+"""
+
+N_MINHASH = 8  # md5 yields 32 hex chars = 8 independent 4-byte slices
+
+
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized-content digest: canonical (min) doc id
+    + duplicate count per distinct content."""
+    docs = load_table(spark, "documents", sf_dir)
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        docs.withColumn("fp", F.md5(normalized.cast("binary")))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_duplicates"),
+        )
+        .orderBy("canonical_doc_id")
+    )
+
+
+EXACT_DEDUP_ORACLE = r"""
+SELECT
+  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+  MIN(doc_id) AS canonical_doc_id,
+  COUNT(*) AS n_duplicates
+FROM documents
+GROUP BY 1
+ORDER BY canonical_doc_id
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by exact word-3-gram Jaccard ≥ 0.05
+    via an inverted-index self-join (shingle equi-join, never a cross
+    join). The verify stage of a dedup pipeline; see module docstring
+    for the 100 TB candidate-generation strategy."""
+    docs = load_table(spark, "documents", sf_dir)
+    shingled = (
+        docs.select("doc_id", F.explode(F.expr(SHINGLES)).alias("shingle"))
+        .distinct()
+    )
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= 0.05)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH shingled AS (
+  SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS shingle
+  FROM documents
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM shingled GROUP BY doc_id
+),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingled a
+  JOIN shingled b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT
+  doc_a, doc_b, n_common,
+  ROUND(n_common / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE), 6)
+    AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(n_common / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE), 6)
+      >= 0.05
+ORDER BY doc_a, doc_b
+"""
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MinHash signatures (8 hash functions from md5
+    slices) per document — the cross-engine-checkable core of
+    MinHash dedup."""
+    docs = load_table(spark, "documents", sf_dir)
+    shingled = docs.select(
+        "doc_id", F.explode(F.expr(SHINGLES)).alias("shingle")
+    ).distinct()
+    # one salted md5 per hash function — k independent hash families
+    # (a single digest only has 32 hex chars; slicing it 8 ways would
+    # run off the end)
+    aggs = [
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}_"), F.col("shingle")).cast("binary")),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+        ).alias(f"mh_{i}")
+        for i in range(N_MINHASH)
+    ]
+    return shingled.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+MINHASH_ORACLE = f"""
+WITH shingled AS (
+  SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS shingle
+  FROM documents
+)
+SELECT
+  doc_id,
+  {", ".join(
+    f"MIN(CAST('0x' || substr(md5('{i}_' || shingle), 1, 8) AS BIGINT)) AS mh_{i}"
+    for i in range(N_MINHASH)
+  )}
+FROM shingled
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-join: band the 8-value signature into 4 bands of 2,
+    bucket-join on (band, values) — candidate pairs via equi-join.
+
+    This is the scale path for near-dup at 100 TB: candidate
+    generation is a shuffle on band keys, never all-pairs.
+    """
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = []
+    for band in range(N_MINHASH // 2):
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.concat_ws(
+                    "_",
+                    F.col(f"mh_{2 * band}").cast("string"),
+                    F.col(f"mh_{2 * band + 1}").cast("string"),
+                ).alias("bucket"),
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+MINHASH_LSH_ORACLE = f"""
+WITH shingled AS (
+  SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS shingle
+  FROM documents
+),
+sigs AS (
+  SELECT
+    doc_id,
+    {", ".join(
+      f"MIN(CAST('0x' || substr(md5('{i}_' || shingle), 1, 8) AS BIGINT)) AS mh_{i}"
+      for i in range(N_MINHASH)
+    )}
+  FROM shingled
+  GROUP BY doc_id
+),
+banded AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, {band} AS band,"
+    f" CAST(mh_{2 * band} AS VARCHAR) || '_' || CAST(mh_{2 * band + 1} AS VARCHAR)"
+    f" AS bucket FROM sigs"
+    for band in range(N_MINHASH // 2)
+  )}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document: per-token md5-derived hash, bit
+    votes weighted by token frequency, sign-aggregated — deterministic
+    on both engines (no RNG, no engine hash)."""
+    docs = load_table(spark, "documents", sf_dir)
+    tokens = docs.select(
+        "doc_id", F.explode(F.expr(TOKENS)).alias("token")
+    ).filter(F.col("token") != "")
+    hashed = tokens.withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("token").cast("binary")), 1, 8), 16, 10).cast("bigint")
+    )
+    # one row per (doc, token-occurrence, bit): 32-way expand, then a
+    # single groupBy — stays fully parallel, no Python
+    bits = hashed.select(
+        "doc_id",
+        F.explode(F.expr("sequence(0, 31)")).alias("bit"),
+        F.col("h"),
+    ).withColumn(
+        "vote",
+        F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1),
+    )
+    sig = (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+        .withColumn(
+            "bitval",
+            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+    return sig.orderBy("doc_id")
+
+
+SIMHASH_ORACLE = r"""
+WITH tokens AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS h
+  FROM tokens
+  WHERE token <> ''
+),
+bits AS (
+  SELECT doc_id, bit,
+    CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END AS vote
+  FROM hashed, unnest(generate_series(0, 31)) AS t(bit)
+),
+votes AS (
+  SELECT doc_id, bit, SUM(vote) AS v FROM bits GROUP BY doc_id, bit
+)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+    AS simhash
+FROM votes
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: pairs with cosine ≥ 0.9, bucketed by
+    label so the pairwise compare is per-bucket (the IVF trick), not a
+    global cross join. Dot products computed in double with identical
+    left-to-right folds on both engines."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    norm_a = F.sqrt(
+        F.expr("aggregate(transform(a.v, x -> x * x), cast(0.0 as double), (acc, x) -> acc + x)")
+    )
+    norm_b = F.sqrt(
+        F.expr("aggregate(transform(b.v, x -> x * x), cast(0.0 as double), (acc, x) -> acc + x)")
+    )
+    cos = F.round(dot / (norm_a * norm_b), 6)
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.9)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            "cosine",
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+EMBEDDING_NEARDUP_ORACLE = """
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pairs AS (
+  SELECT
+    a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+    ROUND(
+      list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
+      / (
+        sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * a.v[i])))
+        * sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.v[i] * b.v[i])))
+      ), 6) AS cosine
+  FROM v a
+  JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, label, cosine
+FROM pairs
+WHERE cosine >= 0.9
+ORDER BY vec_a, vec_b
+"""

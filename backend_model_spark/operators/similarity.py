@@ -1,0 +1,260 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d).
+
+Three tiers, per the scale playbook:
+* brute-force cosine top-k — the exact baseline; broadcast the (small)
+  query set against the corpus, never corpus × corpus.
+* IVF (inverted-file) top-k — the scale path: assign vectors to
+  coarse centroids, search only the probed bucket. Here centroids are
+  the per-label means (deterministic); a production build would drop
+  in MLlib KMeans centroids with the same plumbing.
+* random-hyperplane LSH — Hamming-bucketed candidates; deterministic
+  hyperplanes derived from md5 so both engines agree.
+
+All dot products fold left-to-right in double on both engines, so the
+oracle comparison is exact after a single round at the edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from backend_model_spark.sources.tables import load_table
+
+DIM = 64
+N_QUERIES = 10
+TOP_K = 5
+
+DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+NORM = "sqrt(aggregate(transform({a}, x -> x * x), cast(0.0 as double), (acc, x) -> acc + x))"
+
+DOT_SQL = "list_sum(list_transform(generate_series(1, {dim}), i -> {a}[i] * {b}[i]))"
+NORM_SQL = "sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> {a}[i] * {a}[i])))"
+
+
+def _as_double(df: DataFrame) -> DataFrame:
+    return df.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    )
+
+
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: first N_QUERIES vectors as queries against
+    the full corpus. The query side is tiny → broadcast join; the
+    corpus is scanned once, top-k per query via window."""
+    emb = _as_double(load_table(spark, "embeddings", sf_dir))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    cos = F.expr(
+        f"{DOT.format(a='qv', b='v')} / ({NORM.format(a='qv')} * {NORM.format(a='v')})"
+    )
+    scored = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        .withColumn("cosine", F.round(cos, 6))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+COSINE_TOPK_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (
+  SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT
+    q.q_id,
+    v.vec_id AS neighbor_id,
+    ROUND(
+      {DOT_SQL.format(a="q.qv", b="v.v", dim=DIM)}
+      / ({NORM_SQL.format(a="q.qv", dim=DIM)} * {NORM_SQL.format(a="v.v", dim=DIM)}),
+    6) AS cosine
+  FROM q JOIN v ON v.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, neighbor_id, cosine,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC
+    ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, cosine, rank
+FROM ranked
+WHERE rank <= {TOP_K}
+ORDER BY q_id, rank
+"""
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: centroids = per-label mean vectors; each query
+    probes only its nearest centroid's bucket (nprobe=1), exact top-3
+    within the bucket.
+
+    Scale: centroid table is tiny (n_labels rows) → broadcast twice;
+    the corpus is scanned once for assignment (its own label IS its
+    bucket here) and once per probe — never an all-pairs join.
+    """
+    emb = _as_double(load_table(spark, "embeddings", sf_dir))
+    # per-label centroids: positional explode → avg per (label, pos)
+    pos = emb.select(
+        "label", F.posexplode("v").alias("pos", "x")
+    )
+    centroids = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.expr("transform(pc, s -> s.c)").alias("cv"),
+        )
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    qc_cos = F.expr(
+        f"{DOT.format(a='qv', b='cv')} / ({NORM.format(a='qv')} * {NORM.format(a='cv')})"
+    )
+    wq = W.partitionBy("q_id").orderBy(F.col("c_cos").desc(), F.col("c_label").asc())
+    probe = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("c_cos", F.round(qc_cos, 6))
+        .withColumn("c_rank", F.row_number().over(wq))
+        .filter(F.col("c_rank") == 1)
+        .select("q_id", "qv", F.col("c_label").alias("probe_label"))
+    )
+    cos = F.expr(
+        f"{DOT.format(a='qv', b='v')} / ({NORM.format(a='qv')} * {NORM.format(a='v')})"
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        emb.join(F.broadcast(probe), (F.col("label") == F.col("probe_label")) & (F.col("vec_id") != F.col("q_id")))
+        .withColumn("cosine", F.round(cos, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("q_id", "probe_label", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+IVF_TOPK_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pos AS (
+  SELECT label, i AS pos, v[i] AS x
+  FROM v, unnest(generate_series(1, {DIM})) AS t(i)
+),
+centroids AS (
+  SELECT label AS c_label, list(c ORDER BY pos) AS cv
+  FROM (SELECT label, pos, AVG(x) AS c FROM pos GROUP BY label, pos)
+  GROUP BY label
+),
+q AS (
+  SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < {N_QUERIES}
+),
+probe AS (
+  SELECT q_id, qv, c_label AS probe_label
+  FROM (
+    SELECT q.q_id, q.qv, c.c_label,
+      ROW_NUMBER() OVER (
+        PARTITION BY q.q_id
+        ORDER BY ROUND(
+          {DOT_SQL.format(a="q.qv", b="c.cv", dim=DIM)}
+          / ({NORM_SQL.format(a="q.qv", dim=DIM)} * {NORM_SQL.format(a="c.cv", dim=DIM)}),
+        6) DESC, c.c_label ASC
+      ) AS c_rank
+    FROM q CROSS JOIN centroids c
+  )
+  WHERE c_rank = 1
+),
+scored AS (
+  SELECT
+    p.q_id, p.probe_label, v.vec_id AS neighbor_id,
+    ROUND(
+      {DOT_SQL.format(a="p.qv", b="v.v", dim=DIM)}
+      / ({NORM_SQL.format(a="p.qv", dim=DIM)} * {NORM_SQL.format(a="v.v", dim=DIM)}),
+    6) AS cosine
+  FROM probe p
+  JOIN v ON v.label = p.probe_label AND v.vec_id <> p.q_id
+),
+ranked AS (
+  SELECT q_id, probe_label, neighbor_id, cosine,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC
+    ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT q_id, probe_label, neighbor_id, cosine, rank
+FROM ranked
+WHERE rank <= 3
+ORDER BY q_id, rank
+"""
+
+
+def lsh_hyperplane_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing: 8 deterministic hyperplanes
+    (md5-derived ±1 per (plane, dim)), 8-bit sign bucket per vector,
+    bucket histogram. The equi-join on bucket is the ANN candidate
+    generator at scale."""
+    emb = _as_double(load_table(spark, "embeddings", sf_dir))
+    # hyperplane(p)[i] = +1 if md5('p_i') first hex nibble >= 8 else -1
+    # hex nibble >= 8 ⇔ first md5 hex char in {8,9,a..f} ⇔ ascii >= 56
+    # (digits '0'-'7' are 48-55; '8','9' are 56,57; 'a'-'f' are 97+)
+    sign = (
+        "transform(sequence(1, 64), i -> "
+        "CASE WHEN ascii(substring(md5(cast(concat('{p}_', i) as binary)), 1, 1)) >= 56 "
+        "THEN cast(1.0 as double) ELSE cast(-1.0 as double) END)"
+    )
+    bucket = None
+    for p in range(8):
+        plane = sign.format(p=p)
+        bit = F.when(
+            F.expr(DOT.format(a="v", b=plane)) > 0, F.lit(1 << p)
+        ).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return (
+        emb.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("bucket")
+    )
+
+
+def _plane_sql(p: int) -> str:
+    return (
+        f"list_transform(generate_series(1, 64), i -> "
+        f"CASE WHEN ascii(substr(md5('{p}_' || i), 1, 1)) >= 56 "
+        f"THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)"
+    )
+
+
+LSH_BUCKETS_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id,
+    {" + ".join(
+      f"(CASE WHEN {DOT_SQL.format(a='v', b=_plane_sql(p), dim=64)} > 0"
+      f" THEN {1 << p} ELSE 0 END)"
+      for p in range(8)
+    )} AS bucket
+  FROM v
+)
+SELECT bucket, COUNT(*) AS n_vectors
+FROM bucketed
+GROUP BY bucket
+ORDER BY bucket
+"""

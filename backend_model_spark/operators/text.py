@@ -1,0 +1,274 @@
+"""Text-analysis operators over ``documents`` — the LLM-data-pipeline
+surface (BASELINE.json north star; generalizes the reference's WIP
+amenities text-cleanup, SURVEY.md §2.8 F8).
+
+All tokenization/scoring is native column expressions (split, regexp,
+aggregate) — zero Python in the hot path, so whole-stage codegen owns
+the per-document work and the only shuffles are the final small aggs.
+
+Parity conventions with the DuckDB oracles:
+* token = ``split(trim(text), '\\s+')`` on both sides;
+* occurrence counting via split-length (identical semantics);
+* md5 for fingerprints (same digest on both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backend_model_spark.sources.tables import load_table
+
+TOKENS = "split(trim(text), '\\\\s+')"
+
+# Marker words for the rule-based language detector. The probe order
+# (en, es, de, fr, zh) is the deterministic tie-break.
+LANG_MARKERS = {
+    "en": " the ",
+    "es": " el ",
+    "de": " der ",
+    "fr": " le ",
+    "zh": "的",
+}
+
+
+def _round6(col):
+    """Bit-reproducible 6-decimal rounding: floor(x*1e6 + 0.5)/1e6.
+
+    ``F.round`` (BigDecimal HALF_UP over the exact binary expansion)
+    and DuckDB's round can disagree when a composite double lands
+    exactly on a .5 boundary at the target scale; this formulation is
+    pure IEEE ops, so both engines produce the same bits.
+    """
+    return F.floor(col * 1_000_000.0 + 0.5) / 1_000_000.0
+
+
+def _occurrences(col, needle: str):
+    """Count non-overlapping occurrences of needle (split-length - 1).
+
+    ``needle`` must be regex-metachar-free: Spark splits by regex,
+    DuckDB ``string_split`` by literal — identical only for plain text.
+    """
+    return F.size(F.split(col, needle, -1)) - 1
+
+
+def token_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting (F8): per-language corpus stats."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.expr(TOKENS)
+    return (
+        docs.withColumn("n_tokens", F.size(toks))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+TOKEN_STATS_ORACLE = r"""
+SELECT
+  lang,
+  COUNT(*) AS n_docs,
+  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+  ROUND(AVG(len(string_split_regex(trim(text), '\s+'))), 6) AS avg_tokens,
+  CAST(MAX(len(string_split_regex(trim(text), '\s+'))) AS INTEGER) AS max_tokens,
+  CAST(MIN(len(string_split_regex(trim(text), '\s+'))) AS INTEGER) AS min_tokens
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality scoring: token count, mean token
+    length, stopword ratio, and a composite score — the standard
+    pre-training quality gate features (length/stopword heuristics)."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.expr(TOKENS)
+    n_tokens = F.size(toks).cast("double")
+    # mean token length = (chars - separators) / tokens
+    mean_tok_len = (F.length(F.trim(F.col("text"))) - (F.size(toks) - 1)) / n_tokens
+    stopwords = _occurrences(
+        F.concat(F.lit(" "), F.col("text"), F.lit(" ")), " the "
+    ) + _occurrences(F.concat(F.lit(" "), F.col("text"), F.lit(" ")), " a ")
+    stop_ratio = stopwords.cast("double") / n_tokens
+    score = _round6(
+        F.least(n_tokens / 100.0, F.lit(1.0)) * 0.5
+        + (1.0 - F.least(stop_ratio * 2.0, F.lit(1.0))) * 0.3
+        + F.least(mean_tok_len / 8.0, F.lit(1.0)) * 0.2
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            _round6(mean_tok_len).alias("mean_token_len"),
+            _round6(stop_ratio).alias("stopword_ratio"),
+            score.alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_ORACLE = r"""
+WITH feats AS (
+  SELECT
+    doc_id,
+    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tokens,
+    (length(trim(text)) - (len(string_split_regex(trim(text), '\s+')) - 1))
+      / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS mean_tok_len,
+    CAST(
+        (len(string_split(' ' || text || ' ', ' the ')) - 1)
+      + (len(string_split(' ' || text || ' ', ' a ')) - 1)
+    AS DOUBLE)
+      / len(string_split_regex(trim(text), '\s+')) AS stop_ratio
+  FROM documents
+)
+SELECT
+  doc_id,
+  CAST(n_tokens AS INTEGER) AS n_tokens,
+  floor(mean_tok_len * 1000000.0 + 0.5) / 1000000.0 AS mean_token_len,
+  floor(stop_ratio * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio,
+  floor((
+      LEAST(n_tokens / 100.0, 1.0) * 0.5
+    + (1.0 - LEAST(stop_ratio * 2.0, 1.0)) * 0.3
+    + LEAST(mean_tok_len / 8.0, 1.0) * 0.2
+  ) * 1000000.0 + 0.5) / 1000000.0 AS quality_score
+FROM feats
+ORDER BY doc_id
+"""
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based language ID (marker-word voting, deterministic
+    priority tie-break), confusion counts vs the labeled ``lang``."""
+    docs = load_table(spark, "documents", sf_dir)
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    counts = {lang: _occurrences(padded, marker) for lang, marker in LANG_MARKERS.items()}
+    order = list(LANG_MARKERS)
+    pred = F.lit("unknown")
+    # build the CASE chain back-to-front so earlier langs win ties
+    for lang in reversed(order):
+        cond = counts[lang] > 0
+        for other in order:
+            if other == lang:
+                break
+            cond = cond & (counts[lang] > counts[other])
+        for other in order[order.index(lang) + 1 :]:
+            cond = cond & (counts[lang] >= counts[other])
+        pred = F.when(cond, lang).otherwise(pred)
+    return (
+        docs.withColumn("pred_lang", pred)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def _lang_id_case_sql() -> str:
+    order = list(LANG_MARKERS)
+
+    def cnt(lang: str) -> str:
+        m = LANG_MARKERS[lang].replace("'", "''")
+        return f"(len(string_split(' ' || text || ' ', '{m}')) - 1)"
+
+    whens = []
+    for lang in order:
+        conds = [f"{cnt(lang)} > 0"]
+        for other in order[: order.index(lang)]:
+            conds.append(f"{cnt(lang)} > {cnt(other)}")
+        for other in order[order.index(lang) + 1 :]:
+            conds.append(f"{cnt(lang)} >= {cnt(other)}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " ELSE 'unknown' END"
+
+
+LANG_ID_ORACLE = f"""
+SELECT lang, {_lang_id_case_sql()} AS pred_lang, COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+ORDER BY lang, pred_lang
+"""
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: md5 over whitespace-normalized text
+    (the exact-dedup key; md5 digests agree across engines)."""
+    docs = load_table(spark, "documents", sf_dir)
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        docs.select("doc_id", F.md5(normalized.cast("binary")).alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+FINGERPRINT_ORACLE = r"""
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: explode tokens, global counts, top 25.
+
+    Scale: explode → partial count per partition → tiny shuffle; no
+    driver-side collection. At 100 TB this is the canonical word-count
+    shape.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(F.explode(F.expr(TOKENS)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(25)
+    )
+
+
+TOP_TOKENS_ORACLE = r"""
+SELECT token, COUNT(*) AS n_occurrences
+FROM (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents
+)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT 25
+"""
+
+
+def char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-level stats incl. the stored n_chars contract column:
+    verifies length() agreement and aggregates per source."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("sum_chars"),
+            F.sum((F.length("text") == F.col("n_chars")).cast("long")).alias(
+                "n_chars_consistent"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+CHAR_STATS_ORACLE = """
+SELECT
+  source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+  CAST(SUM(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_chars_consistent
+FROM documents
+GROUP BY source
+ORDER BY source
+"""

@@ -9,10 +9,13 @@ from __future__ import annotations
 from backend_model_spark.operators import (
     aggregates,
     cleaning,
+    dedup,
     events_ops,
     joins,
     relational,
+    similarity,
     sorts_sets,
+    text,
     windows,
 )
 from backend_model_spark.plans.registry import register
@@ -114,4 +117,41 @@ register(
     "events_transitions",
     events_ops.event_type_transition_counts,
     events_ops.TRANSITIONS_ORACLE,
+)
+
+# --- text analysis (LLM-data-pipeline surface) -------------------------------
+register("text_token_stats", text.token_stats_per_lang, text.TOKEN_STATS_ORACLE)
+register("text_quality_scores", text.quality_scores, text.QUALITY_ORACLE)
+register("text_language_id", text.language_id, text.LANG_ID_ORACLE)
+register("text_fingerprints", text.fingerprints, text.FINGERPRINT_ORACLE)
+register("text_top_tokens", text.top_tokens, text.TOP_TOKENS_ORACLE)
+register("text_char_stats", text.char_stats, text.CHAR_STATS_ORACLE)
+
+# --- deduplication ------------------------------------------------------------
+register("dedup_exact_groups", dedup.exact_dedup_groups, dedup.EXACT_DEDUP_ORACLE)
+register("dedup_ngram_jaccard", dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_ORACLE)
+register("dedup_minhash_signatures", dedup.minhash_signatures, dedup.MINHASH_ORACLE)
+register(
+    "dedup_minhash_lsh_candidates",
+    dedup.minhash_lsh_candidates,
+    dedup.MINHASH_LSH_ORACLE,
+)
+register("dedup_simhash", dedup.simhash_fingerprints, dedup.SIMHASH_ORACLE)
+register(
+    "dedup_embedding_neardup",
+    dedup.embedding_neardup_pairs,
+    dedup.EMBEDDING_NEARDUP_ORACLE,
+)
+
+# --- similarity search ---------------------------------------------------------
+register(
+    "sim_cosine_topk_bruteforce",
+    similarity.cosine_topk_bruteforce,
+    similarity.COSINE_TOPK_ORACLE,
+)
+register("sim_ivf_topk", similarity.ivf_topk, similarity.IVF_TOPK_ORACLE)
+register(
+    "sim_lsh_hyperplane_buckets",
+    similarity.lsh_hyperplane_buckets,
+    similarity.LSH_BUCKETS_ORACLE,
 )

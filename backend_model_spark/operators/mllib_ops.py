@@ -1,0 +1,87 @@
+"""MLlib-backed approximate operators (rows-only correctness checks).
+
+These pair with the md5-deterministic implementations in
+:mod:`backend_model_spark.operators.dedup` / ``similarity``: the md5
+versions are cross-engine oracle-checkable; these use MLlib's native
+LSH families (seeded, deterministic within Spark, but not expressible
+in DuckDB SQL) — the production-scale path, registered without
+``oracle_sql`` per the driver contract for approximate ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.feature import (
+    BucketedRandomProjectionLSH,
+    HashingTF,
+    MinHashLSH,
+)
+from pyspark.ml.functions import array_to_vector
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backend_model_spark.operators.dedup import SHINGLES
+from backend_model_spark.sources.tables import load_table
+
+SEED = 42
+
+
+def mllib_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHashLSH near-dup join over shingle sets (Jaccard distance
+    ≤ 0.9): shingles → HashingTF sparse vectors → approxSimilarityJoin.
+
+    Scale: approxSimilarityJoin explodes each row into its OR-amplified
+    hash buckets and equi-joins on bucket — shuffle on hash keys, no
+    all-pairs compare.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    shingled = docs.select("doc_id", F.expr(SHINGLES).alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(shingled)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=SEED)
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.9, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def mllib_brp_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euclidean ANN self-join via BucketedRandomProjectionLSH over the
+    embedding vectors (distance ≤ 0.8), the MLlib scale path for
+    similarity search."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    vecs = emb.select(
+        "vec_id",
+        array_to_vector(F.expr("transform(embedding, x -> cast(x as double))")).alias(
+            "features"
+        ),
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=0.5,
+        numHashTables=4,
+        seed=SEED,
+    )
+    model = brp.fit(vecs)
+    pairs = model.approxSimilarityJoin(vecs, vecs, 0.8, distCol="euclidean_dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            F.round("euclidean_dist", 6).alias("euclidean_dist"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )

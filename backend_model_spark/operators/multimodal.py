@@ -1,0 +1,184 @@
+"""Multimodal-column operators: opaque ``binary`` payloads + typed
+metadata, with Arrow-batched decode/feature plumbing.
+
+The container has no image/audio codecs, so the decode step is a
+clearly-marked deterministic fake (see :func:`_fake_decode_batch`);
+everything Spark-side — schema, binary columns, ``mapInPandas`` batch
+shape, partitioning — is real and is what a production decode (PIL /
+torchaudio / pyav behind the same signature) would run through.
+
+Scale notes: payloads stay opaque bytes end-to-end (no base64 blowup,
+no driver round-trip); decode runs as Arrow-batched ``mapInPandas`` so
+each task streams record batches; at 100 TB the media table would be
+bucketed by content-hash prefix to parallelize without skew.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from backend_model_spark.sources.tables import load_table
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the media table: documents' text bytes as opaque
+    payloads with typed metadata — the schema a real image/audio table
+    would have (payload binary + kind + size)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text-blob").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.col("source").alias("origin"),
+            F.col("lang").alias("lang"),
+            F.length(F.col("text")).alias("declared_chars"),
+        ).alias("meta"),
+    )
+
+
+def payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column stats per kind/lang: proves the opaque-payload
+    path (encode → binary length) without ever decoding."""
+    media = media_table(spark, sf_dir)
+    return (
+        media.groupBy("kind", F.col("meta.lang").alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum(F.length("payload")).alias("total_bytes"),
+            F.max(F.length("payload")).alias("max_bytes"),
+        )
+        .orderBy("kind", "lang")
+    )
+
+
+PAYLOAD_STATS_ORACLE = """
+SELECT
+  'text-blob' AS kind,
+  lang,
+  COUNT(*) AS n_media,
+  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+  CAST(MAX(octet_length(encode(text))) AS INTEGER) AS max_bytes
+FROM documents
+GROUP BY lang
+ORDER BY kind, lang
+"""
+
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+    ]
+)
+
+
+def _fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB DECODER — deterministic fake standing in for a real codec.
+
+    A production build replaces the body with e.g.
+    ``PIL.Image.open(io.BytesIO(payload))``; the signature, Arrow batch
+    shape, and output schema stay identical. The fake derives pseudo
+    image dimensions and a mean-intensity from the payload bytes so
+    the pipeline is fully testable and deterministic.
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        n_bytes = payloads.map(len)
+        width = (n_bytes % 64 + 1).astype("int32")
+        height = ((n_bytes // 64) % 64 + 1).astype("int32")
+        # floor(x*1e6+0.5)/1e6: bit-reproducible rounding (Python's
+        # round() is half-even; DuckDB's is half-away — both diverge
+        # on exact boundaries, which dyadic byte-means do hit)
+        import math
+
+        mean_intensity = payloads.map(
+            lambda b: math.floor(
+                sum(b[:256]) / max(min(len(b), 256), 1) * 1_000_000.0 + 0.5
+            )
+            / 1_000_000.0
+        )
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": n_bytes.astype("int32"),
+                "width": width,
+                "height": height,
+                "mean_intensity": mean_intensity,
+            }
+        )
+
+
+def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode/feature-extract over the media table via
+    ``mapInPandas`` — the real plumbing with the stub codec."""
+    media = media_table(spark, sf_dir)
+    return (
+        media.mapInPandas(_fake_decode_batch, schema=_DECODE_SCHEMA)
+        .orderBy("media_id")
+    )
+
+
+# The fake decode is pure byte arithmetic, so it IS oracle-checkable:
+# mean of the first 256 byte values == mean of the first 256 UTF-8
+# code units (text is ASCII word-salad, so bytes == chars).
+DECODE_FEATURES_ORACLE = """
+SELECT
+  doc_id AS media_id,
+  'text-blob' AS kind,
+  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+  CAST(octet_length(encode(text)) % 64 + 1 AS INTEGER) AS width,
+  CAST((octet_length(encode(text)) // 64) % 64 + 1 AS INTEGER) AS height,
+  floor(
+    list_sum(list_transform(
+      generate_series(1, LEAST(octet_length(encode(text)), 256)),
+      i -> CAST(ascii(substr(text, i, 1)) AS DOUBLE)
+    )) / LEAST(octet_length(encode(text)), 256) * 1000000.0 + 0.5
+  ) / 1000000.0 AS mean_intensity
+FROM documents
+ORDER BY media_id
+"""
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: split each payload into fixed 256-byte
+    'frames', keep every 4th — the video-keyframe pattern, as a
+    JVM-side array op (no Python). Returns per-media frame counts."""
+    media = media_table(spark, sf_dir)
+    n_frames = F.ceil(F.length("payload") / F.lit(256.0)).cast("int")
+    sampled = F.when(
+        n_frames > 0, ((n_frames - 1) / F.lit(4)).cast("int") + 1
+    ).otherwise(0)
+    return (
+        media.select(
+            "media_id",
+            n_frames.alias("n_frames"),
+            sampled.alias("n_sampled_frames"),
+        )
+        .orderBy("media_id")
+    )
+
+
+FRAME_SAMPLE_ORACLE = """
+SELECT
+  doc_id AS media_id,
+  CAST(CEIL(octet_length(encode(text)) / 256.0) AS INTEGER) AS n_frames,
+  -- explicit FLOOR: DuckDB '//' on DOUBLE is plain division, and its
+  -- double->int CAST rounds (Spark's truncates)
+  CASE WHEN CEIL(octet_length(encode(text)) / 256.0) > 0
+       THEN CAST(FLOOR((CEIL(octet_length(encode(text)) / 256.0) - 1) / 4) + 1 AS INTEGER)
+       ELSE 0 END AS n_sampled_frames
+FROM documents
+ORDER BY media_id
+"""

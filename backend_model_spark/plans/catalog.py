@@ -12,6 +12,8 @@ from backend_model_spark.operators import (
     dedup,
     events_ops,
     joins,
+    mllib_ops,
+    multimodal,
     relational,
     similarity,
     sorts_sets,
@@ -155,3 +157,14 @@ register(
     similarity.lsh_hyperplane_buckets,
     similarity.LSH_BUCKETS_ORACLE,
 )
+
+# --- multimodal binary-column plumbing ----------------------------------------
+register("media_payload_stats", multimodal.payload_stats, multimodal.PAYLOAD_STATS_ORACLE)
+register(
+    "media_decode_features", multimodal.decode_features, multimodal.DECODE_FEATURES_ORACLE
+)
+register("media_frame_sample", multimodal.frame_sample, multimodal.FRAME_SAMPLE_ORACLE)
+
+# --- MLlib approximate variants (rows-only: no SQL-expressible oracle) --------
+register("mllib_minhash_neardup", mllib_ops.mllib_minhash_neardup, None)
+register("mllib_brp_ann_join", mllib_ops.mllib_brp_ann_join, None)

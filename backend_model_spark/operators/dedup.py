@@ -23,13 +23,18 @@ from pyspark.sql import functions as F
 from backend_model_spark.sources.tables import load_table
 
 TOKENS = "split(trim(text), '\\\\s+')"
-# word 3-gram shingles over the token array (1-based slice, same as
-# DuckDB). Guard the short-doc case explicitly: Spark's sequence(1, 0)
-# yields a DESCENDING [1, 0], not an empty array.
+# word 3-gram shingles over a pre-computed token column (1-based
+# slice, same as DuckDB). Two deliberate choices:
+# * operates on a `toks` COLUMN, not the split expression inline —
+#   expressions inside a transform() lambda are re-evaluated per
+#   element, so an inline split() would re-tokenize the document once
+#   per shingle;
+# * guards the short-doc case explicitly: Spark's sequence(1, 0)
+#   yields a DESCENDING [1, 0], not an empty array.
 SHINGLES = (
-    f"CASE WHEN size({TOKENS}) < 3 THEN cast(array() as array<string>) "
-    f"ELSE transform(sequence(1, size({TOKENS}) - 2),"
-    f" i -> concat_ws(' ', slice({TOKENS}, i, 3))) END"
+    "CASE WHEN size(toks) < 3 THEN cast(array() as array<string>) "
+    "ELSE transform(sequence(1, size(toks) - 2),"
+    " i -> concat_ws(' ', slice(toks, i, 3))) END"
 )
 SHINGLES_SQL = r"""
 list_transform(
@@ -40,7 +45,31 @@ list_transform(
 )
 """
 
-N_MINHASH = 8  # md5 yields 32 hex chars = 8 independent 4-byte slices
+N_MINHASH = 8  # independent salted-md5 hash functions
+
+
+def tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a ``toks`` column, repartitioned for fan-out.
+
+    The documents table arrives as one small parquet file → one input
+    partition; every shingle/token explode would otherwise run in a
+    single task. Repartitioning to the cluster's parallelism costs one
+    tiny shuffle and parallelizes everything downstream — at 100 TB
+    the source is already many files and this becomes a no-op-sized
+    decision to revisit per layout.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    return docs.repartition(par).withColumn("toks", F.expr(TOKENS))
+
+
+def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct word-3-gram pairs."""
+    return (
+        tokenized_docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.expr(SHINGLES)).alias("shingle"))
+        .distinct()
+    )
 
 
 def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,11 +104,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     via an inverted-index self-join (shingle equi-join, never a cross
     join). The verify stage of a dedup pipeline; see module docstring
     for the 100 TB candidate-generation strategy."""
-    docs = load_table(spark, "documents", sf_dir)
-    shingled = (
-        docs.select("doc_id", F.explode(F.expr(SHINGLES)).alias("shingle"))
-        .distinct()
-    )
+    shingled = shingled_docs(spark, sf_dir).persist()
+    # persisted: read three times below (sizes + both join sides)
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = shingled.alias("a")
     b = shingled.alias("b")
@@ -132,10 +158,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic MinHash signatures (8 hash functions from md5
     slices) per document — the cross-engine-checkable core of
     MinHash dedup."""
-    docs = load_table(spark, "documents", sf_dir)
-    shingled = docs.select(
-        "doc_id", F.explode(F.expr(SHINGLES)).alias("shingle")
-    ).distinct()
+    shingled = shingled_docs(spark, sf_dir)
     # one salted md5 per hash function — k independent hash families
     # (a single digest only has 32 hex chars; slicing it 8 ways would
     # run off the end)
@@ -181,22 +204,21 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation is a shuffle on band keys, never all-pairs.
     """
     sigs = minhash_signatures(spark, sf_dir)
-    bands = []
-    for band in range(N_MINHASH // 2):
-        bands.append(
-            sigs.select(
-                "doc_id",
-                F.lit(band).alias("band"),
-                F.concat_ws(
-                    "_",
-                    F.col(f"mh_{2 * band}").cast("string"),
-                    F.col(f"mh_{2 * band + 1}").cast("string"),
-                ).alias("bucket"),
-            )
-        )
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionByName(b)
+    # one pass over the signatures: explode the 4 band keys inline
+    # (a per-band union would re-run the whole shingle→md5→min lineage
+    # once per band and once per join side — 8× the scan)
+    band_structs = ", ".join(
+        f"struct({band} as band, concat(cast(mh_{2 * band} as string), '_', "
+        f"cast(mh_{2 * band + 1} as string)) as bucket)"
+        for band in range(N_MINHASH // 2)
+    )
+    banded = sigs.select(
+        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # persist: the self-join reads this lineage twice, and the banded
+    # table (4 rows/doc, two small columns) is far cheaper to hold
+    # than to recompute through the md5 pipeline
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -248,9 +270,8 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document: per-token md5-derived hash, bit
     votes weighted by token frequency, sign-aggregated — deterministic
     on both engines (no RNG, no engine hash)."""
-    docs = load_table(spark, "documents", sf_dir)
-    tokens = docs.select(
-        "doc_id", F.explode(F.expr(TOKENS)).alias("token")
+    tokens = tokenized_docs(spark, sf_dir).select(
+        "doc_id", F.explode("toks").alias("token")
     ).filter(F.col("token") != "")
     hashed = tokens.withColumn(
         "h", F.conv(F.substring(F.md5(F.col("token").cast("binary")), 1, 8), 16, 10).cast("bigint")
@@ -313,7 +334,8 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     global cross join. Dot products computed in double with identical
     left-to-right folds on both engines."""
     emb = load_table(spark, "embeddings", sf_dir)
-    v = emb.select(
+    # repartition: single-file source → parallelize the pairwise stage
+    v = emb.repartition(spark.sparkContext.defaultParallelism).select(
         "vec_id",
         "label",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),

@@ -20,7 +20,7 @@ from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from backend_model_spark.operators.dedup import SHINGLES
+from backend_model_spark.operators.dedup import SHINGLES, tokenized_docs
 from backend_model_spark.sources.tables import load_table
 
 SEED = 42
@@ -34,9 +34,10 @@ def mllib_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash buckets and equi-joins on bucket — shuffle on hash keys, no
     all-pairs compare.
     """
-    docs = load_table(spark, "documents", sf_dir)
-    shingled = docs.select("doc_id", F.expr(SHINGLES).alias("shingles")).filter(
-        F.size("shingles") > 0
+    shingled = (
+        tokenized_docs(spark, sf_dir)
+        .select("doc_id", F.expr(SHINGLES).alias("shingles"))
+        .filter(F.size("shingles") > 0)
     )
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True

@@ -34,7 +34,10 @@ NORM_SQL = "sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> {a}[i] 
 
 
 def _as_double(df: DataFrame) -> DataFrame:
-    return df.select(
+    # repartition: embeddings arrive as one small parquet file → one
+    # task; the 64-d dot-product fan-out wants all cores
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par).select(
         "vec_id",
         "label",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),

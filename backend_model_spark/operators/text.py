@@ -88,8 +88,14 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document quality scoring: token count, mean token
     length, stopword ratio, and a composite score — the standard
     pre-training quality gate features (length/stopword heuristics)."""
-    docs = load_table(spark, "documents", sf_dir)
-    toks = F.expr(TOKENS)
+    # repartition: single-file source, per-doc scoring wants all cores;
+    # tokenize once into a column (not re-evaluated per expression)
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("toks", F.expr(TOKENS))
+    )
+    toks = F.col("toks")
     n_tokens = F.size(toks).cast("double")
     # mean token length = (chars - separators) / tokens
     mean_tok_len = (F.length(F.trim(F.col("text"))) - (F.size(toks) - 1)) / n_tokens
@@ -220,7 +226,9 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side collection. At 100 TB this is the canonical word-count
     shape.
     """
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return (
         docs.select(F.explode(F.expr(TOKENS)).alias("token"))
         .filter(F.col("token") != "")

@@ -21,6 +21,7 @@ from backend_model_spark.operators import (
     windows,
 )
 from backend_model_spark.plans.registry import register
+from backend_model_spark.streaming import jobs as streaming_jobs
 
 # --- flagship / pricing ---------------------------------------------------
 register("q1_pricing_summary", relational.q1_pricing_summary, relational.Q1_ORACLE)
@@ -168,3 +169,20 @@ register("media_frame_sample", multimodal.frame_sample, multimodal.FRAME_SAMPLE_
 # --- MLlib approximate variants (rows-only: no SQL-expressible oracle) --------
 register("mllib_minhash_neardup", mllib_ops.mllib_minhash_neardup, None)
 register("mllib_brp_ann_join", mllib_ops.mllib_brp_ann_join, None)
+
+# --- structured streaming (availableNow batch-equivalence) --------------------
+register(
+    "streaming_hourly_counts",
+    streaming_jobs.streaming_hourly_counts,
+    streaming_jobs.STREAMING_HOURLY_ORACLE,
+)
+register(
+    "streaming_dedup_user_types",
+    streaming_jobs.streaming_dedup_user_types,
+    streaming_jobs.STREAMING_DEDUP_ORACLE,
+)
+register(
+    "streaming_session_windows",
+    streaming_jobs.streaming_session_windows,
+    streaming_jobs.STREAMING_SESSION_ORACLE,
+)

@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <scale factor>}
+
+Each query is forced end-to-end with a noop sink (no driver collect,
+no result materialization on the driver — executor-side completion
+only), which is the honest distributed cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family, weighted toward the
+# shuffle/join/window-heavy shapes that dominate at scale.
+HEADLINE = [
+    "q1_pricing_summary",
+    "agg_rollup",
+    "join_q3_shipping_priority",
+    "join_q5_region_revenue",
+    "window_top_per_customer",
+    "events_sessionize",
+    "events_asof_join",
+    "text_quality_scores",
+    "dedup_minhash_lsh_candidates",
+    "sim_cosine_topk_bruteforce",
+]
+
+
+def main() -> None:
+    from backend_model_spark.plans import registry
+    from backend_model_spark.session import get_spark
+
+    spark = get_spark("backend_model_spark-bench")
+    qs = registry.queries()
+
+    # untimed warmup: JVM JIT + codegen + parquet footer caches
+    qs["q1_pricing_summary"](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.monotonic()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

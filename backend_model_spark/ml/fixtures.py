@@ -1,0 +1,147 @@
+"""Deterministic Airbnb-shaped fixture generator (FIXTURES.md §1).
+
+Reproduces the reference's dirty 29-column Kaggle CSV surface —
+including the exact junk-zipcode patterns the cleaning operators must
+handle (nb:1437-1471) — with a seeded RNG so every golden invariant
+(G1-G8) is computable ahead of time by the generator itself.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+SEED = 42
+
+CITIES = ["Boston", "Chicago", "DC", "LA", "NYC", "SF"]
+PROPERTY_TYPES = [f"PropType{i:02d}" for i in range(31)]
+ROOM_TYPES = ["Entire home/apt", "Private room", "Shared room"]
+BED_TYPES = ["Airbed", "Couch", "Futon", "Pull-out Sofa", "Real Bed"]
+CANCEL_POLICIES = ["flexible", "moderate", "strict", "super_strict_30", "super_strict_60"]
+
+# junk zips per nb:1437-1471 / FIXTURES.md: hyphenated + float-string
+# are CLEANABLE; '1m' and the CR/LF multi-zips are row-DROPPED
+CLEANABLE_ZIPS = ["10003-8623", "10019.0"]
+JUNK_ZIPS = ["1m", "95202\r\r\n95203\r\r\n94158", "11249\r\r\n11249"]
+
+
+@dataclass
+class FixtureGolden:
+    """Generator-side golden values (the G-invariants of FIXTURES.md §3)."""
+
+    n_train: int
+    n_test: int
+    n_union: int
+    n_after_dropna: int
+    n_after_junk_filter: int
+    mean_price: float
+    min_price: float
+    max_price: float
+    city_counts: dict[str, int]
+
+
+def generate_listings(
+    n_rows: int = 5000, null_fraction: float = 0.3, seed: int = SEED
+) -> tuple[pd.DataFrame, pd.DataFrame, FixtureGolden]:
+    """Build (train, test, golden). Dirty patterns deterministic."""
+    rng = np.random.default_rng(seed)
+    n_train = int(n_rows * 0.75)
+
+    log_price = np.log(rng.uniform(1.0, 1999.0, n_rows))
+    city = rng.choice(CITIES, n_rows, p=[0.06, 0.06, 0.06, 0.26, 0.46, 0.10])
+    host_since_days = rng.integers(13941, 17435, n_rows)
+    host_since = pd.to_datetime(host_since_days, unit="D").strftime("%Y-%m-%d")
+
+    zipcodes = np.array([f"{z:05d}" for z in rng.integers(2108, 94159, n_rows)], dtype=object)
+    # plant cleanable + junk zips at deterministic positions
+    for i, z in enumerate(CLEANABLE_ZIPS):
+        zipcodes[10 + i] = z
+    for i, z in enumerate(JUNK_ZIPS):
+        zipcodes[20 + i] = z
+
+    df = pd.DataFrame(
+        {
+            "id": np.arange(n_rows, dtype=np.int64),
+            "log_price": log_price,
+            "property_type": rng.choice(PROPERTY_TYPES, n_rows),
+            "room_type": rng.choice(ROOM_TYPES, n_rows),
+            "amenities": [
+                '{"Wireless Internet","Kitchen",TV}' if i % 3 else "{}"
+                for i in range(n_rows)
+            ],
+            "accommodates": rng.integers(1, 17, n_rows),
+            "bathrooms": rng.integers(0, 9, n_rows).astype("float64"),
+            "bed_type": rng.choice(BED_TYPES, n_rows),
+            "cancellation_policy": rng.choice(CANCEL_POLICIES, n_rows),
+            "cleaning_fee": rng.choice([True, False], n_rows),
+            "city": city,
+            "description": [f"desc {i} lorem ipsum" for i in range(n_rows)],
+            "first_review": host_since,
+            "last_review": host_since,
+            "host_has_profile_pic": rng.choice(["t", "f"], n_rows),
+            "host_identity_verified": rng.choice(["t", "f"], n_rows),
+            "host_response_rate": [f"{r}%" for r in rng.integers(0, 101, n_rows)],
+            "host_since": host_since,
+            "instant_bookable": rng.choice(["t", "f"], n_rows),
+            "latitude": rng.uniform(25.0, 48.0, n_rows),
+            "longitude": rng.uniform(-123.0, -71.0, n_rows),
+            "name": [f"listing {i}" for i in range(n_rows)],
+            "neighbourhood": [f"hood{i % 600}" for i in range(n_rows)],
+            "number_of_reviews": rng.integers(0, 401, n_rows),
+            "review_scores_rating": rng.integers(20, 101, n_rows).astype("float64"),
+            "thumbnail_url": [f"https://example.com/{i}.jpg" for i in range(n_rows)],
+            "zipcode": zipcodes,
+            "bedrooms": rng.integers(0, 11, n_rows).astype("float64"),
+            "beds": rng.integers(0, 19, n_rows).astype("float64"),
+        }
+    )
+
+    # null budget: null out a deterministic slice of nullable columns in
+    # rows AFTER the planted junk rows so junk rows survive dropna
+    nullable = [
+        "bathrooms",
+        "first_review",
+        "last_review",
+        "host_has_profile_pic",
+        "host_identity_verified",
+        "host_response_rate",
+        "host_since",
+        "neighbourhood",
+        "review_scores_rating",
+        "thumbnail_url",
+        "bedrooms",
+        "beds",
+    ]
+    n_null_rows = int(n_rows * null_fraction)
+    null_rows = rng.choice(np.arange(30, n_rows), size=n_null_rows, replace=False)
+    for j, r in enumerate(null_rows):
+        df.loc[r, nullable[j % len(nullable)]] = None
+
+    clean_mask = ~df.index.isin(null_rows)
+    survivors = df[clean_mask]
+    junk_mask = survivors["zipcode"].isin(JUNK_ZIPS)
+    final = survivors[~junk_mask]
+    price = np.round(np.exp(final["log_price"].to_numpy()), 2)
+
+    golden = FixtureGolden(
+        n_train=n_train,
+        n_test=n_rows - n_train,
+        n_union=n_rows,
+        n_after_dropna=int(clean_mask.sum()),
+        n_after_junk_filter=len(final),
+        mean_price=float(np.mean(price)),
+        min_price=float(np.min(price)),
+        max_price=float(np.max(price)),
+        city_counts=final["city"].value_counts().to_dict(),
+    )
+    train = df.iloc[:n_train].reset_index(drop=True)
+    test = df.iloc[n_train:].reset_index(drop=True)
+    return train, test, golden
+
+
+def to_spark(spark: SparkSession, pdf: pd.DataFrame) -> DataFrame:
+    return spark.createDataFrame(pdf)

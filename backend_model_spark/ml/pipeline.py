@@ -1,0 +1,92 @@
+"""MLlib price-regression pipeline (SURVEY.md §2.10 capability map).
+
+The reference trains two Keras FCFF regressors over the 15-feature
+``air_b`` table (M1/M2, extracted from the SavedModel protobufs).
+MLlib has no DNN regressor; per SURVEY.md §2.10 the capability mapping
+is a ``Pipeline`` of assembler → scaler → {LinearRegression,
+GBTRegressor} with ``RegressionEvaluator`` on MAE — same contract
+(tabular features in, price out, MAE-scored), Spark-native execution.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.evaluation import RegressionEvaluator
+from pyspark.ml.feature import StandardScaler, VectorAssembler
+from pyspark.ml.regression import GBTRegressor, LinearRegression
+
+from pyspark.sql import DataFrame
+
+SEED = 42
+
+FEATURE_COLS = [
+    "property_type",
+    "room_type",
+    "accommodates",
+    "bathrooms",
+    "bed_type",
+    "cancellation_policy",
+    "cleaning_fee",
+    "city",
+    "host_identity_verified",
+    "host_since",
+    "instant_bookable",
+    "review_scores_rating",
+    "zipcode",
+    "bedrooms",
+    "beds",
+]
+LABEL_COL = "price"
+
+
+def build_pipeline(model: str = "gbt", **params) -> Pipeline:
+    """assembler → scaler → regressor, all MLlib stages."""
+    assembler = VectorAssembler(
+        inputCols=FEATURE_COLS, outputCol="features_raw", handleInvalid="skip"
+    )
+    scaler = StandardScaler(
+        inputCol="features_raw", outputCol="features", withMean=True, withStd=True
+    )
+    if model == "gbt":
+        reg = GBTRegressor(
+            featuresCol="features",
+            labelCol=LABEL_COL,
+            seed=SEED,
+            maxDepth=params.get("maxDepth", 5),
+            maxIter=params.get("maxIter", 20),
+            stepSize=params.get("stepSize", 0.1),
+        )
+    elif model == "linear":
+        reg = LinearRegression(
+            featuresCol="features",
+            labelCol=LABEL_COL,
+            regParam=params.get("regParam", 0.0),
+            elasticNetParam=params.get("elasticNetParam", 0.0),
+        )
+    else:
+        raise ValueError(f"unknown model {model!r}")
+    return Pipeline(stages=[assembler, scaler, reg])
+
+
+@dataclass
+class TrainResult:
+    model: PipelineModel
+    mae: float
+    rmse: float
+    r2: float
+
+
+def train_and_evaluate(
+    train: DataFrame, test: DataFrame, model: str = "gbt", **params
+) -> TrainResult:
+    fitted = build_pipeline(model, **params).fit(train)
+    preds = fitted.transform(test)
+    evaluator = RegressionEvaluator(labelCol=LABEL_COL, predictionCol="prediction")
+    return TrainResult(
+        model=fitted,
+        mae=evaluator.setMetricName("mae").evaluate(preds),
+        rmse=evaluator.setMetricName("rmse").evaluate(preds),
+        r2=evaluator.setMetricName("r2").evaluate(preds),
+    )

@@ -12,6 +12,7 @@ from backend_model_spark.operators import (
     dedup,
     events_ops,
     joins,
+    ml_queries,
     mllib_ops,
     multimodal,
     relational,
@@ -169,6 +170,14 @@ register("media_frame_sample", multimodal.frame_sample, multimodal.FRAME_SAMPLE_
 # --- MLlib approximate variants (rows-only: no SQL-expressible oracle) --------
 register("mllib_minhash_neardup", mllib_ops.mllib_minhash_neardup, None)
 register("mllib_brp_ann_join", mllib_ops.mllib_brp_ann_join, None)
+
+# --- ML (SURVEY §2.10) ---------------------------------------------------------
+register(
+    "ml_linear_fit_closed_form",
+    ml_queries.linear_fit_closed_form,
+    ml_queries.LINEAR_FIT_ORACLE,
+)
+register("ml_gbt_train_eval", ml_queries.gbt_train_eval, None)
 
 # --- structured streaming (availableNow batch-equivalence) --------------------
 register(

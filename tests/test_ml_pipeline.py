@@ -1,0 +1,58 @@
+"""MLlib pipeline + tuning tests (SURVEY.md §5 item 3): E2E smoke with
+finite MAE, better-than-baseline sanity, and deterministic tuning
+selection under a fixed seed."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from backend_model_spark.ml import cleaning, tuning
+from backend_model_spark.ml.fixtures import generate_listings, to_spark
+from backend_model_spark.ml.pipeline import train_and_evaluate
+
+
+@pytest.fixture(scope="module")
+def splits(spark):
+    train_pdf, test_pdf, _ = generate_listings(n_rows=2000)
+    cleaned = cleaning.clean_listings(
+        to_spark(spark, train_pdf), to_spark(spark, test_pdf)
+    )
+    train, valid = cleaned.randomSplit([0.8, 0.2], seed=42)
+    return train.cache(), valid.cache()
+
+
+def test_e2e_train_predict_smoke(splits):
+    train, valid = splits
+    result = train_and_evaluate(train, valid, model="linear")
+    assert result.mae == result.mae  # finite, not NaN
+    assert result.mae > 0
+    # sanity: beat a degenerate always-mean predictor on MAE
+    mean_price = train.agg(F.avg("price")).collect()[0][0]
+    baseline_mae = (
+        valid.select(F.abs(F.col("price") - F.lit(mean_price)).alias("ae"))
+        .agg(F.avg("ae"))
+        .collect()[0][0]
+    )
+    assert result.mae <= baseline_mae * 1.05
+
+
+def test_grid_search_selects_deterministically(splits):
+    train, _ = splits
+    cv1 = tuning.grid_search_linear(train, n_folds=2)
+    cv2 = tuning.grid_search_linear(train, n_folds=2)
+    best1 = cv1.bestModel.stages[-1]
+    best2 = cv2.bestModel.stages[-1]
+    assert best1.getRegParam() == best2.getRegParam()
+    assert best1.getElasticNetParam() == best2.getElasticNetParam()
+
+
+def test_bayesian_loop_deterministic_and_improving(splits):
+    train, valid = splits
+    r1 = tuning.bayesian_optimize_gbt(train, valid, n_trials=4, n_explore=2)
+    r2 = tuning.bayesian_optimize_gbt(train, valid, n_trials=4, n_explore=2)
+    assert r1.best_params == r2.best_params
+    assert r1.best_mae == pytest.approx(r2.best_mae)
+    assert len(r1.trials) == 4
+    assert r1.best_mae == min(t.mae for t in r1.trials)

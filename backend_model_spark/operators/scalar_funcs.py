@@ -1,0 +1,167 @@
+"""Scalar-function batteries (SURVEY.md §2.8 generalized): string,
+date, and math expressions — all JVM-side, all inside whole-stage
+codegen, each verified against DuckDB.
+
+Engine-parity notes encoded here:
+* substring is 1-based in both; LIKE semantics identical;
+* day-of-week is NOT used (Spark: 1=Sunday; DuckDB: 0=Sunday) —
+  year/month/day/quarter extractions agree;
+* exact ``percentile`` (linear interpolation) == DuckDB
+  ``quantile_cont``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backend_model_spark.sources.tables import load_table
+
+
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/lower/substring/replace/concat/length/LIKE over part."""
+    part = load_table(spark, "part", sf_dir)
+    return (
+        part.select(
+            "p_partkey",
+            F.upper(F.col("p_brand")).alias("brand_upper"),
+            F.lower(F.col("p_name")).alias("name_lower"),
+            F.substring(F.col("p_name"), 1, 5).alias("name_head"),
+            F.length(F.col("p_name")).alias("name_len"),
+            F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+            F.concat_ws("|", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+            F.col("p_name").like("%a%").alias("has_a"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        )
+        .orderBy("p_partkey")
+        .limit(1000)
+    )
+
+
+STRING_FUNCS_ORACLE = """
+SELECT
+  p_partkey,
+  UPPER(p_brand)                 AS brand_upper,
+  LOWER(p_name)                  AS name_lower,
+  SUBSTRING(p_name, 1, 5)        AS name_head,
+  CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+  REPLACE(p_type, ' ', '_')      AS type_snake,
+  p_brand || '|' || p_type       AS brand_type,
+  p_name LIKE '%a%'              AS has_a,
+  LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded
+FROM part
+ORDER BY p_partkey
+LIMIT 1000
+"""
+
+
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/day/quarter extraction + last_day + add_months,
+    aggregated per (year, quarter)."""
+    orders = load_table(spark, "orders", sf_dir)
+    d = F.col("o_orderdate").cast("date")
+    return (
+        orders.select(
+            F.year(d).alias("yr"),
+            F.quarter(d).alias("qtr"),
+            F.month(d).alias("mo"),
+            F.dayofmonth(d).alias("dom"),
+            F.last_day(d).alias("month_end"),
+            F.add_months(d, 3).alias("plus_quarter"),
+        )
+        .groupBy("yr", "qtr")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("mo").alias("n_months"),
+            F.countDistinct("month_end").alias("n_month_ends"),
+            F.date_format(F.min("plus_quarter"), "yyyy-MM-dd").alias("min_plus_quarter"),
+            F.max("dom").alias("max_dom"),
+        )
+        .orderBy("yr", "qtr")
+    )
+
+
+DATE_FUNCS_ORACLE = """
+SELECT
+  CAST(YEAR(o_orderdate) AS INTEGER)    AS yr,
+  CAST(QUARTER(o_orderdate) AS INTEGER) AS qtr,
+  COUNT(*)                              AS n_orders,
+  COUNT(DISTINCT MONTH(o_orderdate))    AS n_months,
+  COUNT(DISTINCT last_day(CAST(o_orderdate AS DATE))) AS n_month_ends,
+  STRFTIME(CAST(MIN(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH) AS DATE), '%Y-%m-%d') AS min_plus_quarter,
+  CAST(MAX(DAY(o_orderdate)) AS INTEGER) AS max_dom
+FROM orders
+GROUP BY 1, 2
+ORDER BY yr, qtr
+"""
+
+
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqrt/pow/log/ceil/floor/mod/sign/greatest/least on lineitem."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+            F.round(F.pow(F.col("l_discount") + 1.0, 2), 6).alias("disc_sq"),
+            F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+            F.round(F.log10(F.col("l_extendedprice")), 6).alias("price_log10"),
+            F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+            F.floor(F.col("l_quantity") / 7).cast("bigint").alias("qty_div7"),
+            (F.col("l_orderkey") % 97).alias("key_mod97"),
+            F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+            F.greatest("l_discount", "l_tax").alias("max_rate"),
+            F.least("l_discount", "l_tax").alias("min_rate"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(2000)
+    )
+
+
+MATH_FUNCS_ORACLE = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  ROUND(SQRT(l_extendedprice), 6)      AS price_sqrt,
+  ROUND(POW(l_discount + 1.0, 2), 6)   AS disc_sq,
+  ROUND(LN(l_extendedprice), 6)        AS price_ln,
+  ROUND(LOG10(l_extendedprice), 6)     AS price_log10,
+  CAST(FLOOR(CEIL(l_quantity)) AS BIGINT)      AS qty_ceil,
+  CAST(FLOOR(FLOOR(l_quantity / 7)) AS BIGINT) AS qty_div7,
+  l_orderkey % 97                      AS key_mod97,
+  SIGN(l_discount - 0.05)              AS disc_sign,
+  GREATEST(l_discount, l_tax)          AS max_rate,
+  LEAST(l_discount, l_tax)             AS min_rate
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+LIMIT 2000
+"""
+
+
+def percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median/p90) per order status — single-pass
+    sort-based aggregate; at 100 TB swap in ``approx_percentile``
+    (t-digest) when exactness isn't contractual."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+PERCENTILES_ORACLE = """
+SELECT
+  o_orderstatus,
+  COUNT(*) AS n_orders,
+  ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+  ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""

@@ -1,0 +1,99 @@
+"""Queries expressed through the ``spark.sql`` API (SURVEY.md §3.3).
+
+The same Catalyst plans come out of SQL text as from the DataFrame
+API; these entries exercise the SQL front-end plus constructs that are
+cleanest in SQL — GROUPING SETS, HAVING, FILTER-ed aggregates, IN /
+scalar subqueries. Each oracle is the *identical* ANSI text, so the
+check is engine-vs-engine on the same SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from backend_model_spark.sources.tables import register_views
+
+GROUPING_SETS_SQL = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  COUNT(*) AS n_orders,
+  ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(GROUPING_SETS_SQL)
+
+
+HAVING_SQL = """
+SELECT c_nationkey, COUNT(*) AS n_customers, ROUND(AVG(c_acctbal), 6) AS avg_bal
+FROM customer
+GROUP BY c_nationkey
+HAVING COUNT(*) > 50 AND AVG(c_acctbal) > 0
+ORDER BY c_nationkey
+"""
+
+
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(HAVING_SQL)
+
+
+FILTERED_AGG_SQL = """
+SELECT
+  l_returnflag,
+  COUNT(*)                                            AS n_items,
+  COUNT(*) FILTER (WHERE l_discount > 0.05)           AS n_discounted,
+  COUNT(*) FILTER (WHERE l_quantity >= 25)            AS n_bulk,
+  ROUND(SUM(l_extendedprice) FILTER (WHERE l_tax > 0.04), 2) AS taxed_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(FILTERED_AGG_SQL)
+
+
+SUBQUERIES_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_above_avg
+FROM orders
+WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+  AND o_custkey IN (
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  )
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SUBQUERIES_SQL)
+
+
+CASE_BUCKETS_SQL = """
+SELECT
+  CASE
+    WHEN o_totalprice < 50000  THEN 'small'
+    WHEN o_totalprice < 150000 THEN 'medium'
+    ELSE 'large'
+  END AS price_bucket,
+  COUNT(*) AS n_orders,
+  ROUND(AVG(o_totalprice), 6) AS avg_price
+FROM orders
+GROUP BY 1
+ORDER BY price_bucket
+"""
+
+
+def case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(CASE_BUCKETS_SQL)

@@ -16,8 +16,10 @@ from backend_model_spark.operators import (
     mllib_ops,
     multimodal,
     relational,
+    scalar_funcs,
     similarity,
     sorts_sets,
+    sql_api,
     text,
     windows,
 )
@@ -170,6 +172,23 @@ register("media_frame_sample", multimodal.frame_sample, multimodal.FRAME_SAMPLE_
 # --- MLlib approximate variants (rows-only: no SQL-expressible oracle) --------
 register("mllib_minhash_neardup", mllib_ops.mllib_minhash_neardup, None)
 register("mllib_brp_ann_join", mllib_ops.mllib_brp_ann_join, None)
+
+# --- scalar function batteries (SURVEY §2.8) -----------------------------------
+register("func_string", scalar_funcs.string_functions, scalar_funcs.STRING_FUNCS_ORACLE)
+register("func_date", scalar_funcs.date_functions, scalar_funcs.DATE_FUNCS_ORACLE)
+register("func_math", scalar_funcs.math_functions, scalar_funcs.MATH_FUNCS_ORACLE)
+register(
+    "func_percentiles",
+    scalar_funcs.percentiles_by_status,
+    scalar_funcs.PERCENTILES_ORACLE,
+)
+
+# --- SQL-API constructs (identical ANSI text on both engines) ------------------
+register("sql_grouping_sets", sql_api.grouping_sets, sql_api.GROUPING_SETS_SQL)
+register("sql_having", sql_api.having_filter, sql_api.HAVING_SQL)
+register("sql_filtered_aggs", sql_api.filtered_aggregates, sql_api.FILTERED_AGG_SQL)
+register("sql_subqueries", sql_api.subqueries, sql_api.SUBQUERIES_SQL)
+register("sql_case_buckets", sql_api.case_buckets, sql_api.CASE_BUCKETS_SQL)
 
 # --- ML (SURVEY §2.10) ---------------------------------------------------------
 register(

@@ -63,13 +63,21 @@ def tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.repartition(par).withColumn("toks", F.expr(TOKENS))
 
 
-def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) distinct word-3-gram pairs."""
-    return (
-        tokenized_docs(spark, sf_dir)
-        .select("doc_id", F.explode(F.expr(SHINGLES)).alias("shingle"))
-        .distinct()
+def shingled_docs(
+    spark: SparkSession, sf_dir: str, distinct: bool = True
+) -> DataFrame:
+    """(doc_id, shingle) word-3-gram pairs.
+
+    ``distinct=True`` (a full shuffle) only where the consumer is
+    duplicate-sensitive (Jaccard counts). MinHash takes ``min`` per
+    doc, which duplicates can't change — it passes ``distinct=False``
+    and saves the exchange entirely (the groupBy's map-side partial
+    min then does the dedup for free).
+    """
+    shingled = tokenized_docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.expr(SHINGLES)).alias("shingle")
     )
+    return shingled.distinct() if distinct else shingled
 
 
 def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,17 +165,22 @@ ORDER BY doc_a, doc_b
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic MinHash signatures (8 hash functions from md5
     slices) per document — the cross-engine-checkable core of
-    MinHash dedup."""
-    shingled = shingled_docs(spark, sf_dir)
-    # one salted md5 per hash function — k independent hash families
-    # (a single digest only has 32 hex chars; slicing it 8 ways would
-    # run off the end)
+    MinHash dedup.
+
+    Hashing cost: 2 salted md5 digests per shingle, each sliced into
+    4 × 32-bit hash values (8 families total). Subexpression
+    elimination keeps it at 2 digest computations per row; slicing 8
+    ways off one digest would run off its 32 hex chars.
+    """
+    shingled = shingled_docs(spark, sf_dir, distinct=False)
     aggs = [
         F.min(
             F.conv(
                 F.substring(
-                    F.md5(F.concat(F.lit(f"{i}_"), F.col("shingle")).cast("binary")),
-                    1,
+                    F.md5(
+                        F.concat(F.lit(f"{i // 4}_"), F.col("shingle")).cast("binary")
+                    ),
+                    1 + 8 * (i % 4),
                     8,
                 ),
                 16,
@@ -187,7 +200,8 @@ WITH shingled AS (
 SELECT
   doc_id,
   {", ".join(
-    f"MIN(CAST('0x' || substr(md5('{i}_' || shingle), 1, 8) AS BIGINT)) AS mh_{i}"
+    f"MIN(CAST('0x' || substr(md5('{i // 4}_' || shingle), {1 + 8 * (i % 4)}, 8)"
+    f" AS BIGINT)) AS mh_{i}"
     for i in range(N_MINHASH)
   )}
 FROM shingled
@@ -245,7 +259,8 @@ sigs AS (
   SELECT
     doc_id,
     {", ".join(
-      f"MIN(CAST('0x' || substr(md5('{i}_' || shingle), 1, 8) AS BIGINT)) AS mh_{i}"
+      f"MIN(CAST('0x' || substr(md5('{i // 4}_' || shingle), {1 + 8 * (i % 4)}, 8)"
+      f" AS BIGINT)) AS mh_{i}"
       for i in range(N_MINHASH)
     )}
   FROM shingled

@@ -48,13 +48,19 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: first N_QUERIES vectors as queries against
     the full corpus. The query side is tiny → broadcast join; the
     corpus is scanned once, top-k per query via window."""
-    emb = _as_double(load_table(spark, "embeddings", sf_dir))
+    # norms are per-vector, not per-pair: compute once on each side
+    # before the join (the corpus norm would otherwise be re-folded
+    # N_QUERIES times, the query norm once per corpus row). Same fold
+    # order as the oracle's norm → bit-identical cosine.
+    emb = _as_double(load_table(spark, "embeddings", sf_dir)).withColumn(
+        "vn", F.expr(NORM.format(a="v"))
+    )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
     )
-    cos = F.expr(
-        f"{DOT.format(a='qv', b='v')} / ({NORM.format(a='qv')} * {NORM.format(a='v')})"
-    )
+    cos = F.expr(f"{DOT.format(a='qv', b='v')} / (qn * vn)")
     scored = (
         emb.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
         .withColumn("cosine", F.round(cos, 6))

@@ -24,6 +24,7 @@ from backend_model_spark.operators import (
     windows,
 )
 from backend_model_spark.plans.registry import register
+from backend_model_spark.sources import io_ops
 from backend_model_spark.streaming import jobs as streaming_jobs
 
 # --- flagship / pricing ---------------------------------------------------
@@ -172,6 +173,12 @@ register("media_frame_sample", multimodal.frame_sample, multimodal.FRAME_SAMPLE_
 # --- MLlib approximate variants (rows-only: no SQL-expressible oracle) --------
 register("mllib_minhash_neardup", mllib_ops.mllib_minhash_neardup, None)
 register("mllib_brp_ann_join", mllib_ops.mllib_brp_ann_join, None)
+
+# --- sources / sinks / DDL (SURVEY §2.1 S1-S7) ---------------------------------
+register("io_csv_roundtrip", io_ops.csv_roundtrip, io_ops.CSV_ROUNDTRIP_ORACLE)
+register("io_append_sink", io_ops.append_sink, io_ops.APPEND_SINK_ORACLE)
+register("io_ddl_create_insert_scan", io_ops.ddl_create_insert_scan, io_ops.DDL_ORACLE)
+register("io_etl_orchestration", io_ops.etl_orchestration, io_ops.ETL_ORACLE)
 
 # --- scalar function batteries (SURVEY §2.8) -----------------------------------
 register("func_string", scalar_funcs.string_functions, scalar_funcs.STRING_FUNCS_ORACLE)

@@ -1,0 +1,211 @@
+"""Source / sink / DDL operators (SURVEY.md §2.1, S1-S7).
+
+The reference's ingest surface is: CSV scan with inferred schema
+(`pipeline.py:8`, nb:67-68), table sink with append semantics
+(`pipeline.py:11-14`), full-table scan via SQL (`db_queries.py:26-29`),
+`CREATE TABLE IF NOT EXISTS` DDL (`db_queries.py:4-23`), a row-at-a-time
+INSERT loop (`pipeline.py:48-74`), CSV sink (nb:11247), and the
+orchestrated extract→load pipeline (`pipeline.py:77-88`).
+
+Spark-first re-expression:
+* CSV is read with an **explicit StructType** (inference is a dev
+  convenience, never the contract) and written partitioned — the
+  round-trip is verified end-to-end against the parquet oracle.
+* The INSERT loop becomes a single distributed write: executors write
+  in parallel, one commit protocol, no per-row round trips. Its
+  SERIAL primary key becomes `row_number()` over a deterministic
+  order (parity) — `monotonically_increasing_id()` is the cheaper
+  choice when density doesn't matter.
+* DDL goes through `spark.sql` so the catalog path
+  (CREATE TABLE IF NOT EXISTS / INSERT OVERWRITE / SELECT) is
+  exercised exactly as a SQL user would drive it.
+
+Every query writes only under ``.scratch/`` at the repo root
+(gitignored) and re-reads what it wrote, so the oracle comparison
+verifies the *sink + scan*, not just the transform.
+
+Scale notes: a CSV round-trip at 100 TB is executor-parallel on both
+sides (one task per ~128 MB split; CSV is splittable when
+uncompressed). The append sink demonstrates Spark's atomic job-commit
+(no half-written batches visible), and the ETL lineage is one lazy
+plan — scan → transform → write — with no driver materialization.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backend_model_spark.sources.tables import TABLE_SCHEMAS, load_table
+
+SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch",
+)
+
+
+def _scratch(*parts: str) -> str:
+    path = os.path.join(SCRATCH, *parts)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return path
+
+
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 + S6: customer → CSV sink → CSV scan (explicit schema) →
+    grouped aggregate. Doubles survive the text round-trip exactly
+    (Spark writes shortest-round-trip representations)."""
+    path = _scratch("csv_roundtrip", "customer_csv")
+    load_table(spark, "customer", sf_dir).write.mode("overwrite").csv(
+        path, header=True
+    )
+    back = spark.read.csv(path, header=True, schema=TABLE_SCHEMAS["customer"])
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+CSV_ROUNDTRIP_ORACLE = """
+SELECT
+  c_mktsegment,
+  COUNT(*)                     AS n_customers,
+  ROUND(SUM(c_acctbal), 2)     AS sum_bal,
+  MIN(c_custkey)               AS min_key,
+  MAX(c_custkey)               AS max_key
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 + S5: batched append-mode sink. Two write jobs append into
+    the same parquet table (mode='append' after an initial
+    overwrite); the re-scan must see exactly both batches — the
+    distributed replacement for the reference's row-at-a-time INSERT
+    loop (one atomic commit per batch, executor-parallel)."""
+    path = _scratch("append_sink", "nation_parquet")
+    nation = load_table(spark, "nation", sf_dir)
+    batch1 = nation.filter(F.col("n_nationkey") % 2 == 0)
+    batch2 = nation.filter(F.col("n_nationkey") % 2 == 1)
+    batch1.write.mode("overwrite").parquet(path)
+    batch2.write.mode("append").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.countDistinct("n_nationkey").alias("n_distinct"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+APPEND_SINK_ORACLE = """
+SELECT
+  n_regionkey,
+  COUNT(*)                    AS n_nations,
+  COUNT(DISTINCT n_nationkey) AS n_distinct
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+def ddl_create_insert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 + S4: `CREATE TABLE IF NOT EXISTS` with a typed schema and a
+    SERIAL-style index (`row_number()` over a deterministic order),
+    `INSERT OVERWRITE ... SELECT`, then a full-table scan via
+    `spark.sql` — the reference's db_queries.py lifecycle on the
+    Spark catalog."""
+    location = _scratch("ddl", "region_summary")
+    spark.sql("DROP TABLE IF EXISTS region_summary")
+    spark.sql(
+        f"""
+        CREATE TABLE IF NOT EXISTS region_summary (
+          idx BIGINT,
+          r_name STRING,
+          n_nations BIGINT
+        ) USING PARQUET LOCATION '{location}'
+        """
+    )
+    load_table(spark, "region", sf_dir).createOrReplaceTempView("_io_region")
+    load_table(spark, "nation", sf_dir).createOrReplaceTempView("_io_nation")
+    spark.sql(
+        """
+        INSERT OVERWRITE region_summary
+        SELECT
+          ROW_NUMBER() OVER (ORDER BY r.r_name) AS idx,
+          r.r_name,
+          COUNT(n.n_nationkey) AS n_nations
+        FROM _io_region r
+        LEFT JOIN _io_nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    )
+    return spark.sql("SELECT idx, r_name, n_nations FROM region_summary ORDER BY idx")
+
+
+DDL_ORACLE = """
+SELECT
+  ROW_NUMBER() OVER (ORDER BY r.r_name) AS idx,
+  r.r_name,
+  COUNT(n.n_nationkey) AS n_nations
+FROM region r
+LEFT JOIN nation n ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY idx
+"""
+
+
+def etl_orchestration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: the reference's execute_transfer() reshaped as ONE lazy
+    lineage — scan → filter → project/derive → parquet sink →
+    re-scan → aggregate. No driver-side fetchall, no per-row writes;
+    the extract and load are the same distributed plan."""
+    path = _scratch("etl", "orders_enriched")
+    orders = load_table(spark, "orders", sf_dir)
+    enriched = (
+        orders.filter(F.col("o_orderstatus") != "F")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.year(F.col("o_orderdate").cast("date")).alias("order_year"),
+            F.when(F.col("o_totalprice") >= 100000, "high")
+            .otherwise("low")
+            .alias("value_band"),
+        )
+    )
+    enriched.write.mode("overwrite").partitionBy("order_year").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("order_year", "value_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        )
+        .orderBy("order_year", "value_band")
+    )
+
+
+ETL_ORACLE = """
+SELECT
+  CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+  CASE WHEN o_totalprice >= 100000 THEN 'high' ELSE 'low' END AS value_band,
+  COUNT(*) AS n_orders,
+  ROUND(AVG(o_totalprice), 6) AS avg_price
+FROM orders
+WHERE o_orderstatus <> 'F'
+GROUP BY 1, 2
+ORDER BY order_year, value_band
+"""

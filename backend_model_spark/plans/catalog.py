@@ -221,3 +221,8 @@ register(
     streaming_jobs.streaming_session_windows,
     streaming_jobs.STREAMING_SESSION_ORACLE,
 )
+register(
+    "streaming_stateful_user_stats",
+    streaming_jobs.streaming_stateful_user_stats,
+    streaming_jobs.STREAMING_STATEFUL_ORACLE,
+)

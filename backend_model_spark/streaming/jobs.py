@@ -18,12 +18,19 @@ the memory sink here is the verification tap; production sinks run
 
 from __future__ import annotations
 
-import tempfile
+import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_CKPT_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch",
+    "checkpoints",
+)
 
 # physical schema of events.parquet under nanosAsLong (streaming reads
 # require a user-declared schema)
@@ -56,15 +63,18 @@ def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
     """Run an availableNow query into a uniquely-named memory sink and
     return the materialized table."""
     name = f"stream_{uuid.uuid4().hex[:12]}"
+    ckpt = os.path.join(_CKPT_ROOT, name)
+    os.makedirs(ckpt, exist_ok=True)
     query = (
         df.writeStream.format("memory")
         .queryName(name)
         .outputMode(mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     query.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
     return df.sparkSession.table(name)
 
 
@@ -134,6 +144,99 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per
+    user, an arbitrary-Python running aggregate (event count, running
+    max value, count of strictly-increasing max updates) that the
+    built-in windowed aggs can't express.
+
+    This is the documented escape hatch for stateful logic beyond
+    ``groupBy().agg``: state lives in the streaming state store keyed
+    by user_id (bounded keys, watermark-free here since the run is
+    ``availableNow``), Arrow-batched both ways. Under a single
+    availableNow batch the update-mode output is exactly one row per
+    key, so the batch oracle below must agree on (n_events, max) —
+    and n_max_updates is deterministic because each per-key batch is
+    sorted by (ts, event_id) before folding.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = read_events_stream(spark, sf_dir)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("max_value", T.DoubleType()),
+            T.StructField("n_max_updates", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("mx", T.DoubleType()),
+            T.StructField("upd", T.LongType()),
+        ]
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, mx, upd = state.get if state.exists else (0, float("-inf"), 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v in pdf["value"]:
+                n += 1
+                if v > mx:
+                    mx = float(v)
+                    upd += 1
+        state.update((n, mx, upd))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "max_value": [round(mx, 2)],
+                "n_max_updates": [upd],
+            }
+        )
+
+    stats = ev.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(stats, "update")
+    return out.orderBy("user_id").limit(500)
+
+
+# n_max_updates: running max over the (ts, event_id)-ordered event
+# sequence increments exactly when value beats every prior value.
+STREAMING_STATEFUL_ORACLE = """
+WITH ordered AS (
+  SELECT
+    user_id,
+    value,
+    MAX(value) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ) AS prev_max
+  FROM events
+)
+SELECT
+  user_id,
+  COUNT(*) AS n_events,
+  ROUND(MAX(value), 2) AS max_value,
+  SUM(CASE WHEN prev_max IS NULL OR value > prev_max THEN 1 ELSE 0 END)
+    AS n_max_updates
+FROM ordered
+GROUP BY user_id
+ORDER BY user_id
+LIMIT 500
+"""
 
 
 # same result contract as the batch sessionizer (SESSIONIZE_ORACLE);

@@ -1,0 +1,113 @@
+"""Physical-plan regression tests — the scale contract.
+
+Correctness says the numbers match; these tests pin the *plan shapes*
+that make the same code viable at 100 TB: filters reaching the parquet
+scan, column pruning, broadcast joins for dimensions, map-side partial
+aggregation, top-k planned as TakeOrderedAndProject, and no cartesian
+products anywhere. A refactor that silently turns a broadcast join
+into a shuffle or drops a pushed filter fails here, not in production.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from backend_model_spark.plans import registry
+
+registry._ensure_loaded()
+_QUERIES = registry.queries()
+
+
+def plan_of(spark, name: str, sf_dir: str) -> str:
+    df = _QUERIES[name](spark, sf_dir)
+    return df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q1_filter_pushdown_and_partial_agg(spark, sf_dir):
+    plan = plan_of(spark, "q1_pricing_summary", sf_dir)
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters:")[1][:200], (
+        "shipdate predicate must reach the parquet scan"
+    )
+    # partial (map-side) then final aggregation — two HashAggregates
+    assert plan.count("HashAggregate") >= 2, "aggregation must be map-side combinable"
+
+
+def test_q1_whole_stage_codegen(spark, sf_dir):
+    # codegen markers ("*(n)") are hidden under AQE until execution,
+    # so plan this one query with AQE off — codegen eligibility is a
+    # property of the operators, not of AQE
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = _QUERIES["q1_pricing_summary"](spark, sf_dir)
+        simple = df.sparkSession._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "*(" in simple, "q1 hot path fell out of whole-stage codegen"
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    plan = plan_of(spark, "q1_pricing_summary", sf_dir)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    # 11-column table; the query touches 7 — the scan must not read the rest
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema, (
+        f"unused columns not pruned from scan: {read_schema}"
+    )
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    plan = plan_of(spark, "join_q5_region_revenue", sf_dir)
+    assert "BroadcastHashJoin" in plan, "dimension joins must broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, "sort_topk_orders", sf_dir)
+    assert "TakeOrderedAndProject" in plan, (
+        "orderBy().limit() must plan as TakeOrderedAndProject, not a global sort"
+    )
+
+
+def test_semi_anti_join_shapes(spark, sf_dir):
+    for name, token in [
+        ("join_semi_recent", "LeftSemi"),
+        ("join_anti_no_orders", "LeftAnti"),
+    ]:
+        plan = plan_of(spark, name, sf_dir)
+        assert token in plan, f"{name} must plan a {token} join"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q1_pricing_summary",
+        "join_q3_shipping_priority",
+        "join_q5_region_revenue",
+        "window_top_per_customer",
+        "events_sessionize",
+        "events_asof_join",
+        "text_quality_scores",
+        "dedup_minhash_lsh_candidates",
+        "sim_cosine_topk_bruteforce",
+        "agg_rollup",
+    ],
+)
+def test_no_cartesian_products_in_headline(spark, sf_dir, name):
+    plan = plan_of(spark, name, sf_dir)
+    assert "CartesianProduct" not in plan, f"{name} plans an all-pairs product"
+
+
+def test_window_partitions_on_key(spark, sf_dir):
+    # the window must be partitioned (no empty partition spec = single
+    # task holding the whole table)
+    plan = plan_of(spark, "window_top_per_customer", sf_dir)
+    assert "Window" in plan
+    assert "partitionBy" not in plan.lower() or True  # spec detail below
+    df = _QUERIES["window_top_per_customer"](spark, sf_dir)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "windowspecdefinition()" not in logical.replace(" ", ""), (
+        "window runs with an empty partition spec (global single-task sort)"
+    )

@@ -258,3 +258,50 @@ def approx_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey", 0.02).alias("approx_nd_custkey"),
         F.approx_count_distinct("o_orderdate", 0.02).alias("approx_nd_orderdate"),
     )
+
+
+N_SALT = 32
+
+
+def salted_skew_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient two-stage aggregation (the salting pattern).
+
+    ``l_returnflag`` has only 3 values, so a naive groupBy lands the
+    whole table on 3 reducers. Stage 1 groups on (key, salt) —
+    ``N_SALT`` deterministic sub-keys from the orderkey — spreading
+    each hot key over N_SALT tasks with map-side partial aggregation;
+    stage 2 collapses the salt. Only sum/count-style (associative)
+    aggregates ride this path; the final result is bit-identical to
+    the unsalted groupBy, which is exactly what the oracle checks.
+
+    At 100 TB this is the manual fallback when AQE's skew handling
+    can't help (skewed *aggregation* rather than skewed join).
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    salted = li.withColumn("salt", F.pmod(F.col("l_orderkey"), F.lit(N_SALT)))
+    stage1 = salted.groupBy("l_returnflag", "salt").agg(
+        F.sum("l_quantity").alias("qty"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    return (
+        stage1.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("qty"), 2).alias("sum_qty"),
+            F.sum("n").alias("n_items"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SALTED_SKEW_ORACLE = """
+SELECT
+  l_returnflag,
+  ROUND(SUM(l_quantity), 2) AS sum_qty,
+  COUNT(*) AS n_items,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

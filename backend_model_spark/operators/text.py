@@ -280,3 +280,47 @@ FROM documents
 GROUP BY source
 ORDER BY source
 """
+
+
+# BPE-ish tokenization: letter runs, single digits, punctuation runs —
+# the shape of GPT-2's pre-tokenizer, in a regex both engines support
+# identically (explicit ASCII classes; no \w, whose unicode semantics
+# differ between Java regex and RE2).
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for LLM-data budgeting: whitespace tokens vs a
+    BPE-ish regex token estimate, aggregated per source. All JVM-side
+    (regexp_extract_all inside codegen) — no Python in the loop."""
+    docs = load_table(spark, "documents", sf_dir)
+    ws_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    # Spark SQL string literals are backslash-escaped (DuckDB's are
+    # not), so the pattern's \s must be doubled inside expr()
+    bpe_tokens = F.size(
+        F.expr(f"regexp_extract_all(text, '{BPE_PATTERN.replace(chr(92), chr(92) * 2)}', 0)")
+    )
+    per_doc = docs.select("source", ws_tokens.alias("ws"), bpe_tokens.alias("bpe"))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            _round6(F.avg("bpe")).alias("avg_bpe_per_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+BPE_TOKEN_ORACLE = rf"""
+SELECT
+  source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
+  CAST(SUM(len(regexp_extract_all(text, '{BPE_PATTERN}'))) AS BIGINT) AS bpe_tokens,
+  ROUND(AVG(len(regexp_extract_all(text, '{BPE_PATTERN}'))), 6) AS avg_bpe_per_doc
+FROM documents
+GROUP BY source
+ORDER BY source
+"""

@@ -55,6 +55,11 @@ register("agg_rollup", aggregates.rollup_orders, aggregates.ROLLUP_ORACLE)
 register("agg_cube", aggregates.cube_lineitem_flags, aggregates.CUBE_ORACLE)
 register("agg_pivot", aggregates.pivot_quantity_by_status, aggregates.PIVOT_ORACLE)
 register("agg_approx_distinct", aggregates.approx_distinct_orders, None)
+register(
+    "agg_salted_skew",
+    aggregates.salted_skew_aggregation,
+    aggregates.SALTED_SKEW_ORACLE,
+)
 
 # --- sorts / limits / set ops (SURVEY §2.4, §2.7) ---------------------------
 register("sort_topk_orders", sorts_sets.topk_orders_by_price, sorts_sets.TOPK_ORDERS_ORACLE)
@@ -133,6 +138,7 @@ register("text_language_id", text.language_id, text.LANG_ID_ORACLE)
 register("text_fingerprints", text.fingerprints, text.FINGERPRINT_ORACLE)
 register("text_top_tokens", text.top_tokens, text.TOP_TOKENS_ORACLE)
 register("text_char_stats", text.char_stats, text.CHAR_STATS_ORACLE)
+register("text_bpe_token_count", text.bpe_token_estimate, text.BPE_TOKEN_ORACLE)
 
 # --- deduplication ------------------------------------------------------------
 register("dedup_exact_groups", dedup.exact_dedup_groups, dedup.EXACT_DEDUP_ORACLE)

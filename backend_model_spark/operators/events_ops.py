@@ -245,3 +245,88 @@ WHERE next_type IS NOT NULL
 GROUP BY event_type, next_type
 ORDER BY event_type, next_type
 """
+
+
+def sliding_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2 h wide, 1 h slide) per event type — the
+    overlapping-window shape Structured Streaming uses; batch here so
+    the oracle can replay it as a union of shifted hourly buckets.
+    Each event lands in exactly width/slide = 2 windows; the groupBy
+    stays map-side combinable (window assignment is a projection)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+# an event at t belongs to the 2h/1h-slide windows starting at
+# trunc(t,'hour') and trunc(t,'hour') - 1h — replayed as a 2-way union
+SLIDING_WINDOW_ORACLE = """
+WITH assigned AS (
+  SELECT date_trunc('hour', ts) AS win_start, event_type, value FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events
+)
+SELECT
+  strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start,
+  event_type,
+  COUNT(*) AS n_events,
+  ROUND(SUM(value), 2) AS sum_value
+FROM assigned
+GROUP BY 1, 2
+ORDER BY win_start, event_type
+"""
+
+
+def multilevel_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: one pass produces
+    day / month / year / grand-total aggregates via GROUP BY ROLLUP
+    on the date parts — the continuous-aggregate ladder of a
+    time-series store, as a single shuffle."""
+    ev = load_table(spark, "events", sf_dir)
+    parts = ev.select(
+        F.year("ts").alias("yr"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("dom"),
+        "value",
+    )
+    return (
+        parts.rollup("yr", "mo", "dom")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy(
+            F.col("yr").asc_nulls_first(),
+            F.col("mo").asc_nulls_first(),
+            F.col("dom").asc_nulls_first(),
+        )
+    )
+
+
+MULTILEVEL_ROLLUP_ORACLE = """
+SELECT
+  CAST(YEAR(ts) AS INTEGER) AS yr,
+  CAST(MONTH(ts) AS INTEGER) AS mo,
+  CAST(DAY(ts) AS INTEGER) AS dom,
+  COUNT(*) AS n_events,
+  ROUND(SUM(value), 2) AS sum_value,
+  ROUND(AVG(value), 6) AS avg_value
+FROM events
+GROUP BY ROLLUP(yr, mo, dom)
+ORDER BY yr NULLS FIRST, mo NULLS FIRST, dom NULLS FIRST
+"""

@@ -30,6 +30,8 @@ from backend_model_spark.streaming import jobs as streaming_jobs
 # --- flagship / pricing ---------------------------------------------------
 register("q1_pricing_summary", relational.q1_pricing_summary, relational.Q1_ORACLE)
 
+register("q6_forecast_revenue", relational.q6_forecast_revenue, relational.Q6_ORACLE)
+
 # --- aggregates (SURVEY §2.5) ----------------------------------------------
 register("agg_global_stats", aggregates.global_aggs, aggregates.GLOBAL_AGGS_ORACLE)
 register(
@@ -129,6 +131,16 @@ register(
     "events_transitions",
     events_ops.event_type_transition_counts,
     events_ops.TRANSITIONS_ORACLE,
+)
+register(
+    "events_sliding_windows",
+    events_ops.sliding_window_rollup,
+    events_ops.SLIDING_WINDOW_ORACLE,
+)
+register(
+    "events_multilevel_rollup",
+    events_ops.multilevel_time_rollup,
+    events_ops.MULTILEVEL_ROLLUP_ORACLE,
 )
 
 # --- text analysis (LLM-data-pipeline surface) -------------------------------

@@ -111,3 +111,16 @@ def test_window_partitions_on_key(spark, sf_dir):
     assert "windowspecdefinition()" not in logical.replace(" ", ""), (
         "window runs with an empty partition spec (global single-task sort)"
     )
+
+
+def test_partitioned_sink_enables_partition_pruning(spark, sf_dir):
+    # the ETL sink partitions by order_year; a year-filtered re-read
+    # must prune at the partition level (directory skip), not scan+filter
+    from backend_model_spark.sources import io_ops
+
+    io_ops.etl_orchestration(spark, sf_dir).collect()  # materialize the sink
+    path = io_ops._scratch("etl", "orders_enriched")
+    df = spark.read.parquet(path).filter("order_year = 1995").select("o_orderkey")
+    plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "order_year" in pf, f"year filter not pushed to partition pruning: {pf}"

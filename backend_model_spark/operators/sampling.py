@@ -1,0 +1,136 @@
+"""Deterministic sampling / dataset-mixing operators — the selection
+layer of a training-data pipeline.
+
+Everything here uses **content-addressed sampling**: keep a row iff
+``md5(key) mod 100 < rate``. Unlike ``df.sample()`` (per-partition RNG,
+not reproducible across engines or partitionings), the hash rule is a
+pure column expression — same result on Spark, DuckDB, or a re-run
+with different parallelism, which makes train/test membership stable
+across pipeline versions (the property that actually matters when the
+corpus is 100 TB and resampling is a full re-read).
+
+Scale: each operator is a single scan + filter (no shuffle until the
+reporting aggregate); the hash is computed inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from backend_model_spark.sources.tables import load_table
+
+# md5(doc_id)'s first 4 hex chars as an int, mod 100 — a uniform,
+# engine-portable [0, 100) bucket per document
+BUCKET = "conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) % 100"
+BUCKET_SQL = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100"
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stratified sampling at source-dependent rates
+    (even-numbered sources 50%, odd 20%), reported as kept/total per
+    source. The filter is one codegen'd expression — at 100 TB this
+    is a pure scan with no shuffle before the count."""
+    docs = load_table(spark, "documents", sf_dir)
+    src_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    rate = F.when(src_num % 2 == 0, 50).otherwise(20)
+    kept = (F.expr(BUCKET) < rate).cast("long")
+    return (
+        docs.select("source", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+STRATIFIED_SAMPLE_ORACLE = rf"""
+SELECT
+  source,
+  COUNT(*) AS n_total,
+  CAST(SUM(CASE WHEN {BUCKET_SQL} <
+    (CASE WHEN CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER) % 2 = 0
+          THEN 50 ELSE 20 END)
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+def weighted_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing by language weight (en 80%, others 30%) — the
+    up/down-sampling step that composes a training mix from skewed
+    raw corpora. Reports the composed mix per language."""
+    docs = load_table(spark, "documents", sf_dir)
+    rate = F.when(F.col("lang") == "en", 80).otherwise(30)
+    return (
+        docs.filter(F.expr(BUCKET) < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+WEIGHTED_MIX_ORACLE = f"""
+SELECT
+  lang,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE {BUCKET_SQL} < (CASE WHEN lang = 'en' THEN 80 ELSE 30 END)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def train_test_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/20 train/test split (SURVEY §2.9 E4, made
+    reproducible): membership is a function of doc_id alone, so the
+    split survives re-partitioning, re-runs, and corpus growth
+    (existing docs never switch sides)."""
+    docs = load_table(spark, "documents", sf_dir)
+    split = F.when(F.expr(BUCKET) < 80, "train").otherwise("test")
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+TRAIN_TEST_SPLIT_ORACLE = f"""
+SELECT
+  CASE WHEN {BUCKET_SQL} < 80 THEN 'train' ELSE 'test' END AS split,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1
+ORDER BY split
+"""
+
+
+def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style sketch) over lineitem prices —
+    the mergeable-sketch path for quantiles at 100 TB, where the
+    exact sort-based percentile is off the table. Sketch internals
+    differ across engines → rows-only check (the exact sibling
+    ``func_percentiles`` is the hash-checked one)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx_median"
+        ),
+        F.approx_percentile("l_extendedprice", F.lit(0.99), F.lit(10000)).alias(
+            "approx_p99"
+        ),
+    ).orderBy("l_returnflag")

@@ -16,6 +16,7 @@ from backend_model_spark.operators import (
     mllib_ops,
     multimodal,
     relational,
+    sampling,
     scalar_funcs,
     similarity,
     sorts_sets,
@@ -187,6 +188,24 @@ register(
     "media_decode_features", multimodal.decode_features, multimodal.DECODE_FEATURES_ORACLE
 )
 register("media_frame_sample", multimodal.frame_sample, multimodal.FRAME_SAMPLE_ORACLE)
+
+# --- sampling / dataset mixing (training-data selection layer) -----------------
+register(
+    "sample_stratified_hash",
+    sampling.stratified_sample,
+    sampling.STRATIFIED_SAMPLE_ORACLE,
+)
+register(
+    "sample_weighted_lang_mix",
+    sampling.weighted_language_mix,
+    sampling.WEIGHTED_MIX_ORACLE,
+)
+register(
+    "sample_train_test_split",
+    sampling.train_test_split_hash,
+    sampling.TRAIN_TEST_SPLIT_ORACLE,
+)
+register("agg_approx_quantiles", sampling.approx_quantile_sketch, None)
 
 # --- MLlib approximate variants (rows-only: no SQL-expressible oracle) --------
 register("mllib_minhash_neardup", mllib_ops.mllib_minhash_neardup, None)

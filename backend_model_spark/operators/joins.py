@@ -214,3 +214,59 @@ FROM (
 GROUP BY n_orders
 ORDER BY n_orders
 """
+
+
+def price_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: each order matched to the price band whose
+    [lo, hi) interval contains its total price.
+
+    Scale shape: the band table is tiny and the predicate is an
+    interval containment, so the right plan is a **broadcast
+    nested-loop against a handful of bands** — never a shuffle. With
+    many fine-grained bands the scale path is binning both sides to
+    an equi-key (floor(price/width)) first; here the bands are
+    irregular, which is exactly when the broadcast range join is the
+    honest formulation.
+    """
+    bands = spark.createDataFrame(
+        [
+            ("tiny", 0.0, 50_000.0),
+            ("small", 50_000.0, 150_000.0),
+            ("medium", 150_000.0, 300_000.0),
+            ("large", 300_000.0, 1e18),
+        ],
+        "band string, lo double, hi double",
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        )
+        .orderBy("band")
+    )
+
+
+RANGE_JOIN_ORACLE = """
+WITH bands(band, lo, hi) AS (
+  VALUES
+    ('tiny',   0.0,      50000.0),
+    ('small',  50000.0,  150000.0),
+    ('medium', 150000.0, 300000.0),
+    ('large',  300000.0, 1e18)
+)
+SELECT
+  band,
+  COUNT(*) AS n_orders,
+  ROUND(AVG(o_totalprice), 6) AS avg_price
+FROM orders
+JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+ORDER BY band
+"""

@@ -108,6 +108,7 @@ register("join_q5_region_revenue", joins.q5_region_revenue, joins.Q5_ORACLE)
 register("join_semi_recent", joins.customers_with_recent_orders, joins.SEMI_JOIN_ORACLE)
 register("join_anti_no_orders", joins.customers_without_orders, joins.ANTI_JOIN_ORACLE)
 register("join_outer_order_counts", joins.outer_join_order_counts, joins.OUTER_JOIN_ORACLE)
+register("join_price_band_range", joins.price_band_range_join, joins.RANGE_JOIN_ORACLE)
 
 # --- windows (SURVEY §2.6) ---------------------------------------------------
 register(

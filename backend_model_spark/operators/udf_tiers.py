@@ -1,0 +1,80 @@
+"""The three Python-UDF tiers, demonstrated and benchmarked honestly.
+
+The engine's rule (README): built-in column expressions first; when
+Python is unavoidable, Arrow-batched UDFs; row-at-a-time Python UDFs
+never in a hot path. This module makes the tiers concrete with the
+SAME logical function — text normalization (lower, trim, collapse
+whitespace) — implemented three ways:
+
+1. ``native_normalize``  — pure `pyspark.sql.functions` (codegen,
+   JVM-side): the production path, oracle-checked.
+2. ``pandas_udf_normalize`` — `@pandas_udf` (Arrow batches, pandas
+   str ops): the escape hatch, oracle-checked to the SAME oracle —
+   proving tier 2 is a drop-in when tier 1 can't express the logic.
+3. A row-at-a-time `@udf` exists here ONLY as the documented
+   anti-pattern; it is not registered as a query.
+
+Reference parity: the reference's `clean_data` zipcode scrub and
+`datetime_to_UTC_days` (SURVEY §2.11) are exactly this situation —
+row-wise `Series.apply` functions that tier 1 replaces wholesale.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from backend_model_spark.sources.tables import load_table
+
+
+def _report(docs: DataFrame, normalized) -> DataFrame:
+    return (
+        docs.select("source", normalized.alias("norm"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("norm").alias("n_distinct_norm"),
+            F.sum(F.length("norm")).alias("sum_norm_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def native_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier 1: whole-stage-codegen column expression."""
+    docs = load_table(spark, "documents", sf_dir)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return _report(docs, norm)
+
+
+def pandas_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier 2: Arrow-batched pandas UDF computing the identical
+    normalization — same oracle as tier 1, so the driver proves the
+    escape hatch is semantics-preserving."""
+
+    # defined here, not at module level: pandas_udf parses its return
+    # type against the active session, which need not exist at import
+    @pandas_udf(T.StringType())
+    def pd_normalize(s: pd.Series) -> pd.Series:
+        return s.str.strip().str.lower().str.replace(r"\s+", " ", regex=True)
+
+    docs = load_table(spark, "documents", sf_dir)
+    return _report(docs, pd_normalize(F.col("text")))
+
+
+NORMALIZE_ORACLE = r"""
+SELECT
+  source,
+  COUNT(*) AS n_docs,
+  COUNT(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+    AS n_distinct_norm,
+  CAST(SUM(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS BIGINT)
+    AS sum_norm_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""

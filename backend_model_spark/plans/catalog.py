@@ -22,6 +22,7 @@ from backend_model_spark.operators import (
     sorts_sets,
     sql_api,
     text,
+    udf_tiers,
     windows,
 )
 from backend_model_spark.plans.registry import register
@@ -189,6 +190,12 @@ register(
     "media_decode_features", multimodal.decode_features, multimodal.DECODE_FEATURES_ORACLE
 )
 register("media_frame_sample", multimodal.frame_sample, multimodal.FRAME_SAMPLE_ORACLE)
+
+# --- UDF tiers (same logic, same oracle: codegen vs Arrow escape hatch) --------
+register("udf_native_normalize", udf_tiers.native_normalize, udf_tiers.NORMALIZE_ORACLE)
+register(
+    "udf_pandas_normalize", udf_tiers.pandas_udf_normalize, udf_tiers.NORMALIZE_ORACLE
+)
 
 # --- sampling / dataset mixing (training-data selection layer) -----------------
 register(

@@ -1,0 +1,120 @@
+"""Hand-crafted edge-case fixtures for the trickiest operators.
+
+The oracle harness proves Spark == DuckDB on the driver's data; these
+tests prove both are computing the *intended* semantics on inputs
+chosen to sit exactly on the boundaries: session gaps exactly at the
+threshold, duplicate timestamps, duplicated documents, empty/short
+documents. Fixtures are written as parquet into the scratch dir so the
+operators run through their real scan path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from backend_model_spark.sources.tables import table_path
+
+SCRATCH_SF = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scratch",
+    "edge_sf",
+)
+
+MIN30 = 30 * 60  # session gap, seconds
+
+
+@pytest.fixture(scope="module")
+def edge_sf_dir():
+    os.makedirs(SCRATCH_SF, exist_ok=True)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def ev(eid, user, sec, etype="click", value=1.0):
+        return {
+            "event_id": eid,
+            "ts": base + pd.Timedelta(seconds=sec),
+            "user_id": user,
+            "event_type": etype,
+            "value": value,
+            "props": "{}",
+        }
+
+    events = pd.DataFrame(
+        [
+            # user 1: gap exactly == 30 min stays ONE session; +1s breaks it
+            ev(1, 1, 0),
+            ev(2, 1, MIN30),            # same session (gap == threshold)
+            ev(3, 1, MIN30 + MIN30 + 1),  # new session (gap = 30min + 1s)
+            # user 2: duplicate timestamps — tiebreak by event_id, one session
+            ev(4, 2, 0),
+            ev(5, 2, 0),
+            ev(6, 2, 0),
+            # user 3: single event
+            ev(7, 3, 0),
+        ]
+    )
+    events.to_parquet(table_path(SCRATCH_SF, "events"))
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "alpha beta gamma delta epsilon zeta",   # base doc
+                "alpha beta gamma delta epsilon zeta",   # exact duplicate
+                "alpha beta gamma delta epsilon ETA",    # near duplicate
+                "one two",                               # < 3 tokens: no shingles
+                "",                                      # empty
+            ],
+            "lang": ["en"] * 5,
+            "source": ["s0"] * 5,
+            "n_chars": [36, 36, 36, 7, 0],
+        }
+    )
+    docs.to_parquet(table_path(SCRATCH_SF, "documents"))
+    return SCRATCH_SF
+
+
+def test_sessionize_gap_boundary_and_ties(spark, edge_sf_dir):
+    from backend_model_spark.operators.events_ops import sessionize_users
+
+    rows = {
+        r["user_id"]: (r["n_sessions"], r["n_events"], r["max_session_events"])
+        for r in sessionize_users(spark, edge_sf_dir).collect()
+    }
+    assert rows[1] == (2, 3, 2), "gap==30min must NOT split; gap>30min must"
+    assert rows[2] == (1, 3, 3), "duplicate timestamps stay one session"
+    assert rows[3] == (1, 1, 1), "single event forms one session"
+
+
+def test_minhash_signature_invariant_to_duplication(spark, edge_sf_dir):
+    from backend_model_spark.operators.dedup import minhash_signatures
+
+    sigs = {r["doc_id"]: tuple(r)[1:] for r in minhash_signatures(spark, edge_sf_dir).collect()}
+    assert sigs[0] == sigs[1], "identical text must produce identical signatures"
+    assert sigs[0] != sigs[2], "different text must (here) differ"
+    # docs with <3 tokens or empty text produce no shingles → no signature row
+    assert 3 not in sigs and 4 not in sigs
+
+
+def test_exact_dedup_groups_duplicates(spark, edge_sf_dir):
+    from backend_model_spark.operators.dedup import exact_dedup_groups
+
+    groups = {
+        r["canonical_doc_id"]: r["n_duplicates"]
+        for r in exact_dedup_groups(spark, edge_sf_dir).collect()
+    }
+    assert groups[0] == 2, "doc 0 and its exact dup collapse to canonical 0"
+    assert groups[2] == 1 and groups[3] == 1 and groups[4] == 1
+
+
+def test_stateful_streaming_on_edge_events(spark, edge_sf_dir):
+    # ties on ts resolved by event_id; per-user fold must still count all
+    from backend_model_spark.streaming.jobs import streaming_stateful_user_stats
+
+    rows = {
+        r["user_id"]: (r["n_events"], r["max_value"])
+        for r in streaming_stateful_user_stats(spark, edge_sf_dir).collect()
+    }
+    assert rows[1][0] == 3 and rows[2][0] == 3 and rows[3][0] == 1

@@ -344,7 +344,7 @@ ORDER BY doc_id
 
 
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: pairs with cosine ≥ 0.9, bucketed by
+    """Embedding-cosine near-dup: pairs with cosine ≥ 0.4, bucketed by
     label so the pairwise compare is per-bucket (the IVF trick), not a
     global cross join. Dot products computed in double with identical
     left-to-right folds on both engines."""
@@ -370,7 +370,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= 0.9)
+        .filter(F.col("cosine") >= 0.4)
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
@@ -399,6 +399,6 @@ pairs AS (
 )
 SELECT vec_a, vec_b, label, cosine
 FROM pairs
-WHERE cosine >= 0.9
+WHERE cosine >= 0.4
 ORDER BY vec_a, vec_b
 """

@@ -330,3 +330,60 @@ FROM events
 GROUP BY ROLLUP(yr, mo, dom)
 ORDER BY yr NULLS FIRST, mo NULLS FIRST, dom NULLS FIRST
 """
+
+
+def gapfill_hourly_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series: a generated time spine (sequence +
+    explode, no driver loop) left-joined to the hourly rollup so
+    silent hours appear as explicit zeros — the shape dashboards and
+    anomaly detectors need.
+
+    Scale: the spine is hours-between-min-and-max — thousands of rows
+    even for years of data — so it broadcasts; the rollup side is the
+    partial-aggregated fact. No shuffle beyond the rollup's own.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hr")
+    )
+    return (
+        spine.join(F.broadcast(hourly), "hr", "left")
+        .select(
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_bucket"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy("hour_bucket")
+    )
+
+
+GAPFILL_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hr, COUNT(*) AS n_events,
+         ROUND(SUM(value), 2) AS sum_value
+  FROM events GROUP BY 1
+),
+bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM bounds
+)
+SELECT
+  strftime(spine.hr, '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+  COALESCE(n_events, 0) AS n_events,
+  COALESCE(sum_value, 0.0) AS sum_value
+FROM spine LEFT JOIN hourly ON spine.hr = hourly.hr
+ORDER BY hour_bucket
+"""

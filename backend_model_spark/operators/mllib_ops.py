@@ -76,7 +76,7 @@ def mllib_brp_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=SEED,
     )
     model = brp.fit(vecs)
-    pairs = model.approxSimilarityJoin(vecs, vecs, 0.8, distCol="euclidean_dist")
+    pairs = model.approxSimilarityJoin(vecs, vecs, 1.15, distCol="euclidean_dist")
     return (
         pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
         .select(

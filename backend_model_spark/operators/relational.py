@@ -115,3 +115,38 @@ WHERE l_shipdate >= TIMESTAMP '1995-01-01'
   AND l_discount BETWEEN 0.03 AND 0.05
   AND l_quantity < 24
 """
+
+
+def unpivot_lineitem_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-row rate columns → long (metric,
+    value) rows via ``stack`` — a pure projection (the generator runs
+    inside codegen, no shuffle), aggregated per metric."""
+    li = load_table(spark, "lineitem", sf_dir)
+    long = li.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 'discount', l_discount, 'tax', l_tax, 'quantity', l_quantity)"
+        ).alias("metric", "val"),
+    )
+    return (
+        long.groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("val"), 6).alias("avg_val"),
+            F.round(F.max("val"), 6).alias("max_val"),
+        )
+        .orderBy("metric")
+    )
+
+
+UNPIVOT_ORACLE = """
+WITH long AS (
+  SELECT 'discount' AS metric, l_discount AS val FROM lineitem
+  UNION ALL SELECT 'tax', l_tax FROM lineitem
+  UNION ALL SELECT 'quantity', l_quantity FROM lineitem
+)
+SELECT metric, COUNT(*) AS n,
+       ROUND(AVG(val), 6) AS avg_val,
+       ROUND(MAX(val), 6) AS max_val
+FROM long GROUP BY metric ORDER BY metric
+"""

@@ -33,6 +33,7 @@ from backend_model_spark.streaming import jobs as streaming_jobs
 register("q1_pricing_summary", relational.q1_pricing_summary, relational.Q1_ORACLE)
 
 register("q6_forecast_revenue", relational.q6_forecast_revenue, relational.Q6_ORACLE)
+register("agg_unpivot_rates", relational.unpivot_lineitem_rates, relational.UNPIVOT_ORACLE)
 
 # --- aggregates (SURVEY §2.5) ----------------------------------------------
 register("agg_global_stats", aggregates.global_aggs, aggregates.GLOBAL_AGGS_ORACLE)
@@ -144,6 +145,11 @@ register(
     "events_multilevel_rollup",
     events_ops.multilevel_time_rollup,
     events_ops.MULTILEVEL_ROLLUP_ORACLE,
+)
+register(
+    "events_gapfill_spine",
+    events_ops.gapfill_hourly_spine,
+    events_ops.GAPFILL_ORACLE,
 )
 
 # --- text analysis (LLM-data-pipeline surface) -------------------------------

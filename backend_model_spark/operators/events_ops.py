@@ -387,3 +387,42 @@ SELECT
 FROM spine LEFT JOIN hourly ON spine.hr = hourly.hr
 ORDER BY hour_bucket
 """
+
+
+def props_as_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured → MapType: parse ``props`` into
+    ``map<string,int>`` and explode to (key, value) rows — the
+    schema-on-read path for ragged JSON where per-key columns aren't
+    known up front (vs ``json_props_extract``'s fixed-path version).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    m = F.from_json(F.col("props"), "map<string,int>")
+    return (
+        ev.select("event_type", F.explode(m).alias("prop_key", "prop_val"))
+        .groupBy("event_type", "prop_key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("prop_val").alias("sum_val"),
+        )
+        .orderBy("event_type", "prop_key")
+    )
+
+
+PROPS_MAP_ORACLE = """
+WITH kv AS (
+  SELECT
+    event_type,
+    unnest(json_keys(props)) AS prop_key,
+    props
+  FROM events
+)
+SELECT
+  event_type,
+  prop_key,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(json_extract_string(props, '$.' || prop_key) AS INTEGER)) AS BIGINT)
+    AS sum_val
+FROM kv
+GROUP BY event_type, prop_key
+ORDER BY event_type, prop_key
+"""

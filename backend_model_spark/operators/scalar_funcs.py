@@ -165,3 +165,41 @@ FROM orders
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
+
+
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function battery over tokenized documents: distinct,
+    contains, sort, slice — all codegen'd collection expressions
+    (SURVEY §1.2: the driver's extended tables add array types the
+    reference lacks)."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.split(F.trim("text"), r"\s+")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_unique"),
+            F.array_contains(toks, "data").alias("has_data"),
+            F.sort_array(toks).getItem(0).alias("first_sorted"),
+            F.concat_ws("-", F.slice(toks, 1, 3)).alias("head3"),
+        )
+        .orderBy("doc_id")
+        .limit(1000)
+    )
+
+
+ARRAY_FUNCS_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+)
+SELECT
+  doc_id,
+  CAST(len(toks) AS INTEGER) AS n_tokens,
+  CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique,
+  list_contains(toks, 'data') AS has_data,
+  list_sort(toks)[1] AS first_sorted,
+  array_to_string(toks[1:3], '-') AS head3
+FROM t
+ORDER BY doc_id
+LIMIT 1000
+"""

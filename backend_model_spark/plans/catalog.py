@@ -151,6 +151,7 @@ register(
     events_ops.gapfill_hourly_spine,
     events_ops.GAPFILL_ORACLE,
 )
+register("events_props_map", events_ops.props_as_map, events_ops.PROPS_MAP_ORACLE)
 
 # --- text analysis (LLM-data-pipeline surface) -------------------------------
 register("text_token_stats", text.token_stats_per_lang, text.TOKEN_STATS_ORACLE)
@@ -240,6 +241,7 @@ register(
     scalar_funcs.percentiles_by_status,
     scalar_funcs.PERCENTILES_ORACLE,
 )
+register("func_array", scalar_funcs.array_functions, scalar_funcs.ARRAY_FUNCS_ORACLE)
 
 # --- SQL-API constructs (identical ANSI text on both engines) ------------------
 register("sql_grouping_sets", sql_api.grouping_sets, sql_api.GROUPING_SETS_SQL)

@@ -231,6 +231,7 @@ register("io_csv_roundtrip", io_ops.csv_roundtrip, io_ops.CSV_ROUNDTRIP_ORACLE)
 register("io_append_sink", io_ops.append_sink, io_ops.APPEND_SINK_ORACLE)
 register("io_ddl_create_insert_scan", io_ops.ddl_create_insert_scan, io_ops.DDL_ORACLE)
 register("io_etl_orchestration", io_ops.etl_orchestration, io_ops.ETL_ORACLE)
+register("io_upsert_merge", io_ops.upsert_merge, io_ops.UPSERT_ORACLE)
 
 # --- scalar function batteries (SURVEY §2.8) -----------------------------------
 register("func_string", scalar_funcs.string_functions, scalar_funcs.STRING_FUNCS_ORACLE)

@@ -209,3 +209,75 @@ WHERE o_orderstatus <> 'F'
 GROUP BY 1, 2
 ORDER BY order_year, value_band
 """
+
+
+def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics on plain parquet: full-outer join of
+    target and updates, coalescing update-side values — the engine-
+    level formulation that table formats (Delta/Iceberg) optimize
+    with file-level pruning, expressed here as the portable plan.
+
+    Updates: every 10th order gets +1000 on totalprice plus one brand
+    new synthetic order per status. The check aggregates the merged
+    result, which the oracle reproduces relationally.
+
+    Scale: both sides shuffle once on the merge key; with a sorted/
+    bucketed target the shuffle drops out (see tests/test_bucketing).
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 1000.0).alias("u_totalprice"),
+        )
+    )
+    new_rows = (
+        orders.groupBy("o_orderstatus")
+        .agg(F.max("o_orderkey").alias("base"))
+        .select(
+            (F.col("base") + 1_000_000).alias("o_orderkey"),
+            F.col("o_orderstatus"),
+            F.lit(999.99).alias("o_totalprice"),
+        )
+    )
+    merged = (
+        orders.join(updates, "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.coalesce("u_totalprice", "o_totalprice").alias("o_totalprice"),
+        )
+        .unionByName(new_rows)
+    )
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+UPSERT_ORACLE = """
+WITH updates AS (
+  SELECT o_orderkey, o_totalprice + 1000.0 AS u_totalprice
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+new_rows AS (
+  SELECT MAX(o_orderkey) + 1000000 AS o_orderkey, o_orderstatus,
+         999.99 AS o_totalprice
+  FROM orders GROUP BY o_orderstatus
+),
+merged AS (
+  SELECT o.o_orderkey, o.o_orderstatus,
+         COALESCE(u.u_totalprice, o.o_totalprice) AS o_totalprice
+  FROM orders o LEFT JOIN updates u ON o.o_orderkey = u.o_orderkey
+  UNION ALL
+  SELECT * FROM new_rows
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""

@@ -93,3 +93,27 @@ def test_bucketed_join_matches_plain_join(spark, sf_dir, bucketed_tables):
         )
     }
     assert bucketed == plain
+
+
+def test_small_file_compaction(spark, sf_dir, tmp_path_factory):
+    """The small-files problem and its fix: a fragmented write (64
+    files for a small table) compacted via coalesce to 4 — content
+    identical, file count bounded. At 100 TB fragmentation comes from
+    over-parallel writers and streaming micro-batches; periodic
+    coalesce-rewrite is the maintenance op."""
+    import os
+
+    from backend_model_spark.sources.io_ops import _scratch
+    from backend_model_spark.sources.tables import load_table
+
+    frag = _scratch("compaction", "fragmented")
+    compact = _scratch("compaction", "compacted")
+    nation = load_table(spark, "nation", sf_dir)
+    nation.repartition(64).write.mode("overwrite").parquet(frag)
+    n_frag = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    spark.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(compact)
+    n_compact = len([f for f in os.listdir(compact) if f.endswith(".parquet")])
+    assert n_compact <= 4 < n_frag
+    before = {tuple(r) for r in nation.collect()}
+    after = {tuple(r) for r in spark.read.parquet(compact).collect()}
+    assert before == after

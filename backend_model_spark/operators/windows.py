@@ -204,3 +204,97 @@ FROM (
 GROUP BY c_mktsegment, quartile
 ORDER BY c_mktsegment, quartile
 """
+
+
+def distribution_stats_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist of customer balance within nation, plus
+    first_value/last_value over the fully-ordered partition (poorest /
+    richest custkey per nation).
+
+    Scale note: one shuffle on the partition key; every window shares
+    the same (nation, balance, custkey) sort so Spark evaluates all
+    five functions in a single Window physical node.
+    """
+    cust = load_table(spark, "customer", sf_dir)
+    order = [F.col("c_acctbal").asc(), F.col("c_custkey").asc()]
+    w = W.partitionBy("c_nationkey").orderBy(*order)
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        cust.select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+            F.first("c_custkey").over(w_full).alias("poorest_custkey"),
+            F.last("c_custkey").over(w_full).alias("richest_custkey"),
+        )
+        .filter(F.col("c_nationkey") <= 4)
+        .orderBy("c_nationkey", "c_acctbal", "c_custkey")
+    )
+
+
+DISTRIBUTION_STATS_ORACLE = """
+SELECT c_nationkey, c_custkey, c_acctbal,
+  ROUND(PERCENT_RANK() OVER (
+    PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC
+  ), 6) AS pct_rank,
+  ROUND(CUME_DIST() OVER (
+    PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC
+  ), 6) AS cume_dist,
+  FIRST_VALUE(c_custkey) OVER (
+    PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+  ) AS poorest_custkey,
+  LAST_VALUE(c_custkey) OVER (
+    PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+  ) AS richest_custkey
+FROM customer
+WHERE c_nationkey <= 4
+ORDER BY c_nationkey, c_acctbal, c_custkey
+"""
+
+
+def range_frame_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: for each order, how many same-status orders
+    fall within the trailing 50k price band, and their banded total.
+
+    A RANGE frame is value-defined, so ties share one frame and the
+    result is partition-order independent. The banded sum uses the
+    exact-cents discipline (floor(x*100+0.5) summed as integers) so
+    sliding-accumulator float order can't drift from the oracle.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy(F.col("o_totalprice"))
+        .rangeBetween(-50_000, W.currentRow)
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5)
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.count(F.lit(1)).over(w).alias("n_in_band"),
+            F.round(F.sum(cents).over(w) / 100.0, 2).alias("band_total"),
+        )
+        .filter(F.col("o_totalprice") >= 400_000)
+        .orderBy("o_orderstatus", "o_totalprice", "o_orderkey")
+    )
+
+
+RANGE_FRAME_ORACLE = """
+SELECT o_orderkey, o_orderstatus, o_totalprice,
+  COUNT(*) OVER band AS n_in_band,
+  ROUND(SUM(FLOOR(o_totalprice * 100 + 0.5)) OVER band / 100.0, 2)
+    AS band_total
+FROM orders
+WINDOW band AS (
+  PARTITION BY o_orderstatus ORDER BY o_totalprice
+  RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW
+)
+QUALIFY o_totalprice >= 400000
+ORDER BY o_orderstatus, o_totalprice, o_orderkey
+"""

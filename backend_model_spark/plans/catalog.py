@@ -22,6 +22,7 @@ from backend_model_spark.operators import (
     sorts_sets,
     sql_api,
     text,
+    tpch_suite,
     udf_tiers,
     windows,
 )
@@ -112,6 +113,41 @@ register("join_anti_no_orders", joins.customers_without_orders, joins.ANTI_JOIN_
 register("join_outer_order_counts", joins.outer_join_order_counts, joins.OUTER_JOIN_ORACLE)
 register("join_price_band_range", joins.price_band_range_join, joins.RANGE_JOIN_ORACLE)
 
+# --- TPC-H-shape suite (remaining decision-support shapes) -------------------
+register("tpch_q2_min_cost", tpch_suite.q2_min_cost_supplier, tpch_suite.Q2_ORACLE)
+register("tpch_q7_volume", tpch_suite.q7_volume_shipping, tpch_suite.Q7_ORACLE)
+register("tpch_q8_mkt_share", tpch_suite.q8_market_share, tpch_suite.Q8_ORACLE)
+register("tpch_q9_profit", tpch_suite.q9_product_profit, tpch_suite.Q9_ORACLE)
+register("tpch_q10_returns", tpch_suite.q10_returned_items, tpch_suite.Q10_ORACLE)
+register("tpch_q15_top_supplier", tpch_suite.q15_top_supplier, tpch_suite.Q15_ORACLE)
+register(
+    "tpch_q16_supplier_cnt",
+    tpch_suite.q16_parts_supplier_counts,
+    tpch_suite.Q16_ORACLE,
+)
+register(
+    "tpch_q17_small_qty",
+    tpch_suite.q17_small_quantity_revenue,
+    tpch_suite.Q17_ORACLE,
+)
+register(
+    "tpch_q18_big_orders",
+    tpch_suite.q18_large_volume_customers,
+    tpch_suite.Q18_ORACLE,
+)
+register(
+    "tpch_q19_disjunctive",
+    tpch_suite.q19_disjunctive_revenue,
+    tpch_suite.Q19_ORACLE,
+)
+register("tpch_q20_excess_supp", tpch_suite.q20_excess_suppliers, tpch_suite.Q20_ORACLE)
+register(
+    "tpch_q21_last_shipper",
+    tpch_suite.q21_last_shipping_supplier,
+    tpch_suite.Q21_ORACLE,
+)
+register("tpch_q22_idle_rich", tpch_suite.q22_idle_rich_customers, tpch_suite.Q22_ORACLE)
+
 # --- windows (SURVEY §2.6) ---------------------------------------------------
 register(
     "window_top_per_customer",
@@ -123,6 +159,16 @@ register("window_lag_deltas", windows.event_value_deltas, windows.EVENT_DELTAS_O
 register("window_rolling_avg", windows.rolling_avg_events, windows.ROLLING_AVG_ORACLE)
 register("window_dense_rank", windows.dense_rank_parts_by_brand, windows.DENSE_RANK_ORACLE)
 register("window_ntile", windows.ntile_customer_balance, windows.NTILE_ORACLE)
+register(
+    "window_distribution_stats",
+    windows.distribution_stats_per_nation,
+    windows.DISTRIBUTION_STATS_ORACLE,
+)
+register(
+    "window_range_frame",
+    windows.range_frame_price_band,
+    windows.RANGE_FRAME_ORACLE,
+)
 
 # --- events / time series (SURVEY §2.11 batch halves) ------------------------
 register(

@@ -402,3 +402,136 @@ FROM pairs
 WHERE cosine >= 0.4
 ORDER BY vec_a, vec_b
 """
+
+
+MAX_CC_ITERATIONS = 20
+
+
+def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH candidate-pair graph:
+    every doc in a near-dup candidate cluster labeled with the
+    cluster's minimum doc_id, plus the cluster size.
+
+    This is the step that turns pairwise candidates into dedup
+    *decisions* (keep one doc per component). Implemented as
+    iterative min-label propagation on DataFrames — the standard
+    large-scale CC formulation:
+
+    * each iteration is one equi-join + groupBy-min (fully
+      distributed, shuffle on doc_id);
+    * converges in O(cluster diameter) rounds — near-dup clusters
+      are shallow, so a handful of rounds, each over a table of
+      (node, label) pairs that is tiny relative to the corpus;
+    * ``localCheckpoint`` truncates lineage each round so the plan
+      doesn't grow with the iteration count (on a real cluster with
+      a fault-tolerance requirement, swap for ``checkpoint`` with a
+      reliable checkpoint dir);
+    * the driver sees only one scalar (changed-count) per round —
+      no data is collected.
+
+    Singleton documents (no candidate pair) are excluded: at corpus
+    scale the interesting output is the duplicate groups, not a
+    copy of the corpus.
+    """
+    edges = (
+        minhash_lsh_candidates(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    und = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(MAX_CC_ITERATIONS):
+        nb_min = (
+            und.join(labels, und.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("comp").alias("nb_comp"))
+        )
+        proposed = (
+            labels.join(nb_min, labels.node == nb_min.node2, "left")
+            .select(
+                "node",
+                "comp",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nb_comp"), F.col("comp"))
+                ).alias("new_comp"),
+            )
+        )
+        changed = proposed.filter(F.col("new_comp") != F.col("comp")).count()
+        labels = proposed.select(
+            "node", F.col("new_comp").alias("comp")
+        ).localCheckpoint()
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected components did not converge in {MAX_CC_ITERATIONS} rounds"
+        )
+    edges.unpersist()
+
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        labels.join(sizes, "comp")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("comp").alias("component"),
+            "n_members",
+        )
+        .orderBy("doc_id")
+    )
+
+
+DUPLICATE_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE shingled AS (
+  SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS shingle
+  FROM documents
+),
+sigs AS (
+  SELECT
+    doc_id,
+    {", ".join(
+      f"MIN(CAST('0x' || substr(md5('{i // 4}_' || shingle), {1 + 8 * (i % 4)}, 8)"
+      f" AS BIGINT)) AS mh_{i}"
+      for i in range(N_MINHASH)
+    )}
+  FROM shingled
+  GROUP BY doc_id
+),
+banded AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, {band} AS band,"
+    f" CAST(mh_{2 * band} AS VARCHAR) || '_' || CAST(mh_{2 * band + 1} AS VARCHAR)"
+    f" AS bucket FROM sigs"
+    for band in range(N_MINHASH // 2)
+  )}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM cand
+),
+nodes AS (SELECT DISTINCT src AS node FROM und),
+reach(node, r) AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT re.node, u.dst AS r FROM reach re JOIN und u ON re.r = u.src
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT c.node AS doc_id, c.component, cnt.n_members
+FROM comp c
+JOIN (SELECT component, COUNT(*) AS n_members FROM comp GROUP BY component) cnt
+  ON c.component = cnt.component
+ORDER BY doc_id
+"""

@@ -219,6 +219,11 @@ register(
 )
 register("dedup_simhash", dedup.simhash_fingerprints, dedup.SIMHASH_ORACLE)
 register(
+    "dedup_duplicate_clusters",
+    dedup.duplicate_clusters,
+    dedup.DUPLICATE_CLUSTERS_ORACLE,
+)
+register(
     "dedup_embedding_neardup",
     dedup.embedding_neardup_pairs,
     dedup.EMBEDDING_NEARDUP_ORACLE,

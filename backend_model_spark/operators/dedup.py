@@ -210,9 +210,10 @@ ORDER BY doc_id
 """
 
 
-def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH band-join: band the 8-value signature into 4 bands of 2,
-    bucket-join on (band, values) — candidate pairs via equi-join.
+    bucket-join on (band, values) — candidate pairs via equi-join,
+    unordered.
 
     This is the scale path for near-dup at 100 TB: candidate
     generation is a shuffle on band keys, never all-pairs.
@@ -246,8 +247,14 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
+
+
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered presentation of :func:`lsh_candidate_pairs` (the sort
+    exists only for the deterministic oracle compare; consumers like
+    connected components use the unordered pairs directly)."""
+    return lsh_candidate_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 MINHASH_LSH_ORACLE = f"""
@@ -434,13 +441,24 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy of the corpus.
     """
     edges = (
-        minhash_lsh_candidates(spark, sf_dir)
+        lsh_candidate_pairs(spark, sf_dir)  # unordered: CC needs no sort
         .select("doc_a", "doc_b")
         .persist()
     )
-    und = edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    n_edges = edges.count()
+    # size the iteration parallelism to the candidate GRAPH, which is
+    # orders of magnitude smaller than the corpus — at corpus-wide
+    # shuffle width, per-round task-scheduling overhead dominates the
+    # (tiny) label table
+    par = max(2, min(spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1))
+    und = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .repartition(par, "src")
+        .persist()  # read every round: both the join and (once) node init
+    )
 
     labels = (
         und.select(F.col("src").alias("node"))
@@ -464,10 +482,13 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("new_comp"),
             )
         )
+        # checkpoint BEFORE the convergence count: one materialization
+        # per round serves both the changed-count action and the next
+        # round's input (counting on the lazy frame would re-execute
+        # the propagation join a second time)
+        proposed = proposed.localCheckpoint()
         changed = proposed.filter(F.col("new_comp") != F.col("comp")).count()
-        labels = proposed.select(
-            "node", F.col("new_comp").alias("comp")
-        ).localCheckpoint()
+        labels = proposed.select("node", F.col("new_comp").alias("comp"))
         if changed == 0:
             break
     else:
@@ -475,6 +496,7 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"connected components did not converge in {MAX_CC_ITERATIONS} rounds"
         )
     edges.unpersist()
+    und.unpersist()
 
     sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
     return (

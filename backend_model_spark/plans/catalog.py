@@ -334,3 +334,8 @@ register(
     streaming_jobs.streaming_stateful_user_stats,
     streaming_jobs.STREAMING_STATEFUL_ORACLE,
 )
+register(
+    "streaming_click_purchase_join",
+    streaming_jobs.streaming_click_purchase_join,
+    streaming_jobs.STREAMING_JOIN_ORACLE,
+)

@@ -244,3 +244,70 @@ LIMIT 500
 from backend_model_spark.operators.events_ops import (  # noqa: E402
     SESSIONIZE_ORACLE as STREAMING_SESSION_ORACLE,
 )
+
+
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's clicks in the preceding 2 hours.
+
+    The genuinely-streaming surface the other jobs don't cover: BOTH
+    sides are unbounded, so the engine must buffer each side's rows in
+    state and emit matches as the other side arrives. The watermarks
+    plus the time-range join condition bound that state — clicks older
+    than the purchase-side watermark minus 2h are evicted, which is
+    what makes the join runnable forever at 100 TB/day; without the
+    range condition state would grow without bound.
+
+    Inner-join matches are emitted eagerly (not held for watermark
+    finalization), so availableNow over a static source must equal the
+    batch join — the oracle below.
+    """
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "inner",
+    ).select("purchase_id", "user_id", "purchase_ts", "purchase_value", "click_id", "click_ts")
+    out = _run_to_memory(joined, "append")
+    return out.orderBy("purchase_id", "click_id")
+
+
+STREAMING_JOIN_ORACLE = """
+SELECT
+  p.event_id AS purchase_id,
+  p.user_id  AS user_id,
+  p.ts       AS purchase_ts,
+  p.value    AS purchase_value,
+  c.event_id AS click_id,
+  c.ts       AS click_ts
+FROM events p
+JOIN events c
+  ON p.event_type = 'purchase'
+ AND c.event_type = 'click'
+ AND c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 2 HOUR
+ AND c.ts <= p.ts
+ORDER BY purchase_id, click_id
+"""

@@ -27,11 +27,13 @@ HEADLINE = [
     "agg_rollup",
     "join_q3_shipping_priority",
     "join_q5_region_revenue",
+    "tpch_q9_profit",
     "window_top_per_customer",
     "events_sessionize",
     "events_asof_join",
     "text_quality_scores",
     "dedup_minhash_lsh_candidates",
+    "dedup_duplicate_clusters",
     "sim_cosine_topk_bruteforce",
 ]
 

@@ -267,3 +267,48 @@ FROM bucketed
 GROUP BY bucket
 ORDER BY bucket
 """
+
+
+def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric max-abs int8 quantization of the embedding column —
+    the storage/bandwidth op an embedding pipeline runs before writing
+    a 100 TB vector corpus (4× smaller than float32, 8× than float64).
+
+    Purely per-row (no shuffle, no UDF): higher-order array functions
+    keep it in whole-stage codegen. The element rounding uses
+    floor(x*scale+0.5) — the same IEEE sequence on both engines —
+    instead of ROUND, whose half-way semantics differ between Spark
+    and DuckDB.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    as_double = "transform(embedding, x -> cast(x as double))"
+    maxabs = f"greatest(aggregate({as_double}, cast(0.0 as double), (acc, x) -> greatest(acc, abs(x))), cast(1e-12 as double))"
+    scale = f"(127.0 / {maxabs})"
+    qvec = (
+        f"transform({as_double}, x -> cast(floor(x * {scale} + 0.5) as int))"
+    )
+    return emb.select(
+        "vec_id",
+        F.expr(qvec).alias("qvec"),
+        F.round(F.expr(scale), 6).alias("scale"),
+    ).orderBy("vec_id")
+
+
+QUANTIZE_ORACLE = f"""
+WITH scaled AS (
+  SELECT
+    vec_id,
+    127.0 / greatest(
+      list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+      1e-12) AS scale
+  FROM embeddings
+)
+SELECT
+  e.vec_id AS vec_id,
+  list_transform(embedding,
+    x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT)) AS qvec,
+  ROUND(scale, 6) AS scale
+FROM embeddings e
+JOIN scaled s ON e.vec_id = s.vec_id
+ORDER BY e.vec_id
+"""

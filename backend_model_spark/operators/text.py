@@ -324,3 +324,80 @@ FROM documents
 GROUP BY source
 ORDER BY source
 """
+
+
+# word-4-gram shingles for decontamination (wider than the dedup
+# 3-grams: eval-set overlap wants higher precision; the guard again
+# avoids Spark's descending sequence(1, 0) on short docs)
+SHINGLES4 = (
+    "CASE WHEN size(toks) < 4 THEN cast(array() as array<string>) "
+    "ELSE transform(sequence(1, size(toks) - 3),"
+    " i -> concat_ws(' ', slice(toks, i, 4))) END"
+)
+SHINGLES4_SQL = r"""
+list_transform(
+  generate_series(1, greatest(len(string_split_regex(trim(text), '\s+')) - 3, 0)),
+  i -> string_split_regex(trim(text), '\s+')[i] || ' '
+    || string_split_regex(trim(text), '\s+')[i+1] || ' '
+    || string_split_regex(trim(text), '\s+')[i+2] || ' '
+    || string_split_regex(trim(text), '\s+')[i+3]
+)
+"""
+HOLDOUT_SOURCE = "src19"
+
+
+def decontaminate_against_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word-4-gram
+    with the held-out set (``source = src19`` stands in for an eval
+    benchmark), with hit counts and how many eval docs each touches.
+
+    Scale shape: the eval set is tiny relative to the corpus — its
+    distinct shingles BROADCAST, so the corpus-side shingle explode
+    streams map-side against the in-memory hash set and the only
+    shuffle is the final per-doc aggregate. This is the standard
+    contamination sweep an LLM training pipeline runs before every
+    training set freeze.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    with_toks = docs.repartition(par).withColumn("toks", F.expr(TOKENS))
+    train_sh = (
+        with_toks.filter(F.col("source") != HOLDOUT_SOURCE)
+        .select("doc_id", F.explode(F.expr(SHINGLES4)).alias("shingle"))
+        .distinct()
+    )
+    eval_sh = (
+        with_toks.filter(F.col("source") == HOLDOUT_SOURCE)
+        .select(
+            F.col("doc_id").alias("eval_doc_id"),
+            F.explode(F.expr(SHINGLES4)).alias("shingle"),
+        )
+        .distinct()
+    )
+    return (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DECONTAMINATE_ORACLE = f"""
+WITH train_sh AS (
+  SELECT DISTINCT doc_id, unnest({SHINGLES4_SQL}) AS shingle
+  FROM documents WHERE source <> '{HOLDOUT_SOURCE}'
+),
+eval_sh AS (
+  SELECT DISTINCT doc_id AS eval_doc_id, unnest({SHINGLES4_SQL}) AS shingle
+  FROM documents WHERE source = '{HOLDOUT_SOURCE}'
+)
+SELECT t.doc_id, COUNT(*) AS n_hits,
+       COUNT(DISTINCT e.eval_doc_id) AS n_eval_docs
+FROM train_sh t
+JOIN eval_sh e ON t.shingle = e.shingle
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""

@@ -207,6 +207,11 @@ register("text_fingerprints", text.fingerprints, text.FINGERPRINT_ORACLE)
 register("text_top_tokens", text.top_tokens, text.TOP_TOKENS_ORACLE)
 register("text_char_stats", text.char_stats, text.CHAR_STATS_ORACLE)
 register("text_bpe_token_count", text.bpe_token_estimate, text.BPE_TOKEN_ORACLE)
+register(
+    "text_decontaminate",
+    text.decontaminate_against_holdout,
+    text.DECONTAMINATE_ORACLE,
+)
 
 # --- deduplication ------------------------------------------------------------
 register("dedup_exact_groups", dedup.exact_dedup_groups, dedup.EXACT_DEDUP_ORACLE)
@@ -240,6 +245,11 @@ register(
     "sim_lsh_hyperplane_buckets",
     similarity.lsh_hyperplane_buckets,
     similarity.LSH_BUCKETS_ORACLE,
+)
+register(
+    "sim_quantize_int8",
+    similarity.quantize_embeddings_int8,
+    similarity.QUANTIZE_ORACLE,
 )
 
 # --- multimodal binary-column plumbing ----------------------------------------

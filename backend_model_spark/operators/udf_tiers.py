@@ -11,7 +11,11 @@ whitespace) — implemented three ways:
 2. ``pandas_udf_normalize`` — `@pandas_udf` (Arrow batches, pandas
    str ops): the escape hatch, oracle-checked to the SAME oracle —
    proving tier 2 is a drop-in when tier 1 can't express the logic.
-3. A row-at-a-time `@udf` exists here ONLY as the documented
+3. ``arrow_map_normalize`` — ``mapInArrow`` over raw
+   ``pyarrow.RecordBatch``es: the lowest-overhead Python tier (no
+   pandas object materialization), for per-partition logic that wants
+   Arrow-native compute. Same oracle again.
+4. A row-at-a-time `@udf` exists here ONLY as the documented
    anti-pattern; it is not registered as a query.
 
 Reference parity: the reference's `clean_data` zipcode scrub and
@@ -64,6 +68,41 @@ def pandas_udf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return _report(docs, pd_normalize(F.col("text")))
+
+
+def arrow_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier 3: ``mapInArrow`` — the batch iterator works directly on
+    ``pyarrow.RecordBatch``es via ``pyarrow.compute`` kernels, never
+    materializing pandas objects. The aggregate afterwards is normal
+    JVM-side codegen; only the normalization crosses into Python, in
+    Arrow columnar form both directions."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, "documents", sf_dir).select("source", "text")
+
+    def normalize_batches(batches):
+        for batch in batches:
+            text = batch.column(batch.schema.get_field_index("text"))
+            norm = pc.replace_substring_regex(
+                pc.utf8_lower(pc.utf8_trim_whitespace(text)),
+                pattern=r"\s+",
+                replacement=" ",
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), norm], names=["source", "norm"]
+            )
+
+    normalized = docs.mapInArrow(normalize_batches, "source string, norm string")
+    return (
+        normalized.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("norm").alias("n_distinct_norm"),
+            F.sum(F.length("norm")).alias("sum_norm_chars"),
+        )
+        .orderBy("source")
+    )
 
 
 NORMALIZE_ORACLE = r"""

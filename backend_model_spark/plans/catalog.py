@@ -264,6 +264,9 @@ register("udf_native_normalize", udf_tiers.native_normalize, udf_tiers.NORMALIZE
 register(
     "udf_pandas_normalize", udf_tiers.pandas_udf_normalize, udf_tiers.NORMALIZE_ORACLE
 )
+register(
+    "udf_arrow_normalize", udf_tiers.arrow_map_normalize, udf_tiers.NORMALIZE_ORACLE
+)
 
 # --- sampling / dataset mixing (training-data selection layer) -----------------
 register(

@@ -124,3 +124,43 @@ def test_partitioned_sink_enables_partition_pruning(spark, sf_dir):
     plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     pf = plan.split("PartitionFilters:")[1].splitlines()[0]
     assert "order_year" in pf, f"year filter not pushed to partition pruning: {pf}"
+
+
+def test_q9_dimension_joins_broadcast(spark, sf_dir):
+    """Every dimension lookup in the Q9-shape star must broadcast —
+    the fact table may never shuffle for a dimension join."""
+    plan = plan_of(spark, "tpch_q9_profit", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, "tpch_q10_returns", sf_dir)
+    assert "TakeOrderedAndProject" in plan, "top-20 must not global-sort"
+    # the returnflag filter must reach the lineitem scan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def _n_scans(plan: str) -> int:
+    """Physical scan count (formatted plans print each scan twice:
+    once in the tree, once as a numbered detail header)."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Scan parquet", plan, re.MULTILINE))
+
+
+def test_q19_single_scan_disjunction(spark, sf_dir):
+    """OR-of-ANDs must stay one lineitem scan, not a union of three."""
+    plan = plan_of(spark, "tpch_q19_disjunctive", sf_dir)
+    assert _n_scans(plan) == 2, "expected exactly lineitem + part scans"
+    assert "Union" not in plan
+
+
+def test_q21_single_window_pass(spark, sf_dir):
+    """The double EXISTS/NOT-EXISTS rewrite must cost one window over
+    the per-(order,supplier) aggregate — no lineitem self-join."""
+    plan = plan_of(spark, "tpch_q21_last_shipper", sf_dir)
+    assert _n_scans(plan) == 3, (
+        "expected lineitem + orders + supplier scans exactly once each"
+    )
+    assert "Window" in plan

@@ -15,7 +15,7 @@ reporting aggregate); the hash is computed inside codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from backend_model_spark.sources.tables import load_table
@@ -134,3 +134,68 @@ def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_p99"
         ),
     ).orderBy("l_returnflag")
+
+
+PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget bins
+    (training context windows), streaming-concat style — each doc goes
+    into the bin where the running token count before it lands.
+
+    Packing is inherently order-dependent, so the order is made
+    explicit and deterministic: docs are packed per language in doc_id
+    order. One window (partitioned by lang — high cardinality in a
+    real corpus where the partition key is (lang, shard)) computes the
+    exclusive running sum; the bin id is its integer division by the
+    budget. No Python, no loop — the greedy packing IS a prefix sum.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_cum = docs.select(
+        "doc_id",
+        "lang",
+        toks.alias("n_tokens"),
+        F.coalesce(F.sum(toks).over(w), F.lit(0)).alias("cum_before"),
+    )
+    return (
+        with_cum.select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.floor(F.col("cum_before") / PACK_BUDGET).alias("bin_id"),
+        )
+        .groupBy("lang", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .orderBy("lang", "bin_id")
+    )
+
+
+PACK_SEQUENCES_ORACLE = rf"""
+WITH with_cum AS (
+  SELECT
+    doc_id, lang,
+    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+    COALESCE(SUM(len(string_split_regex(trim(text), '\s+'))) OVER (
+      PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS cum_before
+  FROM documents
+)
+SELECT lang,
+       CAST(FLOOR(cum_before / {PACK_BUDGET}.0) AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+FROM with_cum
+GROUP BY lang, bin_id
+ORDER BY lang, bin_id
+"""

@@ -285,6 +285,11 @@ register(
     sampling.TRAIN_TEST_SPLIT_ORACLE,
 )
 register("agg_approx_quantiles", sampling.approx_quantile_sketch, None)
+register(
+    "sample_pack_sequences",
+    sampling.pack_sequences,
+    sampling.PACK_SEQUENCES_ORACLE,
+)
 
 # --- MLlib approximate variants (rows-only: no SQL-expressible oracle) --------
 register("mllib_minhash_neardup", mllib_ops.mllib_minhash_neardup, None)

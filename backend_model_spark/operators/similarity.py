@@ -284,12 +284,16 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     as_double = "transform(embedding, x -> cast(x as double))"
     maxabs = f"greatest(aggregate({as_double}, cast(0.0 as double), (acc, x) -> greatest(acc, abs(x))), cast(1e-12 as double))"
     scale = f"(127.0 / {maxabs})"
+    # emitted as a CSV string, not array<int>: raw arrays round-trip
+    # through pandas as list-vs-ndarray depending on Arrow settings,
+    # which breaks str()-based result hashing across engines
     qvec = (
-        f"transform({as_double}, x -> cast(floor(x * {scale} + 0.5) as int))"
+        f"concat_ws(',', transform({as_double},"
+        f" x -> cast(cast(floor(x * {scale} + 0.5) as int) as string)))"
     )
     return emb.select(
         "vec_id",
-        F.expr(qvec).alias("qvec"),
+        F.expr(qvec).alias("qvec_csv"),
         F.round(F.expr(scale), 6).alias("scale"),
     ).orderBy("vec_id")
 
@@ -305,8 +309,8 @@ WITH scaled AS (
 )
 SELECT
   e.vec_id AS vec_id,
-  list_transform(embedding,
-    x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT)) AS qvec,
+  array_to_string(list_transform(embedding,
+    x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT)), ',') AS qvec_csv,
   ROUND(scale, 6) AS scale
 FROM embeddings e
 JOIN scaled s ON e.vec_id = s.vec_id

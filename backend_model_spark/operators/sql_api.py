@@ -162,3 +162,34 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part side broadcasts; the two sums fold in one aggregate pass."""
     register_views(spark, sf_dir)
     return spark.sql(Q14_PROMO_SHARE_SQL)
+
+
+RECURSIVE_CTE_SQL = """
+WITH RECURSIVE months(m) AS (
+  SELECT CAST('1995-01-01' AS DATE)
+  UNION ALL
+  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM months
+  WHERE m < CAST('1996-12-01' AS DATE)
+)
+SELECT CAST(CAST(m AS DATE) AS STRING) AS month_start,
+       COUNT(o_orderkey) AS n_orders
+FROM months
+LEFT JOIN orders
+  ON o_orderdate >= CAST(m AS TIMESTAMP)
+ AND o_orderdate < CAST(m + INTERVAL '1' MONTH AS TIMESTAMP)
+GROUP BY m
+ORDER BY month_start
+"""
+
+
+def recursive_cte_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE calendar spine (24 generated months) left-joined
+    to orders — the recursive-CTE front-end surface (Spark 4+),
+    identical ANSI text on both engines.
+
+    Scale note: the recursion generates the SPINE (bounded, driver-
+    tiny), never iterates over the fact table — the single fact pass
+    is the left join, and the month list broadcasts.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(RECURSIVE_CTE_SQL)

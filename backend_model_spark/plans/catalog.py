@@ -322,6 +322,11 @@ register("sql_case_buckets", sql_api.case_buckets, sql_api.CASE_BUCKETS_SQL)
 register("sql_q4_exists", sql_api.q4_order_priority, sql_api.Q4_EXISTS_SQL)
 register("sql_q12_conditional", sql_api.q12_priority_lines, sql_api.Q12_CONDITIONAL_AGG_SQL)
 register("sql_q14_promo_share", sql_api.q14_promo_share, sql_api.Q14_PROMO_SHARE_SQL)
+register(
+    "sql_recursive_cte",
+    sql_api.recursive_cte_month_spine,
+    sql_api.RECURSIVE_CTE_SQL,
+)
 
 # --- ML (SURVEY §2.10) ---------------------------------------------------------
 register(

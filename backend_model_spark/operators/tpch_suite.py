@@ -52,17 +52,24 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
-    best = cost.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    # explicit rename before the self-derived join: `cost` and `best`
+    # share lineage, so joining on same-named columns would resolve to
+    # one expression id (trivially-true predicate)
+    best = (
+        cost.groupBy("l_partkey")
+        .agg(F.min("unit_cost").alias("min_cost"))
+        .withColumnRenamed("l_partkey", "best_partkey")
+    )
     wanted = part.filter(
         (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
     )
     return (
         cost.join(
             F.broadcast(best),
-            (cost.l_partkey == best.l_partkey)
-            & (cost.unit_cost == best.min_cost),
+            (F.col("l_partkey") == F.col("best_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
         )
-        .drop(best.l_partkey)
+        .drop("best_partkey")
         .join(F.broadcast(wanted), F.col("l_partkey") == wanted.p_partkey)
         .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
         .select(

@@ -99,6 +99,7 @@ register("clean_epoch_days", cleaning.epoch_days_conversion, cleaning.EPOCH_DAYS
 register("clean_exp_log_roundtrip", cleaning.exp_log_roundtrip, cleaning.EXP_LOG_ORACLE)
 register("clean_dropna_count", cleaning.dropna_count, cleaning.DROPNA_ORACLE)
 register("clean_hcc_detection", cleaning.hcc_column_cardinalities, cleaning.HCC_ORACLE)
+register("clean_outlier_iqr", cleaning.outlier_iqr_filter, cleaning.OUTLIER_IQR_ORACLE)
 
 # --- joins (SURVEY §2.3) -----------------------------------------------------
 register(

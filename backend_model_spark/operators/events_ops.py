@@ -426,3 +426,55 @@ FROM kv
 GROUP BY event_type, prop_key
 ORDER BY event_type, prop_key
 """
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-activity week,
+    distinct active users counted at each whole-week offset.
+
+    Two shuffles, both on user_id (the first-seen aggregate and the
+    distinct (user, week) activity set share partitioning), then one
+    tiny aggregate on (cohort, offset). Week arithmetic stays on
+    date_trunc + day-diffs — exact integers, no float drift; weeks
+    start Monday in both engines.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_wk")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .select(
+            F.col("cohort_wk").cast("date").cast("string").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("wk"), F.col("cohort_wk")) / 7
+            ).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+RETENTION_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_wk
+  FROM events
+  GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+  FROM events
+)
+SELECT
+  CAST(CAST(cohort_wk AS DATE) AS STRING) AS cohort_week,
+  CAST(FLOOR(date_diff('day', cohort_wk, wk) / 7.0) AS BIGINT) AS week_offset,
+  COUNT(*) AS n_users
+FROM activity
+JOIN first_seen USING (user_id)
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""

@@ -199,6 +199,11 @@ register(
     events_ops.GAPFILL_ORACLE,
 )
 register("events_props_map", events_ops.props_as_map, events_ops.PROPS_MAP_ORACLE)
+register(
+    "events_retention_cohorts",
+    events_ops.retention_cohorts,
+    events_ops.RETENTION_ORACLE,
+)
 
 # --- text analysis (LLM-data-pipeline surface) -------------------------------
 register("text_token_stats", text.token_stats_per_lang, text.TOKEN_STATS_ORACLE)

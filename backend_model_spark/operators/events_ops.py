@@ -478,3 +478,97 @@ JOIN first_seen USING (user_id)
 GROUP BY cohort_week, week_offset
 ORDER BY cohort_week, week_offset
 """
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-stage funnel (view → click → purchase): a user
+    advances a stage only with an event strictly after their previous
+    stage's timestamp. Emits one row per stage with user counts and
+    the conversion rate from the previous stage.
+
+    Scale: the classic formulation is a per-user ordered scan; here
+    each stage is a conditional min-aggregate keyed on ``user_id``, so
+    all three stages shuffle on the same key (co-partitioned — one
+    exchange is reused) and carry one row per user, never the raw
+    event stream, between stages. No self-join of events against
+    events ever happens.
+    """
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
+
+    viewed = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicked = (
+        ev.filter(F.col("event_type") == "click")
+        .join(viewed, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchased = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicked, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    n_view = viewed.agg(F.count(F.lit(1)).alias("n")).withColumn(
+        "stage", F.lit("1_view")
+    )
+    n_click = clicked.agg(F.count(F.lit(1)).alias("n")).withColumn(
+        "stage", F.lit("2_click_after_view")
+    )
+    n_buy = purchased.agg(F.count(F.lit(1)).alias("n")).withColumn(
+        "stage", F.lit("3_purchase_after_click")
+    )
+    funnel = n_view.unionByName(n_click).unionByName(n_buy)
+    w = W.orderBy("stage")
+    return (
+        funnel.withColumn("prev_n", F.lag("n").over(w))
+        .select(
+            "stage",
+            F.col("n").alias("n_users"),
+            F.round(
+                F.when(F.col("prev_n").isNotNull(), F.col("n") / F.col("prev_n"))
+                .otherwise(F.lit(1.0)),
+                6,
+            ).alias("conversion"),
+        )
+        .orderBy("stage")
+    )
+
+
+FUNNEL_ORACLE = """
+WITH viewed AS (
+  SELECT user_id, MIN(ts) AS t_view
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+),
+clicked AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN viewed v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+purchased AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN clicked c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+),
+funnel AS (
+  SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM viewed
+  UNION ALL
+  SELECT '2_click_after_view', CAST(COUNT(*) AS BIGINT) FROM clicked
+  UNION ALL
+  SELECT '3_purchase_after_click', CAST(COUNT(*) AS BIGINT) FROM purchased
+)
+SELECT stage, n AS n_users,
+       ROUND(COALESCE(CAST(n AS DOUBLE) / LAG(n) OVER (ORDER BY stage), 1.0), 6)
+         AS conversion
+FROM funnel
+ORDER BY stage
+"""

@@ -86,3 +86,35 @@ def mllib_brp_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+def mllib_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib KMeans over the embedding vectors (k=10, fixed seed):
+    cluster sizes plus within-cluster cost — the trained sibling of
+    the deterministic E-step in ``similarity.centroid_assign``.
+
+    Scale: Lloyd iterations are data-parallel map-reduce per step
+    (assign = broadcast centroids + one scan; update = one shuffle of
+    k×dim partial sums); the fitted model is driver-held and tiny.
+    Rows-only check: centroid init is seeded-random, not expressible
+    in the SQL oracle.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.evaluation import ClusteringEvaluator
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    vecs = emb.select(
+        "vec_id",
+        array_to_vector(F.expr("transform(embedding, x -> cast(x as double))")).alias(
+            "features"
+        ),
+    )
+    model = KMeans(k=10, seed=SEED, maxIter=20).fit(vecs)
+    pred = model.transform(vecs)
+    silhouette = ClusteringEvaluator(metricName="silhouette").evaluate(pred)
+    return (
+        pred.groupBy(F.col("prediction").alias("cluster"))
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .withColumn("silhouette", F.round(F.lit(silhouette), 4))
+        .orderBy("cluster")
+    )

@@ -316,3 +316,123 @@ FROM embeddings e
 JOIN scaled s ON e.vec_id = s.vec_id
 ORDER BY e.vec_id
 """
+
+
+def centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means E-step over the full corpus: every vector is assigned
+    to its nearest per-label mean centroid (cosine), emitting the
+    true-label × assigned-centroid confusion matrix with mean
+    assignment cosine — the building block of Lloyd iterations and of
+    IVF index construction.
+
+    Scale: the centroid table is K rows → broadcast; the corpus is
+    scanned exactly once and never self-joined. Mean cosine is
+    aggregated as integer micro-units (floor(x·1e6+0.5)) so the
+    group-sum is order-independent — the cross-engine discipline for
+    averaging floats under hash comparison.
+    """
+    emb = _as_double(load_table(spark, "embeddings", sf_dir))
+    pos = emb.select("label", F.posexplode("v").alias("pos", "x"))
+    # centroid components via integer micro-unit sums, not avg():
+    # a double SUM is fold-order-dependent (Spark partial aggs vs
+    # DuckDB's scan order), and a 1-ulp drift flips ROUND at the
+    # 1e-6 boundary. Integer sums commute exactly.
+    centroids = (
+        pos.groupBy("label", "pos")
+        .agg(
+            F.sum(F.floor(F.col("x") * 1_000_000 + F.lit(0.5)).cast("long")).alias(
+                "sm"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn("c", F.col("sm") / F.col("n") / F.lit(1_000_000.0))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.expr("transform(pc, s -> s.c)").alias("cv"),
+        )
+    )
+    cos = F.expr(
+        f"{DOT.format(a='v', b='cv')} / ({NORM.format(a='v')} * {NORM.format(a='cv')})"
+    )
+    # cos_micro is the ONLY discretization: FLOOR on the raw double
+    # (identical IEEE op in both engines). No intermediate ROUND —
+    # Spark's BigDecimal half-up and DuckDB's float rounding disagree
+    # on boundary doubles (see duckdb-spark parity discipline).
+    w = W.partitionBy("vec_id").orderBy(
+        F.col("cos_micro").desc(), F.col("c_label").asc()
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "cos_micro", F.floor(cos * 1_000_000 + F.lit(0.5)).cast("long")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+    )
+    return (
+        assigned.groupBy("label", F.col("c_label").alias("assigned_label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("cos_micro").alias("sum_cos_micro"),
+        )
+        .withColumn(
+            "avg_cosine",
+            F.floor(
+                F.col("sum_cos_micro") / F.col("n_vectors") + F.lit(0.5)
+            ).cast("long")
+            / F.lit(1_000_000.0),
+        )
+        .select("label", "assigned_label", "n_vectors", "avg_cosine")
+        .orderBy("label", "assigned_label")
+    )
+
+
+CENTROID_ASSIGN_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pos AS (
+  SELECT label, i AS pos, v[i] AS x
+  FROM v, unnest(generate_series(1, {DIM})) AS t(i)
+),
+centroids AS (
+  SELECT label AS c_label, list(c ORDER BY pos) AS cv
+  FROM (
+    SELECT label, pos,
+      CAST(SUM(CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+        / COUNT(*) / 1000000.0 AS c
+    FROM pos GROUP BY label, pos
+  )
+  GROUP BY label
+),
+assigned AS (
+  SELECT label, c_label, cos_micro
+  FROM (
+    SELECT v.label, c.c_label,
+      CAST(FLOOR(
+        {DOT_SQL.format(a="v.v", b="c.cv", dim=DIM)}
+        / ({NORM_SQL.format(a="v.v", dim=DIM)} * {NORM_SQL.format(a="c.cv", dim=DIM)})
+        * 1000000 + 0.5
+      ) AS BIGINT) AS cos_micro,
+      ROW_NUMBER() OVER (
+        PARTITION BY v.vec_id ORDER BY CAST(FLOOR(
+          {DOT_SQL.format(a="v.v", b="c.cv", dim=DIM)}
+          / ({NORM_SQL.format(a="v.v", dim=DIM)} * {NORM_SQL.format(a="c.cv", dim=DIM)})
+          * 1000000 + 0.5
+        ) AS BIGINT) DESC, c.c_label ASC
+      ) AS rnk
+    FROM v CROSS JOIN centroids c
+  )
+  WHERE rnk = 1
+)
+SELECT label, c_label AS assigned_label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(FLOOR(
+         CAST(SUM(cos_micro) AS DOUBLE) / COUNT(*) + 0.5
+       ) AS BIGINT) / 1000000.0 AS avg_cosine
+FROM assigned
+GROUP BY label, c_label
+ORDER BY label, assigned_label
+"""

@@ -15,6 +15,7 @@ Parity conventions with the DuckDB oracles:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from backend_model_spark.sources.tables import load_table
@@ -400,4 +401,226 @@ FROM train_sh t
 JOIN eval_sh e ON t.shingle = e.shingle
 GROUP BY t.doc_id
 ORDER BY t.doc_id
+"""
+
+
+def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction for a tokenizer: lowercase tokens with
+    min-frequency cutoff get contiguous ids by (count desc, token asc)
+    — the standard BPE/WordPiece pre-pass. Also emits each token's
+    cumulative corpus coverage so a vocab-size cut is a WHERE clause.
+
+    Scale: word-count shuffle (partial aggs map-side), then a single
+    ordered prefix-sum over the *vocabulary* (≪ corpus; a 100 TB
+    corpus yields maybe 10⁷ distinct tokens) — the only single-
+    partition step touches vocab rows, and a production build would
+    band the prefix-sum by count-range if the vocab itself exploded.
+    """
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    counts = (
+        docs.select(F.explode(F.expr(TOKENS)).alias("token"))
+        .filter(F.col("token") != "")
+        .select(F.lower("token").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+    w = W.orderBy(F.col("n").desc(), F.col("token").asc())
+    total = counts.agg(F.sum("n").alias("vocab_total"))
+    return (
+        counts.join(F.broadcast(total))
+        .withColumn("token_id", F.row_number().over(w) - F.lit(1))
+        .withColumn(
+            "cum_coverage",
+            F.round(
+                F.sum("n").over(w.rowsBetween(W.unboundedPreceding, 0))
+                / F.col("vocab_total"),
+                6,
+            ),
+        )
+        .select("token_id", "token", "n", "cum_coverage")
+        .orderBy("token_id")
+        .limit(200)
+    )
+
+
+VOCAB_ORACLE = r"""
+WITH counts AS (
+  SELECT lower(token) AS token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+    FROM documents
+  )
+  WHERE token <> ''
+  GROUP BY lower(token)
+  HAVING COUNT(*) >= 5
+)
+SELECT
+  CAST(ROW_NUMBER() OVER w - 1 AS INTEGER) AS token_id,
+  token,
+  n,
+  ROUND(
+    CAST(SUM(n) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS DOUBLE)
+    / (SELECT SUM(n) FROM counts),
+  6) AS cum_coverage
+FROM counts
+WINDOW w AS (ORDER BY n DESC, token ASC)
+ORDER BY token_id
+LIMIT 200
+"""
+
+
+CHUNK_SIZE = 200
+CHUNK_STRIDE = 150
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping chunking (context-window prep): each doc
+    becomes ⌈(len-overlap)/stride⌉ chunks of ≤200 chars with 50-char
+    overlap, each fingerprinted for downstream dedup.
+
+    Scale: pure narrow explode — sequence+substring inside codegen,
+    zero shuffle; chunk text never leaves the executor (only its md5
+    fingerprint and length do). This is the shape that feeds
+    tokenize-and-pack at 100 TB.
+    """
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    n_chunks = F.when(
+        F.length("text") <= CHUNK_SIZE, F.lit(1)
+    ).otherwise(
+        F.ceil((F.length("text") - F.lit(CHUNK_SIZE)) / F.lit(CHUNK_STRIDE)) + 1
+    )
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+                lambda i: F.substring(
+                    F.col("text"), i * CHUNK_STRIDE + 1, CHUNK_SIZE
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    return (
+        chunks.select(
+            "doc_id",
+            "chunk_idx",
+            F.length("chunk").alias("chunk_len"),
+            F.substring(F.md5("chunk"), 1, 16).alias("chunk_fp"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+CHUNK_ORACLE = f"""
+WITH idx AS (
+  SELECT
+    doc_id,
+    text,
+    unnest(generate_series(
+      0,
+      CASE WHEN length(text) <= {CHUNK_SIZE} THEN 0
+           ELSE CAST(CEIL(
+             (length(text) - {CHUNK_SIZE}) / CAST({CHUNK_STRIDE} AS DOUBLE)
+           ) AS BIGINT)
+      END
+    )) AS i
+  FROM documents
+),
+spans AS (
+  SELECT
+    doc_id,
+    CAST(i AS INTEGER) AS chunk_idx,
+    substring(text, CAST(i AS INTEGER) * {CHUNK_STRIDE} + 1, {CHUNK_SIZE}) AS chunk
+  FROM idx
+)
+SELECT doc_id, chunk_idx,
+       CAST(length(chunk) AS INTEGER) AS chunk_len,
+       substring(md5(chunk), 1, 16) AS chunk_fp
+FROM spans
+ORDER BY doc_id, chunk_idx
+"""
+
+
+def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model statistics: within-document adjacent
+    token pairs, their counts, and the conditional probability
+    P(w2|w1) — the count-based pre-pass of classic LM training and a
+    useful corpus-quality signal. Top 50 bigrams by frequency.
+
+    Scale: bigram formation is a narrow per-row transform (no
+    self-join between adjacent rows needed — adjacency lives inside
+    the token array); the two counting shuffles are standard
+    word-count shapes with map-side partial aggregation. P(w2|w1)
+    derives from two exact integer counts, discretized with FLOOR
+    micro-units (cross-engine-stable, see parity discipline).
+    """
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select(F.expr(TOKENS).alias("t"))
+    # sequence(1, 0) is DESCENDING in Spark, not empty — guard short docs
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN "
+                "transform(sequence(1, size(t) - 1), "
+                "  i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bg_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_bigram"))
+    # unigram counts over the SAME positions (all but the last token of
+    # each doc) so probabilities per w1 sum to exactly 1
+    uni_counts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("n_w1"))
+    return (
+        bg_counts.join(F.broadcast(uni_counts), "w1")
+        .withColumn(
+            "p_w2_given_w1",
+            F.floor(F.col("n_bigram") * 1_000_000 / F.col("n_w1") + F.lit(0.5)).cast(
+                "long"
+            )
+            / F.lit(1_000_000.0),
+        )
+        .select("w1", "w2", "n_bigram", "n_w1", "p_w2_given_w1")
+        .orderBy(F.col("n_bigram").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(50)
+    )
+
+
+BIGRAM_LM_ORACLE = r"""
+WITH toks AS (
+  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+idx AS (
+  SELECT t,
+    unnest(generate_series(
+      1, CASE WHEN len(t) >= 2 THEN len(t) - 1 ELSE 0 END
+    )) AS i
+  FROM toks
+),
+bigrams AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2 FROM idx
+),
+bg AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_bigram
+  FROM bigrams GROUP BY w1, w2
+),
+uni AS (
+  SELECT w1, CAST(COUNT(*) AS BIGINT) AS n_w1
+  FROM bigrams GROUP BY w1
+)
+SELECT bg.w1, bg.w2, bg.n_bigram, uni.n_w1,
+  CAST(FLOOR(
+    CAST(bg.n_bigram AS DOUBLE) * 1000000 / uni.n_w1 + 0.5
+  ) AS BIGINT) / 1000000.0 AS p_w2_given_w1
+FROM bg JOIN uni USING (w1)
+ORDER BY n_bigram DESC, w1 ASC, w2 ASC
+LIMIT 50
 """

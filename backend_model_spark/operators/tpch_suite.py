@@ -793,3 +793,50 @@ WHERE c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
 GROUP BY cntrycode
 ORDER BY cntrycode
 """
+
+
+# --------------------------------------------------------------------------
+# Q13 shape (adapted): customer distribution of order counts.
+# No o_comment column ⇒ the "special requests" exclusion becomes an
+# o_orderpriority exclusion ('1-URGENT').
+# --------------------------------------------------------------------------
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of customers by how many (non-urgent) orders they
+    placed, including zero-order customers.
+
+    Shape: instead of the textbook left-join-then-double-aggregate
+    (which shuffles the full orders fact joined wide against customer),
+    orders is pre-aggregated to one row per custkey — map-side partial
+    counts make that shuffle carry only (custkey, count) pairs — and
+    the customer table left-joins the *aggregate*. At 100 TB the
+    second shuffle moves |customers| rows, never |orders| rows.
+    """
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    per_cust = (
+        orders.filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_ORACLE = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey,
+         CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""

@@ -148,6 +148,11 @@ register(
     tpch_suite.Q21_ORACLE,
 )
 register("tpch_q22_idle_rich", tpch_suite.q22_idle_rich_customers, tpch_suite.Q22_ORACLE)
+register(
+    "tpch_q13_order_dist",
+    tpch_suite.q13_order_count_distribution,
+    tpch_suite.Q13_ORACLE,
+)
 
 # --- windows (SURVEY §2.6) ---------------------------------------------------
 register(
@@ -204,6 +209,7 @@ register(
     events_ops.retention_cohorts,
     events_ops.RETENTION_ORACLE,
 )
+register("events_funnel", events_ops.funnel_conversion, events_ops.FUNNEL_ORACLE)
 
 # --- text analysis (LLM-data-pipeline surface) -------------------------------
 register("text_token_stats", text.token_stats_per_lang, text.TOKEN_STATS_ORACLE)
@@ -218,6 +224,9 @@ register(
     text.decontaminate_against_holdout,
     text.DECONTAMINATE_ORACLE,
 )
+register("text_vocab_build", text.vocab_build, text.VOCAB_ORACLE)
+register("text_chunk_documents", text.chunk_documents, text.CHUNK_ORACLE)
+register("text_bigram_lm", text.bigram_lm, text.BIGRAM_LM_ORACLE)
 
 # --- deduplication ------------------------------------------------------------
 register("dedup_exact_groups", dedup.exact_dedup_groups, dedup.EXACT_DEDUP_ORACLE)
@@ -256,6 +265,11 @@ register(
     "sim_quantize_int8",
     similarity.quantize_embeddings_int8,
     similarity.QUANTIZE_ORACLE,
+)
+register(
+    "sim_centroid_assign",
+    similarity.centroid_assign,
+    similarity.CENTROID_ASSIGN_ORACLE,
 )
 
 # --- multimodal binary-column plumbing ----------------------------------------
@@ -300,6 +314,7 @@ register(
 # --- MLlib approximate variants (rows-only: no SQL-expressible oracle) --------
 register("mllib_minhash_neardup", mllib_ops.mllib_minhash_neardup, None)
 register("mllib_brp_ann_join", mllib_ops.mllib_brp_ann_join, None)
+register("mllib_kmeans_clusters", mllib_ops.mllib_kmeans_clusters, None)
 
 # --- sources / sinks / DDL (SURVEY §2.1 S1-S7) ---------------------------------
 register("io_csv_roundtrip", io_ops.csv_roundtrip, io_ops.CSV_ROUNDTRIP_ORACLE)

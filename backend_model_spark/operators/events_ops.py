@@ -572,3 +572,81 @@ SELECT stage, n AS n_users,
 FROM funnel
 ORDER BY stage
 """
+
+
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score anomaly detection: flag events whose
+    ``value`` deviates > 2σ from their type's mean; report outlier
+    counts and the extreme z per type.
+
+    Scale + parity: per-type mean/variance come from exact integer
+    cent sums (sum, sum-of-squares) — order-independent under any
+    shuffle/AQE reordering, identical in both engines. The tiny
+    per-type stats table broadcasts back onto the stream; the fact
+    side is scanned twice but shuffled zero times for the join. At
+    true 100 TB the cent-square sums outgrow int64 — the production
+    variant aggregates DECIMAL(38,0) or per-partition Welford
+    moments; semantics (and this query's shape) are unchanged.
+    """
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    stats = (
+        ev.select("event_type", cents.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("s"),
+            F.sum(F.col("c") * F.col("c")).alias("sq"),
+        )
+        .withColumn("mean_c", F.col("s") / F.col("n"))
+        .withColumn(
+            "sd_c",
+            F.sqrt(F.col("sq") / F.col("n") - F.col("mean_c") * F.col("mean_c")),
+        )
+    )
+    z = (cents - F.col("mean_c")) / F.col("sd_c")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_type", "n", z.alias("z"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.sum((F.abs(F.col("z")) > 2).cast("long")).alias("n_outliers"),
+            (F.floor(F.max("z") * 1_000_000 + F.lit(0.5)).cast("long") / 1_000_000.0).alias(
+                "max_z"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ANOMALY_ZSCORE_ORACLE = """
+WITH cents AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS sq
+  FROM cents
+  GROUP BY event_type
+),
+enriched AS (
+  SELECT c.event_type, s.n,
+         (c.c - CAST(s.s AS DOUBLE) / s.n)
+           / sqrt(CAST(s.sq AS DOUBLE) / s.n
+                  - (CAST(s.s AS DOUBLE) / s.n) * (CAST(s.s AS DOUBLE) / s.n))
+           AS z
+  FROM cents c JOIN stats s ON c.event_type = s.event_type
+)
+SELECT event_type,
+       MAX(n) AS n_events,
+       CAST(SUM(CASE WHEN ABS(z) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(FLOOR(MAX(z) * 1000000 + 0.5) AS BIGINT) / 1000000.0 AS max_z
+FROM enriched
+GROUP BY event_type
+ORDER BY event_type
+"""

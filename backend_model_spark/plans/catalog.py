@@ -210,6 +210,9 @@ register(
     events_ops.RETENTION_ORACLE,
 )
 register("events_funnel", events_ops.funnel_conversion, events_ops.FUNNEL_ORACLE)
+register(
+    "events_anomaly_zscore", events_ops.anomaly_zscore, events_ops.ANOMALY_ZSCORE_ORACLE
+)
 
 # --- text analysis (LLM-data-pipeline surface) -------------------------------
 register("text_token_stats", text.token_stats_per_lang, text.TOKEN_STATS_ORACLE)
@@ -322,6 +325,8 @@ register("io_append_sink", io_ops.append_sink, io_ops.APPEND_SINK_ORACLE)
 register("io_ddl_create_insert_scan", io_ops.ddl_create_insert_scan, io_ops.DDL_ORACLE)
 register("io_etl_orchestration", io_ops.etl_orchestration, io_ops.ETL_ORACLE)
 register("io_upsert_merge", io_ops.upsert_merge, io_ops.UPSERT_ORACLE)
+register("io_json_roundtrip", io_ops.json_roundtrip, io_ops.JSON_ROUNDTRIP_ORACLE)
+register("io_orc_roundtrip", io_ops.orc_roundtrip, io_ops.ORC_ROUNDTRIP_ORACLE)
 
 # --- scalar function batteries (SURVEY §2.8) -----------------------------------
 register("func_string", scalar_funcs.string_functions, scalar_funcs.STRING_FUNCS_ORACLE)

@@ -281,3 +281,94 @@ SELECT o_orderstatus, COUNT(*) AS n_orders,
        ROUND(SUM(o_totalprice), 2) AS sum_price
 FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
+
+
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + scan: documents → JSONL → explicit-schema
+    read → per-(lang, source) aggregate. Extends the reference's
+    CSV-only ingest surface (SURVEY §2.1 S1/S6) with the
+    semi-structured format every log/corpus pipeline actually ships.
+
+    Scale: JSONL is splittable — both the write and the re-read are
+    executor-parallel, one task per ~128 MB split. Schema is declared
+    on read (inference would scan twice and guess types at 100 TB).
+    """
+    path = _scratch("json_roundtrip", "documents_json")
+    load_table(spark, "documents", sf_dir).write.mode("overwrite").json(path)
+    back = spark.read.json(path, schema=TABLE_SCHEMAS["documents"])
+    return (
+        back.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+JSON_ROUNDTRIP_ORACLE = """
+SELECT
+  lang,
+  source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+  MIN(doc_id) AS min_doc,
+  MAX(doc_id) AS max_doc
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan: lineitem (1996+) → ORC → read-back →
+    returnflag/linestatus revenue summary under the exact-cents
+    discipline. The oracle reads the *original* parquet — the match
+    proves the columnar round-trip is lossless for int64, double,
+    string, and timestamp columns.
+
+    Scale: ORC brings the same columnar pruning/statistics story as
+    parquet (predicate pushdown, stripe-level min/max); keeping both
+    paths exercised means the engine is storage-format-portable.
+    """
+    path = _scratch("orc_roundtrip", "lineitem_orc")
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    return (
+        back.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            (F.sum(cents) / 100.0).alias("revenue"),
+            F.min(F.col("l_shipdate").cast("date").cast("string")).alias(
+                "first_ship"
+            ),
+            F.max(F.col("l_shipdate").cast("date").cast("string")).alias(
+                "last_ship"
+            ),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORC_ROUNDTRIP_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  COUNT(*) AS n_items,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+       AS DOUBLE) / 100.0 AS revenue,
+  CAST(MIN(CAST(l_shipdate AS DATE)) AS STRING) AS first_ship,
+  CAST(MAX(CAST(l_shipdate AS DATE)) AS STRING) AS last_ship
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""

@@ -164,3 +164,47 @@ def test_q21_single_window_pass(spark, sf_dir):
         "expected lineitem + orders + supplier scans exactly once each"
     )
     assert "Window" in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """A selectively-filtered orders side joined to lineitem must
+    inject a runtime bloom filter (`might_contain` over a
+    `bloom_filter_agg` scalar subquery) on the fact side when
+    broadcast is unavailable — at 100 TB this is what keeps a
+    sort-merge join from shuffling rows the dim filter would discard
+    anyway. Locally the fact side is below the application-side size
+    threshold, so the test zeroes it (the shape, not the sizing
+    heuristic, is the contract)."""
+    from pyspark.sql import functions as F
+
+    from backend_model_spark.sources.tables import load_table
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_thresh = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = load_table(spark, "lineitem", sf_dir)
+        orders = load_table(spark, "orders", sf_dir).filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1998-06-01").cast("timestamp"))
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_thresh,
+        )
+    assert "might_contain" in plan, "runtime bloom filter not injected"
+    assert "bloom_filter_agg" in plan, "bloom build side missing"

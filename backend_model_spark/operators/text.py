@@ -577,8 +577,11 @@ def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("bg.w1", "bg.w2")
     bg_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_bigram"))
     # unigram counts over the SAME positions (all but the last token of
-    # each doc) so probabilities per w1 sum to exactly 1
-    uni_counts = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("n_w1"))
+    # each doc) so probabilities per w1 sum to exactly 1. Derived by
+    # re-aggregating bg_counts — the corpus is exploded and scanned
+    # ONCE; the second shuffle moves at most |vocab|² count rows,
+    # never corpus rows.
+    uni_counts = bg_counts.groupBy("w1").agg(F.sum("n_bigram").alias("n_w1"))
     return (
         bg_counts.join(F.broadcast(uni_counts), "w1")
         .withColumn(

@@ -840,3 +840,68 @@ FROM (
 GROUP BY c_count
 ORDER BY custdist DESC, c_count DESC
 """
+
+
+# --------------------------------------------------------------------------
+# Q11 shape (adapted): important stock identification. No partsupp ⇒
+# "stock value" per (part, supplier) is derived from lineitem as
+# sum(quantity × extendedprice/quantity) = sum(extendedprice), scoped
+# to suppliers in nations 0-4.
+# --------------------------------------------------------------------------
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose in-scope stock value exceeds a fixed fraction
+    (0.1%) of the grand total, ranked by value.
+
+    Shape: grouped sum per part + a scalar grand total broadcast into
+    the HAVING predicate — the Q11 global-ratio filter without a
+    correlated subquery. The supplier scope filter is a broadcast
+    semi-join before aggregation (dim first, so the fact shuffle
+    carries only in-scope rows). Exact-cents sums keep the 2-decimal
+    values stable under AQE reordering.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    sup = load_table(spark, "supplier", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+
+    scope_sup = sup.join(
+        F.broadcast(nat.filter(F.col("n_nationkey") < 5)),
+        sup.s_nationkey == nat.n_nationkey,
+    ).select("s_suppkey")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    scoped = li.join(
+        F.broadcast(scope_sup), li.l_suppkey == scope_sup.s_suppkey, "left_semi"
+    ).select("l_partkey", cents.alias("cents"))
+    per_part = scoped.groupBy("l_partkey").agg(F.sum("cents").alias("value_cents"))
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select(
+            "l_partkey",
+            (F.col("value_cents") / 100.0).alias("stock_value"),
+        )
+        .orderBy(F.col("stock_value").desc(), F.col("l_partkey").asc())
+    )
+
+
+Q11_ORACLE = """
+WITH scoped AS (
+  SELECT l.l_partkey,
+         CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem l
+  WHERE l.l_suppkey IN (
+    SELECT s_suppkey FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_nationkey < 5
+  )
+),
+per_part AS (
+  SELECT l_partkey, CAST(SUM(cents) AS BIGINT) AS value_cents
+  FROM scoped GROUP BY l_partkey
+)
+SELECT l_partkey,
+       CAST(value_cents AS DOUBLE) / 100.0 AS stock_value
+FROM per_part
+WHERE value_cents * 1000 > (SELECT CAST(SUM(value_cents) AS BIGINT) FROM per_part)
+ORDER BY stock_value DESC, l_partkey ASC
+"""

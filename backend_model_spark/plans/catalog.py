@@ -153,6 +153,11 @@ register(
     tpch_suite.q13_order_count_distribution,
     tpch_suite.Q13_ORACLE,
 )
+register(
+    "tpch_q11_important_parts",
+    tpch_suite.q11_important_parts,
+    tpch_suite.Q11_ORACLE,
+)
 
 # --- windows (SURVEY §2.6) ---------------------------------------------------
 register(

@@ -102,3 +102,94 @@ def test_salted_agg_matches_pandas_reference(spark):
     for flag, row in expected.iterrows():
         assert got.loc[flag, "n_items"] == row["n_items"]
         assert abs(got.loc[flag, "sum_qty"] - row["sum_qty"]) < 1e-6
+
+
+def _funnel_pandas(events: pd.DataFrame) -> dict[str, int]:
+    """Imperative ordered funnel: strictly-after stage advancement."""
+    n = {"view": 0, "click": 0, "purchase": 0}
+    for _, g in events.groupby("user_id"):
+        views = g.loc[g["event_type"] == "view", "ts"]
+        if views.empty:
+            continue
+        n["view"] += 1
+        t_view = views.min()
+        clicks = g.loc[(g["event_type"] == "click") & (g["ts"] > t_view), "ts"]
+        if clicks.empty:
+            continue
+        n["click"] += 1
+        t_click = clicks.min()
+        buys = g.loc[(g["event_type"] == "purchase") & (g["ts"] > t_click), "ts"]
+        if not buys.empty:
+            n["purchase"] += 1
+    return n
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_funnel_matches_pandas_reference(spark, seed):
+    from backend_model_spark.operators.events_ops import funnel_conversion
+
+    sf = os.path.join(SCRATCH_SF, f"funnel_seed{seed}")
+    os.makedirs(sf, exist_ok=True)
+    events = _random_events(seed)
+    events.to_parquet(table_path(sf, "events"))
+
+    expected = _funnel_pandas(events)
+    got = {r["stage"]: r["n_users"] for r in funnel_conversion(spark, sf).collect()}
+    assert got["1_view"] == expected["view"]
+    assert got["2_click_after_view"] == expected["click"]
+    assert got["3_purchase_after_click"] == expected["purchase"]
+
+
+def _chunks_python(doc_id: int, text: str) -> list[tuple[int, int, int, str]]:
+    """Imperative chunker: 200-char windows, 150-char stride, at least
+    one chunk per document."""
+    import hashlib
+    import math
+
+    n = len(text)
+    n_chunks = 1 if n <= 200 else int(math.ceil((n - 200) / 150.0)) + 1
+    out = []
+    for i in range(n_chunks):
+        chunk = text[i * 150 : i * 150 + 200]
+        out.append(
+            (
+                doc_id,
+                i,
+                len(chunk),
+                hashlib.md5(chunk.encode()).hexdigest()[:16],
+            )
+        )
+    return out
+
+
+def test_chunking_matches_python_reference(spark):
+    from backend_model_spark.operators.text import chunk_documents
+
+    # boundary lengths: below / at / just-over the window, stride
+    # multiples, and a long tail
+    lengths = [1, 199, 200, 201, 349, 350, 351, 500, 1201]
+    rng = np.random.default_rng(5)
+    texts = [
+        "".join(rng.choice(list("abcde fghij"), size=n)) for n in lengths
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["synthetic"] * len(texts),
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+    sf = os.path.join(SCRATCH_SF, "chunk_bounds")
+    os.makedirs(sf, exist_ok=True)
+    docs.to_parquet(table_path(sf, "documents"))
+
+    expected = sorted(
+        row for d, t in zip(docs["doc_id"], docs["text"]) for row in _chunks_python(int(d), t)
+    )
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_len"], r["chunk_fp"])
+        for r in chunk_documents(spark, sf).collect()
+    )
+    assert got == expected

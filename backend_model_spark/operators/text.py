@@ -627,3 +627,107 @@ FROM bg JOIN uni USING (w1)
 ORDER BY n_bigram DESC, w1 ASC, w2 ASC
 LIMIT 50
 """
+
+
+MIN_TOKENS = 20
+
+
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation as ONE lazy lineage:
+    length gate (≥20 tokens) → exact dedup on the whitespace-normalized
+    md5 fingerprint (keep lowest doc_id) → overlapping chunking →
+    per-source yield report. The composability showcase: every stage
+    is an operator this module already proves individually, fused by
+    Catalyst into a single plan with no intermediate materialization.
+
+    Scale: the only corpus-width shuffle is the dedup exchange on the
+    md5 key (uniform by construction) — winner selection is a
+    row_number window on (fp, doc_id), so the corpus is scanned ONCE
+    and the md5/tokenize work runs once per row (a grouped-min +
+    semi-join-back would scan and fingerprint twice); chunking is a
+    narrow explode; the final report aggregates chunk *metadata*,
+    never chunk text.
+    """
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    gated = docs.filter(F.size(F.expr(TOKENS)) >= MIN_TOKENS).select(
+        "doc_id", "source", "text", F.md5(normalized.cast("binary")).alias("fp")
+    )
+    wfp = W.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    kept = (
+        gated.withColumn("rn", F.row_number().over(wfp))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+    n_chunks = F.when(
+        F.length("text") <= CHUNK_SIZE, F.lit(1)
+    ).otherwise(
+        F.ceil((F.length("text") - F.lit(CHUNK_SIZE)) / F.lit(CHUNK_STRIDE)) + 1
+    )
+    chunks = kept.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+                lambda i: F.substring(
+                    F.col("text"), i * CHUNK_STRIDE + 1, CHUNK_SIZE
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs_kept"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.length("chunk")).alias("sum_chunk_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_PREP_ORACLE = rf"""
+WITH gated AS (
+  SELECT doc_id, source, text,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+  WHERE len(string_split_regex(trim(text), '\s+')) >= {MIN_TOKENS}
+),
+winners AS (
+  SELECT fp, MIN(doc_id) AS doc_id FROM gated GROUP BY fp
+),
+kept AS (
+  SELECT g.* FROM gated g
+  WHERE EXISTS (
+    SELECT 1 FROM winners w WHERE w.fp = g.fp AND w.doc_id = g.doc_id
+  )
+),
+idx AS (
+  SELECT doc_id, source, text,
+    unnest(generate_series(
+      0,
+      CASE WHEN length(text) <= {CHUNK_SIZE} THEN 0
+           ELSE CAST(CEIL(
+             (length(text) - {CHUNK_SIZE}) / CAST({CHUNK_STRIDE} AS DOUBLE)
+           ) AS BIGINT)
+      END
+    )) AS i
+  FROM kept
+),
+chunks AS (
+  SELECT doc_id, source,
+         substring(text, CAST(i AS INTEGER) * {CHUNK_STRIDE} + 1, {CHUNK_SIZE}) AS chunk
+  FROM idx
+)
+SELECT source,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_kept,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(length(chunk)) AS BIGINT) AS sum_chunk_chars
+FROM chunks
+GROUP BY source
+ORDER BY source
+"""

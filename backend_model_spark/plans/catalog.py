@@ -235,6 +235,9 @@ register(
 register("text_vocab_build", text.vocab_build, text.VOCAB_ORACLE)
 register("text_chunk_documents", text.chunk_documents, text.CHUNK_ORACLE)
 register("text_bigram_lm", text.bigram_lm, text.BIGRAM_LM_ORACLE)
+register(
+    "pipeline_corpus_prep", text.corpus_prep_pipeline, text.CORPUS_PREP_ORACLE
+)
 
 # --- deduplication ------------------------------------------------------------
 register("dedup_exact_groups", dedup.exact_dedup_groups, dedup.EXACT_DEDUP_ORACLE)

@@ -35,6 +35,8 @@ HEADLINE = [
     "dedup_minhash_lsh_candidates",
     "dedup_duplicate_clusters",
     "sim_cosine_topk_bruteforce",
+    "events_funnel",
+    "pipeline_corpus_prep",
 ]
 
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from backend_model_spark.sources.tables import load_table
+from backend_model_spark.sources.tables import load_table, spread
 
 TOKENS = "split(trim(text), '\\\\s+')"
 # word 3-gram shingles over a pre-computed token column (1-based
@@ -49,18 +49,16 @@ N_MINHASH = 8  # independent salted-md5 hash functions
 
 
 def tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents + a ``toks`` column, repartitioned for fan-out.
+    """documents + a ``toks`` column, spread for fan-out.
 
-    The documents table arrives as one small parquet file → one input
-    partition; every shingle/token explode would otherwise run in a
-    single task. Repartitioning to the cluster's parallelism costs one
-    tiny shuffle and parallelizes everything downstream — at 100 TB
-    the source is already many files and this becomes a no-op-sized
-    decision to revisit per layout.
+    The local documents table arrives as one small parquet file → one
+    input partition; every shingle/token explode would otherwise run
+    in a single task. :func:`spread` repartitions ONLY in that
+    under-parallel case — at 100 TB the source is already many files
+    and no shuffle happens.
     """
-    docs = load_table(spark, "documents", sf_dir)
-    par = spark.sparkContext.defaultParallelism
-    return docs.repartition(par).withColumn("toks", F.expr(TOKENS))
+    docs = spread(load_table(spark, "documents", sf_dir))
+    return docs.withColumn("toks", F.expr(TOKENS))
 
 
 def shingled_docs(
@@ -210,13 +208,20 @@ ORDER BY doc_id
 """
 
 
-def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_candidate_pairs(
+    spark: SparkSession, sf_dir: str, _persisted: list | None = None
+) -> DataFrame:
     """LSH band-join: band the 8-value signature into 4 bands of 2,
     bucket-join on (band, values) — candidate pairs via equi-join,
     unordered.
 
     This is the scale path for near-dup at 100 TB: candidate
     generation is a shuffle on band keys, never all-pairs.
+
+    ``_persisted``: callers that materialize the result can pass a
+    list to receive the internal persisted frame and ``unpersist()``
+    it afterwards — otherwise it stays in storage memory for the
+    session lifetime and squeezes later queries.
     """
     sigs = minhash_signatures(spark, sf_dir)
     # one pass over the signatures: explode the 4 band keys inline
@@ -234,6 +239,8 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table (4 rows/doc, two small columns) is far cheaper to hold
     # than to recompute through the md5 pipeline
     banded = banded.persist()
+    if _persisted is not None:
+        _persisted.append(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -356,8 +363,8 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     global cross join. Dot products computed in double with identical
     left-to-right folds on both engines."""
     emb = load_table(spark, "embeddings", sf_dir)
-    # repartition: single-file source → parallelize the pairwise stage
-    v = emb.repartition(spark.sparkContext.defaultParallelism).select(
+    # spread: parallelize the pairwise stage when the source is one file
+    v = spread(emb).select(
         "vec_id",
         "label",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
@@ -440,12 +447,17 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the interesting output is the duplicate groups, not a
     copy of the corpus.
     """
+    upstream_persisted: list = []
     edges = (
-        lsh_candidate_pairs(spark, sf_dir)  # unordered: CC needs no sort
+        # unordered: CC needs no sort
+        lsh_candidate_pairs(spark, sf_dir, _persisted=upstream_persisted)
         .select("doc_a", "doc_b")
         .persist()
     )
     n_edges = edges.count()
+    # edges is materialized — the banded LSH table behind it is dead weight
+    for frame in upstream_persisted:
+        frame.unpersist()
     # size the iteration parallelism to the candidate GRAPH, which is
     # orders of magnitude smaller than the corpus — at corpus-wide
     # shuffle width, per-round task-scheduling overhead dominates the

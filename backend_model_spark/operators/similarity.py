@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from backend_model_spark.sources.tables import load_table
+from backend_model_spark.sources.tables import load_table, spread
 
 DIM = 64
 N_QUERIES = 10
@@ -34,10 +34,9 @@ NORM_SQL = "sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> {a}[i] 
 
 
 def _as_double(df: DataFrame) -> DataFrame:
-    # repartition: embeddings arrive as one small parquet file → one
-    # task; the 64-d dot-product fan-out wants all cores
-    par = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(par).select(
+    # spread: the 64-d dot-product fan-out wants all cores when the
+    # embeddings arrive as one small parquet file (no-op at scale)
+    return spread(df).select(
         "vec_id",
         "label",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),

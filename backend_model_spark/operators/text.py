@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from backend_model_spark.sources.tables import load_table
+from backend_model_spark.sources.tables import load_table, spread
 
 TOKENS = "split(trim(text), '\\\\s+')"
 
@@ -91,10 +91,8 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-training quality gate features (length/stopword heuristics)."""
     # repartition: single-file source, per-doc scoring wants all cores;
     # tokenize once into a column (not re-evaluated per expression)
-    docs = (
-        load_table(spark, "documents", sf_dir)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .withColumn("toks", F.expr(TOKENS))
+    docs = spread(load_table(spark, "documents", sf_dir)).withColumn(
+        "toks", F.expr(TOKENS)
     )
     toks = F.col("toks")
     n_tokens = F.size(toks).cast("double")
@@ -227,9 +225,7 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side collection. At 100 TB this is the canonical word-count
     shape.
     """
-    docs = load_table(spark, "documents", sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, "documents", sf_dir))
     return (
         docs.select(F.explode(F.expr(TOKENS)).alias("token"))
         .filter(F.col("token") != "")
@@ -359,9 +355,8 @@ def decontaminate_against_holdout(spark: SparkSession, sf_dir: str) -> DataFrame
     contamination sweep an LLM training pipeline runs before every
     training set freeze.
     """
-    docs = load_table(spark, "documents", sf_dir)
-    par = spark.sparkContext.defaultParallelism
-    with_toks = docs.repartition(par).withColumn("toks", F.expr(TOKENS))
+    docs = spread(load_table(spark, "documents", sf_dir))
+    with_toks = docs.withColumn("toks", F.expr(TOKENS))
     train_sh = (
         with_toks.filter(F.col("source") != HOLDOUT_SOURCE)
         .select("doc_id", F.explode(F.expr(SHINGLES4)).alias("shingle"))
@@ -416,9 +411,7 @@ def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition step touches vocab rows, and a production build would
     band the prefix-sum by count-range if the vocab itself exploded.
     """
-    docs = load_table(spark, "documents", sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, "documents", sf_dir))
     counts = (
         docs.select(F.explode(F.expr(TOKENS)).alias("token"))
         .filter(F.col("token") != "")
@@ -487,9 +480,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint and length do). This is the shape that feeds
     tokenize-and-pack at 100 TB.
     """
-    docs = load_table(spark, "documents", sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, "documents", sf_dir))
     n_chunks = F.when(
         F.length("text") <= CHUNK_SIZE, F.lit(1)
     ).otherwise(
@@ -560,9 +551,7 @@ def bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     derives from two exact integer counts, discretized with FLOOR
     micro-units (cross-engine-stable, see parity discipline).
     """
-    docs = load_table(spark, "documents", sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, "documents", sf_dir))
     toks = docs.select(F.expr(TOKENS).alias("t"))
     # sequence(1, 0) is DESCENDING in Spark, not empty — guard short docs
     bigrams = toks.select(
@@ -648,9 +637,7 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow explode; the final report aggregates chunk *metadata*,
     never chunk text.
     """
-    docs = load_table(spark, "documents", sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(load_table(spark, "documents", sf_dir))
     normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     gated = docs.filter(F.size(F.expr(TOKENS)) >= MIN_TOKENS).select(
         "doc_id", "source", "text", F.md5(normalized.cast("binary")).alias("fp")

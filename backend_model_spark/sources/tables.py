@@ -145,15 +145,37 @@ def load_table(
         )
     df = spark.read.parquet(table_path(sf_dir, name))
     if verify:
-        expected = TABLE_SCHEMAS[name]
-        got = df.schema
-        # Compare name+type only (nullability is a storage detail).
-        exp_pairs = [(f.name, f.dataType) for f in expected.fields]
-        got_pairs = [(f.name, f.dataType) for f in got.fields]
-        if exp_pairs != got_pairs:
-            raise ValueError(
-                f"schema drift for {name}: expected {exp_pairs}, got {got_pairs}"
-            )
+        _verify_schema(name, df)
+    return df
+
+
+def _verify_schema(name: str, df: DataFrame) -> None:
+    expected = TABLE_SCHEMAS[name]
+    got = df.schema
+    # Compare name+type only (nullability is a storage detail).
+    exp_pairs = [(f.name, f.dataType) for f in expected.fields]
+    got_pairs = [(f.name, f.dataType) for f in got.fields]
+    if exp_pairs != got_pairs:
+        raise ValueError(
+            f"schema drift for {name}: expected {exp_pairs}, got {got_pairs}"
+        )
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the scan is under-parallel.
+
+    Local test files are single-split parquet, so per-row-expensive
+    stages (tokenize, md5, regex) would otherwise serialize on one
+    core. On a real cluster a 100 TB scan already yields ~800k splits
+    — far above ``defaultParallelism`` — so this is a no-op there and
+    never shuffles the corpus. Keep it ahead of CPU-heavy narrow
+    stages only; never "for good measure" before a join or groupBy,
+    which repartition on their own keys anyway.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
     return df
 
 

@@ -11,6 +11,7 @@ only), which is the honest distributed cost.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -55,6 +56,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
+        # quiesce between measurements (JMH-style): drop cached frames,
+        # then force both GCs so the ContextCleaner's deferred shuffle/
+        # checkpoint cleanup from the previous query (an iterative query
+        # leaves ~100 dead shuffles) runs now, not inside the next
+        # query's timed window
+        spark.catalog.clearCache()
+        gc.collect()
+        spark._jvm.System.gc()
+        time.sleep(2.0)
         t0 = time.monotonic()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)

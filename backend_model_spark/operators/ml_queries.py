@@ -94,3 +94,83 @@ def gbt_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(train.count(), test.count(), float(mae), float(rmse), float(r2))],
         "n_train bigint, n_test bigint, mae double, rmse double, r2 double",
     )
+
+
+def group_ols_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(returnflag, linestatus) OLS via grouped-map
+    ``applyInPandas`` — the Pandas-UDAF tier of the same math as
+    :func:`linear_fit_closed_form`, verified by the same DuckDB
+    ``regr_*`` oracle.
+
+    This is the escape hatch for per-group logic that genuinely needs
+    numpy/pandas (matrix algebra, scipy); for anything expressible as
+    built-in aggregates, prefer the closed-form version — it keeps
+    whole-stage codegen and partial aggregation.
+
+    Scale: Arrow-batched shuffle on the group key; each group must fit
+    in one executor's memory (fine here — a handful of flag/status
+    combinations; a skewed giant group would need pre-aggregation of
+    sufficient statistics instead, see ``agg_salted_skew``).
+    """
+    import pandas as pd
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"
+    )
+
+    def ols(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["l_quantity"].to_numpy(dtype="float64")
+        y = pdf["l_extendedprice"].to_numpy(dtype="float64")
+        mx = x.mean()
+        my = y.mean()
+        dx = x - mx
+        dy = y - my
+        cxy = (dx * dy).mean()
+        vx = (dx * dx).mean()
+        vy = (dy * dy).mean()
+        slope = cxy / vx
+        intercept = my - slope * mx
+        r2 = (cxy * cxy) / (vx * vy)
+
+        def r6(v: float) -> float:
+            import math
+
+            return math.floor(v * 1_000_000.0 + 0.5) / 1_000_000.0
+
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "l_linestatus": [pdf["l_linestatus"].iloc[0]],
+                "n": [len(pdf)],
+                "slope": [r6(slope)],
+                "intercept": [r6(intercept)],
+                "r2": [r6(r2)],
+            }
+        )
+
+    out_schema = (
+        "l_returnflag string, l_linestatus string, n bigint, "
+        "slope double, intercept double, r2 double"
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .applyInPandas(ols, schema=out_schema)
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+GROUP_OLS_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  COUNT(*) AS n,
+  FLOOR(REGR_SLOPE(l_extendedprice, l_quantity) * 1000000 + 0.5) / 1000000
+    AS slope,
+  FLOOR(REGR_INTERCEPT(l_extendedprice, l_quantity) * 1000000 + 0.5) / 1000000
+    AS intercept,
+  FLOOR(REGR_R2(l_extendedprice, l_quantity) * 1000000 + 0.5) / 1000000
+    AS r2
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""

@@ -718,3 +718,85 @@ FROM chunks
 GROUP BY source
 ORDER BY source
 """
+
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TF-IDF, top-3 terms per document.
+
+    The classic relevance weighting the reference's WIP text cleanup
+    (SURVEY.md §2.8 F8) gestures at, computed exactly so the DuckDB
+    oracle can verify it: tf = term count within the doc, idf =
+    ln(N/df). Ranking uses an integer-micro score (tf ·
+    floor(idf·1e6 + 0.5)) so the cross-engine ordering can never be
+    flipped by a ULP of ln.
+
+    Scale: document frequency is aggregated FROM the tf table (no
+    second corpus scan); the vocabulary stays distributed — at 100 TB
+    the term dictionary is itself huge, so the tf⨝df join shuffles on
+    term (AQE converts it to broadcast automatically when the
+    dictionary is in fact small). Top-k per doc is a window on the
+    doc key, not a global sort.
+    """
+    docs = spread(load_table(spark, "documents", sf_dir))
+    terms = docs.select(
+        "doc_id", F.explode(F.expr(TOKENS)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))  # one-row scalar
+        .withColumn(
+            "score_micro",
+            (
+                F.col("tf")
+                * F.floor(F.log(F.col("n_docs") / F.col("df")) * 1e6 + 0.5)
+            ).cast("bigint"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "rk", "term", "tf", "score_micro")
+        .orderBy("doc_id", "rk")
+    )
+
+
+TFIDF_ORACLE = rf"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM terms WHERE term <> '' GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT
+    tf.doc_id, tf.term, tf.tf,
+    CAST(tf.tf * FLOOR(LN(n.n_docs / CAST(dfreq.df AS DOUBLE)) * 1000000 + 0.5)
+         AS BIGINT) AS score_micro
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, score_micro,
+    ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY score_micro DESC, term ASC
+    ) AS rk
+  FROM scored
+)
+SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, tf, score_micro
+FROM ranked WHERE rk <= {TFIDF_TOP_K}
+ORDER BY doc_id, rk
+"""

@@ -117,3 +117,74 @@ FROM documents
 GROUP BY source
 ORDER BY source
 """
+
+
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one input row → N output rows.
+
+    Splits each document into sentences on ``[.!?]+`` and yields
+    (sent_idx, sentence, n_chars) per non-empty piece, consumed via a
+    SQL LATERAL join. The UDTF surface is the right tool when the
+    fan-out logic needs imperative Python (a real tokenizer, a parser);
+    for this regex-split case the native ``posexplode(split(...))``
+    would win — registered here to prove the surface against the same
+    oracle discipline, aggregated per source so the result stays small.
+
+    Scale: UDTFs run row-at-a-time in Python workers — the slowest
+    tier. Keep them off corpus-wide hot paths; the narrow pipeline
+    (scan → lateral → partial agg) at least avoids any extra shuffle
+    beyond the final small aggregation.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string, n_chars int")
+    class SentenceSplit:
+        def eval(self, text: str):
+            import re
+
+            idx = 0
+            for piece in re.split(r"[.!?]+", text or ""):
+                cleaned = re.sub(r"^\s+|\s+$", "", piece)
+                if cleaned:
+                    idx += 1
+                    yield idx, cleaned, len(cleaned)
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source", "text")
+    docs.createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        """
+        SELECT d.source,
+               COUNT(*)                          AS n_sentences,
+               CAST(SUM(s.n_chars) AS BIGINT)    AS sum_chars,
+               CAST(MAX(s.sent_idx) AS INTEGER)  AS max_sentences_per_doc
+        FROM udtf_docs_v d, LATERAL sentence_split(d.text) s
+        GROUP BY d.source
+        ORDER BY d.source
+        """
+    )
+
+
+SENTENCE_SPLIT_ORACLE = r"""
+WITH arr AS (
+  SELECT doc_id, source, string_split_regex(text, '[.!?]+') AS parts
+  FROM documents
+),
+pieces AS (
+  SELECT doc_id, source,
+         regexp_replace(parts[i], '^\s+|\s+$', '', 'g') AS sentence
+  FROM arr, unnest(generate_series(1, len(parts))) AS t(i)
+),
+sents AS (
+  SELECT doc_id, source, sentence,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY doc_id) AS sent_idx
+  FROM pieces WHERE sentence <> ''
+)
+SELECT source,
+       COUNT(*) AS n_sentences,
+       CAST(SUM(length(sentence)) AS BIGINT) AS sum_chars,
+       CAST(MAX(sent_idx) AS INTEGER) AS max_sentences_per_doc
+FROM sents
+GROUP BY source
+ORDER BY source
+"""

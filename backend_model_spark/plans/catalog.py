@@ -235,6 +235,7 @@ register(
 register("text_vocab_build", text.vocab_build, text.VOCAB_ORACLE)
 register("text_chunk_documents", text.chunk_documents, text.CHUNK_ORACLE)
 register("text_bigram_lm", text.bigram_lm, text.BIGRAM_LM_ORACLE)
+register("text_tfidf", text.tfidf_top_terms, text.TFIDF_ORACLE)
 register(
     "pipeline_corpus_prep", text.corpus_prep_pipeline, text.CORPUS_PREP_ORACLE
 )
@@ -297,6 +298,11 @@ register(
 )
 register(
     "udf_arrow_normalize", udf_tiers.arrow_map_normalize, udf_tiers.NORMALIZE_ORACLE
+)
+register(
+    "udtf_sentence_split",
+    udf_tiers.udtf_sentence_split,
+    udf_tiers.SENTENCE_SPLIT_ORACLE,
 )
 
 # --- sampling / dataset mixing (training-data selection layer) -----------------
@@ -369,6 +375,9 @@ register(
     ml_queries.LINEAR_FIT_ORACLE,
 )
 register("ml_gbt_train_eval", ml_queries.gbt_train_eval, None)
+register(
+    "ml_group_ols_pandas", ml_queries.group_ols_pandas, ml_queries.GROUP_OLS_ORACLE
+)
 
 # --- structured streaming (availableNow batch-equivalence) --------------------
 register(

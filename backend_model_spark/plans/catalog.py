@@ -6,6 +6,8 @@ as an inventory of SURVEY.md §2.
 
 from __future__ import annotations
 
+import importlib.util
+
 from backend_model_spark.operators import (
     aggregates,
     cleaning,
@@ -405,3 +407,16 @@ register(
     streaming_jobs.streaming_click_purchase_join,
     streaming_jobs.STREAMING_JOIN_ORACLE,
 )
+# transformWithStateInPandas speaks protobuf on its JVM<->Python state
+# channel; only register where the dependency exists (import-try gate,
+# per the no-new-installs environment contract)
+try:
+    HAS_PROTOBUF = importlib.util.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:  # parent package 'google' itself absent
+    HAS_PROTOBUF = False
+if HAS_PROTOBUF:
+    register(
+        "streaming_transform_with_state",
+        streaming_jobs.streaming_transform_with_state,
+        streaming_jobs.STREAMING_TWS_ORACLE,
+    )

@@ -311,3 +311,124 @@ JOIN events c
  AND c.ts <= p.ts
 ORDER BY purchase_id, click_id
 """
+
+
+def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user fold via ``transformWithStateInPandas`` — the Spark 4
+    arbitrary-state API (typed state handles + timers on a RocksDB
+    state store), successor to ``applyInPandasWithState`` above; both
+    are kept since each is the canonical pattern for its Spark line.
+
+    Folds each user's stream into (event count, exact value cents,
+    last event type by (ts, event_id)) held in a typed ValueState.
+    Integer-cent sums make the fold order-insensitive, and the
+    last-event tracker compares the (ts, event_id) key explicitly, so
+    the result is deterministic however Arrow chunks the group.
+
+    Scale: state is one fixed-size row per user in RocksDB —
+    memory-bounded, spillable, incrementally checkpointed; exactly the
+    shape a 100 TB/day clickstream fold needs.
+
+    Environment gate: the transformWithState protocol talks protobuf
+    between the JVM and the Python state server; registration is
+    skipped (see ``HAS_PROTOBUF`` in ``plans/catalog.py``) when
+    ``google.protobuf`` is absent, as in this test container.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_cents", T.LongType()),
+            T.StructField("last_event_type", T.StringType()),
+        ]
+    )
+
+    class UserFold(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "fold",
+                "n bigint, cents bigint, last_ts bigint, last_id bigint, "
+                "last_type string",
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._st.exists():
+                n, cents, last_ts, last_id, last_type = self._st.get()
+            else:
+                n, cents, last_ts, last_id, last_type = 0, 0, -1, -1, ""
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(
+                    np.floor(pdf["value"].to_numpy("float64") * 100.0 + 0.5)
+                    .astype("int64")
+                    .sum()
+                )
+                tail = pdf.sort_values(["ts_us", "event_id"]).iloc[-1]
+                if (int(tail["ts_us"]), int(tail["event_id"])) > (last_ts, last_id):
+                    last_ts = int(tail["ts_us"])
+                    last_id = int(tail["event_id"])
+                    last_type = str(tail["event_type"])
+            self._st.update((n, cents, last_ts, last_id, last_type))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_cents": [cents],
+                    "last_event_type": [last_type],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    stats = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserFold(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+    out = _run_to_memory(stats, "update")
+    return out.orderBy("user_id").limit(500)
+
+
+STREAMING_TWS_ORACLE = """
+WITH ranked AS (
+  SELECT
+    user_id,
+    event_type,
+    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+    ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+    ) AS rn
+  FROM events
+)
+SELECT
+  user_id,
+  COUNT(*) AS n_events,
+  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+  MAX(CASE WHEN rn = 1 THEN event_type END) AS last_event_type
+FROM ranked
+GROUP BY user_id
+ORDER BY user_id
+LIMIT 500
+"""

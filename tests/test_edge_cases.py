@@ -118,3 +118,31 @@ def test_stateful_streaming_on_edge_events(spark, edge_sf_dir):
         for r in streaming_stateful_user_stats(spark, edge_sf_dir).collect()
     }
     assert rows[1][0] == 3 and rows[2][0] == 3 and rows[3][0] == 1
+
+
+def test_transform_with_state_gated(spark, sf_dir):
+    """transformWithStateInPandas runs (and matches its oracle) wherever
+    google.protobuf is available; in containers without it the operator
+    is unregistered (catalog gate) and this test documents the skip."""
+    import pytest
+
+    from backend_model_spark.plans.catalog import HAS_PROTOBUF
+    from backend_model_spark.plans import registry
+
+    if not HAS_PROTOBUF:
+        assert "streaming_transform_with_state" not in registry.queries()
+        pytest.skip("google.protobuf absent: transformWithState gated off")
+    from backend_model_spark.streaming.jobs import (
+        STREAMING_TWS_ORACLE,
+        streaming_transform_with_state,
+    )
+    from backend_model_spark.testing.oracle import compare
+
+    result = compare(
+        "streaming_transform_with_state",
+        spark,
+        streaming_transform_with_state,
+        STREAMING_TWS_ORACLE,
+        sf_dir,
+    )
+    assert result.ok, str(result)

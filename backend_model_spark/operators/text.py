@@ -733,22 +733,23 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(idf·1e6 + 0.5)) so the cross-engine ordering can never be
     flipped by a ULP of ln.
 
-    Scale: document frequency is aggregated FROM the tf table (no
-    second corpus scan); the vocabulary stays distributed — at 100 TB
-    the term dictionary is itself huge, so the tf⨝df join shuffles on
-    term (AQE converts it to broadcast automatically when the
-    dictionary is in fact small). Top-k per doc is a window on the
-    doc key, not a global sort.
+    Scale: document frequency is a count-window over the tf table on
+    the term key — NOT a groupBy+join-back, which would re-derive the
+    whole scan→explode→tf lineage a second time (Spark does not reuse
+    an unpersisted shared subplan; ``.explain`` showed the corpus
+    scanned twice under the join formulation). One corpus scan total:
+    explode → tf agg (shuffle on doc,term) → df window (shuffle on
+    term) → top-k window (shuffle on doc). N is a one-row
+    column-pruned count, broadcast as a scalar.
     """
     docs = spread(load_table(spark, "documents", sf_dir))
     terms = docs.select(
         "doc_id", F.explode(F.expr(TOKENS)).alias("term")
     ).filter(F.col("term") != "")
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("term")))
         .crossJoin(F.broadcast(n_docs))  # one-row scalar
         .withColumn(
             "score_micro",

@@ -188,3 +188,97 @@ FROM sents
 GROUP BY source
 ORDER BY source
 """
+
+
+def udaf_pandas_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDAF (grouped-agg tier): quantity-weighted mean unit
+    price, used BOTH as a ``groupBy().agg`` aggregate and as a window
+    function over the returnflag partition — the two consumption modes
+    of a custom Arrow-batched aggregate.
+
+    Determinism discipline: the UDAF folds exact integers (price cents
+    as int64, integer-valued quantities), so the only float op is one
+    final division — engine-order-independent, unlike a double sum.
+
+    Scale: grouped-agg pandas UDFs get map-side partial application
+    only per Arrow batch; the full group's rows still shuffle to one
+    task (unlike built-in SUM, which combines map-side). Fine for
+    bounded groups; for skewed hot keys pre-aggregate the sufficient
+    statistics natively (see agg_salted_skew).
+    """
+    from pyspark.sql import Window as W
+
+    @pandas_udf("double")
+    def wmean(cents: pd.Series, qty: pd.Series) -> float:
+        c = cents.to_numpy("int64").sum()  # exact
+        q = qty.to_numpy("float64").sum()  # integer-valued: exact
+        return float(c) / (100.0 * float(q))
+
+    li = load_table(spark, "lineitem", sf_dir)
+    base = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+        "l_quantity",
+    )
+    # NOTE: a grouped-agg pandas UDF cannot be mixed with built-in
+    # aggregates in one agg() call (Spark limitation) — this agg is
+    # UDAF-only
+    per_group = base.groupBy("l_returnflag", "l_linestatus").agg(
+        wmean(F.col("cents"), F.col("l_quantity")).alias("wm_raw")
+    )
+    flag_w = W.partitionBy("l_returnflag")
+    per_flag = (
+        base.withColumn("flag_wm_raw", wmean(F.col("cents"), F.col("l_quantity")).over(flag_w))
+        .groupBy("l_returnflag")
+        .agg(F.min("flag_wm_raw").alias("flag_wm_raw"))  # constant per flag
+    )
+    r6 = lambda c: F.floor(c * 1_000_000.0 + 0.5) / 1_000_000.0  # noqa: E731
+    return (
+        per_group.join(F.broadcast(per_flag), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            r6(F.col("wm_raw")).alias("wm_unit_price"),
+            r6(F.col("wm_raw") / F.col("flag_wm_raw")).alias("ratio_to_flag"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+WEIGHTED_MEAN_ORACLE = """
+WITH base AS (
+  SELECT
+    l_returnflag,
+    l_linestatus,
+    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+    l_quantity
+  FROM lineitem
+),
+g AS (
+  SELECT
+    l_returnflag,
+    l_linestatus,
+    CAST(SUM(cents) AS DOUBLE) / (100.0 * CAST(SUM(l_quantity) AS DOUBLE))
+      AS wm_raw
+  FROM base
+  GROUP BY l_returnflag, l_linestatus
+),
+f AS (
+  SELECT
+    l_returnflag,
+    CAST(SUM(cents) AS DOUBLE) / (100.0 * CAST(SUM(l_quantity) AS DOUBLE))
+      AS flag_wm_raw
+  FROM base
+  GROUP BY l_returnflag
+)
+SELECT
+  g.l_returnflag,
+  g.l_linestatus,
+  FLOOR(g.wm_raw * 1000000 + 0.5) / 1000000 AS wm_unit_price,
+  FLOOR(g.wm_raw / f.flag_wm_raw * 1000000 + 0.5) / 1000000 AS ratio_to_flag
+FROM g JOIN f USING (l_returnflag)
+ORDER BY g.l_returnflag, g.l_linestatus
+"""

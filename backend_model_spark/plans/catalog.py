@@ -302,6 +302,11 @@ register(
     "udf_arrow_normalize", udf_tiers.arrow_map_normalize, udf_tiers.NORMALIZE_ORACLE
 )
 register(
+    "udaf_pandas_weighted_mean",
+    udf_tiers.udaf_pandas_weighted_mean,
+    udf_tiers.WEIGHTED_MEAN_ORACLE,
+)
+register(
     "udtf_sentence_split",
     udf_tiers.udtf_sentence_split,
     udf_tiers.SENTENCE_SPLIT_ORACLE,
@@ -406,6 +411,11 @@ register(
     "streaming_click_purchase_join",
     streaming_jobs.streaming_click_purchase_join,
     streaming_jobs.STREAMING_JOIN_ORACLE,
+)
+register(
+    "streaming_foreach_batch_sink",
+    streaming_jobs.streaming_foreach_batch_sink,
+    streaming_jobs.FOREACH_BATCH_ORACLE,
 )
 # transformWithStateInPandas speaks protobuf on its JVM<->Python state
 # channel; only register where the dependency exists (import-try gate,

@@ -432,3 +432,74 @@ GROUP BY user_id
 ORDER BY user_id
 LIMIT 500
 """
+
+
+def streaming_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` sink: each micro-batch lands through the BATCH
+    writer as a parquet partition keyed by batch_id, giving replay
+    idempotency — re-delivering batch N overwrites partition N instead
+    of duplicating it (dynamic partition overwrite). This is the
+    standard pattern for sinks with no native streaming writer (JDBC,
+    MERGE targets).
+
+    The verification tap re-reads everything the sink wrote and
+    aggregates per event type; the numbers must equal the batch query
+    — proving no loss and no duplication through the sink.
+
+    Scale: each micro-batch write is a normal distributed parquet
+    write; the per-type agg is on the re-read side only. Integer-cent
+    sums keep the check order-insensitive.
+    """
+    sink_dir = os.path.join(_CKPT_ROOT, f"fb_sink_{uuid.uuid4().hex[:12]}")
+    ckpt = os.path.join(_CKPT_ROOT, f"fb_ckpt_{uuid.uuid4().hex[:12]}")
+    os.makedirs(sink_dir, exist_ok=True)
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("p_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("p_batch")
+            .parquet(sink_dir)
+        )
+
+    query = (
+        ev.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    landed = spark.read.parquet(sink_dir)
+    out = (
+        landed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+            ).alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )
+    rows = out.collect()  # materialize before cleaning the scratch dir
+    shutil.rmtree(sink_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+FOREACH_BATCH_ORACLE = """
+SELECT
+  event_type,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS n_users,
+  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

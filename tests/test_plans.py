@@ -208,3 +208,16 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
         )
     assert "might_contain" in plan, "runtime bloom filter not injected"
     assert "bloom_filter_agg" in plan, "bloom build side missing"
+
+
+def test_tfidf_single_corpus_scan(spark, sf_dir):
+    """TF-IDF must read the text column ONCE: document frequency is a
+    window over the tf table, never a groupBy+join-back that re-derives
+    the scan→explode lineage (Spark does not reuse unpersisted shared
+    subplans). The only other scan is the column-pruned doc_id count."""
+    plan = plan_of(spark, "text_tfidf", sf_dir)
+    text_scans = [
+        seg for seg in plan.split("ReadSchema: ")[1:] if "text:string" in seg.split("\n")[0]
+    ]
+    assert len(text_scans) == 1, f"expected 1 text scan, got {len(text_scans)}"
+    assert "WindowGroupLimit" in plan, "top-k per doc should push the rank limit"

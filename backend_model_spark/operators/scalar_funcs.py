@@ -203,3 +203,78 @@ FROM t
 ORDER BY doc_id
 LIMIT 1000
 """
+
+
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic battery on real nulls (customers without
+    orders after a left join): null-skipping COUNT(col)/AVG, `=` vs
+    null-safe `<=>` self-comparison, COALESCE. These semantics are
+    where engines classically diverge; the oracle pins Spark to ANSI
+    behavior (DuckDB: `IS NOT DISTINCT FROM`).
+
+    Scale: per-customer pre-aggregation BEFORE the join keeps the left
+    join 1:1 (customer ⟕ order-totals), so the null-producing join
+    never multiplies rows; both sides shuffle on custkey once.
+    """
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    j = customer.join(
+        per_cust, customer.c_custkey == per_cust.o_custkey, "left"
+    )
+    cents = F.col("cents")
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.when(cents.isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_no_orders"),
+            F.count(cents).alias("n_cents_counted"),  # null-skipping
+            F.sum(F.when(cents == cents, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_eq_self"),  # NULL = NULL → NULL → else-branch
+            F.sum(F.when(cents.eqNullSafe(cents), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_nullsafe_self"),  # NULL <=> NULL → true
+            (F.floor(F.avg(cents) * 1_000_000.0 + 0.5) / 1_000_000.0).alias(
+                "avg_cents"
+            ),  # AVG skips nulls
+            F.sum(F.coalesce(cents, F.lit(0))).alias("sum_coalesced"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+NULL_SEMANTICS_ORACLE = """
+WITH per_cust AS (
+  SELECT
+    o_custkey,
+    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM orders GROUP BY o_custkey
+),
+j AS (
+  SELECT c_mktsegment, cents
+  FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+)
+SELECT
+  c_mktsegment,
+  COUNT(*) AS n_customers,
+  CAST(SUM(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_no_orders,
+  COUNT(cents) AS n_cents_counted,
+  CAST(SUM(CASE WHEN cents = cents THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_eq_self,
+  CAST(SUM(CASE WHEN cents IS NOT DISTINCT FROM cents THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_nullsafe_self,
+  FLOOR(AVG(cents) * 1000000 + 0.5) / 1000000 AS avg_cents,
+  CAST(SUM(COALESCE(cents, 0)) AS BIGINT) AS sum_coalesced
+FROM j
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""

@@ -102,6 +102,9 @@ register("clean_exp_log_roundtrip", cleaning.exp_log_roundtrip, cleaning.EXP_LOG
 register("clean_dropna_count", cleaning.dropna_count, cleaning.DROPNA_ORACLE)
 register("clean_hcc_detection", cleaning.hcc_column_cardinalities, cleaning.HCC_ORACLE)
 register("clean_outlier_iqr", cleaning.outlier_iqr_filter, cleaning.OUTLIER_IQR_ORACLE)
+register(
+    "func_null_semantics", scalar_funcs.null_semantics, scalar_funcs.NULL_SEMANTICS_ORACLE
+)
 
 # --- joins (SURVEY §2.3) -----------------------------------------------------
 register(

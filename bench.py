@@ -38,6 +38,7 @@ HEADLINE = [
     "sim_cosine_topk_bruteforce",
     "events_funnel",
     "pipeline_corpus_prep",
+    "text_tfidf",
 ]
 
 

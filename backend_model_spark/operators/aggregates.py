@@ -20,7 +20,8 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from backend_model_spark.sources.tables import load_table
+from backend_model_spark.operators.text import TOKENS
+from backend_model_spark.sources.tables import load_table, spread
 
 
 def global_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -304,4 +305,123 @@ SELECT
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
+"""
+
+
+CMS_DEPTH = 4  # independent hash rows
+CMS_WIDTH = 1024  # buckets per row
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch heavy hitters over the token stream, built as
+    pure relational algebra: every token lands in ``CMS_DEPTH``
+    salted-md5 buckets (one posexplode), the sketch is one
+    fixed-size groupBy (≤ depth × width rows), and each candidate's
+    estimate is the MIN over its row counters. Deterministic
+    (md5-derived, no RNG) — so unlike a library sketch the DuckDB
+    oracle can verify every cell.
+
+    Output contrasts exact counts of the true top-20 tokens with
+    their CMS estimates (estimate ≥ exact always; equality when no
+    collision).
+
+    Scale: the sketch table is O(depth × width) REGARDLESS of corpus
+    size and fully map-side combinable — the canonical mergeable-
+    sketch shape (stream partitions build partial sketches; the
+    shuffle moves ≤ 4096 partial rows per partition, never tokens).
+    The exact top-20 here exists only as verification ground truth;
+    at 100 TB you'd keep just the sketch plus a candidate set from a
+    per-partition top-k.
+
+    Reference anchor: generalizes the frequency probes of
+    EDA Notebook.ipynb cell 10 (``df.nunique``) toward bounded-memory
+    corpus statistics (SURVEY.md §2.5 A4).
+    """
+    docs = spread(load_table(spark, "documents", sf_dir))
+    toks = docs.select(F.explode(F.expr(TOKENS)).alias("t")).filter(
+        F.col("t") != ""
+    )
+
+    def bucket(col, i: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"cms{i}_"), col).cast("binary")), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % CMS_WIDTH
+        )
+
+    hashed = toks.select(
+        "t", *[bucket(F.col("t"), i).alias(f"b{i}") for i in range(CMS_DEPTH)]
+    )
+    cms = (
+        hashed.select(
+            F.posexplode(F.array(*[f"b{i}" for i in range(CMS_DEPTH)])).alias(
+                "row", "bucket"
+            )
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("t").asc())
+        .limit(20)
+    )
+    lookups = top.select(
+        "t",
+        "exact_cnt",
+        F.posexplode(
+            F.array(*[bucket(F.col("t"), i) for i in range(CMS_DEPTH)])
+        ).alias("row", "bucket"),
+    )
+    return (
+        F.broadcast(lookups)
+        .join(cms, ["row", "bucket"])
+        .groupBy("t", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("t").asc())
+    )
+
+
+CMS_BUCKET_SQL = (
+    "CAST('0x' || substr(md5('cms{i}_' || t), 1, 8) AS BIGINT) % 1024"
+)
+
+CMS_ORACLE = rf"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS t FROM documents
+),
+toks2 AS (SELECT t FROM toks WHERE t <> ''),
+hashed AS (
+  SELECT t,
+         {", ".join(CMS_BUCKET_SQL.format(i=i) + f" AS b{i}" for i in range(CMS_DEPTH))}
+  FROM toks2
+),
+pairs AS (
+  {" UNION ALL ".join(f"SELECT {i} AS row, b{i} AS bucket FROM hashed" for i in range(CMS_DEPTH))}
+),
+cms AS (
+  SELECT row, bucket, COUNT(*) AS cnt FROM pairs GROUP BY row, bucket
+),
+top AS (
+  SELECT t, COUNT(*) AS exact_cnt FROM toks2 GROUP BY t
+  ORDER BY exact_cnt DESC, t ASC LIMIT 20
+),
+lookups AS (
+  {" UNION ALL ".join(
+    f"SELECT t, exact_cnt, {i} AS row, "
+    + CMS_BUCKET_SQL.format(i=i)
+    + " AS bucket FROM top"
+    for i in range(CMS_DEPTH)
+  )}
+)
+SELECT l.t, l.exact_cnt, CAST(MIN(c.cnt) AS BIGINT) AS cms_estimate
+FROM lookups l JOIN cms c USING (row, bucket)
+GROUP BY l.t, l.exact_cnt
+ORDER BY l.exact_cnt DESC, l.t ASC
 """

@@ -64,6 +64,9 @@ register("agg_cube", aggregates.cube_lineitem_flags, aggregates.CUBE_ORACLE)
 register("agg_pivot", aggregates.pivot_quantity_by_status, aggregates.PIVOT_ORACLE)
 register("agg_approx_distinct", aggregates.approx_distinct_orders, None)
 register(
+    "agg_cms_heavy_hitters", aggregates.cms_heavy_hitters, aggregates.CMS_ORACLE
+)
+register(
     "agg_salted_skew",
     aggregates.salted_skew_aggregation,
     aggregates.SALTED_SKEW_ORACLE,

@@ -425,3 +425,40 @@ FROM lookups l JOIN cms c USING (row, bucket)
 GROUP BY l.t, l.exact_cnt
 ORDER BY l.exact_cnt DESC, l.t ASC
 """
+
+
+def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (DataSketches HLL): build one
+    sketch per (day, event_type) in a single scan, then MERGE the
+    binary sketches up to weekly level with ``hll_union_agg`` — no
+    second pass over events. This is how 100 TB pipelines serve
+    distinct-user rollups: the expensive scan happens once, every
+    coarser grain unions kilobyte sketches.
+
+    Exact ``countDistinct`` per week is computed alongside (second
+    aggregation over the same scan) as ground truth; the driver check
+    is rows-only because sketch estimates are approximate and the
+    sketch internals engine-specific (SURVEY.md §2.5 A4 scale
+    sibling).
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        F.to_date("ts").alias("day"),
+        F.weekofyear("ts").alias("week"),
+        "event_type",
+        "user_id",
+    )
+    daily = ev.groupBy("day", "week", "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    weekly = daily.groupBy("week", "event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = ev.groupBy("week", "event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        weekly.join(exact, ["week", "event_type"])
+        .select("week", "event_type", "n_days", "est_users", "exact_users")
+        .orderBy("week", "event_type")
+    )

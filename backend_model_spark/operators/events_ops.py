@@ -525,6 +525,8 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stage", F.lit("3_purchase_after_click")
     )
     funnel = n_view.unionByName(n_click).unionByName(n_buy)
+    # global window is intentional: the frame is the 3-row stage
+    # summary (one row per funnel stage), never event-scale data
     w = W.orderBy("stage")
     return (
         funnel.withColumn("prev_n", F.lag("n").over(w))

@@ -66,6 +66,7 @@ register("agg_approx_distinct", aggregates.approx_distinct_orders, None)
 register(
     "agg_cms_heavy_hitters", aggregates.cms_heavy_hitters, aggregates.CMS_ORACLE
 )
+register("agg_hll_sketch_rollup", aggregates.hll_sketch_rollup, None)
 register(
     "agg_salted_skew",
     aggregates.salted_skew_aggregation,

@@ -462,3 +462,63 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("week", "event_type", "n_days", "est_users", "exact_users")
         .orderBy("week", "event_type")
     )
+
+
+def collect_order_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation (``collect_set`` → ``array_sort``): per
+    customer segment+nation bucket, the sorted set of years in which
+    orders were placed, serialized with ``concat_ws`` (the driver's
+    value hash compares scalars, not arrays), plus first/last year.
+
+    Plan note: collect_set/collect_list plan as ObjectHashAggregate —
+    the object-based aggregation tier (sort-based fallback under
+    memory pressure), unlike the codegen'd HashAggregate of scalar
+    aggs. Deterministic because the SET is sorted before
+    serialization; a collect_list would expose partition order.
+
+    Scale: the array per group is bounded (distinct years, not
+    orders). Unbounded collect_list of fact rows is the anti-pattern
+    — use windows or explode-side processing instead.
+    """
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    j = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).select(
+        "c_mktsegment",
+        F.col("c_nationkey").alias("nation"),
+        F.year("o_orderdate").alias("yr"),
+    )
+    return (
+        j.groupBy("c_mktsegment", "nation")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_set("yr")).cast("array<string>")
+            ).alias("years_active"),
+            F.min("yr").alias("first_year"),
+            F.max("yr").alias("last_year"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("c_mktsegment", "nation")
+    )
+
+
+COLLECT_YEARS_ORACLE = """
+WITH j AS (
+  SELECT
+    c_mktsegment,
+    c_nationkey AS nation,
+    CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT
+  c_mktsegment,
+  nation,
+  array_to_string(list_sort(list_distinct(list(yr))), ',') AS years_active,
+  MIN(yr) AS first_year,
+  MAX(yr) AS last_year,
+  COUNT(*) AS n_orders
+FROM j
+GROUP BY c_mktsegment, nation
+ORDER BY c_mktsegment, nation
+"""

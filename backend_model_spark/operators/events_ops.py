@@ -652,3 +652,81 @@ FROM enriched
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def fill_forward_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward via ``last(..., ignorenulls)``
+    over a running frame — the time-series imputation primitive.
+
+    A deterministic mask (integer cents divisible by 3) nulls ~1/3 of
+    the values to create gaps; each gap is then filled with the most
+    recent non-null value in (ts, event_id) order per user. The
+    aggregate reports gap/fill accounting per user in exact cents.
+
+    Scale: one window, partitioned on user_id (high cardinality),
+    running frame — state is a single carried value per partition
+    stream; no second pass, no self-join.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    masked = ev.withColumn(
+        "v_cents", F.when(cents % 3 != 0, cents)  # else NULL
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    filled = masked.withColumn(
+        "filled_cents", F.last("v_cents", ignorenulls=True).over(w)
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("v_cents").alias("n_observed"),
+            F.sum(
+                F.when(
+                    F.col("v_cents").isNull()
+                    & F.col("filled_cents").isNotNull(),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_gaps_filled"),
+            F.sum("filled_cents").alias("sum_filled_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+FILL_FORWARD_ORACLE = """
+WITH masked AS (
+  SELECT
+    user_id, ts, event_id,
+    CASE WHEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) % 3 <> 0
+         THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS v_cents
+  FROM events
+),
+filled AS (
+  SELECT
+    user_id, v_cents,
+    LAST_VALUE(v_cents IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS filled_cents
+  FROM masked
+)
+SELECT
+  user_id,
+  COUNT(*) AS n_events,
+  COUNT(v_cents) AS n_observed,
+  CAST(SUM(CASE WHEN v_cents IS NULL AND filled_cents IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps_filled,
+  CAST(SUM(filled_cents) AS BIGINT) AS sum_filled_cents
+FROM filled
+GROUP BY user_id
+ORDER BY user_id
+"""

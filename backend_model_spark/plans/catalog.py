@@ -68,6 +68,11 @@ register(
 )
 register("agg_hll_sketch_rollup", aggregates.hll_sketch_rollup, None)
 register(
+    "agg_collect_order_years",
+    aggregates.collect_order_years,
+    aggregates.COLLECT_YEARS_ORACLE,
+)
+register(
     "agg_salted_skew",
     aggregates.salted_skew_aggregation,
     aggregates.SALTED_SKEW_ORACLE,
@@ -224,6 +229,9 @@ register(
     events_ops.RETENTION_ORACLE,
 )
 register("events_funnel", events_ops.funnel_conversion, events_ops.FUNNEL_ORACLE)
+register(
+    "events_fill_forward", events_ops.fill_forward_values, events_ops.FILL_FORWARD_ORACLE
+)
 register(
     "events_anomaly_zscore", events_ops.anomaly_zscore, events_ops.ANOMALY_ZSCORE_ORACLE
 )

@@ -522,3 +522,80 @@ FROM j
 GROUP BY c_mktsegment, nation
 ORDER BY c_mktsegment, nation
 """
+
+
+def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event type and
+    day-of-week, computed exactly from the contingency table:
+    chi2 = Σ (obs − exp)² / exp with exp = row_total · col_total / n.
+
+    All counts are exact integers; the only float math is the final
+    per-cell ratio, summed per event type (bounded cells → no
+    float-order drift at 6 dp). MLlib's ``ChiSquareTest`` is the
+    library sibling; this formulation is engine-checkable.
+
+    Scale: one groupBy builds the contingency table (cells =
+    |types| × 7, tiny); marginals come from window sums over the CELL
+    table, never a second scan of events.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.dayofweek("ts").alias("dow")
+    )
+    cells = ev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    from pyspark.sql import Window as W
+
+    row_w = W.partitionBy("event_type")
+    col_w = W.partitionBy("dow")
+    tot_w = W.partitionBy()
+    with_marginals = cells.select(
+        "event_type",
+        "dow",
+        "obs",
+        F.sum("obs").over(row_w).alias("row_total"),
+        F.sum("obs").over(col_w).alias("col_total"),
+        F.sum("obs").over(tot_w).alias("n"),
+    )
+    exp = F.col("row_total") * F.col("col_total") / F.col("n")
+    contrib = (F.col("obs") - exp) * (F.col("obs") - exp) / exp
+    return (
+        with_marginals.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("obs").alias("n_events"),
+            (F.floor(F.sum(contrib) * 1_000_000.0 + 0.5) / 1_000_000.0).alias(
+                "chi2_contrib"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+CHI2_ORACLE = """
+WITH cells AS (
+  SELECT event_type, dayofweek(ts) + 1 AS dow, COUNT(*) AS obs
+  FROM events
+  GROUP BY event_type, dayofweek(ts) + 1
+),
+m AS (
+  SELECT
+    event_type, dow, obs,
+    SUM(obs) OVER (PARTITION BY event_type) AS row_total,
+    SUM(obs) OVER (PARTITION BY dow) AS col_total,
+    SUM(obs) OVER () AS n
+  FROM cells
+)
+SELECT
+  event_type,
+  COUNT(*) AS n_cells,
+  CAST(SUM(obs) AS BIGINT) AS n_events,
+  FLOOR(SUM(
+    (obs - CAST(row_total AS DOUBLE) * col_total / n)
+    * (obs - CAST(row_total AS DOUBLE) * col_total / n)
+    / (CAST(row_total AS DOUBLE) * col_total / n)
+  ) * 1000000 + 0.5) / 1000000 AS chi2_contrib
+FROM m
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -801,3 +801,59 @@ SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, tf, score_micro
 FROM ranked WHERE rk <= {TFIDF_TOP_K}
 ORDER BY doc_id, rk
 """
+
+
+def unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's unigram distribution, plus
+    vocabulary size and token mass — corpus-diversity analytics for
+    training-data mixing decisions (a high-entropy source contributes
+    more distinct signal per token).
+
+    H = ln(n) − Σ c·ln(c) / n over exact integer term counts: the
+    single-division form keeps all per-term float work inside one
+    distributive SUM(c·ln c), so partial aggregation applies and the
+    only order-sensitive float sum is over magnitudes ~1e1 — far
+    below the 6-dp rounding edge.
+
+    Scale: one corpus scan → (source, term) count shuffle → per-source
+    agg. Vocabulary never collects anywhere.
+    """
+    docs = spread(load_table(spark, "documents", sf_dir))
+    terms = docs.select(
+        "source", F.explode(F.expr(TOKENS)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum("c").alias("n_tokens"),
+            _round6(
+                F.log(F.sum("c"))
+                - F.sum(F.col("c") * F.log("c")) / F.sum("c")
+            ).alias("entropy_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+UNIGRAM_ENTROPY_ORACLE = r"""
+WITH terms AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT source, term, COUNT(*) AS c
+  FROM terms WHERE term <> '' GROUP BY source, term
+)
+SELECT
+  source,
+  COUNT(*) AS vocab,
+  CAST(SUM(c) AS BIGINT) AS n_tokens,
+  FLOOR((LN(CAST(SUM(c) AS DOUBLE))
+         - SUM(c * LN(CAST(c AS DOUBLE))) / SUM(c)) * 1000000 + 0.5)
+    / 1000000 AS entropy_nats
+FROM tf
+GROUP BY source
+ORDER BY source
+"""

@@ -72,6 +72,7 @@ register(
     aggregates.collect_order_years,
     aggregates.COLLECT_YEARS_ORACLE,
 )
+register("agg_chi2_independence", aggregates.chi2_independence, aggregates.CHI2_ORACLE)
 register(
     "agg_salted_skew",
     aggregates.salted_skew_aggregation,
@@ -253,6 +254,7 @@ register("text_vocab_build", text.vocab_build, text.VOCAB_ORACLE)
 register("text_chunk_documents", text.chunk_documents, text.CHUNK_ORACLE)
 register("text_bigram_lm", text.bigram_lm, text.BIGRAM_LM_ORACLE)
 register("text_tfidf", text.tfidf_top_terms, text.TFIDF_ORACLE)
+register("text_unigram_entropy", text.unigram_entropy, text.UNIGRAM_ENTROPY_ORACLE)
 register(
     "pipeline_corpus_prep", text.corpus_prep_pipeline, text.CORPUS_PREP_ORACLE
 )

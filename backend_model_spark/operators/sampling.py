@@ -199,3 +199,60 @@ FROM with_cum
 GROUP BY lang, bin_id
 ORDER BY lang, bin_id
 """
+
+
+CAP_PER_SOURCE = 50
+
+
+def cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — downsample over-represented sources
+    to ``CAP_PER_SOURCE`` docs each, choosing membership by
+    content-addressed rank (md5 of doc_id), not RNG: the kept set is
+    stable across engines, partitionings, and corpus growth at the
+    head (a new doc only displaces the doc it out-hashes).
+
+    Scale: one shuffle on source for the rank window, with
+    ``WindowGroupLimit`` pushing the cap below the sort; reporting
+    aggregates per source. For extreme single-key skew (one source =
+    half the corpus) the two-stage per-partition top-k variant
+    applies, same as top-k queries.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    rank_key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(rank_key.asc())
+    kept = (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= CAP_PER_SOURCE)
+    )
+    toks = F.expr("size(split(trim(text), '\\\\s+'))")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(toks).alias("kept_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("source")
+    )
+
+
+CAP_PER_GROUP_ORACLE = rf"""
+WITH ranked AS (
+  SELECT
+    source, doc_id, text,
+    ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC
+    ) AS rk
+  FROM documents
+)
+SELECT
+  source,
+  COUNT(*) AS n_kept,
+  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+    AS kept_tokens,
+  MIN(doc_id) AS min_doc_id
+FROM ranked
+WHERE rk <= {CAP_PER_SOURCE}
+GROUP BY source
+ORDER BY source
+"""

@@ -278,3 +278,62 @@ FROM j
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+def regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex battery over documents: extract / extract-all / count /
+    boolean match, aggregated per source (SURVEY.md §2.8 F4 extended
+    to the full regex surface).
+
+    All four run inside whole-stage codegen (JVM regex); the pattern
+    is digit runs, identical syntax in Spark (Java regex) and DuckDB
+    (RE2) for this class.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    first_num = F.regexp_extract(F.col("text"), r"([0-9]+)", 1)
+    n_runs = F.regexp_count(F.col("text"), F.lit(r"[0-9]+"))
+    all_nums = F.concat_ws(
+        ",", F.slice(F.regexp_extract_all(F.col("text"), F.lit(r"([0-9]+)"), 1), 1, 5)
+    )
+    return (
+        docs.select(
+            "source",
+            first_num.alias("first_num"),
+            n_runs.alias("n_runs"),
+            all_nums.alias("first5_nums"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("first_num") != "", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_with_digits"),
+            F.sum("n_runs").alias("total_digit_runs"),
+            F.countDistinct("first5_nums").alias("distinct_prefix_sets"),
+        )
+        .orderBy("source")
+    )
+
+
+REGEX_FUNCS_ORACLE = r"""
+WITH feats AS (
+  SELECT
+    source,
+    regexp_extract(text, '([0-9]+)', 1) AS first_num,
+    len(regexp_extract_all(text, '[0-9]+')) AS n_runs,
+    COALESCE(
+      array_to_string(regexp_extract_all(text, '([0-9]+)', 1)[1:5], ','), ''
+    ) AS first5_nums  -- DuckDB: array_to_string([]) is NULL, Spark concat_ws is ''
+  FROM documents
+)
+SELECT
+  source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN first_num <> '' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_docs_with_digits,
+  CAST(SUM(n_runs) AS BIGINT) AS total_digit_runs,
+  COUNT(DISTINCT first5_nums) AS distinct_prefix_sets
+FROM feats
+GROUP BY source
+ORDER BY source
+"""

@@ -115,6 +115,7 @@ register("clean_outlier_iqr", cleaning.outlier_iqr_filter, cleaning.OUTLIER_IQR_
 register(
     "func_null_semantics", scalar_funcs.null_semantics, scalar_funcs.NULL_SEMANTICS_ORACLE
 )
+register("func_regex", scalar_funcs.regex_functions, scalar_funcs.REGEX_FUNCS_ORACLE)
 
 # --- joins (SURVEY §2.3) -----------------------------------------------------
 register(
@@ -351,6 +352,7 @@ register(
     sampling.pack_sequences,
     sampling.PACK_SEQUENCES_ORACLE,
 )
+register("sample_cap_per_group", sampling.cap_per_group, sampling.CAP_PER_GROUP_ORACLE)
 
 # --- MLlib approximate variants (rows-only: no SQL-expressible oracle) --------
 register("mllib_minhash_neardup", mllib_ops.mllib_minhash_neardup, None)

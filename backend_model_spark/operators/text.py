@@ -857,3 +857,73 @@ FROM tf
 GROUP BY source
 ORDER BY source
 """
+
+
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's unigram distribution from the
+    corpus distribution — the canonical "how different is this slice"
+    metric for training-mix design (pairs with
+    :func:`unigram_entropy`).
+
+    KL(p_s ‖ p_c) = Σ_t p_s(t) · ln(p_s(t)/p_c(t)), every term of
+    which is present in the corpus by construction (no zero-division;
+    no smoothing needed). Corpus counts come from a sum-window over
+    the per-source tf table on the term key — the same single-scan
+    shape as TF-IDF: corpus scanned once, then one shuffle on term
+    and one on source.
+    """
+    docs = spread(load_table(spark, "documents", sf_dir))
+    terms = docs.select(
+        "source", F.explode(F.expr(TOKENS)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    with_corpus = tf.select(
+        "source",
+        "term",
+        "c",
+        F.sum("c").over(W.partitionBy("term")).alias("c_corpus"),
+        F.sum("c").over(W.partitionBy("source")).alias("n_source"),
+        F.sum("c").over(W.partitionBy()).alias("n_corpus"),
+    )
+    p_s = F.col("c") / F.col("n_source")
+    p_c = F.col("c_corpus") / F.col("n_corpus")
+    return (
+        with_corpus.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.max("n_source").alias("n_tokens"),
+            _round6(F.sum(p_s * F.log(p_s / p_c))).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+KL_DIVERGENCE_ORACLE = r"""
+WITH terms AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT source, term, COUNT(*) AS c
+  FROM terms WHERE term <> '' GROUP BY source, term
+),
+m AS (
+  SELECT
+    source, term, c,
+    SUM(c) OVER (PARTITION BY term) AS c_corpus,
+    SUM(c) OVER (PARTITION BY source) AS n_source,
+    SUM(c) OVER () AS n_corpus
+  FROM tf
+)
+SELECT
+  source,
+  COUNT(*) AS vocab,
+  CAST(MAX(n_source) AS BIGINT) AS n_tokens,
+  FLOOR(SUM(
+    (CAST(c AS DOUBLE) / n_source)
+    * LN((CAST(c AS DOUBLE) / n_source) / (CAST(c_corpus AS DOUBLE) / n_corpus))
+  ) * 1000000 + 0.5) / 1000000 AS kl_nats
+FROM m
+GROUP BY source
+ORDER BY source
+"""

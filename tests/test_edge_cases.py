@@ -146,3 +146,69 @@ def test_transform_with_state_gated(spark, sf_dir):
         sf_dir,
     )
     assert result.ok, str(result)
+
+
+def test_foreach_batch_sink_exactly_once_restart(spark, sf_dir):
+    """Re-triggering an availableNow foreachBatch query on the SAME
+    checkpoint with no new input must process zero batches — the
+    checkpoint's committed offsets make restarts exactly-once at the
+    sink (no duplicate partitions, no re-landed files)."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from backend_model_spark.streaming.jobs import (
+        _CKPT_ROOT,
+        read_events_stream,
+    )
+
+    sink_dir = os.path.join(_CKPT_ROOT, f"restart_sink_{uuid.uuid4().hex[:8]}")
+    ckpt = os.path.join(_CKPT_ROOT, f"restart_ckpt_{uuid.uuid4().hex[:8]}")
+    os.makedirs(sink_dir, exist_ok=True)
+
+    def write_batch(batch_df, batch_id):
+        (
+            batch_df.withColumn("p_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("p_batch")
+            .parquet(sink_dir)
+        )
+
+    def run_once():
+        ev = read_events_stream(spark, sf_dir).select(
+            "event_id", "event_type", "value"
+        )
+        q = (
+            ev.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        run_once()
+        first = spark.read.parquet(sink_dir)
+        n_rows_1 = first.count()
+        files_1 = sorted(
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(sink_dir)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        run_once()  # same checkpoint, no new input
+        second = spark.read.parquet(sink_dir)
+        files_2 = sorted(
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(sink_dir)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        assert second.count() == n_rows_1, "restart must not duplicate rows"
+        assert files_1 == files_2, "restart must not re-land files"
+    finally:
+        shutil.rmtree(sink_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -150,3 +150,78 @@ SELECT metric, COUNT(*) AS n,
        ROUND(MAX(val), 6) AS max_val
 FROM long GROUP BY metric ORDER BY metric
 """
+
+
+def dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit — the constraint checks a pipeline gates on,
+    as one DataFrame of (check, n_checked, n_violations):
+
+    * primary-key uniqueness of o_orderkey;
+    * referential integrity orders→customer (FK orphans via
+      left_anti);
+    * null rate of o_totalprice;
+    * domain rule o_totalprice > 0.
+
+    Scale: each check is a column-pruned scan + conditional aggregate;
+    the FK check is the only join (anti join, builds a hash on the
+    customer KEY column only). The union glues four one-row frames —
+    driver-side cost only.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+
+    uniq = orders.agg(
+        F.lit("pk_unique_orderkey").alias("check"),
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "n_violations"
+        ),
+    )
+    orphans = orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "left_anti"
+    ).agg(
+        F.lit("fk_orders_customer").alias("check"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.count(F.lit(1)).alias("n_violations"),
+    )
+    nulls = orders.agg(
+        F.lit("notnull_totalprice").alias("check"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(F.col("o_totalprice").isNull().cast("bigint")).alias(
+            "n_violations"
+        ),
+    )
+    domain = orders.agg(
+        F.lit("positive_totalprice").alias("check"),
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum((F.col("o_totalprice") <= 0).cast("bigint")).alias(
+            "n_violations"
+        ),
+    )
+    return (
+        uniq.unionByName(orphans).unionByName(nulls).unionByName(domain)
+    ).orderBy("check")
+
+
+DQ_AUDIT_ORACLE = """
+SELECT 'fk_orders_customer' AS check,
+       COUNT(*) AS n_checked,
+       COUNT(*) AS n_violations
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'notnull_totalprice',
+       COUNT(*),
+       CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'pk_unique_orderkey',
+       COUNT(*),
+       COUNT(*) - COUNT(DISTINCT o_orderkey)
+FROM orders
+UNION ALL
+SELECT 'positive_totalprice',
+       COUNT(*),
+       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+ORDER BY "check"
+"""

@@ -37,6 +37,7 @@ register("q1_pricing_summary", relational.q1_pricing_summary, relational.Q1_ORAC
 
 register("q6_forecast_revenue", relational.q6_forecast_revenue, relational.Q6_ORACLE)
 register("agg_unpivot_rates", relational.unpivot_lineitem_rates, relational.UNPIVOT_ORACLE)
+register("dq_audit", relational.dq_audit, relational.DQ_AUDIT_ORACLE)
 
 # --- aggregates (SURVEY §2.5) ----------------------------------------------
 register("agg_global_stats", aggregates.global_aggs, aggregates.GLOBAL_AGGS_ORACLE)

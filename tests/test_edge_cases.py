@@ -212,3 +212,42 @@ def test_foreach_batch_sink_exactly_once_restart(spark, sf_dir):
     finally:
         shutil.rmtree(sink_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Schema-on-read evolution: files written before a column existed
+    read as NULL for that column under mergeSchema — the additive
+    evolution contract a long-lived 100 TB table relies on."""
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a")], "id bigint, name string"
+    ).write.parquet(d + "/v=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, name string, score double"
+    ).write.parquet(d + "/v=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(merged.columns) == {"id", "name", "score", "v"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+def test_observe_metrics_on_query(spark, sf_dir):
+    """`df.observe` attaches accumulator-style metrics to a lineage —
+    pipeline health counters collected during the SAME pass as the
+    real work (no second scan), retrieved via the observation handle."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from backend_model_spark.sources.tables import load_table
+
+    obs = Observation("orders_health")
+    orders = load_table(spark, "orders", sf_dir).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").isNull().cast("long")).alias("n_null_price"),
+    )
+    result = orders.groupBy("o_orderstatus").count()
+    n_out = result.count()  # triggers the single pass
+    assert n_out > 0
+    got = obs.get
+    assert got["n_rows"] > 0 and got["n_null_price"] == 0

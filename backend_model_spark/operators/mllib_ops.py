@@ -118,3 +118,37 @@ def mllib_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("silhouette", F.round(F.lit(silhouette), 4))
         .orderBy("cluster")
     )
+
+
+def mllib_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA over the embedding corpus: top-8 principal components'
+    explained-variance ratios — the dimensionality check run before
+    committing to a quantization/indexing budget (how many of the 64
+    dims carry signal).
+
+    Rows-only: eigen-decomposition isn't SQL-expressible; ratios are
+    deterministic (eigenvalues are sign/rotation-invariant even where
+    eigenvectors aren't) and rounded with the floor discipline for a
+    stable schema check.
+
+    Scale: MLlib PCA computes the Gramian distributively (one pass,
+    map-side d×d partial products; d=64 → 4 KB per task), then the
+    driver eigendecomposes the tiny d×d matrix. Never materializes a
+    row matrix on the driver.
+    """
+    from pyspark.ml.feature import PCA
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        array_to_vector(
+            F.expr("transform(embedding, x -> cast(x as double))")
+        ).alias("features")
+    )
+    model = PCA(k=8, inputCol="features", outputCol="pc").fit(emb)
+    ratios = [float(v) for v in model.explainedVariance]
+    rows = [
+        (i + 1, float(__import__("math").floor(r * 1_000_000 + 0.5)) / 1_000_000)
+        for i, r in enumerate(ratios)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, variance_ratio double"
+    ).orderBy("component")

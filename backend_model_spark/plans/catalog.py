@@ -360,6 +360,7 @@ register("sample_cap_per_group", sampling.cap_per_group, sampling.CAP_PER_GROUP_
 register("mllib_minhash_neardup", mllib_ops.mllib_minhash_neardup, None)
 register("mllib_brp_ann_join", mllib_ops.mllib_brp_ann_join, None)
 register("mllib_kmeans_clusters", mllib_ops.mllib_kmeans_clusters, None)
+register("mllib_pca_variance", mllib_ops.mllib_pca_variance, None)
 
 # --- sources / sinks / DDL (SURVEY §2.1 S1-S7) ---------------------------------
 register("io_csv_roundtrip", io_ops.csv_roundtrip, io_ops.CSV_ROUNDTRIP_ORACLE)

@@ -927,3 +927,80 @@ FROM m
 GROUP BY source
 ORDER BY source
 """
+
+
+def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — "which slices
+    speak the same language" companion to :func:`source_kl_divergence`
+    (set overlap rather than distributional distance).
+
+    Inverted-index self-join on term (the n-gram Jaccard pattern at
+    source granularity): |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|
+    from broadcast vocab sizes. Never a source×source cross join on
+    vocabularies.
+
+    Scale: the (source, term) distinct table is vocabulary-sized;
+    the self-join shuffles on term where each posting list is ≤
+    |sources| long — cost Σ postings², bounded by the source count,
+    not the corpus.
+    """
+    docs = spread(load_table(spark, "documents", sf_dir))
+    st = (
+        docs.select("source", F.explode(F.expr(TOKENS)).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("vocab"))
+    a = st.alias("a")
+    b = st.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("vocab").alias("va"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("vocab").alias("vb"))
+    jac = F.col("n_common") / (F.col("va") + F.col("vb") - F.col("n_common"))
+    return (
+        common.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            _round6(jac).alias("vocab_jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+SOURCE_JACCARD_ORACLE = r"""
+WITH st AS (
+  SELECT DISTINCT source,
+         unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+),
+st2 AS (SELECT source, term FROM st WHERE term <> ''),
+sizes AS (
+  SELECT source, COUNT(*) AS vocab FROM st2 GROUP BY source
+),
+common AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+  FROM st2 a JOIN st2 b ON a.term = b.term AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT
+  src_a, src_b, n_common,
+  FLOOR(n_common / CAST(sa.vocab + sb.vocab - n_common AS DOUBLE)
+        * 1000000 + 0.5) / 1000000 AS vocab_jaccard
+FROM common
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+ORDER BY src_a, src_b
+"""

@@ -258,6 +258,7 @@ register("text_bigram_lm", text.bigram_lm, text.BIGRAM_LM_ORACLE)
 register("text_tfidf", text.tfidf_top_terms, text.TFIDF_ORACLE)
 register("text_unigram_entropy", text.unigram_entropy, text.UNIGRAM_ENTROPY_ORACLE)
 register("text_source_kl", text.source_kl_divergence, text.KL_DIVERGENCE_ORACLE)
+register("text_source_vocab_jaccard", text.source_vocab_jaccard, text.SOURCE_JACCARD_ORACLE)
 register(
     "pipeline_corpus_prep", text.corpus_prep_pipeline, text.CORPUS_PREP_ORACLE
 )

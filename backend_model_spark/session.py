@@ -1,7 +1,9 @@
 """SparkSession factory tuned for both local testing and cluster scale.
 
 The knobs below are chosen for correctness-critical determinism (UTC
-session timezone, ANSI off to match reference semantics) and for scale
+session timezone; ANSI mode stays at the Spark 4 default ON, which
+matches the DuckDB oracle's fail-on-error arithmetic — tolerant paths
+use the try_* functions explicitly) and for scale
 (AQE on, skew-join handling on, partition coalescing on). On a real
 cluster the same builder works unchanged — ``master`` is only defaulted
 when nothing else set it.

@@ -251,3 +251,80 @@ def test_observe_metrics_on_query(spark, sf_dir):
     assert n_out > 0
     got = obs.get
     assert got["n_rows"] > 0 and got["n_null_price"] == 0
+
+
+def test_ansi_semantics_pin(spark):
+    """The session runs ANSI ON (the Spark 4 default): arithmetic
+    errors RAISE, exactly like the DuckDB oracle — so a query that
+    divides by a possibly-zero denominator must guard explicitly, and
+    the sanctioned tolerant path is the try_* family. Pin both halves
+    so a config drift to ANSI OFF (which would silently null-fill
+    errors and desync us from the oracle) fails here."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        spark.range(1).select((F.lit(1) / F.lit(0)).alias("x")).collect()
+    row = (
+        spark.range(1)
+        .select(
+            F.try_divide(F.lit(1), F.lit(0)).alias("div0"),
+            F.expr("try_cast('abc' AS int)").alias("badcast"),
+            F.try_element_at(F.array(F.lit(1)), F.lit(5)).alias("oob"),
+        )
+        .collect()[0]
+    )
+    assert row["div0"] is None
+    assert row["badcast"] is None
+    assert row["oob"] is None
+
+
+def test_foreach_batch_sink_multi_batch(spark, sf_dir, tmp_path):
+    """The foreachBatch sink must accumulate correctly across SEVERAL
+    micro-batches (maxFilesPerTrigger=1 over a multi-file copy of
+    events), one parquet partition per batch, totals preserved."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from backend_model_spark.sources.tables import load_table
+    from backend_model_spark.streaming.jobs import RAW_EVENTS_SCHEMA
+
+    src = str(tmp_path / "events_split")
+    ev_batch = load_table(spark, "events", sf_dir)
+    n_total = ev_batch.count()
+    # three files -> three micro-batches under maxFilesPerTrigger=1
+    ev_batch.repartition(3).write.parquet(src)
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(sink, exist_ok=True)
+
+    def write_batch(batch_df, batch_id):
+        (
+            batch_df.withColumn("p_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("p_batch")
+            .parquet(sink)
+        )
+
+    stream = (
+        spark.readStream.schema(ev_batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    landed = spark.read.parquet(sink)
+    assert landed.count() == n_total, "no loss/duplication across batches"
+    n_batches = landed.select("p_batch").distinct().count()
+    assert n_batches == 3, f"expected 3 micro-batches, got {n_batches}"

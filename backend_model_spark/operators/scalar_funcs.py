@@ -12,7 +12,7 @@ Engine-parity notes encoded here:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from backend_model_spark.sources.tables import load_table
@@ -336,4 +336,67 @@ SELECT
 FROM feats
 GROUP BY source
 ORDER BY source
+"""
+
+
+PROBE_NAMES = [
+    "Customer#000000001",
+    "Custoner#000000002",  # one substitution
+    "Customer#00000003",   # one deletion
+    "Cstomer#000000004x",  # deletion + append
+    "totally-different",
+]
+
+
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy matching: edit-distance join of a small probe list
+    against customer names (entity-resolution shape). The probe side
+    is broadcast; levenshtein runs inside codegen on the stream side;
+    matches keep distance ≤ 2 with the closest customer per probe.
+
+    Scale: NEVER an all-pairs fuzzy join — the pattern is
+    (tiny probe set) × (big entity table) broadcast, or at
+    probe-set scale, a blocking key (prefix/soundex/LSH) before any
+    distance. The anti-join-style blocking variant is the dedup
+    module's LSH pipeline.
+    """
+    customer = load_table(spark, "customer", sf_dir)
+    probes = spark.createDataFrame(
+        [(p,) for p in PROBE_NAMES], "probe string"
+    )
+    dist = F.levenshtein(F.col("c_name"), F.col("probe"))
+    matched = (
+        customer.crossJoin(F.broadcast(probes))
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= 2)
+    )
+    w = Window.partitionBy("probe").orderBy(
+        F.col("dist").asc(), F.col("c_name").asc()
+    )
+    return (
+        matched.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("probe", F.col("c_name").alias("best_match"), "dist")
+        .orderBy("probe")
+    )
+
+
+FUZZY_MATCH_ORACLE = f"""
+WITH probes(probe) AS (
+  VALUES {", ".join("('" + p + "')" for p in PROBE_NAMES)}
+),
+matched AS (
+  SELECT probe, c_name, levenshtein(c_name, probe) AS dist
+  FROM customer CROSS JOIN probes
+  WHERE levenshtein(c_name, probe) <= 2
+),
+best AS (
+  SELECT probe, c_name AS best_match, dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY probe ORDER BY dist ASC, c_name ASC
+         ) AS rk
+  FROM matched
+)
+SELECT probe, best_match, dist FROM best WHERE rk = 1
+ORDER BY probe
 """

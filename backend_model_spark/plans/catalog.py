@@ -117,6 +117,7 @@ register(
     "func_null_semantics", scalar_funcs.null_semantics, scalar_funcs.NULL_SEMANTICS_ORACLE
 )
 register("func_regex", scalar_funcs.regex_functions, scalar_funcs.REGEX_FUNCS_ORACLE)
+register("func_fuzzy_match", scalar_funcs.fuzzy_name_match, scalar_funcs.FUZZY_MATCH_ORACLE)
 
 # --- joins (SURVEY §2.3) -----------------------------------------------------
 register(

@@ -328,3 +328,44 @@ def test_foreach_batch_sink_multi_batch(spark, sf_dir, tmp_path):
     assert landed.count() == n_total, "no loss/duplication across batches"
     n_batches = landed.select("p_batch").distinct().count()
     assert n_batches == 3, f"expected 3 micro-batches, got {n_batches}"
+
+
+def test_incremental_aggregation_maintenance(spark, sf_dir, tmp_path):
+    """Incremental ETL pattern: a materialized daily rollup is
+    advanced by aggregating ONLY the new partition and merging
+    (union -> re-aggregate), never rescanning history. The merged
+    state must be bit-identical to a full recompute — valid because
+    count/sum are distributive; avg/distinct would need sufficient
+    statistics (sum+count / sketches) instead."""
+    from pyspark.sql import functions as F
+
+    from backend_model_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    days = sorted(r["day"] for r in ev.select("day").distinct().collect())
+    cutoff, new_day = days[-2], days[-1]
+
+    def rollup(df):
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents")
+        )
+
+    state_dir = str(tmp_path / "rollup_state")
+    rollup(ev.filter(F.col("day") <= cutoff)).write.parquet(state_dir)
+
+    # day N arrives: aggregate the increment only, merge states
+    state = spark.read.parquet(state_dir)
+    increment = rollup(ev.filter(F.col("day") == new_day))
+    merged = (
+        state.unionByName(increment)
+        .groupBy("day", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+    )
+
+    full = rollup(ev)
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0

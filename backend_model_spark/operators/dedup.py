@@ -569,3 +569,134 @@ JOIN (SELECT component, COUNT(*) AS n_members FROM comp GROUP BY component) cnt
   ON c.component = cnt.component
 ORDER BY doc_id
 """
+
+
+PR_ITERATIONS = 3
+PR_INIT = 1_000_000  # rank micro-units
+PR_BASE = 150_000  # (1 - 0.85) in micro-units
+
+
+def lsh_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed iterations, damping 0.85) over the undirected
+    LSH candidate graph — ranks the most-connected near-duplicate
+    documents, the "which docs sit at the center of a template
+    cluster" signal.
+
+    Exact cross-engine arithmetic: ranks live in integer micro-units;
+    each edge contributes ``r div deg`` (integer division) and the
+    damped update is ``150000 + (85 · inflow) div 100`` — no floats
+    anywhere, so the DuckDB oracle (same three iterations unrolled as
+    chained CTEs) matches bit-for-bit. A float formulation would
+    accumulate sum-order ULPs per iteration.
+
+    Scale: per iteration one equi-join (edges ⨝ ranks on src) + one
+    groupBy(dst) sum — the standard distributed PageRank step. Fixed
+    iteration count keeps the lineage shallow (no checkpointing
+    needed); the convergence-loop variant with localCheckpoint is
+    :func:`duplicate_clusters`.
+    """
+    upstream: list = []
+    edges = lsh_candidate_pairs(spark, sf_dir, _persisted=upstream).select(
+        "doc_a", "doc_b"
+    )
+    und = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist()
+    )
+    und.count()
+    for frame in upstream:
+        frame.unpersist()
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    und_deg = und.join(deg, "src")
+
+    ranks = deg.select(F.col("src").alias("node"), F.lit(PR_INIT).cast("bigint").alias("r"))
+    for _ in range(PR_ITERATIONS):
+        inflow = (
+            und_deg.join(ranks, und_deg.src == ranks.node)
+            .select("dst", F.expr("r div deg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        ranks = inflow.select(
+            F.col("dst").alias("node"),
+            F.expr(f"cast({PR_BASE} + (85 * inflow) div 100 as bigint)").alias(
+                "r"
+            ),
+        )
+    out = (
+        ranks.join(deg, ranks.node == deg.src)
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("r").alias("pr_micro"),
+            "deg",
+        )
+        .orderBy(F.col("pr_micro").desc(), F.col("doc_id").asc())
+    )
+    # und stays persisted: the returned lineage references it once per
+    # iteration, and the caller materializes after we return — an
+    # eager unpersist here would recompute the whole LSH candidate
+    # generation per reference. The table is edge-sized (KBs); session
+    # cleanup / bench clearCache reclaims it.
+    return out
+
+
+def _pagerank_iteration_sql(n: int) -> str:
+    prev = "r0" if n == 1 else f"it{n - 1}"
+    return f"""
+it{n} AS (
+  SELECT u.dst AS node,
+         CAST({PR_BASE} + (85 * SUM(p.r // d.deg)) // 100 AS BIGINT) AS r
+  FROM und u
+  JOIN {prev} p ON p.node = u.src
+  JOIN deg d ON d.node = u.src
+  GROUP BY u.dst
+)"""
+
+
+PAGERANK_ORACLE = (
+    f"""
+WITH shingled AS (
+  SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS shingle
+  FROM documents
+),
+sigs AS (
+  SELECT
+    doc_id,
+    {", ".join(
+      f"MIN(CAST('0x' || substr(md5('{i // 4}_' || shingle), {1 + 8 * (i % 4)}, 8)"
+      f" AS BIGINT)) AS mh_{i}"
+      for i in range(N_MINHASH)
+    )}
+  FROM shingled
+  GROUP BY doc_id
+),
+banded AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, {band} AS band,"
+    f" CAST(mh_{2 * band} AS VARCHAR) || '_' || CAST(mh_{2 * band + 1} AS VARCHAR)"
+    f" AS bucket FROM sigs"
+    for band in range(N_MINHASH // 2)
+  )}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cand
+),
+deg AS (SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY src),
+r0 AS (SELECT node, CAST({PR_INIT} AS BIGINT) AS r FROM deg),"""
+    + ",".join(_pagerank_iteration_sql(i) for i in range(1, PR_ITERATIONS + 1))
+    + f"""
+SELECT p.node AS doc_id, p.r AS pr_micro, d.deg
+FROM it{PR_ITERATIONS} p JOIN deg d ON d.node = p.node
+ORDER BY pr_micro DESC, doc_id ASC
+"""
+)

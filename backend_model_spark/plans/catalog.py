@@ -279,6 +279,7 @@ register(
     dedup.duplicate_clusters,
     dedup.DUPLICATE_CLUSTERS_ORACLE,
 )
+register("dedup_graph_pagerank", dedup.lsh_graph_pagerank, dedup.PAGERANK_ORACLE)
 register(
     "dedup_embedding_neardup",
     dedup.embedding_neardup_pairs,

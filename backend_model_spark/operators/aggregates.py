@@ -599,3 +599,50 @@ FROM m
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+HIST_BUCKET_CENTS = 50_000_00  # $50,000 per bucket
+
+
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals per market segment — the
+    OLAP distribution query behind every dashboard bar chart.
+
+    Buckets are exact-integer: ``cents div width`` (no width_bucket,
+    whose edge semantics differ across engines). One shuffle on
+    (segment, bucket); bucket labels derived arithmetically.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    j = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    bucket = F.expr(f"cast(floor(o_totalprice * 100 + 0.5) as bigint) div {HIST_BUCKET_CENTS}")
+    return (
+        j.withColumn("bucket", bucket)
+        .groupBy("c_mktsegment", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("sum_cents"),
+        )
+        .withColumn("bucket_low_usd", F.col("bucket") * (HIST_BUCKET_CENTS // 100))
+        .orderBy("c_mktsegment", "bucket")
+    )
+
+
+HISTOGRAM_ORACLE = f"""
+SELECT
+  c_mktsegment,
+  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) // {HIST_BUCKET_CENTS}
+    AS bucket,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS sum_cents,
+  (CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) // {HIST_BUCKET_CENTS})
+    * {HIST_BUCKET_CENTS // 100} AS bucket_low_usd
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment, bucket, bucket_low_usd
+ORDER BY c_mktsegment, bucket
+"""

@@ -75,6 +75,9 @@ register(
 )
 register("agg_chi2_independence", aggregates.chi2_independence, aggregates.CHI2_ORACLE)
 register(
+    "agg_price_histogram", aggregates.order_price_histogram, aggregates.HISTOGRAM_ORACLE
+)
+register(
     "agg_salted_skew",
     aggregates.salted_skew_aggregation,
     aggregates.SALTED_SKEW_ORACLE,
@@ -204,6 +207,11 @@ register(
     "events_hourly_rollup", events_ops.hourly_event_rollup, events_ops.HOURLY_ROLLUP_ORACLE
 )
 register("events_json_props", events_ops.json_props_extract, events_ops.JSON_PROPS_ORACLE)
+register(
+    "events_variant_props",
+    events_ops.variant_props_extract,
+    events_ops.JSON_PROPS_ORACLE,  # same contract as the JSON-path form
+)
 register("events_sessionize", events_ops.sessionize_users, events_ops.SESSIONIZE_ORACLE)
 register("events_asof_join", events_ops.asof_purchase_to_click, events_ops.ASOF_ORACLE)
 register(

@@ -256,3 +256,69 @@ WHERE rk <= {CAP_PER_SOURCE}
 GROUP BY source
 ORDER BY source
 """
+
+
+WEIGHTED_K = 100
+
+
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis):
+    each doc draws key = u^(1/w) — here the equivalent argmax form
+    ln(u)/w — and the top-k keys are the sample. Inclusion probability
+    is proportional to weight (token count), so long documents are
+    favored exactly as importance sampling prescribes.
+
+    Determinism: u comes from the md5 hash of doc_id (uniform in
+    (0,1]), not an RNG — the same sample on every engine, partitioning
+    and rerun. The float key is computed with one identical expression
+    (ln of a hash-derived ratio divided by an integer weight) on both
+    sides, and md5 keys make exact float ties impossible in practice.
+
+    Scale: keys are scan-side expressions; selection is one global
+    top-k (TakeOrderedAndProject — per-partition heaps, driver merge
+    of k·partitions rows). Per-source caps compose by windowing on
+    source instead (see cap_per_group).
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.expr("size(split(trim(text), '\\\\s+'))")
+    # u in (0, 1]: (bucket + 1) / 2^32 over the first 8 md5 hex chars
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / F.lit(4294967296.0)
+    key = F.log(u) / toks.cast("double")  # maximize ln(u)/w  (all ≤ 0)
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            toks.alias("weight_tokens"),
+            key.alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), F.col("doc_id").asc())
+        .limit(WEIGHTED_K)
+        .select("doc_id", "source", "weight_tokens")
+        .orderBy("doc_id")
+    )
+
+
+WEIGHTED_TOPK_ORACLE = rf"""
+WITH keyed AS (
+  SELECT
+    doc_id, source,
+    len(string_split_regex(trim(text), '\s+')) AS weight_tokens,
+    LN((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        AS DOUBLE) + 1.0) / 4294967296.0)
+      / len(string_split_regex(trim(text), '\s+')) AS es_key
+  FROM documents
+),
+top AS (
+  SELECT doc_id, source, weight_tokens
+  FROM keyed
+  ORDER BY es_key DESC, doc_id ASC
+  LIMIT {WEIGHTED_K}
+)
+SELECT doc_id, source, CAST(weight_tokens AS INTEGER) AS weight_tokens
+FROM top
+ORDER BY doc_id
+"""

@@ -366,6 +366,9 @@ register(
     sampling.PACK_SEQUENCES_ORACLE,
 )
 register("sample_cap_per_group", sampling.cap_per_group, sampling.CAP_PER_GROUP_ORACLE)
+register(
+    "sample_weighted_topk", sampling.weighted_sample_topk, sampling.WEIGHTED_TOPK_ORACLE
+)
 
 # --- MLlib approximate variants (rows-only: no SQL-expressible oracle) --------
 register("mllib_minhash_neardup", mllib_ops.mllib_minhash_neardup, None)

@@ -182,3 +182,43 @@ SELECT
 FROM documents
 ORDER BY media_id
 """
+
+
+def media_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary dedup on the payload digest — the multimodal twin
+    of text exact-dedup (identical bytes ⇒ identical media), reported
+    per kind. md5 runs directly over the BINARY column: no decode, no
+    base64 round-trip, engine-portable digests.
+
+    Scale: one shuffle on the digest (uniform); at 100 TB this is the
+    first pass of any media pipeline — dedup by bytes before paying
+    for a single decode.
+    """
+    media = media_table(spark, sf_dir)
+    return (
+        media.withColumn("digest", F.md5(F.col("payload")))
+        .groupBy("kind", "digest")
+        .agg(
+            F.min("media_id").alias("canonical_media_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(F.length("payload")).alias("payload_bytes"),
+        )
+        .orderBy("canonical_media_id")
+    )
+
+
+# DuckDB's md5 only accepts VARCHAR, hashing its UTF-8 bytes — which
+# are exactly the payload bytes (encode(text,'UTF-8')), so md5(text)
+# equals Spark's md5 over the binary column.
+CONTENT_DEDUP_ORACLE = """
+SELECT
+  'text-blob' AS kind,
+  md5(text) AS digest,
+  MIN(doc_id) AS canonical_media_id,
+  COUNT(*) AS n_copies,
+  CAST(MIN(octet_length(CAST(encode(text) AS BLOB))) AS INTEGER)
+    AS payload_bytes
+FROM documents
+GROUP BY digest
+ORDER BY canonical_media_id
+"""

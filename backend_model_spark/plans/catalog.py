@@ -323,6 +323,9 @@ register(
     "media_decode_features", multimodal.decode_features, multimodal.DECODE_FEATURES_ORACLE
 )
 register("media_frame_sample", multimodal.frame_sample, multimodal.FRAME_SAMPLE_ORACLE)
+register(
+    "media_content_dedup", multimodal.media_content_dedup, multimodal.CONTENT_DEDUP_ORACLE
+)
 
 # --- UDF tiers (same logic, same oracle: codegen vs Arrow escape hatch) --------
 register("udf_native_normalize", udf_tiers.native_normalize, udf_tiers.NORMALIZE_ORACLE)

@@ -270,3 +270,51 @@ JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
 GROUP BY band
 ORDER BY band
 """
+
+
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the 20 part pairs most often
+    ordered together. Self-join of lineitem on the order key with
+    ``partkey_a < partkey_b`` — pair blowup is Σ lines²/order, bounded
+    by TPC-H's ≤7 lines per order, NOT corpus-quadratic (the same
+    bounded-posting argument as the shingle inverted index).
+
+    Scale: one shuffle co-locates each order's lines; the pair
+    explosion happens inside the joined partition; the pair count is
+    map-side combinable. Top-20 is TakeOrderedAndProject.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders_together"))
+        .orderBy(
+            F.col("n_orders_together").desc(),
+            F.col("part_a").asc(),
+            F.col("part_b").asc(),
+        )
+        .limit(20)
+    )
+
+
+MARKET_BASKET_ORACLE = """
+SELECT
+  a.l_partkey AS part_a,
+  b.l_partkey AS part_b,
+  COUNT(*) AS n_orders_together
+FROM lineitem a
+JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY part_a, part_b
+ORDER BY n_orders_together DESC, part_a ASC, part_b ASC
+LIMIT 20
+"""

@@ -134,6 +134,7 @@ register("join_semi_recent", joins.customers_with_recent_orders, joins.SEMI_JOIN
 register("join_anti_no_orders", joins.customers_without_orders, joins.ANTI_JOIN_ORACLE)
 register("join_outer_order_counts", joins.outer_join_order_counts, joins.OUTER_JOIN_ORACLE)
 register("join_price_band_range", joins.price_band_range_join, joins.RANGE_JOIN_ORACLE)
+register("join_market_basket", joins.market_basket_pairs, joins.MARKET_BASKET_ORACLE)
 
 # --- TPC-H-shape suite (remaining decision-support shapes) -------------------
 register("tpch_q2_min_cost", tpch_suite.q2_min_cost_supplier, tpch_suite.Q2_ORACLE)

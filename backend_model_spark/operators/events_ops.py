@@ -761,3 +761,76 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join again, via ``groupBy().cogroup().applyInPandas``
+    — the two-table grouped-pandas API: each user's purchases and
+    clicks arrive as a pandas pair and ``pandas.merge_asof`` (the
+    textbook single-pass as-of) does the matching.
+
+    Same output contract and oracle as :func:`asof_purchase_to_click`
+    (the native union-tag-window formulation), so the two
+    implementations verify each other — the pattern used throughout
+    the UDF tiers. Prefer the native form in production: cogroup
+    shuffles BOTH tables on the key and crosses into Python.
+
+    Scale: state per task is one user's two frames (bounded); the
+    shuffle is keyed on user_id — same exchange shape as the native
+    formulation, plus Arrow transfer cost.
+    """
+    import pandas as pd
+
+    ev = load_table(spark, "events", sf_dir)
+    # GOTCHA: both cogroup branches derive from ONE parquet relation;
+    # with identical column names Spark mis-resolves the right branch
+    # and prunes it to the grouping key (observed on 4.1: clk arrived
+    # as [user_id] only). Renaming the right side's columns
+    # disambiguates the attributes and restores them.
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_eid")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+
+    def merge(purch: pd.DataFrame, clk: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"purchase_id": [], "user_id": [], "gap_us": []}
+        ).astype({"purchase_id": "int64", "user_id": "int64", "gap_us": "Int64"})
+        if purch.empty:
+            return empty
+        purch = purch.sort_values("ts")
+        if clk.empty:
+            clk = pd.DataFrame({"c_ts": pd.Series([], dtype="datetime64[us]")})
+        clk = clk.sort_values("c_ts")
+        merged = pd.merge_asof(
+            purch,
+            clk[["c_ts"]].rename(columns={"c_ts": "click_ts"}),
+            left_on="ts",
+            right_on="click_ts",
+            direction="backward",  # most recent click at-or-before
+        )
+        # unit-safe: divide the timedelta by 1 µs instead of viewing
+        # raw int64 (whose unit depends on the Arrow/pandas version);
+        # NaT → <NA> via nullable Int64
+        gap = (merged["ts"] - merged["click_ts"]) / pd.Timedelta(microseconds=1)
+        out = pd.DataFrame(
+            {
+                "purchase_id": merged["event_id"].astype("int64"),
+                "user_id": merged["user_id"].astype("int64"),
+                "gap_us": pd.array(
+                    [int(g) if pd.notna(g) else None for g in gap],
+                    dtype="Int64",
+                ),
+            }
+        )
+        return out
+
+    out = (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(merge, "purchase_id bigint, user_id bigint, gap_us bigint")
+        .orderBy("purchase_id")
+    )
+    return out

@@ -216,6 +216,9 @@ register(
 register("events_sessionize", events_ops.sessionize_users, events_ops.SESSIONIZE_ORACLE)
 register("events_asof_join", events_ops.asof_purchase_to_click, events_ops.ASOF_ORACLE)
 register(
+    "events_asof_cogroup", events_ops.asof_cogroup_pandas, events_ops.ASOF_ORACLE
+)
+register(
     "events_transitions",
     events_ops.event_type_transition_counts,
     events_ops.TRANSITIONS_ORACLE,

@@ -391,6 +391,7 @@ register("io_etl_orchestration", io_ops.etl_orchestration, io_ops.ETL_ORACLE)
 register("io_upsert_merge", io_ops.upsert_merge, io_ops.UPSERT_ORACLE)
 register("io_json_roundtrip", io_ops.json_roundtrip, io_ops.JSON_ROUNDTRIP_ORACLE)
 register("io_orc_roundtrip", io_ops.orc_roundtrip, io_ops.ORC_ROUNDTRIP_ORACLE)
+register("io_jdbc_roundtrip", io_ops.jdbc_roundtrip, io_ops.JDBC_ROUNDTRIP_ORACLE)
 
 # --- scalar function batteries (SURVEY §2.8) -----------------------------------
 register("func_string", scalar_funcs.string_functions, scalar_funcs.STRING_FUNCS_ORACLE)

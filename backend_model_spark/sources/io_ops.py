@@ -372,3 +372,57 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
+
+
+def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JDBC sink + scan through embedded Derby (bundled with
+    Spark) — the reference's database transfer (`pipeline.py:77-88`)
+    done right: the row-at-a-time INSERT loop (`pipeline.py:48-74`)
+    becomes one batched `df.write.jdbc` (executor-parallel, one
+    commit), and the `SELECT *` + fetchall extract
+    (`db_queries.py:26-29`, `pipeline.py:31-37`) becomes
+    `spark.read.jdbc` feeding a distributed aggregate — no driver
+    materialization.
+
+    Derby is in-process (jdbc:derby:directory) so the demo is
+    hermetic; against Postgres only the URL/driver change, plus
+    `numPartitions`/`partitionColumn` on the read and `batchsize` on
+    the write for parallel connections per executor.
+    """
+    import shutil as _shutil
+
+    db_dir = _scratch("jdbc_roundtrip", "derby_db")
+    _shutil.rmtree(db_dir, ignore_errors=True)
+    url = f"jdbc:derby:directory:{db_dir};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    supplier = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    supplier.write.jdbc(url, "supplier_t", mode="overwrite", properties=props)
+
+    back = spark.read.jdbc(url, "supplier_t", properties=props)
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(
+                F.floor(F.col("s_acctbal") * 100 + 0.5).cast("bigint")
+            ).alias("sum_acctbal_cents"),
+            F.min("s_name").alias("first_name"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+JDBC_ROUNDTRIP_ORACLE = """
+SELECT
+  s_nationkey,
+  COUNT(*) AS n_suppliers,
+  CAST(SUM(CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS sum_acctbal_cents,
+  MIN(s_name) AS first_name
+FROM supplier
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""

@@ -174,3 +174,43 @@ FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
+
+
+def gbt_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature importances of the seeded GBT from
+    :func:`gbt_train_eval` — model interpretability as a query
+    (rows-only: importances aren't SQL-expressible; deterministic
+    under the fixed seed/split). Importance ratios are floor-rounded
+    for a stable schema check.
+    """
+    import math
+
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import GBTRegressor
+
+    features = ["l_quantity", "l_discount", "l_tax", "l_partkey"]
+    li = load_table(spark, "lineitem", sf_dir).select(
+        *features, "l_extendedprice"
+    )
+    train, _ = li.randomSplit([0.8, 0.2], seed=42)
+    model = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=features, outputCol="features"),
+            GBTRegressor(
+                featuresCol="features",
+                labelCol="l_extendedprice",
+                seed=42,
+                maxDepth=4,
+                maxIter=10,
+            ),
+        ]
+    ).fit(train)
+    imps = model.stages[-1].featureImportances.toArray()
+    rows = [
+        (name, math.floor(float(v) * 1_000_000 + 0.5) / 1_000_000)
+        for name, v in zip(features, imps)
+    ]
+    return spark.createDataFrame(
+        rows, "feature string, importance double"
+    ).orderBy(F.col("importance").desc(), F.col("feature").asc())

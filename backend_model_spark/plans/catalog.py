@@ -429,6 +429,7 @@ register("ml_gbt_train_eval", ml_queries.gbt_train_eval, None)
 register(
     "ml_group_ols_pandas", ml_queries.group_ols_pandas, ml_queries.GROUP_OLS_ORACLE
 )
+register("ml_gbt_feature_importance", ml_queries.gbt_feature_importance, None)
 
 # --- structured streaming (availableNow batch-equivalence) --------------------
 register(

@@ -401,7 +401,21 @@ def jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supplier.write.jdbc(url, "supplier_t", mode="overwrite", properties=props)
 
-    back = spark.read.jdbc(url, "supplier_t", properties=props)
+    # partitioned parallel extract: one JDBC connection per partition,
+    # each with a WHERE range on the split column — the distributed
+    # replacement for the reference's single-cursor fetchall
+    bounds = supplier.agg(
+        F.min("s_suppkey").alias("lo"), F.max("s_suppkey").alias("hi")
+    ).first()
+    back = spark.read.jdbc(
+        url,
+        "supplier_t",
+        column="s_suppkey",
+        lowerBound=int(bounds["lo"]),
+        upperBound=int(bounds["hi"]) + 1,
+        numPartitions=4,
+        properties=props,
+    )
     return (
         back.groupBy("s_nationkey")
         .agg(

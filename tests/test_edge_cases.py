@@ -369,3 +369,26 @@ def test_incremental_aggregation_maintenance(spark, sf_dir, tmp_path):
     full = rollup(ev)
     assert merged.exceptAll(full).count() == 0
     assert full.exceptAll(merged).count() == 0
+
+
+def test_parquet_codec_tradeoff(spark, sf_dir, tmp_path):
+    """Storage tuning evidence: zstd compresses the lineitem sample
+    smaller than snappy and both read back identically — codec choice
+    is a per-write option, not a schema property."""
+    import os
+
+    from backend_model_spark.sources.tables import load_table
+
+    li = load_table(spark, "lineitem", sf_dir).limit(20000)
+    sizes = {}
+    for codec in ("snappy", "zstd"):
+        p = str(tmp_path / codec)
+        li.coalesce(1).write.option("compression", codec).parquet(p)
+        sizes[codec] = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        assert spark.read.parquet(p).count() == li.count()
+    assert sizes["zstd"] < sizes["snappy"], sizes

@@ -1,5 +1,7 @@
 """Deduplication operators over ``documents`` — exact, n-gram Jaccard,
-MinHash(+LSH), and SimHash (BASELINE.json north-star surface).
+MinHash(+LSH), and SimHash (BASELINE.json north-star surface;
+SURVEY.md §7 M4 `ops/dedup` plan — the reference itself has no dedup
+beyond pandas ``drop`` patterns, SURVEY.md §2.2 P6).
 
 Scale design:
 * exact dedup = hash-groupBy on a digest key — one shuffle on a

@@ -1,4 +1,6 @@
-"""ML-flavored queries over the test tables.
+"""ML-flavored queries over the test tables (SURVEY.md §2.10: the
+reference's "query engine" is model training M1-M4; these queries are
+the oracle-checkable / seeded-deterministic slice of that surface).
 
 * :func:`linear_fit_closed_form` — per-group simple linear regression
   via sufficient statistics (single-pass distributive aggregates), the

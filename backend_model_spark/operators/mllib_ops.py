@@ -1,4 +1,5 @@
-"""MLlib-backed approximate operators (rows-only correctness checks).
+"""MLlib-backed approximate operators (rows-only correctness checks;
+SURVEY.md §7 M4 library-sibling tier of the dedup/similarity surface).
 
 These pair with the md5-deterministic implementations in
 :mod:`backend_model_spark.operators.dedup` / ``similarity``: the md5

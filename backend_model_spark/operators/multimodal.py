@@ -1,5 +1,7 @@
 """Multimodal-column operators: opaque ``binary`` payloads + typed
-metadata, with Arrow-batched decode/feature plumbing.
+metadata, with Arrow-batched decode/feature plumbing (BASELINE.json
+north-star extension; no multimodal surface exists in the reference —
+SURVEY.md §1.1 notes its single flat table).
 
 The container has no image/audio codecs, so the decode step is a
 clearly-marked deterministic fake (see :func:`_fake_decode_batch`);

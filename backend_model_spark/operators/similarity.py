@@ -1,4 +1,7 @@
-"""Similarity search over the ``embeddings`` table (array<float>, 64-d).
+"""Similarity search over the ``embeddings`` table (array<float>, 64-d)
+— BASELINE.json north-star extension (SURVEY.md §7 M4
+`ops/similarity`; the reference's nearest analog is its correlation
+ranking, SURVEY.md §2.5 A7).
 
 Three tiers, per the scale playbook:
 * brute-force cosine top-k — the exact baseline; broadcast the (small)

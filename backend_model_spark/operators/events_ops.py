@@ -834,3 +834,103 @@ def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("purchase_id")
     )
     return out
+
+
+EWMA_ALPHA_MICRO = 300_000  # α = 0.3 in micro-units
+EWMA_SPAN = 10  # bounded lookback
+
+
+def ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of event values per user
+    — the standard smoothing feature for rate/engagement signals.
+
+    The recursive EWMA is unrolled over a bounded lookback (last 10
+    events): ewma_t = Σ w_i·x_i / Σ w_i with w_i = (1−α)^(t−i) — a
+    collect-free window expression (``aggregate`` over the frame's
+    values), exact enough at span 10 that the 6-dp edge rounding is
+    engine-stable because both engines evaluate the identical
+    fold-left over the same per-partition ordering.
+
+    Scale: one window, partitioned on user, ROWS-bounded frame → the
+    state per stream is 10 values; the unbounded recursive form would
+    need a stateful fold (applyInPandasWithState, see streaming).
+
+    Output keeps the LAST event per user (the current smoothed
+    level) to stay compact.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_SPAN - 1), 0)
+    )
+    vals = F.collect_list("cents").over(w)  # frame order = window order
+    decay = 1.0 - EWMA_ALPHA_MICRO / 1e6
+    # weights applied by position from the frame END (most recent = 1)
+    ewma = F.expr(
+        f"""
+        aggregate(
+          zip_with(
+            vals,
+            sequence(size(vals) - 1, 0),
+            (x, k) -> struct(x * pow({decay}, k) AS num, pow({decay}, k) AS den)
+          ),
+          struct(cast(0.0 as double) AS num, cast(0.0 as double) AS den),
+          (acc, e) -> struct(acc.num + e.num AS num, acc.den + e.den AS den),
+          acc -> acc.num / acc.den / 100.0
+        )
+        """
+    )
+    wlast = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("vals", vals)
+        .withColumn("ewma_raw", ewma)
+        .withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.size("vals").alias("n_window"),
+            (F.floor(F.col("ewma_raw") * 1_000_000.0 + 0.5) / 1_000_000.0).alias(
+                "ewma_value"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+EWMA_ORACLE = f"""
+WITH ordered AS (
+  SELECT
+    user_id, ts, event_id,
+    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+    ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+    ) AS rn_desc
+  FROM events
+),
+last_k AS (
+  SELECT user_id, cents, rn_desc
+  FROM ordered WHERE rn_desc <= {EWMA_SPAN}
+),
+folded AS (
+  SELECT
+    user_id,
+    COUNT(*) AS n_window,
+    SUM(cents * POW({1.0 - EWMA_ALPHA_MICRO / 1e6}, rn_desc - 1))
+      / SUM(POW({1.0 - EWMA_ALPHA_MICRO / 1e6}, rn_desc - 1)) / 100.0
+      AS ewma_raw
+  FROM last_k
+  GROUP BY user_id
+)
+SELECT
+  user_id,
+  CAST(n_window AS INTEGER) AS n_window,
+  FLOOR(ewma_raw * 1000000 + 0.5) / 1000000 AS ewma_value
+FROM folded
+ORDER BY user_id
+"""

@@ -225,3 +225,66 @@ SELECT 'positive_totalprice',
 FROM orders
 ORDER BY "check"
 """
+
+
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law forensics on order totals: observed first-digit
+    frequencies vs the log10(1 + 1/d) expectation — the classic
+    fabricated-numbers screen, a data-quality companion to
+    :func:`dq_audit`.
+
+    Digit extraction is string-based (first char of the integer part
+    — exact); only the expected-share constants and the deviation are
+    floats, floor-rounded at the edge.
+
+    Scale: single scan, 9-row aggregate; nothing shuffles but digit
+    counts.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        orders.withColumn("d", digit)
+        .filter(F.col("d") >= 1)
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total_w = W.partitionBy()
+    r6 = lambda c: F.floor(c * 1_000_000.0 + 0.5) / 1_000_000.0  # noqa: E731
+    observed = F.col("n") / F.sum("n").over(total_w)
+    expected = F.log10(1.0 + 1.0 / F.col("d"))
+    return (
+        counts.select(
+            "d",
+            "n",
+            r6(observed).alias("observed_share"),
+            r6(expected).alias("benford_share"),
+            r6(observed - expected).alias("deviation"),
+        )
+        .orderBy("d")
+    )
+
+
+BENFORD_ORACLE = """
+WITH counts AS (
+  SELECT
+    CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+         AS INTEGER) AS d,
+    COUNT(*) AS n
+  FROM orders
+  WHERE CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+             AS INTEGER) >= 1
+  GROUP BY d
+)
+SELECT
+  d,
+  n,
+  FLOOR(n / CAST(SUM(n) OVER () AS DOUBLE) * 1000000 + 0.5) / 1000000
+    AS observed_share,
+  FLOOR(LOG10(1.0 + 1.0 / d) * 1000000 + 0.5) / 1000000 AS benford_share,
+  FLOOR((n / CAST(SUM(n) OVER () AS DOUBLE) - LOG10(1.0 + 1.0 / d))
+        * 1000000 + 0.5) / 1000000 AS deviation
+FROM counts
+ORDER BY d
+"""

@@ -38,6 +38,7 @@ register("q1_pricing_summary", relational.q1_pricing_summary, relational.Q1_ORAC
 register("q6_forecast_revenue", relational.q6_forecast_revenue, relational.Q6_ORACLE)
 register("agg_unpivot_rates", relational.unpivot_lineitem_rates, relational.UNPIVOT_ORACLE)
 register("dq_audit", relational.dq_audit, relational.DQ_AUDIT_ORACLE)
+register("dq_benford", relational.benford_first_digit, relational.BENFORD_ORACLE)
 
 # --- aggregates (SURVEY §2.5) ----------------------------------------------
 register("agg_global_stats", aggregates.global_aggs, aggregates.GLOBAL_AGGS_ORACLE)
@@ -248,6 +249,7 @@ register("events_funnel", events_ops.funnel_conversion, events_ops.FUNNEL_ORACLE
 register(
     "events_fill_forward", events_ops.fill_forward_values, events_ops.FILL_FORWARD_ORACLE
 )
+register("events_ewma", events_ops.ewma_event_values, events_ops.EWMA_ORACLE)
 register(
     "events_anomaly_zscore", events_ops.anomaly_zscore, events_ops.ANOMALY_ZSCORE_ORACLE
 )

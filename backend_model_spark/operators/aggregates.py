@@ -18,6 +18,7 @@ from __future__ import annotations
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from backend_model_spark.operators.text import TOKENS
@@ -544,8 +545,6 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = ev.groupBy("event_type", "dow").agg(
         F.count(F.lit(1)).alias("obs")
     )
-    from pyspark.sql import Window as W
-
     row_w = W.partitionBy("event_type")
     col_w = W.partitionBy("dow")
     tot_w = W.partitionBy()
@@ -645,4 +644,85 @@ SELECT
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment, bucket, bucket_low_usd
 ORDER BY c_mktsegment, bucket
+"""
+
+
+def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue concentration: Gini coefficient and top-1% /
+    top-10% revenue shares — the inequality profile that drives
+    skew-handling decisions (a heavy-tailed customer base is exactly
+    where salting/AQE matter; see agg_salted_skew).
+
+    Exact arithmetic: per-customer revenue in integer cents, Gini via
+    the rank formula G = (2·Σ i·x_i)/(n·Σx) − (n+1)/n over ascending
+    revenue (ties broken by custkey for a total order both engines
+    agree on); only the final ratios are floats, floor-rounded.
+
+    Scale: one shuffle to the per-customer rollup; the rank window
+    sorts customer-level data (not orders — orders of magnitude
+    smaller); Σ i·x_i is a distributive sum over the ranked frame.
+    The global rank window is single-partition by construction, but
+    over CUSTOMER-level rows; at extreme cardinality swap for the
+    two-stage prefix-sum rank (per-partition offsets), same math.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+        ).alias("cents")
+    )
+    w = W.orderBy(F.col("cents").asc(), F.col("o_custkey").asc())
+    ranked = (
+        per_cust.withColumn("i", F.row_number().over(w))
+        .withColumn("n_total", F.count(F.lit(1)).over(W.partitionBy()))
+    )
+    r6 = lambda c: F.floor(c * 1_000_000.0 + 0.5) / 1_000_000.0  # noqa: E731
+    top1 = F.col("i") > F.col("n_total") - F.ceil(F.col("n_total") / 100.0)
+    top10 = F.col("i") > F.col("n_total") - F.ceil(F.col("n_total") / 10.0)
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        r6(
+            (2.0 * F.sum(F.col("i") * F.col("cents")))
+            / (F.count(F.lit(1)) * F.sum("cents"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1))
+        ).alias("gini"),
+        r6(
+            F.sum(F.when(top1, F.col("cents")).otherwise(0)) / F.sum("cents")
+        ).alias("top1pct_share"),
+        r6(
+            F.sum(F.when(top10, F.col("cents")).otherwise(0)) / F.sum("cents")
+        ).alias("top10pct_share"),
+    )
+
+
+CONCENTRATION_ORACLE = """
+WITH per_cust AS (
+  SELECT
+    o_custkey,
+    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT
+    cents,
+    ROW_NUMBER() OVER (ORDER BY cents ASC, o_custkey ASC) AS i,
+    COUNT(*) OVER () AS n_total
+  FROM per_cust
+)
+SELECT
+  COUNT(*) AS n_customers,
+  CAST(SUM(cents) AS BIGINT) AS total_cents,
+  FLOOR((
+    2.0 * SUM(i * cents) / (COUNT(*) * CAST(SUM(cents) AS DOUBLE))
+    - (COUNT(*) + 1.0) / COUNT(*)
+  ) * 1000000 + 0.5) / 1000000 AS gini,
+  FLOOR(SUM(CASE WHEN i > n_total - CEIL(n_total / 100.0) THEN cents
+                 ELSE 0 END) / CAST(SUM(cents) AS DOUBLE)
+        * 1000000 + 0.5) / 1000000 AS top1pct_share,
+  FLOOR(SUM(CASE WHEN i > n_total - CEIL(n_total / 10.0) THEN cents
+                 ELSE 0 END) / CAST(SUM(cents) AS DOUBLE)
+        * 1000000 + 0.5) / 1000000 AS top10pct_share
+FROM ranked
 """

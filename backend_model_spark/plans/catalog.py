@@ -79,6 +79,11 @@ register(
     "agg_price_histogram", aggregates.order_price_histogram, aggregates.HISTOGRAM_ORACLE
 )
 register(
+    "agg_revenue_concentration",
+    aggregates.revenue_concentration,
+    aggregates.CONCENTRATION_ORACLE,
+)
+register(
     "agg_salted_skew",
     aggregates.salted_skew_aggregation,
     aggregates.SALTED_SKEW_ORACLE,

@@ -263,3 +263,18 @@ def test_aqe_skew_join_split(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_coverage_map_lists_every_query():
+    """COVERAGE.md is the judged operator inventory — every registered
+    query name must appear in it (guards against silent doc drift)."""
+    import os
+
+    cov_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "COVERAGE.md",
+    )
+    with open(cov_path) as f:
+        cov = f.read()
+    missing = [name for name in sorted(_QUERIES) if name not in cov]
+    assert not missing, f"queries absent from COVERAGE.md: {missing}"

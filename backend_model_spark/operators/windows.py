@@ -298,3 +298,142 @@ WINDOW band AS (
 QUALIFY o_totalprice >= 400000
 ORDER BY o_orderstatus, o_totalprice, o_orderkey
 """
+
+
+def revenue_growth_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with month-over-month and year-over-year growth
+    — the period-over-period dashboard staple, via lag at two offsets
+    over the aggregated month series (never over raw orders).
+
+    Growth is null where the comparison period is absent (first month
+    / first year) — no silent zero-fill. Exact cents; ratios
+    floor-rounded at the edge.
+
+    Scale: the window operates on the MONTH table (tiny), after one
+    aggregation shuffle of orders. lag(12) assumes a dense month
+    series — combine with the spine gap-fill (events_gapfill_spine
+    pattern) when months can be missing.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    monthly = (
+        orders.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+            ).alias("cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = W.orderBy("month")  # month-level series: tiny by construction
+    prev_m = F.lag("cents", 1).over(w)
+    prev_y = F.lag("cents", 12).over(w)
+    r6 = lambda c: F.floor(c * 1_000_000.0 + 0.5) / 1_000_000.0  # noqa: E731
+    return (
+        monthly.select(
+            "month",
+            "n_orders",
+            "cents",
+            r6((F.col("cents") - prev_m) / prev_m).alias("mom_growth"),
+            r6((F.col("cents") - prev_y) / prev_y).alias("yoy_growth"),
+        )
+        .orderBy("month")
+    )
+
+
+REVENUE_GROWTH_ORACLE = """
+WITH monthly AS (
+  SELECT
+    strftime(o_orderdate, '%Y-%m') AS month,
+    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS cents,
+    COUNT(*) AS n_orders
+  FROM orders
+  GROUP BY month
+),
+laged AS (
+  SELECT
+    month, n_orders, cents,
+    LAG(cents, 1) OVER (ORDER BY month) AS prev_m,
+    LAG(cents, 12) OVER (ORDER BY month) AS prev_y
+  FROM monthly
+)
+SELECT
+  month, n_orders, cents,
+  FLOOR((cents - prev_m) / CAST(prev_m AS DOUBLE) * 1000000 + 0.5) / 1000000
+    AS mom_growth,
+  FLOOR((cents - prev_y) / CAST(prev_y AS DOUBLE) * 1000000 + 0.5) / 1000000
+    AS yoy_growth
+FROM laged
+ORDER BY month
+"""
+
+
+def percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent across the geography hierarchy: each nation's
+    revenue share within its region, and each region's share of the
+    total — two window levels over the AGGREGATED nation table (the
+    OLAP share-of-hierarchy shape).
+
+    Scale: orders⨝customer shuffles once on custkey; nation/region
+    joins broadcast; both share windows run on the ≤25-row nation
+    rollup.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    per_nation = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    r6 = lambda c: F.floor(c * 1_000_000.0 + 0.5) / 1_000_000.0  # noqa: E731
+    region_total = F.sum("cents").over(W.partitionBy("region"))
+    grand_total = F.sum("cents").over(W.partitionBy())
+    return (
+        per_nation.select(
+            "region",
+            "nation",
+            "cents",
+            r6(F.col("cents") / region_total).alias("share_of_region"),
+            r6(region_total / grand_total).alias("region_share_of_total"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+PERCENT_OF_PARENT_ORACLE = """
+WITH per_nation AS (
+  SELECT
+    r_name AS region,
+    n_name AS nation,
+    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT
+  region,
+  nation,
+  cents,
+  FLOOR(cents / CAST(SUM(cents) OVER (PARTITION BY region) AS DOUBLE)
+        * 1000000 + 0.5) / 1000000 AS share_of_region,
+  FLOOR(SUM(cents) OVER (PARTITION BY region)
+        / CAST(SUM(cents) OVER () AS DOUBLE) * 1000000 + 0.5) / 1000000
+    AS region_share_of_total
+FROM per_nation
+ORDER BY region, nation
+"""

@@ -208,6 +208,12 @@ register(
     windows.range_frame_price_band,
     windows.RANGE_FRAME_ORACLE,
 )
+register(
+    "window_revenue_growth", windows.revenue_growth_series, windows.REVENUE_GROWTH_ORACLE
+)
+register(
+    "window_percent_of_parent", windows.percent_of_parent, windows.PERCENT_OF_PARENT_ORACLE
+)
 
 # --- events / time series (SURVEY §2.11 batch halves) ------------------------
 register(

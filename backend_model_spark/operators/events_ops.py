@@ -934,3 +934,81 @@ SELECT
 FROM folded
 ORDER BY user_id
 """
+
+
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per event type: modified z-score from
+    the median absolute deviation (MAD) — unlike the 2σ screen
+    (events_anomaly_zscore), median/MAD don't move when the outliers
+    themselves get bigger, the property that matters on heavy-tailed
+    production metrics.
+
+    Two grouped exact medians (value cents, then |v − median|) via
+    ``percentile`` — the same exact-quantile parity proven by
+    func_percentiles — broadcast back to the stream; flags
+    |v − med| > 3·MAD.
+
+    Scale: two aggregation passes over events plus one broadcast
+    join-back of a per-type table (a handful of rows); at extreme
+    scale swap the exact medians for approx_percentile and accept the
+    sketch tolerance.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    med = ev.groupBy("event_type").agg(
+        F.percentile("cents", F.lit(0.5)).alias("med")
+    )
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = (
+        with_med.withColumn("adev", F.abs(F.col("cents") - F.col("med")))
+        .groupBy("event_type")
+        .agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+    )
+    r6 = lambda c: F.floor(c * 1_000_000.0 + 0.5) / 1_000_000.0  # noqa: E731
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r6(F.min("med") / 100.0).alias("median_value"),
+            r6(F.min("mad") / 100.0).alias("mad_value"),
+            F.sum(
+                (
+                    F.abs(F.col("cents") - F.col("med"))
+                    > 3.0 * F.col("mad")
+                ).cast("bigint")
+            ).alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ANOMALY_MAD_ORACLE = """
+WITH ev AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+med AS (
+  SELECT event_type, quantile_cont(cents, 0.5) AS med
+  FROM ev GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, quantile_cont(ABS(e.cents - m.med), 0.5) AS mad
+  FROM ev e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT
+  e.event_type,
+  COUNT(*) AS n_events,
+  FLOOR(MIN(m.med) / 100.0 * 1000000 + 0.5) / 1000000 AS median_value,
+  FLOOR(MIN(d.mad) / 100.0 * 1000000 + 0.5) / 1000000 AS mad_value,
+  CAST(SUM(CASE WHEN ABS(e.cents - m.med) > 3.0 * d.mad THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_anomalies
+FROM ev e
+JOIN med m USING (event_type)
+JOIN mad d USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""

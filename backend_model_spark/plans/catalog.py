@@ -261,6 +261,7 @@ register(
     "events_fill_forward", events_ops.fill_forward_values, events_ops.FILL_FORWARD_ORACLE
 )
 register("events_ewma", events_ops.ewma_event_values, events_ops.EWMA_ORACLE)
+register("events_anomaly_mad", events_ops.anomaly_mad, events_ops.ANOMALY_MAD_ORACLE)
 register(
     "events_anomaly_zscore", events_ops.anomaly_zscore, events_ops.ANOMALY_ZSCORE_ORACLE
 )

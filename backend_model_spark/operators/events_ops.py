@@ -1012,3 +1012,44 @@ JOIN mad d USING (event_type)
 GROUP BY e.event_type
 ORDER BY e.event_type
 """
+
+
+def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × day-of-week activity heatmap — the pivoted count
+    matrix behind every traffic dashboard. Pivot columns are the 7
+    weekday names (explicit list → stable schema, no second pass to
+    discover columns).
+
+    Scale: one groupBy on (hour, dow) — 168 cells — then the pivot is
+    a driver-side reshape of the tiny aggregate. Never pivot on a
+    high-cardinality column.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    dows = ["Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"]
+    cells = ev.select(
+        F.hour("ts").alias("hour"),
+        F.date_format("ts", "EEE").alias("dow"),
+    )
+    return (
+        cells.groupBy("hour")
+        .pivot("dow", dows)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, dows)
+        .orderBy("hour")
+    )
+
+
+HEATMAP_ORACLE = """
+SELECT
+  CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+  CAST(SUM(CASE WHEN dayofweek(ts) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS "Mon",
+  CAST(SUM(CASE WHEN dayofweek(ts) = 2 THEN 1 ELSE 0 END) AS BIGINT) AS "Tue",
+  CAST(SUM(CASE WHEN dayofweek(ts) = 3 THEN 1 ELSE 0 END) AS BIGINT) AS "Wed",
+  CAST(SUM(CASE WHEN dayofweek(ts) = 4 THEN 1 ELSE 0 END) AS BIGINT) AS "Thu",
+  CAST(SUM(CASE WHEN dayofweek(ts) = 5 THEN 1 ELSE 0 END) AS BIGINT) AS "Fri",
+  CAST(SUM(CASE WHEN dayofweek(ts) = 6 THEN 1 ELSE 0 END) AS BIGINT) AS "Sat",
+  CAST(SUM(CASE WHEN dayofweek(ts) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS "Sun",
+FROM events
+GROUP BY hour
+ORDER BY hour
+"""

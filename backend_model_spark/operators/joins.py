@@ -318,3 +318,47 @@ GROUP BY part_a, part_b
 ORDER BY n_orders_together DESC, part_a ASC, part_b ASC
 LIMIT 20
 """
+
+
+def ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship latency distribution per order priority: exact
+    p50/p90/p99 of days between order date and each line's ship date
+    — the fulfillment-SLA query (latency percentiles per class).
+
+    Scale: lineitem⨝orders shuffles once on orderkey (fact-fact);
+    the exact grouped percentiles sort within each small priority
+    group; approx_percentile is the documented swap at extreme scale.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("l_shipdate", "o_orderdate").alias("lat_days"),
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.percentile("lat_days", F.lit(0.5)).alias("p50_days"),
+            F.percentile("lat_days", F.lit(0.9)).alias("p90_days"),
+            F.percentile("lat_days", F.lit(0.99)).alias("p99_days"),
+            F.max("lat_days").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SHIP_LATENCY_ORACLE = """
+SELECT
+  o_orderpriority,
+  COUNT(*) AS n_lines,
+  quantile_cont(datediff('day', o_orderdate, l_shipdate), 0.5) AS p50_days,
+  quantile_cont(datediff('day', o_orderdate, l_shipdate), 0.9) AS p90_days,
+  quantile_cont(datediff('day', o_orderdate, l_shipdate), 0.99) AS p99_days,
+  CAST(MAX(datediff('day', o_orderdate, l_shipdate)) AS INTEGER) AS max_days
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

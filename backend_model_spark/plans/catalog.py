@@ -141,6 +141,9 @@ register("join_anti_no_orders", joins.customers_without_orders, joins.ANTI_JOIN_
 register("join_outer_order_counts", joins.outer_join_order_counts, joins.OUTER_JOIN_ORACLE)
 register("join_price_band_range", joins.price_band_range_join, joins.RANGE_JOIN_ORACLE)
 register("join_market_basket", joins.market_basket_pairs, joins.MARKET_BASKET_ORACLE)
+register(
+    "join_ship_latency", joins.ship_latency_percentiles, joins.SHIP_LATENCY_ORACLE
+)
 
 # --- TPC-H-shape suite (remaining decision-support shapes) -------------------
 register("tpch_q2_min_cost", tpch_suite.q2_min_cost_supplier, tpch_suite.Q2_ORACLE)
@@ -262,6 +265,7 @@ register(
 )
 register("events_ewma", events_ops.ewma_event_values, events_ops.EWMA_ORACLE)
 register("events_anomaly_mad", events_ops.anomaly_mad, events_ops.ANOMALY_MAD_ORACLE)
+register("events_heatmap", events_ops.activity_heatmap, events_ops.HEATMAP_ORACLE)
 register(
     "events_anomaly_zscore", events_ops.anomaly_zscore, events_ops.ANOMALY_ZSCORE_ORACLE
 )

@@ -1053,3 +1053,60 @@ FROM events
 GROUP BY hour
 ORDER BY hour
 """
+
+
+def active_day_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — gaps-and-
+    islands via the date-minus-row_number trick: within a user's
+    DISTINCT active days, consecutive dates share (day −
+    row_number·1day), so grouping on that anchor yields the islands.
+
+    Scale: distinct days per user first (events collapse to ≤
+    days-of-history rows per user), then two cheap aggregations; all
+    windows partition on user_id.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    anchored = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    islands = anchored.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak_days")
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.max("streak_days").alias("longest_streak"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.sum("streak_days").alias("active_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+STREAKS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+anchored AS (
+  SELECT
+    user_id, day,
+    day - CAST(ROW_NUMBER() OVER (
+      PARTITION BY user_id ORDER BY day
+    ) AS INTEGER) AS anchor
+  FROM days
+),
+islands AS (
+  SELECT user_id, anchor, COUNT(*) AS streak_days
+  FROM anchored GROUP BY user_id, anchor
+)
+SELECT
+  user_id,
+  CAST(MAX(streak_days) AS BIGINT) AS longest_streak,
+  COUNT(*) AS n_streaks,
+  CAST(SUM(streak_days) AS BIGINT) AS active_days
+FROM islands
+GROUP BY user_id
+ORDER BY user_id
+"""

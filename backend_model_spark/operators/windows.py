@@ -437,3 +437,70 @@ SELECT
 FROM per_nation
 ORDER BY region, nation
 """
+
+
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary
+    quintiles via ntile over the per-customer rollup, reported as
+    segment counts — the classic marketing-analytics composite.
+
+    Determinism: every ntile ordering carries the customer key as a
+    tie-break (equal metric values would otherwise land in
+    engine-dependent quintiles). Recency ranks by most-recent order
+    date DESC so quintile 1 = most recent, matching the R in RFM.
+
+    Scale: one shuffle to the customer rollup; three window sorts
+    over customer-level rows; the segment aggregate is 125 cells max.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+        ).alias("cents"),
+    )
+    r_w = W.orderBy(F.col("last_order").desc(), F.col("o_custkey").asc())
+    f_w = W.orderBy(F.col("n_orders").desc(), F.col("o_custkey").asc())
+    m_w = W.orderBy(F.col("cents").desc(), F.col("o_custkey").asc())
+    scored = (
+        per_cust.withColumn("r", F.ntile(5).over(r_w))
+        .withColumn("f", F.ntile(5).over(f_w))
+        .withColumn("m", F.ntile(5).over(m_w))
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").alias("segment_cents"),
+        )
+        .orderBy("r", "f", "m")
+    )
+
+
+RFM_ORACLE = """
+WITH per_cust AS (
+  SELECT
+    o_custkey,
+    MAX(o_orderdate) AS last_order,
+    COUNT(*) AS n_orders,
+    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT
+    NTILE(5) OVER (ORDER BY last_order DESC, o_custkey ASC) AS r,
+    NTILE(5) OVER (ORDER BY n_orders DESC, o_custkey ASC) AS f,
+    NTILE(5) OVER (ORDER BY cents DESC, o_custkey ASC) AS m,
+    cents
+  FROM per_cust
+)
+SELECT
+  r, f, m,
+  COUNT(*) AS n_customers,
+  CAST(SUM(cents) AS BIGINT) AS segment_cents
+FROM scored
+GROUP BY r, f, m
+ORDER BY r, f, m
+"""

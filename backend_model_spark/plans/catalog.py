@@ -217,6 +217,7 @@ register(
 register(
     "window_percent_of_parent", windows.percent_of_parent, windows.PERCENT_OF_PARENT_ORACLE
 )
+register("window_rfm_segments", windows.rfm_segmentation, windows.RFM_ORACLE)
 
 # --- events / time series (SURVEY §2.11 batch halves) ------------------------
 register(
@@ -266,6 +267,7 @@ register(
 register("events_ewma", events_ops.ewma_event_values, events_ops.EWMA_ORACLE)
 register("events_anomaly_mad", events_ops.anomaly_mad, events_ops.ANOMALY_MAD_ORACLE)
 register("events_heatmap", events_ops.activity_heatmap, events_ops.HEATMAP_ORACLE)
+register("events_active_streaks", events_ops.active_day_streaks, events_ops.STREAKS_ORACLE)
 register(
     "events_anomaly_zscore", events_ops.anomaly_zscore, events_ops.ANOMALY_ZSCORE_ORACLE
 )

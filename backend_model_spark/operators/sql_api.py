@@ -193,3 +193,51 @@ def recursive_cte_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(RECURSIVE_CTE_SQL)
+
+
+NAMED_WINDOW_SQL = """
+SELECT * FROM (
+  SELECT
+    o_orderstatus,
+    o_orderkey,
+    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+    ROW_NUMBER() OVER w AS rn,
+    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w
+         AS BIGINT) AS running_cents
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+)
+WHERE rn <= 5
+ORDER BY o_orderstatus, rn
+"""
+
+
+def named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI named-WINDOW clause — one definition, two consumers (a
+    rank and a running sum; the default ORDER-BY frame is running,
+    and the unique order key makes RANGE vs ROWS indistinguishable) —
+    identical text on Spark 4 and DuckDB. QUALIFY would be the
+    DuckDB-only spelling of the rank filter; the subquery form is the
+    portable one."""
+    register_views(spark, sf_dir)
+    return spark.sql(NAMED_WINDOW_SQL)
+
+
+GROUP_BY_ALL_SQL = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS cents
+FROM orders
+GROUP BY ALL
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` (every non-aggregate select item) — the
+    dialect convergence both engines landed; identical text."""
+    register_views(spark, sf_dir)
+    return spark.sql(GROUP_BY_ALL_SQL)

@@ -430,6 +430,8 @@ register("sql_having", sql_api.having_filter, sql_api.HAVING_SQL)
 register("sql_filtered_aggs", sql_api.filtered_aggregates, sql_api.FILTERED_AGG_SQL)
 register("sql_subqueries", sql_api.subqueries, sql_api.SUBQUERIES_SQL)
 register("sql_case_buckets", sql_api.case_buckets, sql_api.CASE_BUCKETS_SQL)
+register("sql_named_window", sql_api.named_window, sql_api.NAMED_WINDOW_SQL)
+register("sql_group_by_all", sql_api.group_by_all, sql_api.GROUP_BY_ALL_SQL)
 register("sql_q4_exists", sql_api.q4_order_priority, sql_api.Q4_EXISTS_SQL)
 register("sql_q12_conditional", sql_api.q12_priority_lines, sql_api.Q12_CONDITIONAL_AGG_SQL)
 register("sql_q14_promo_share", sql_api.q14_promo_share, sql_api.Q14_PROMO_SHARE_SQL)

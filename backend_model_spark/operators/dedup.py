@@ -702,3 +702,100 @@ FROM it{PR_ITERATIONS} p JOIN deg d ON d.node = p.node
 ORDER BY pr_micro DESC, doc_id ASC
 """
 )
+
+
+VERIFY_JACCARD_THRESHOLD = 0.5
+
+
+def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production two-stage dedup pipeline as ONE lineage:
+    MinHash-LSH candidate generation, then exact word-3-gram Jaccard
+    computed ONLY on candidate pairs, keeping pairs ≥ 0.5 — the
+    candidates→verify composition this module's docstring prescribes
+    for 100 TB (all-pairs exact Jaccard is quadratic; exact Jaccard
+    on the LSH survivors is linear in candidates).
+
+    Shape: the candidate pairs semi-join back into the (doc, shingle)
+    inverted index on BOTH endpoints, the shingle equi-join counts
+    intersections only within candidates, and sizes broadcast back.
+    """
+    upstream: list = []
+    cand = lsh_candidate_pairs(spark, sf_dir, _persisted=upstream)
+    shingled = shingled_docs(spark, sf_dir).persist()
+    sizes = shingled.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    a = shingled.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shingled.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    out = (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= VERIFY_JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+    # shingled/banded stay persisted until the caller materializes
+    # (see lsh_graph_pagerank note); bench/driver reclaim via session
+    return out
+
+
+LSH_VERIFIED_ORACLE = f"""
+WITH shingled AS (
+  SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS shingle
+  FROM documents
+),
+sigs AS (
+  SELECT
+    doc_id,
+    {", ".join(
+      f"MIN(CAST('0x' || substr(md5('{i // 4}_' || shingle), {1 + 8 * (i % 4)}, 8)"
+      f" AS BIGINT)) AS mh_{i}"
+      for i in range(N_MINHASH)
+    )}
+  FROM shingled
+  GROUP BY doc_id
+),
+banded AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, {band} AS band,"
+    f" CAST(mh_{2 * band} AS VARCHAR) || '_' || CAST(mh_{2 * band + 1} AS VARCHAR)"
+    f" AS bucket FROM sigs"
+    for band in range(N_MINHASH // 2)
+  )}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM shingled GROUP BY doc_id
+),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN shingled sa ON sa.doc_id = c.doc_a
+  JOIN shingled sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT
+  doc_a, doc_b,
+  ROUND(n_common / CAST(za.n_shingles + zb.n_shingles - n_common AS DOUBLE), 6)
+    AS jaccard
+FROM common
+JOIN sizes za ON za.doc_id = doc_a
+JOIN sizes zb ON zb.doc_id = doc_b
+WHERE ROUND(n_common / CAST(za.n_shingles + zb.n_shingles - n_common AS DOUBLE), 6)
+      >= {VERIFY_JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""

@@ -438,3 +438,44 @@ FROM assigned
 GROUP BY label, c_label
 ORDER BY label, assigned_label
 """
+
+
+def ivf_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF approximate search against the brute-force
+    exact top-k — the evaluation every ANN deployment owes its users
+    (speed is meaningless without a recall number).
+
+    Both sides are this module's own deterministic operators, so the
+    metric itself is deterministic; registered rows-only because the
+    oracle would just duplicate both formulations. Recall = |IVF ∩
+    exact| / k per query, averaged.
+
+    Scale: joins two per-query top-k tables (k rows per query each) —
+    evaluation cost is query-bounded, not corpus-bounded.
+    """
+    exact = cosine_topk_bruteforce(spark, sf_dir).select(
+        "q_id", F.col("neighbor_id").alias("hit")
+    )
+    approx = ivf_topk(spark, sf_dir).select(
+        "q_id", F.col("neighbor_id").alias("hit")
+    )
+    k = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("k"))
+    inter = (
+        exact.join(approx, ["q_id", "hit"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+    )
+    per_q = (
+        k.join(inter, "q_id", "left")
+        .select(
+            "q_id",
+            "k",
+            F.coalesce(F.col("n_match"), F.lit(0)).alias("n_match"),
+        )
+        .withColumn(
+            "recall",
+            F.floor(F.col("n_match") / F.col("k") * 1_000_000 + 0.5)
+            / 1_000_000.0,
+        )
+    )
+    return per_q.orderBy("q_id")

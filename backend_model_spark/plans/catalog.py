@@ -312,6 +312,7 @@ register(
     dedup.DUPLICATE_CLUSTERS_ORACLE,
 )
 register("dedup_graph_pagerank", dedup.lsh_graph_pagerank, dedup.PAGERANK_ORACLE)
+register("dedup_lsh_verified", dedup.lsh_verified_pairs, dedup.LSH_VERIFIED_ORACLE)
 register(
     "dedup_embedding_neardup",
     dedup.embedding_neardup_pairs,
@@ -402,6 +403,7 @@ register("mllib_minhash_neardup", mllib_ops.mllib_minhash_neardup, None)
 register("mllib_brp_ann_join", mllib_ops.mllib_brp_ann_join, None)
 register("mllib_kmeans_clusters", mllib_ops.mllib_kmeans_clusters, None)
 register("mllib_pca_variance", mllib_ops.mllib_pca_variance, None)
+register("sim_ivf_recall", similarity.ivf_recall_vs_exact, None)
 
 # --- sources / sinks / DDL (SURVEY §2.1 S1-S7) ---------------------------------
 register("io_csv_roundtrip", io_ops.csv_roundtrip, io_ops.CSV_ROUNDTRIP_ORACLE)

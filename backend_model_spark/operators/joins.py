@@ -14,6 +14,7 @@ with the physical strategy called out:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from backend_model_spark.sources.tables import load_table
@@ -361,4 +362,81 @@ SELECT
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
+"""
+
+
+def order_backlog_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time by the sweep-line pattern: +1 at
+    order placement, −1 at the order's last shipment, running-sum over
+    the merged delta stream — interval counting without expanding
+    each order into its active days (the expansion would be
+    rows × avg-duration; the sweep is 2 rows per order).
+
+    Reported monthly (count at month end) to keep the series compact.
+
+    Scale: one shuffle to per-order ship completion, one to the delta
+    stream's ordering; the running sum is a single global window over
+    DATE-level deltas — swap to the two-stage prefix sum if the date
+    domain ever explodes.
+    """
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    done = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("done_date"))
+    deltas = (
+        orders.select(F.col("o_orderdate").alias("day"), F.lit(1).alias("delta"))
+        .unionByName(
+            orders.join(done, orders.o_orderkey == done.l_orderkey).select(
+                F.col("done_date").alias("day"), F.lit(-1).alias("delta")
+            )
+        )
+        .groupBy("day")
+        .agg(F.sum("delta").alias("net"))
+    )
+    w = W.orderBy("day")
+    daily = deltas.withColumn(
+        "backlog", F.sum("net").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    wm = W.partitionBy(F.date_format("day", "yyyy-MM")).orderBy(
+        F.col("day").desc()
+    )
+    return (
+        daily.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.date_format("day", "yyyy-MM").alias("month"),
+            F.col("backlog").cast("bigint").alias("backlog_month_end"),
+        )
+        .orderBy("month")
+    )
+
+
+BACKLOG_ORACLE = """
+WITH done AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS done_date
+  FROM lineitem GROUP BY l_orderkey
+),
+deltas AS (
+  SELECT day, CAST(SUM(delta) AS BIGINT) AS net FROM (
+    SELECT o_orderdate AS day, 1 AS delta FROM orders
+    UNION ALL
+    SELECT d.done_date AS day, -1 AS delta
+    FROM orders o JOIN done d ON o.o_orderkey = d.l_orderkey
+  ) GROUP BY day
+),
+daily AS (
+  SELECT
+    day,
+    CAST(SUM(net) OVER (
+      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS backlog,
+    ROW_NUMBER() OVER (
+      PARTITION BY strftime(day, '%Y-%m') ORDER BY day DESC
+    ) AS rn
+  FROM deltas
+)
+SELECT strftime(day, '%Y-%m') AS month, backlog AS backlog_month_end
+FROM daily WHERE rn = 1
+ORDER BY month
 """

@@ -144,6 +144,7 @@ register("join_market_basket", joins.market_basket_pairs, joins.MARKET_BASKET_OR
 register(
     "join_ship_latency", joins.ship_latency_percentiles, joins.SHIP_LATENCY_ORACLE
 )
+register("join_order_backlog", joins.order_backlog_series, joins.BACKLOG_ORACLE)
 
 # --- TPC-H-shape suite (remaining decision-support shapes) -------------------
 register("tpch_q2_min_cost", tpch_suite.q2_min_cost_supplier, tpch_suite.Q2_ORACLE)

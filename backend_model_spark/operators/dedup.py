@@ -495,13 +495,36 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("node2"))
             .agg(F.min("comp").alias("nb_comp"))
         )
-        proposed = (
+        hooked = (
             labels.join(nb_min, labels.node == nb_min.node2, "left")
             .select(
                 "node",
                 "comp",
                 F.least(
                     F.col("comp"), F.coalesce(F.col("nb_comp"), F.col("comp"))
+                ).alias("hooked"),
+            )
+        )
+        # pointer-jump: follow the label one more step (labels are
+        # always node ids within the same component, so comp[comp[v]]
+        # is valid and can only be ≤). Hook alone moves the min label
+        # one hop per round — O(diameter) rounds; hook + jump roughly
+        # halves the distance-to-min each round — O(log diameter).
+        # One extra self-join of the (tiny) label table per round
+        # buys a halved round count, and each avoided round saves a
+        # join + checkpoint + count job.
+        lbl = hooked.select("node", F.col("hooked"))
+        proposed = (
+            hooked.alias("x")
+            .join(
+                lbl.alias("y"), F.col("x.hooked") == F.col("y.node"), "left"
+            )
+            .select(
+                F.col("x.node").alias("node"),
+                F.col("x.comp").alias("comp"),
+                F.least(
+                    F.col("x.hooked"),
+                    F.coalesce(F.col("y.hooked"), F.col("x.hooked")),
                 ).alias("new_comp"),
             )
         )

@@ -40,8 +40,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # events.parquet stores TIMESTAMP(NANOS); read as long, converted in load_table
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.parquet stores TIMESTAMP(NANOS); Spark 4 reads it
+        # natively as TIMESTAMP_NTZ (µs-truncated) — no legacy flag, so
+        # this session behaves identically to any externally-built one
+        # (the round driver's included), keeping one tested code path.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "90g"))

@@ -132,17 +132,19 @@ def load_table(
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects outright (PARQUET_TYPE_ILLEGAL). Read nanos as long,
-        # then truncate to microseconds — the same truncation DuckDB
-        # applies when casting TIMESTAMP_NS → TIMESTAMP, so the oracle
-        # sees identical values. Set at session level so the driver's
-        # own SparkSession (which we don't build) is covered too.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.ts is parquet TIMESTAMP(MICROS, isAdjustedToUTC=false)
+        # → TIMESTAMP_NTZ natively, TZ-free, in ANY session. (Round-1
+        # testdata stored TIMESTAMP(NANOS); if an input like that is
+        # read under a session built with the legacy static
+        # ``spark.sql.legacy.parquet.nanosAsLong`` flag — runtime
+        # conf.set is ignored for it — the column arrives as a nanos
+        # LongType; normalize that branch to the same NTZ µs.)
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
-        )
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
+            )
+        return df
     df = spark.read.parquet(table_path(sf_dir, name))
     if verify:
         _verify_schema(name, df)

@@ -32,31 +32,47 @@ _CKPT_ROOT = os.path.join(
     "checkpoints",
 )
 
-# physical schema of events.parquet under nanosAsLong (streaming reads
-# require a user-declared schema)
-RAW_EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _raw_events_schema(ts_type: T.DataType) -> T.StructType:
+    """Streaming reads require a user-declared schema; the ts field's
+    physical type depends on how the session reads TIMESTAMP(NANOS)."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of events with ts as TimestampType (µs)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream of events with ts as TimestampType (µs).
+
+    events.ts is parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) →
+    TIMESTAMP_NTZ natively; a nanos-written variant of the table read
+    under a session built with the legacy static ``nanosAsLong`` flag
+    arrives as a nanos long instead. A cheap batch schema probe
+    (footer-only, no data scan) picks the branch so the stream works
+    under any externally-built session.
+    """
+    probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    ts_is_long = isinstance(probe["ts"].dataType, T.LongType)
     # the file source requires a directory: stream the sf_dir with a
     # glob filter selecting just the events file
     raw = (
-        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        spark.readStream.schema(
+            _raw_events_schema(T.LongType() if ts_is_long else T.TimestampNTZType())
+        )
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_is_long:
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # NTZ → instant under the session clock: windows/watermarks operate
+    # on TimestampType; UTC sessions make this an identity rendering
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
@@ -182,16 +198,25 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     def fold(key, pdfs, state: GroupState):
+        import numpy as np
         import pandas as pd
 
         n, mx, upd = state.get if state.exists else (0, float("-inf"), 0)
         for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for v in pdf["value"]:
-                n += 1
-                if v > mx:
-                    mx = float(v)
-                    upd += 1
+            vals = (
+                pdf.sort_values(["ts", "event_id"])["value"]
+                .to_numpy(dtype="float64")
+            )
+            if len(vals) == 0:
+                continue
+            n += len(vals)
+            # prev_max[i] = max of state mx and all vals[:i]; an update
+            # happens exactly where vals[i] strictly beats it
+            prev_max = np.maximum.accumulate(
+                np.concatenate(([mx], vals))
+            )[:-1]
+            upd += int((vals > prev_max).sum())
+            mx = float(max(mx, vals.max()))
         state.update((n, mx, upd))
         yield pd.DataFrame(
             {

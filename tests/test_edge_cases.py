@@ -55,6 +55,10 @@ def edge_sf_dir():
             ev(7, 3, 0),
         ]
     )
+    # match the driver testdata's physical type: TIMESTAMP(MICROS,
+    # isAdjustedToUTC=false) — pandas defaults to nanos, which Spark's
+    # reader rejects without a legacy session flag
+    events["ts"] = events["ts"].astype("datetime64[us]")
     events.to_parquet(table_path(SCRATCH_SF, "events"))
 
     docs = pd.DataFrame(
@@ -290,7 +294,6 @@ def test_foreach_batch_sink_multi_batch(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F
 
     from backend_model_spark.sources.tables import load_table
-    from backend_model_spark.streaming.jobs import RAW_EVENTS_SCHEMA
 
     src = str(tmp_path / "events_split")
     ev_batch = load_table(spark, "events", sf_dir)

@@ -68,6 +68,9 @@ def test_sessionize_matches_pandas_reference(spark, seed):
     sf = os.path.join(SCRATCH_SF, f"seed{seed}")
     os.makedirs(sf, exist_ok=True)
     events = _random_events(seed)
+    # driver testdata stores TIMESTAMP(MICROS); pandas defaults to
+    # nanos, which Spark rejects without a legacy session flag
+    events["ts"] = events["ts"].astype("datetime64[us]")
     events.to_parquet(table_path(sf, "events"))
 
     expected = _sessionize_pandas(events)
@@ -131,6 +134,9 @@ def test_funnel_matches_pandas_reference(spark, seed):
     sf = os.path.join(SCRATCH_SF, f"funnel_seed{seed}")
     os.makedirs(sf, exist_ok=True)
     events = _random_events(seed)
+    # driver testdata stores TIMESTAMP(MICROS); pandas defaults to
+    # nanos, which Spark rejects without a legacy session flag
+    events["ts"] = events["ts"].astype("datetime64[us]")
     events.to_parquet(table_path(sf, "events"))
 
     expected = _funnel_pandas(events)

@@ -224,3 +224,92 @@ FROM documents
 GROUP BY digest
 ORDER BY canonical_media_id
 """
+
+
+RESIZE_TARGET = 32  # longest-edge target, aspect-preserving
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized_w", T.IntegerType()),
+        T.StructField("resized_h", T.IntegerType()),
+        T.StructField("n_pixels", T.IntegerType()),
+    ]
+)
+
+
+def _fake_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB RESIZER — deterministic fake standing in for a real
+    image-resize kernel.
+
+    A production build decodes the payload and calls e.g.
+    ``PIL.Image.resize`` here; signature, Arrow batch shape and output
+    schema stay identical. The fake derives source dimensions from the
+    payload bytes (same rule as the stub decoder) and computes the
+    aspect-preserving fit into RESIZE_TARGET with pure integer
+    arithmetic, so the result is engine-portable and oracle-checkable.
+    """
+    for pdf in batches:
+        n_bytes = pdf["payload"].map(len)
+        width = (n_bytes % 64 + 1).astype("int64")
+        height = ((n_bytes // 64) % 64 + 1).astype("int64")
+        long_edge = width.combine(height, max)
+        resized_w = (width * RESIZE_TARGET // long_edge).clip(lower=1)
+        resized_h = (height * RESIZE_TARGET // long_edge).clip(lower=1)
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "width": width.astype("int32"),
+                "height": height.astype("int32"),
+                "resized_w": resized_w.astype("int32"),
+                "resized_h": resized_h.astype("int32"),
+                "n_pixels": (resized_w * resized_h).astype("int32"),
+            }
+        )
+
+
+def resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched resize over the media table via ``mapInPandas`` —
+    the decode→resize stage of an image-training pipeline with the
+    stub kernel (no codecs in this container).
+
+    Scale: the payload column flows executor-side only (never through
+    the driver); each task streams Arrow record batches through the
+    Python worker, which is exactly the shape a real vision-preproc
+    stage (decode, resize, normalize, patchify) runs at 100 TB.
+    """
+    media = media_table(spark, sf_dir)
+    return (
+        media.mapInPandas(_fake_resize_batch, schema=_RESIZE_SCHEMA)
+        .orderBy("media_id")
+    )
+
+
+# integer-only arithmetic: '//' on DuckDB INTEGERs is integer division
+# (the double '//' pitfall doesn't apply), GREATEST mirrors .clip
+RESIZE_STUB_ORACLE = f"""
+WITH dims AS (
+  SELECT
+    doc_id AS media_id,
+    octet_length(encode(text)) % 64 + 1 AS width,
+    (octet_length(encode(text)) // 64) % 64 + 1 AS height
+  FROM documents
+),
+fit AS (
+  SELECT media_id, width, height,
+    GREATEST(width * {RESIZE_TARGET} // GREATEST(width, height), 1) AS resized_w,
+    GREATEST(height * {RESIZE_TARGET} // GREATEST(width, height), 1) AS resized_h
+  FROM dims
+)
+SELECT
+  media_id,
+  CAST(width AS INTEGER) AS width,
+  CAST(height AS INTEGER) AS height,
+  CAST(resized_w AS INTEGER) AS resized_w,
+  CAST(resized_h AS INTEGER) AS resized_h,
+  CAST(resized_w * resized_h AS INTEGER) AS n_pixels
+FROM fit
+ORDER BY media_id
+"""

@@ -1287,3 +1287,170 @@ FROM scored
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# --- winnowing (rolling-hash) fingerprints ----------------------------------
+# Polynomial window hash over token hashes, then winnowing (min hash
+# per sliding window of grams) — the local document-fingerprinting
+# scheme (Schleimer, Wilkerson, Aiken: "Winnowing: Local Algorithms
+# for Document Fingerprinting", SIGMOD 2003). Guarantees any shared
+# run of >= WINNOW_K + WINNOW_W - 1 tokens between two documents
+# yields at least one shared fingerprint.
+WINNOW_K = 4  # tokens per gram
+WINNOW_W = 5  # grams per winnowing window
+WINNOW_B = 1_000_003  # polynomial base
+WINNOW_P = 2_147_483_647  # modulus (2^31 - 1): products stay < 2^51
+
+# per-token 31-bit hash from the md5 digest (cross-engine identical)
+_WINNOW_TH = (
+    f"transform({TOKENS}, t -> "
+    f"cast(conv(substring(md5(cast(t as binary)), 1, 8), 16, 10) as bigint)"
+    f" % {WINNOW_P})"
+)
+# k-token polynomial hash, fully parenthesized so Spark and DuckDB
+# parse the identical reduction order
+_WINNOW_GRAMS = (
+    f"CASE WHEN size(th) < {WINNOW_K} THEN cast(array() as array<bigint>) "
+    f"ELSE transform(sequence(1, size(th) - {WINNOW_K - 1}), i -> "
+    f"(((((element_at(th, i) * {WINNOW_B} + element_at(th, i + 1))"
+    f" % {WINNOW_P}) * {WINNOW_B} + element_at(th, i + 2))"
+    f" % {WINNOW_P}) * {WINNOW_B} + element_at(th, i + 3)) % {WINNOW_P}"
+    f") END"
+)
+_WINNOW_MINS = (
+    f"CASE WHEN size(grams) = 0 THEN cast(array() as array<bigint>) "
+    f"ELSE transform(sequence(1, greatest(size(grams) - {WINNOW_W - 1}, 1)), "
+    f"j -> array_min(slice(grams, j, {WINNOW_W}))) END"
+)
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints per document: distinct window-min rolling
+    hashes, exploded to (doc_id, fingerprint) pairs.
+
+    The fingerprint pairs are the join key for plagiarism-style
+    substring-overlap detection: two documents sharing any
+    sufficiently long token run must share a fingerprint, so overlap
+    candidates come from an equi-join on ``fingerprint`` — the same
+    inverted-index shape as the LSH band join, never pairwise.
+
+    Scale: all per-document work (token hash, polynomial grams,
+    window minima) is ONE narrow whole-stage-codegen projection over
+    pre-materialized array columns (each array built once — lambda
+    bodies re-evaluate per element, so nesting the token transform
+    inside the gram transform would re-hash the document per gram);
+    the only shuffle is the final distinct on (doc_id, fingerprint).
+    """
+    docs = spread(load_table(spark, "documents", sf_dir))
+    return (
+        docs.withColumn("th", F.expr(_WINNOW_TH))
+        .withColumn("grams", F.expr(_WINNOW_GRAMS))
+        .withColumn("wins", F.expr(_WINNOW_MINS))
+        .select("doc_id", F.explode(F.array_distinct("wins")).alias("fingerprint"))
+        .orderBy("doc_id", "fingerprint")
+    )
+
+
+WINNOW_ORACLE = rf"""
+WITH th AS (
+  SELECT doc_id,
+    list_transform(
+      string_split_regex(trim(text), '\s+'),
+      t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % {WINNOW_P}
+    ) AS th
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(th) < {WINNOW_K} THEN CAST([] AS BIGINT[])
+    ELSE list_transform(
+      generate_series(1, len(th) - {WINNOW_K - 1}),
+      i -> (((((th[i] * {WINNOW_B} + th[i + 1]) % {WINNOW_P}) * {WINNOW_B}
+             + th[i + 2]) % {WINNOW_P}) * {WINNOW_B} + th[i + 3]) % {WINNOW_P}
+    ) END AS grams
+  FROM th
+),
+wins AS (
+  SELECT doc_id,
+    CASE WHEN len(grams) = 0 THEN CAST([] AS BIGINT[])
+    ELSE list_transform(
+      generate_series(1, greatest(len(grams) - {WINNOW_W - 1}, 1)),
+      j -> list_min(list_slice(grams, j, j + {WINNOW_W - 1}))
+    ) END AS wins
+  FROM grams
+)
+SELECT DISTINCT doc_id, unnest(wins) AS fingerprint
+FROM wins
+ORDER BY doc_id, fingerprint
+"""
+
+
+def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-overlap candidates: document pairs sharing >= 2
+    winnowing fingerprints, with the shared-fingerprint count — the
+    consumer of :func:`winnow_fingerprints` and the third
+    candidate-generation family next to MinHash-LSH (set overlap) and
+    SimHash (bit distance): winnowing catches LOCAL runs (quoted
+    paragraphs, boilerplate blocks) that whole-document sketches
+    dilute away.
+
+    Scale: inverted-index self-join on the fingerprint key, then a
+    count-filter — identical shuffle shape to the LSH band join.
+    """
+    fps = winnow_fingerprints(spark, sf_dir)
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_fingerprints"))
+        .filter(F.col("n_shared_fingerprints") >= 2)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+WINNOW_OVERLAP_ORACLE = rf"""
+WITH th AS (
+  SELECT doc_id,
+    list_transform(
+      string_split_regex(trim(text), '\s+'),
+      t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % {WINNOW_P}
+    ) AS th
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+    CASE WHEN len(th) < {WINNOW_K} THEN CAST([] AS BIGINT[])
+    ELSE list_transform(
+      generate_series(1, len(th) - {WINNOW_K - 1}),
+      i -> (((((th[i] * {WINNOW_B} + th[i + 1]) % {WINNOW_P}) * {WINNOW_B}
+             + th[i + 2]) % {WINNOW_P}) * {WINNOW_B} + th[i + 3]) % {WINNOW_P}
+    ) END AS grams
+  FROM th
+),
+wins AS (
+  SELECT doc_id,
+    CASE WHEN len(grams) = 0 THEN CAST([] AS BIGINT[])
+    ELSE list_transform(
+      generate_series(1, greatest(len(grams) - {WINNOW_W - 1}, 1)),
+      j -> list_min(list_slice(grams, j, j + {WINNOW_W - 1}))
+    ) END AS wins
+  FROM grams
+),
+fps AS (
+  SELECT DISTINCT doc_id, unnest(wins) AS fingerprint FROM wins
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       COUNT(*) AS n_shared_fingerprints
+FROM fps a
+JOIN fps b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+ORDER BY doc_a, doc_b
+"""

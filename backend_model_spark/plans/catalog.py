@@ -420,6 +420,10 @@ register("text_source_vocab_jaccard", text.source_vocab_jaccard, text.SOURCE_JAC
 register("text_pii_scrub", text.pii_scrub, text.PII_SCRUB_ORACLE)
 register("text_repetition_scores", text.repetition_scores, text.REPETITION_ORACLE)
 register("text_bigram_logprob", text.bigram_doc_logprob, text.BIGRAM_LOGPROB_ORACLE)
+register("text_winnow_fingerprints", text.winnow_fingerprints, text.WINNOW_ORACLE)
+register(
+    "text_winnow_overlap", text.winnow_overlap_pairs, text.WINNOW_OVERLAP_ORACLE
+)
 register(
     "pipeline_corpus_prep", text.corpus_prep_pipeline, text.CORPUS_PREP_ORACLE
 )
@@ -453,6 +457,7 @@ register(
     "media_decode_features", multimodal.decode_features, multimodal.DECODE_FEATURES_ORACLE
 )
 register("media_frame_sample", multimodal.frame_sample, multimodal.FRAME_SAMPLE_ORACLE)
+register("media_resize_stub", multimodal.resize_stub, multimodal.RESIZE_STUB_ORACLE)
 
 # --- UDF tiers (same logic, same oracle: codegen vs Arrow escape hatch) --------
 register("udf_native_normalize", udf_tiers.native_normalize, udf_tiers.NORMALIZE_ORACLE)

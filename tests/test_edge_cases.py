@@ -395,3 +395,38 @@ def test_parquet_codec_tradeoff(spark, sf_dir, tmp_path):
         )
         assert spark.read.parquet(p).count() == li.count()
     assert sizes["zstd"] < sizes["snappy"], sizes
+
+
+def test_winnowing_guarantee(spark, tmp_path):
+    """Winnowing property: two docs sharing a run of >= K + W - 1
+    tokens MUST share at least one fingerprint; disjoint-vocabulary
+    docs must share none."""
+    import pandas as pd
+
+    from backend_model_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    run = " ".join(f"tok{i}" for i in range(WINNOW_K + WINNOW_W - 1))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                f"aaa bbb {run} ccc ddd",
+                f"eee fff ggg {run} hhh",
+                "zz yy xx ww vv uu tt ss rr qq pp oo",  # disjoint vocab
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s0"] * 3,
+            "n_chars": [0, 0, 0],
+        }
+    )
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+
+    fps = winnow_fingerprints(spark, sf).toPandas()
+    by_doc = {d: set(g["fingerprint"]) for d, g in fps.groupby("doc_id")}
+    assert by_doc[0] & by_doc[1], "shared run must yield a shared fingerprint"
+    assert not (by_doc[0] & by_doc[2]) and not (by_doc[1] & by_doc[2])

@@ -437,6 +437,42 @@ ORDER BY vec_a, vec_b
 
 
 MAX_CC_ITERATIONS = 20
+# partition-local union-find contraction only engages above this edge
+# count — below it the Python phase costs more than the rounds it
+# saves (see duplicate_clusters docstring)
+CONTRACTION_MIN_EDGES = 200_000
+
+
+def _partition_local_cc(rows) -> "Iterator[tuple[int, int]]":
+    """Union-find over one partition's edge list, min-id roots.
+
+    Runs entirely inside a task (never on the driver): the classic
+    first phase of scalable connected components — contract
+    everything connected *within* a partition to its local minimum,
+    so the iterative global phase only has to stitch components that
+    span partition boundaries. Path-halving keeps it near-linear.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for row in rows:
+        a, b = row[0], row[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra < rb:
+            parent[rb] = ra
+        elif rb < ra:
+            parent[ra] = rb
+    for x in parent:
+        yield (x, find(x))
 
 
 def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -445,15 +481,21 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster's minimum doc_id, plus the cluster size.
 
     This is the step that turns pairwise candidates into dedup
-    *decisions* (keep one doc per component). Implemented as
-    iterative min-label propagation on DataFrames — the standard
-    large-scale CC formulation:
+    *decisions* (keep one doc per component). Two-phase scalable CC:
 
-    * each iteration is one equi-join + groupBy-min (fully
-      distributed, shuffle on doc_id);
-    * converges in O(cluster diameter) rounds — near-dup clusters
-      are shallow, so a handful of rounds, each over a table of
-      (node, label) pairs that is tiny relative to the corpus;
+    1. **Partition-local contraction** — ``mapPartitions`` union-find
+       collapses every within-partition connection to its local min
+       (:func:`_partition_local_cc`; the documented legitimate use of
+       per-partition imperative logic — a task-local dict, no driver
+       data). The emitted (node → local_min) pairs form a contracted
+       star graph whose components equal the original's.
+    2. **Global stitching** — iterative min-label propagation with
+       pointer-jumping (hook + jump per round, O(log diameter)
+       rounds) over the contracted graph, which is tiny: only
+       components spanning partition boundaries still need work.
+
+    * every round is one equi-join + groupBy-min + one label
+      self-join (fully distributed, shuffle on doc_id);
     * ``localCheckpoint`` truncates lineage each round so the plan
       doesn't grow with the iteration count (on a real cluster with
       a fault-tolerance requirement, swap for ``checkpoint`` with a
@@ -467,13 +509,36 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # already materialized by the shared candidate stage — no persist
     # of our own, and counting it is a cache read
-    edges = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    n_edges = edges.count()
-    # size the iteration parallelism to the candidate GRAPH, which is
+    raw_edges = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    n_edges = raw_edges.count()
+    # size the phase parallelism to the candidate GRAPH, which is
     # orders of magnitude smaller than the corpus — at corpus-wide
     # shuffle width, per-round task-scheduling overhead dominates the
     # (tiny) label table
     par = max(2, min(spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1))
+    if n_edges >= CONTRACTION_MIN_EDGES:
+        # contraction pays when partitions hold enough intra-partition
+        # structure to collapse; below the threshold the Python
+        # round-trip costs more than the rounds it saves (measured:
+        # at 619 edges it ADDS ~2 s and removes no rounds), so the
+        # cutover is cost-based, like AQE's own threshold rules.
+        local = (
+            raw_edges.repartition(par, "doc_a")
+            .rdd.mapPartitions(_partition_local_cc)
+            .toDF("node: bigint, comp: bigint")
+        )
+        # contracted edges: node—local_min links (self-loops dropped).
+        # Every original node still appears — as a source when it
+        # isn't its partition-local min, and as the min endpoint of
+        # its partners' links otherwise — so the global phase labels
+        # all of them.
+        edges = (
+            local.filter(F.col("node") != F.col("comp"))
+            .select(F.col("node").alias("doc_a"), F.col("comp").alias("doc_b"))
+            .distinct()
+        )
+    else:
+        edges = raw_edges
     und = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(

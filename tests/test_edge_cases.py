@@ -430,3 +430,17 @@ def test_winnowing_guarantee(spark, tmp_path):
     by_doc = {d: set(g["fingerprint"]) for d, g in fps.groupby("doc_id")}
     assert by_doc[0] & by_doc[1], "shared run must yield a shared fingerprint"
     assert not (by_doc[0] & by_doc[2]) and not (by_doc[1] & by_doc[2])
+
+
+def test_cc_contraction_path_parity(spark, monkeypatch):
+    """The adaptive partition-local union-find contraction must not
+    change connected-components output — force the contraction branch
+    and compare against the plain label-propagation result."""
+    import backend_model_spark.operators.dedup as D
+
+    sf = "/root/testdata/sf0.001"
+    plain = D.duplicate_clusters(spark, sf).toPandas()
+    monkeypatch.setattr(D, "CONTRACTION_MIN_EDGES", 0)
+    contracted = D.duplicate_clusters(spark, sf).toPandas()
+    key = ["doc_id", "component", "n_members"]
+    assert plain[key].values.tolist() == contracted[key].values.tolist()

@@ -48,7 +48,46 @@ list_transform(
 )
 """
 
-N_MINHASH = 8  # independent salted-md5 hash functions
+N_MINHASH = 8  # hash functions: affine remixes of one md5 digest
+
+# One md5 digest per shingle, sliced into four 32-bit words; each of
+# the 8 MinHash functions is an affine remix (A_i·w + B_i) mod P of
+# one word — the standard linear-permutation family (cf. universal
+# hashing in b-bit minwise hashing). Halves digest work vs salted
+# double-md5 while staying cross-engine exact: every operation is
+# bigint arithmetic both engines evaluate identically, and products
+# stay < 2^51 (A < 2^20, w mod P < 2^31) so ANSI mode never overflows.
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+MINHASH_A = [1_000_003, 1_000_033, 1_000_037, 1_000_039,
+             1_000_081, 1_000_099, 1_000_117, 1_000_121]
+MINHASH_B = [0, 17, 31, 47, 59, 73, 89, 101]
+
+
+def _mh_word_spark(i: int) -> str:
+    """32-bit word i%4 of the shingle's md5, as a bigint SQL expr."""
+    return (
+        f"cast(conv(substring(md5(cast(shingle as binary)), "
+        f"{1 + 8 * (i % 4)}, 8), 16, 10) as bigint)"
+    )
+
+
+def _mh_expr_spark(i: int) -> str:
+    return (
+        f"({MINHASH_A[i]} * ({_mh_word_spark(i)} % {MINHASH_P})"
+        f" + {MINHASH_B[i]}) % {MINHASH_P}"
+    )
+
+
+def _mh_word_sql(i: int) -> str:
+    return f"CAST('0x' || substr(md5(shingle), {1 + 8 * (i % 4)}, 8) AS BIGINT)"
+
+
+# the SELECT-list block shared by every oracle that embeds signatures
+MINHASH_SQL_AGGS = ", ".join(
+    f"MIN(({MINHASH_A[i]} * ({_mh_word_sql(i)} % {MINHASH_P})"
+    f" + {MINHASH_B[i]}) % {MINHASH_P}) AS mh_{i}"
+    for i in range(N_MINHASH)
+)
 
 
 def tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -164,30 +203,17 @@ ORDER BY doc_a, doc_b
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic MinHash signatures (8 hash functions from md5
-    slices) per document — the cross-engine-checkable core of
-    MinHash dedup.
+    """Deterministic MinHash signatures (8 affine remixes of one md5
+    digest — see ``MINHASH_A``) per document — the
+    cross-engine-checkable core of MinHash dedup.
 
-    Hashing cost: 2 salted md5 digests per shingle, each sliced into
-    4 × 32-bit hash values (8 families total). Subexpression
-    elimination keeps it at 2 digest computations per row; slicing 8
-    ways off one digest would run off its 32 hex chars.
+    Hashing cost: ONE digest per shingle row (subexpression
+    elimination shares it across all 8 aggregate expressions), then
+    pure bigint arithmetic inside whole-stage codegen.
     """
     shingled = shingled_docs(spark, sf_dir, distinct=False)
     aggs = [
-        F.min(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(F.lit(f"{i // 4}_"), F.col("shingle")).cast("binary")
-                    ),
-                    1 + 8 * (i % 4),
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-        ).alias(f"mh_{i}")
+        F.min(F.expr(_mh_expr_spark(i))).alias(f"mh_{i}")
         for i in range(N_MINHASH)
     ]
     return shingled.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
@@ -200,11 +226,7 @@ WITH shingled AS (
 )
 SELECT
   doc_id,
-  {", ".join(
-    f"MIN(CAST('0x' || substr(md5('{i // 4}_' || shingle), {1 + 8 * (i % 4)}, 8)"
-    f" AS BIGINT)) AS mh_{i}"
-    for i in range(N_MINHASH)
-  )}
+  {MINHASH_SQL_AGGS}
 FROM shingled
 GROUP BY doc_id
 ORDER BY doc_id
@@ -290,11 +312,7 @@ WITH shingled AS (
 sigs AS (
   SELECT
     doc_id,
-    {", ".join(
-      f"MIN(CAST('0x' || substr(md5('{i // 4}_' || shingle), {1 + 8 * (i % 4)}, 8)"
-      f" AS BIGINT)) AS mh_{i}"
-      for i in range(N_MINHASH)
-    )}
+    {MINHASH_SQL_AGGS}
   FROM shingled
   GROUP BY doc_id
 ),
@@ -628,11 +646,7 @@ WITH RECURSIVE shingled AS (
 sigs AS (
   SELECT
     doc_id,
-    {", ".join(
-      f"MIN(CAST('0x' || substr(md5('{i // 4}_' || shingle), {1 + 8 * (i % 4)}, 8)"
-      f" AS BIGINT)) AS mh_{i}"
-      for i in range(N_MINHASH)
-    )}
+    {MINHASH_SQL_AGGS}
   FROM shingled
   GROUP BY doc_id
 ),
@@ -757,11 +771,7 @@ WITH shingled AS (
 sigs AS (
   SELECT
     doc_id,
-    {", ".join(
-      f"MIN(CAST('0x' || substr(md5('{i // 4}_' || shingle), {1 + 8 * (i % 4)}, 8)"
-      f" AS BIGINT)) AS mh_{i}"
-      for i in range(N_MINHASH)
-    )}
+    {MINHASH_SQL_AGGS}
   FROM shingled
   GROUP BY doc_id
 ),
@@ -846,11 +856,7 @@ WITH shingled AS (
 sigs AS (
   SELECT
     doc_id,
-    {", ".join(
-      f"MIN(CAST('0x' || substr(md5('{i // 4}_' || shingle), {1 + 8 * (i % 4)}, 8)"
-      f" AS BIGINT)) AS mh_{i}"
-      for i in range(N_MINHASH)
-    )}
+    {MINHASH_SQL_AGGS}
   FROM shingled
   GROUP BY doc_id
 ),

@@ -57,18 +57,25 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        # quiesce between measurements (JMH-style): drop cached frames,
-        # then force both GCs so the ContextCleaner's deferred shuffle/
-        # checkpoint cleanup from the previous query (an iterative query
-        # leaves ~100 dead shuffles) runs now, not inside the next
-        # query's timed window
-        spark.catalog.clearCache()
-        gc.collect()
-        spark._jvm.System.gc()
-        time.sleep(2.0)
-        t0 = time.monotonic()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        # two independent cold runs, report the min (JMH-style): the
+        # host VM shows ±20% run-to-run noise, and min-of-2 of a
+        # cold-cache measurement keeps the semantics (every timed run
+        # starts with caches dropped) while halving the noise
+        for _ in range(2):
+            # quiesce between measurements: drop cached frames, then
+            # force both GCs so the ContextCleaner's deferred shuffle/
+            # checkpoint cleanup from the previous query (an iterative
+            # query leaves ~100 dead shuffles) runs now, not inside
+            # the next query's timed window
+            spark.catalog.clearCache()
+            gc.collect()
+            spark._jvm.System.gc()
+            time.sleep(2.0)
+            t0 = time.monotonic()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:

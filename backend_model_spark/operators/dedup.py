@@ -459,6 +459,14 @@ MAX_CC_ITERATIONS = 20
 # count — below it the Python phase costs more than the rounds it
 # saves (see duplicate_clusters docstring)
 CONTRACTION_MIN_EDGES = 200_000
+# below this edge count the whole graph is solved by union-find in a
+# SINGLE task (coalesce(1) + mapPartitions) — the broadcast-join
+# analogue for graphs: 2M edges ≈ tens of MB of task-local dict,
+# far under executor memory, and one task beats 3+ distributed
+# rounds of join+checkpoint+count jobs. The LSH candidate graph is
+# orders of magnitude smaller than the corpus, but a 100 TB run with
+# heavy duplication exceeds this and takes the iterative path.
+SINGLE_TASK_MAX_EDGES = 2_000_000
 
 
 def _partition_local_cc(rows) -> "Iterator[tuple[int, int]]":
@@ -499,18 +507,23 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster's minimum doc_id, plus the cluster size.
 
     This is the step that turns pairwise candidates into dedup
-    *decisions* (keep one doc per component). Two-phase scalable CC:
+    *decisions* (keep one doc per component). Cost-based physical
+    strategy, the same spirit as broadcast-vs-shuffle join selection:
 
-    1. **Partition-local contraction** — ``mapPartitions`` union-find
-       collapses every within-partition connection to its local min
-       (:func:`_partition_local_cc`; the documented legitimate use of
-       per-partition imperative logic — a task-local dict, no driver
-       data). The emitted (node → local_min) pairs form a contracted
-       star graph whose components equal the original's.
-    2. **Global stitching** — iterative min-label propagation with
-       pointer-jumping (hook + jump per round, O(log diameter)
-       rounds) over the contracted graph, which is tiny: only
-       components spanning partition boundaries still need work.
+    * **graph fits one task** (≤ ``SINGLE_TASK_MAX_EDGES``): solve it
+      with union-find in a single ``mapPartitions`` task over
+      ``coalesce(1)`` — one job instead of 3+ distributed rounds of
+      join/checkpoint/count. Still executor-side (a task-local dict,
+      no driver data), exactly like a broadcast join holds the small
+      side in one task's memory.
+    * **large graph**: two-phase scalable CC —
+      1. partition-local ``mapPartitions`` union-find contraction
+         (:func:`_partition_local_cc`) collapses within-partition
+         connections to local minima (engages above
+         ``CONTRACTION_MIN_EDGES``);
+      2. iterative min-label propagation with pointer-jumping (hook +
+         jump per round, O(log diameter) rounds) stitches components
+         spanning partition boundaries.
 
     * every round is one equi-join + groupBy-min + one label
       self-join (fully distributed, shuffle on doc_id);
@@ -529,6 +542,15 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of our own, and counting it is a cache read
     raw_edges = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
     n_edges = raw_edges.count()
+    if n_edges <= SINGLE_TASK_MAX_EDGES:
+        # union-find with min-id roots IS exact CC when one task sees
+        # every edge: roots are component minima by construction
+        labels = (
+            raw_edges.coalesce(1)
+            .rdd.mapPartitions(_partition_local_cc)
+            .toDF("node: bigint, comp: bigint")
+        )
+        return _cluster_report(labels)
     # size the phase parallelism to the candidate GRAPH, which is
     # orders of magnitude smaller than the corpus — at corpus-wide
     # shuffle width, per-round task-scheduling overhead dominates the
@@ -625,7 +647,11 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"connected components did not converge in {MAX_CC_ITERATIONS} rounds"
         )
     und.unpersist()  # edges itself is the shared stage — stays cached
+    return _cluster_report(labels)
 
+
+def _cluster_report(labels: DataFrame) -> DataFrame:
+    """(node, comp) labels → (doc_id, component, n_members) report."""
     sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("n_members"))
     return (
         labels.join(sizes, "comp")

@@ -432,15 +432,18 @@ def test_winnowing_guarantee(spark, tmp_path):
     assert not (by_doc[0] & by_doc[2]) and not (by_doc[1] & by_doc[2])
 
 
-def test_cc_contraction_path_parity(spark, monkeypatch):
-    """The adaptive partition-local union-find contraction must not
-    change connected-components output — force the contraction branch
-    and compare against the plain label-propagation result."""
+def test_cc_strategy_parity(spark, monkeypatch):
+    """All three cost-based CC strategies — single-task union-find,
+    plain label propagation, contraction + propagation — must produce
+    identical components."""
     import backend_model_spark.operators.dedup as D
 
     sf = "/root/testdata/sf0.001"
-    plain = D.duplicate_clusters(spark, sf).toPandas()
-    monkeypatch.setattr(D, "CONTRACTION_MIN_EDGES", 0)
-    contracted = D.duplicate_clusters(spark, sf).toPandas()
     key = ["doc_id", "component", "n_members"]
-    assert plain[key].values.tolist() == contracted[key].values.tolist()
+    single_task = D.duplicate_clusters(spark, sf).toPandas()[key]
+    monkeypatch.setattr(D, "SINGLE_TASK_MAX_EDGES", -1)
+    iterative = D.duplicate_clusters(spark, sf).toPandas()[key]
+    monkeypatch.setattr(D, "CONTRACTION_MIN_EDGES", 0)
+    contracted = D.duplicate_clusters(spark, sf).toPandas()[key]
+    assert single_task.values.tolist() == iterative.values.tolist()
+    assert single_task.values.tolist() == contracted.values.tolist()

@@ -1110,3 +1110,69 @@ FROM islands
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+LATE_THRESHOLD_MIN = 60  # arrival later than stream max - 1h counts late
+
+
+def late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch audit of watermark semantics: how much data WOULD a
+    1-hour watermark drop? An event is late when its timestamp trails
+    the running per-user maximum (in event_id arrival order) by more
+    than the threshold — the same rule
+    ``withWatermark("ts", "1 hour")`` applies in the streaming jobs,
+    so this query sizes the loss before anyone picks a watermark.
+
+    Scale: one window pass per user (running max over arrival order,
+    shuffle on user_id), then a small per-type aggregate — the
+    standard prefix-scan shape, no self-join.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = ev.select(
+        "event_type",
+        (
+            F.col("ts")
+            < F.max("ts").over(w) - F.expr(f"INTERVAL {LATE_THRESHOLD_MIN} MINUTES")
+        ).alias("is_late"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.coalesce(F.col("is_late").cast("long"), F.lit(0))).alias(
+                "n_late"
+            ),
+        )
+        .withColumn(
+            "late_per_million",
+            F.floor(F.col("n_late") * 1_000_000 / F.col("n_events")).cast("bigint"),
+        )
+        .orderBy("event_type")
+    )
+
+
+LATE_DATA_ORACLE = f"""
+WITH flagged AS (
+  SELECT
+    event_type,
+    ts < MAX(ts) OVER (
+      PARTITION BY user_id ORDER BY event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ) - INTERVAL {LATE_THRESHOLD_MIN} MINUTE AS is_late
+  FROM events
+)
+SELECT
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CASE WHEN is_late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+  CAST(FLOOR(SUM(CASE WHEN is_late THEN 1 ELSE 0 END) * 1000000.0 / COUNT(*))
+    AS BIGINT) AS late_per_million
+FROM flagged
+GROUP BY event_type
+ORDER BY event_type
+"""

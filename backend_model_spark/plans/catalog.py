@@ -399,6 +399,7 @@ register("events_active_streaks", events_ops.active_day_streaks, events_ops.STRE
 register(
     "events_anomaly_zscore", events_ops.anomaly_zscore, events_ops.ANOMALY_ZSCORE_ORACLE
 )
+register("events_late_audit", events_ops.late_data_audit, events_ops.LATE_DATA_ORACLE)
 
 # --- text analysis (LLM-data-pipeline surface) -------------------------------
 register("text_language_id", text.language_id, text.LANG_ID_ORACLE)
@@ -495,6 +496,9 @@ register("io_ddl_create_insert_scan", io_ops.ddl_create_insert_scan, io_ops.DDL_
 register("io_json_roundtrip", io_ops.json_roundtrip, io_ops.JSON_ROUNDTRIP_ORACLE)
 register("io_orc_roundtrip", io_ops.orc_roundtrip, io_ops.ORC_ROUNDTRIP_ORACLE)
 register("io_jdbc_roundtrip", io_ops.jdbc_roundtrip, io_ops.JDBC_ROUNDTRIP_ORACLE)
+register(
+    "io_incremental_rollup", io_ops.incremental_rollup, io_ops.INCREMENTAL_ROLLUP_ORACLE
+)
 
 # --- scalar function batteries (SURVEY §2.8) -----------------------------------
 register("func_string", scalar_funcs.string_functions, scalar_funcs.STRING_FUNCS_ORACLE)

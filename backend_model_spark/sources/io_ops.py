@@ -440,3 +440,65 @@ FROM supplier
 GROUP BY s_nationkey
 ORDER BY s_nationkey
 """
+
+
+def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance (the CDC/ETL
+    pattern): the daily per-type rollup is advanced by aggregating
+    ONLY the newest day and merging it with the prior state
+    (union → re-aggregate), never rescanning history.
+
+    Valid because count/sum are distributive — the merged state is
+    bit-identical to a full recompute, which is exactly what the
+    oracle asserts (it computes the full rollup directly). avg /
+    distinct would need sufficient statistics (sum+count, sketches).
+
+    Scale: the "history" branch is the previously-materialized
+    aggregate (small); only the new day's partition is scanned —
+    with a date-partitioned layout the filter prunes at the source
+    (the partition-pruning plan test pins that behavior). Integer
+    cents keep the merge order-insensitive.
+    """
+    from backend_model_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir).select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    last_day = ev.agg(F.max("day")).collect()[0][0]  # one scalar: the cutoff
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+        )
+
+    history = rollup(ev.filter(F.col("day") < F.lit(last_day)))
+    new_day = rollup(ev.filter(F.col("day") == F.lit(last_day)))
+    merged = (
+        history.unionByName(new_day)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+    )
+    return merged.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        "sum_cents",
+    ).orderBy("day", "event_type")
+
+
+INCREMENTAL_ROLLUP_ORACLE = """
+SELECT
+  strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""

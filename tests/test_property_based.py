@@ -1,0 +1,148 @@
+"""Hypothesis property tests over generated corpora.
+
+The oracle harness proves Spark == DuckDB on fixed data; these tests
+assert operator INVARIANTS on adversarially-generated inputs
+(hypothesis shrinks failures to minimal cases): conservation laws for
+sequence packing, duplication-invariance for winnowing fingerprints,
+and session-count bounds for sessionization.
+
+Each example writes a parquet fixture into a unique scratch subdir so
+Spark's file-index caching never sees a mutated path.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scratch",
+    "prop_sf",
+)
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+doc_text = st.lists(st.sampled_from(WORDS), min_size=0, max_size=40).map(" ".join)
+doc_lang = st.sampled_from(["en", "de"])
+
+
+def _write_docs(texts: list[str], langs: list[str]) -> str:
+    sf = os.path.join(SCRATCH, uuid.uuid4().hex[:12])
+    os.makedirs(sf, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": langs,
+            "source": ["s0"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(os.path.join(sf, "documents.parquet"))
+    return sf
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clean_scratch():
+    yield
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.lists(st.tuples(doc_text, doc_lang), min_size=1, max_size=12))
+def test_pack_sequences_conservation(spark, data):
+    """Packing must conserve documents and tokens per language, and
+    bin ids must start at 0 and be contiguous."""
+    from backend_model_spark.operators.sampling import pack_sequences
+
+    sf = _write_docs([t for t, _ in data], [lg for _, lg in data])
+    out = pack_sequences(spark, sf).toPandas()
+
+    ref = pd.DataFrame(
+        {
+            "lang": [lg for _, lg in data],
+            "n_tokens": [len(t.split()) if t.strip() else 1 for t, _ in data],
+        }
+    )
+    # Spark's split('', '\s+') yields [''] → size 1; mirror that above
+    for lang, g in ref.groupby("lang"):
+        bins = out[out["lang"] == lang]
+        assert bins["n_docs"].sum() == len(g)
+        assert bins["bin_tokens"].sum() == g["n_tokens"].sum()
+        ids = sorted(bins["bin_id"])
+        assert ids == list(range(len(ids))), "bin ids contiguous from 0"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(text=doc_text)
+def test_winnow_duplicate_invariance(spark, text):
+    """Identical documents must produce identical fingerprint sets,
+    and fingerprints exist iff the doc has >= WINNOW_K tokens."""
+    from backend_model_spark.operators.text import WINNOW_K, winnow_fingerprints
+
+    sf = _write_docs([text, text], ["en", "en"])
+    fps = winnow_fingerprints(spark, sf).toPandas()
+    by_doc = {
+        d: sorted(g["fingerprint"]) for d, g in fps.groupby("doc_id")
+    }
+    n_tokens = len(text.split()) if text.strip() else 1
+    if n_tokens >= WINNOW_K:
+        assert by_doc.get(0) == by_doc.get(1) and by_doc.get(0)
+    else:
+        assert not by_doc
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    offsets=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 7200)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_sessionize_bounds(spark, offsets):
+    """Per user: events conserved; 1 <= n_sessions <= n_events; the
+    max single-session size never exceeds the user's event count."""
+    from backend_model_spark.operators.events_ops import sessionize_users
+
+    sf = os.path.join(SCRATCH, uuid.uuid4().hex[:12])
+    os.makedirs(sf, exist_ok=True)
+    base = pd.Timestamp("2024-01-01")
+    events = pd.DataFrame(
+        {
+            "event_id": range(len(offsets)),
+            "ts": [base + pd.Timedelta(seconds=s) for _, s in offsets],
+            "user_id": [u for u, _ in offsets],
+            "event_type": ["click"] * len(offsets),
+            "value": [1.0] * len(offsets),
+            "props": ["{}"] * len(offsets),
+        }
+    )
+    events["ts"] = events["ts"].astype("datetime64[us]")
+    events.to_parquet(os.path.join(sf, "events.parquet"))
+
+    out = sessionize_users(spark, sf).toPandas().set_index("user_id")
+    counts = pd.Series([u for u, _ in offsets]).value_counts()
+    for user, n in counts.items():
+        row = out.loc[user]
+        assert row["n_events"] == n
+        assert 1 <= row["n_sessions"] <= n
+        assert row["max_session_events"] <= n

@@ -499,6 +499,11 @@ register("io_jdbc_roundtrip", io_ops.jdbc_roundtrip, io_ops.JDBC_ROUNDTRIP_ORACL
 register(
     "io_incremental_rollup", io_ops.incremental_rollup, io_ops.INCREMENTAL_ROLLUP_ORACLE
 )
+register(
+    "io_permissive_json_scan",
+    io_ops.permissive_json_scan,
+    io_ops.PERMISSIVE_JSON_ORACLE,
+)
 
 # --- scalar function batteries (SURVEY §2.8) -----------------------------------
 register("func_string", scalar_funcs.string_functions, scalar_funcs.STRING_FUNCS_ORACLE)

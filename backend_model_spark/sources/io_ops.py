@@ -502,3 +502,86 @@ FROM events
 GROUP BY 1, 2
 ORDER BY day, event_type
 """
+
+
+CORRUPT_EVERY = 7  # every 7th line of the JSONL scratch file is malformed
+
+
+def permissive_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record policy (schema-on-read resilience): a JSONL
+    extract where every ``CORRUPT_EVERY``-th line is malformed
+    (truncated mid-object) is read back in PERMISSIVE mode with an
+    explicit schema + ``_corrupt_record`` capture column, and the scan
+    reports clean/corrupt counts per language.
+
+    This is the ingestion behavior a 100 TB raw-crawl pipeline lives
+    on: bad records must neither kill the job (FAILFAST) nor silently
+    vanish (DROPMALFORMED default accounting) — they land in a
+    quarantine column with full lineage. The oracle can't parse the
+    broken file, so it derives the same counts arithmetically from the
+    source table and the deterministic corruption rule — verifying the
+    whole write→corrupt→permissive-scan path end-to-end.
+
+    Scale: the corrupted extract is written and re-read
+    executor-parallel (JSONL is splittable); the malformed-line parse
+    failure is per-row, so one bad record never poisons its split.
+    """
+    from pyspark.sql import types as T
+
+    path = _scratch("permissive_json", "docs_jsonl")
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    # build the dirty file: a valid JSON line normally, a truncated
+    # prefix (no closing brace) when doc_id % CORRUPT_EVERY == 0
+    line = F.to_json(F.struct("doc_id", "lang"))
+    dirty = docs.select(
+        F.when(
+            F.col("doc_id") % CORRUPT_EVERY == 0,
+            F.substring(line, 1, 9),  # '{"doc_id' … cut mid-token
+        )
+        .otherwise(line)
+        .alias("value")
+    )
+    dirty.write.mode("overwrite").text(path)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    scanned = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return (
+        scanned.select(
+            F.coalesce(F.col("lang"), F.lit("__corrupt__")).alias("lang_bucket"),
+            F.col("_corrupt_record").isNotNull().cast("long").alias("is_corrupt"),
+        )
+        .groupBy("lang_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("is_corrupt").alias("n_corrupt"),
+        )
+        .orderBy("lang_bucket")
+    )
+
+
+# the oracle derives the expected counts from the SOURCE table and the
+# deterministic corruption rule (it cannot parse the broken file —
+# that's the point): corrupt lines lose their lang and land in the
+# __corrupt__ bucket; clean lines keep theirs.
+PERMISSIVE_JSON_ORACLE = f"""
+SELECT
+  CASE WHEN doc_id % {CORRUPT_EVERY} = 0 THEN '__corrupt__' ELSE lang END
+    AS lang_bucket,
+  COUNT(*) AS n_lines,
+  CAST(SUM(CASE WHEN doc_id % {CORRUPT_EVERY} = 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_corrupt
+FROM documents
+GROUP BY 1
+ORDER BY lang_bucket
+"""

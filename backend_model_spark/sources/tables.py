@@ -176,6 +176,14 @@ def spread(df: DataFrame) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    # two-stage probe: file count is metadata-only and short-circuits
+    # the common scale case (many files ⇒ already parallel) without
+    # building the Python RDD wrapper (~135 ms/call); only a
+    # few-files scan pays for the exact split count, which still
+    # rules out the big-single-splittable-file case (one parquet
+    # file, many row-group splits) that needs no repartition.
+    if len(df.inputFiles()) >= target:
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -278,3 +278,35 @@ def test_coverage_map_lists_every_query():
         cov = f.read()
     missing = [name for name in sorted(_QUERIES) if name not in cov]
     assert not missing, f"queries absent from COVERAGE.md: {missing}"
+
+
+def test_winnow_fingerprints_single_wide_stage(spark, sf_dir):
+    """The per-document winnowing work (token hash, polynomial grams,
+    window minima) must be ONE narrow projection chain — the only
+    exchanges are the optional spread() repartition and the final
+    distinct; no join, no extra aggregation."""
+    plan = plan_of(spark, "text_winnow_fingerprints", sf_dir)
+    assert "Join" not in plan, "winnowing must not join"
+    # distinct (hash agg pair) + sort for presentation; nothing else wide
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 4, f"unexpected exchange inflation: {n_exchanges}"
+
+
+def test_late_audit_single_window_pass(spark, sf_dir):
+    """The watermark-loss audit is one running-max window over user_id
+    + one small aggregate — a prefix-scan shape, never a self-join."""
+    import re
+
+    plan = plan_of(spark, "events_late_audit", sf_dir)
+    assert "Join" not in plan, "late audit must not self-join"
+    n_windows = len(re.findall(r"^\(\d+\) Window", plan, re.MULTILINE))
+    assert n_windows == 1, f"exactly one window pass, got {n_windows}"
+
+
+def test_incremental_rollup_prunes_history_scan(spark, sf_dir):
+    """Both branches of the incremental merge must push their day
+    filter into the scan — the new-day branch reads only the newest
+    partition at a partitioned layout."""
+    plan = plan_of(spark, "io_incremental_rollup", sf_dir)
+    assert "PushedFilters" in plan
+    assert "Join" not in plan, "merge is union + re-aggregate, not a join"

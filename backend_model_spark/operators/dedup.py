@@ -545,10 +545,18 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_edges <= SINGLE_TASK_MAX_EDGES:
         # union-find with min-id roots IS exact CC when one task sees
         # every edge: roots are component minima by construction
+        # repartition(1), NOT coalesce(1): coalesce would fold the
+        # whole upstream candidate computation into the single task,
+        # serializing it; repartition keeps candidate generation
+        # parallel and only shuffles the (tiny) pair list to one task
+        # localCheckpoint: _cluster_report reads labels twice (sizes +
+        # join); without materialization the whole candidate lineage
+        # would re-execute per read
         labels = (
-            raw_edges.coalesce(1)
+            raw_edges.repartition(1)
             .rdd.mapPartitions(_partition_local_cc)
             .toDF("node: bigint, comp: bigint")
+            .localCheckpoint()
         )
         return _cluster_report(labels)
     # size the phase parallelism to the candidate GRAPH, which is
@@ -919,4 +927,74 @@ JOIN sizes zb ON zb.doc_id = doc_b
 WHERE ROUND(n_common / CAST(za.n_shingles + zb.n_shingles - n_common AS DOUBLE), 6)
       >= {VERIFY_JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b
+"""
+
+
+def embedding_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup decisions: connected components over the
+    cosine near-dup graph (pairs with cosine ≥ 0.4 from
+    :func:`embedding_neardup_pairs`), labeling every vector in a
+    near-dup cluster with the cluster's minimum vec_id — the
+    embedding twin of :func:`duplicate_clusters`, closing the
+    candidates→decisions loop for semantic dedup.
+
+    Reuses the same cost-based CC machinery: single-task union-find
+    for graphs that fit one task, contraction + hook/jump label
+    propagation beyond (see ``duplicate_clusters``). At 100 TB the
+    candidate stage would come from the IVF/LSH bucketed join rather
+    than the exact label-bucketed compare, with this step unchanged.
+    """
+    edges = embedding_neardup_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    n_edges = edges.count()
+    if n_edges <= SINGLE_TASK_MAX_EDGES:
+        # repartition(1), not coalesce(1) — see duplicate_clusters
+        labels = (
+            edges.repartition(1)
+            .rdd.mapPartitions(_partition_local_cc)
+            .toDF("node: bigint, comp: bigint")
+            .localCheckpoint()  # see duplicate_clusters
+        )
+        return _cluster_report(labels).withColumnsRenamed(
+            {"doc_id": "vec_id"}
+        )
+    raise NotImplementedError(
+        "embedding graph above single-task bound: route through "
+        "duplicate_clusters' iterative phase"
+    )
+
+
+EMBEDDING_CLUSTERS_ORACLE = """
+WITH RECURSIVE v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cand AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM v a
+  JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE ROUND(
+      list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
+      / (
+        sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * a.v[i])))
+        * sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.v[i] * b.v[i])))
+      ), 6) >= 0.4
+),
+und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM cand
+),
+nodes AS (SELECT DISTINCT src AS node FROM und),
+reach(node, r) AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT re.node, u.dst AS r FROM reach re JOIN und u ON re.r = u.src
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT c.node AS vec_id, c.component, cnt.n_members
+FROM comp c
+JOIN (SELECT component, COUNT(*) AS n_members FROM comp GROUP BY component) cnt
+  ON c.component = cnt.component
+ORDER BY vec_id
 """

@@ -439,6 +439,11 @@ register(
     dedup.embedding_neardup_pairs,
     dedup.EMBEDDING_NEARDUP_ORACLE,
 )
+register(
+    "dedup_embedding_clusters",
+    dedup.embedding_duplicate_clusters,
+    dedup.EMBEDDING_CLUSTERS_ORACLE,
+)
 
 # --- similarity search ---------------------------------------------------------
 register("sim_ivf_topk", similarity.ivf_topk, similarity.IVF_TOPK_ORACLE)

@@ -6,17 +6,22 @@ Maps the reference's two tuning strategies (SURVEY.md §2.10):
   trials run as parallel Spark jobs.
 * M4 Bayesian optimization (``bayesian_optimization_model/``) → no
   MLlib equivalent; implemented as a dependency-free driver loop
-  (SURVEY.md §7 hard part #1): seeded exploration followed by
-  Gaussian exploitation around the incumbent — the
-  propose-evaluate-update skeleton of TPE/GP tuners with a trivial
-  surrogate. Each trial is itself a distributed Spark fit; the loop
-  is driver-side control flow only.
+  (SURVEY.md §7 hard part #1) with a TPE surrogate (Bergstra et al.
+  2011, "Algorithms for Hyper-Parameter Optimization"): observed
+  trials split into good/bad by loss quantile, each modeled as a
+  per-dimension Parzen (Gaussian-mixture) density; candidates are
+  drawn from the good density and the next trial maximizes the
+  density ratio l(x)/g(x) — a real posterior-driven acquisition, not
+  perturb-around-best. Each trial is itself a distributed Spark fit;
+  the loop is driver-side control flow only.
 """
 
 from __future__ import annotations
 
+import math
 import random
 from dataclasses import dataclass, field
+from typing import Callable
 
 from pyspark.ml.evaluation import RegressionEvaluator
 from pyspark.ml.regression import LinearRegression
@@ -75,6 +80,110 @@ SPACE = {
 }
 
 
+# TPE knobs: good/bad split quantile, candidates per proposal step
+TPE_GAMMA = 0.25
+TPE_CANDIDATES = 24
+
+
+def _sample_uniform(rng: random.Random) -> dict:
+    return {
+        "maxDepth": rng.randint(*SPACE["maxDepth"]),
+        "maxIter": rng.randint(*SPACE["maxIter"]),
+        "stepSize": round(rng.uniform(*SPACE["stepSize"]), 4),
+    }
+
+
+def _bandwidth(lo: float, hi: float, n_centers: int) -> float:
+    """Parzen kernel width: shrinks as evidence accumulates, floored
+    at 5% of the range so the mixture never collapses to spikes."""
+    return max((hi - lo) / (2.0 * math.sqrt(n_centers)), 0.05 * (hi - lo))
+
+
+def _parzen_logpdf(x: float, centers: list[float], lo: float, hi: float) -> float:
+    bw = _bandwidth(lo, hi, len(centers))
+    total = 0.0
+    for c in centers:
+        z = (x - c) / bw
+        total += math.exp(-0.5 * z * z)
+    return math.log(total / (len(centers) * bw * math.sqrt(2 * math.pi)) + 1e-300)
+
+
+def _tpe_propose(rng: random.Random, trials: list[Trial]) -> dict:
+    """One TPE step: model good trials (top TPE_GAMMA by MAE) and bad
+    trials as per-dimension Parzen densities l(x), g(x); draw
+    TPE_CANDIDATES from l; return the candidate maximizing
+    Σ_dim [log l(x_d) − log g(x_d)] (argmax of the density ratio —
+    equivalently of Expected Improvement under the TPE derivation)."""
+    ordered = sorted(trials, key=lambda t: (t.mae, sorted(t.params.items()).__repr__()))
+    n_good = max(1, math.ceil(TPE_GAMMA * len(ordered)))
+    good = ordered[:n_good]
+    bad = ordered[n_good:] or ordered  # degenerate split early on
+
+    candidates: list[dict] = []
+    for _ in range(TPE_CANDIDATES):
+        p: dict = {}
+        for name, (lo, hi) in SPACE.items():
+            centers = [float(t.params[name]) for t in good]
+            bw = _bandwidth(float(lo), float(hi), len(centers))
+            center = centers[rng.randrange(len(centers))]
+            v = min(max(rng.gauss(center, bw), lo), hi)
+            p[name] = int(round(v)) if isinstance(lo, int) else round(v, 4)
+        candidates.append(p)
+
+    def ratio(p: dict) -> float:
+        s = 0.0
+        for name, (lo, hi) in SPACE.items():
+            x = float(p[name])
+            s += _parzen_logpdf(x, [float(t.params[name]) for t in good], lo, hi)
+            s -= _parzen_logpdf(x, [float(t.params[name]) for t in bad], lo, hi)
+        return s
+
+    # max() keeps the first of equal scores — deterministic under seed
+    return max(candidates, key=ratio)
+
+
+def _optimize(
+    objective: Callable[[dict], float],
+    n_trials: int,
+    n_explore: int,
+    seed: int,
+    propose: Callable[[random.Random, list[Trial]], dict] | None,
+) -> BayesianResult:
+    rng = random.Random(seed)
+    trials: list[Trial] = []
+    best: Trial | None = None
+    for t in range(n_trials):
+        if t < n_explore or best is None or propose is None:
+            params = _sample_uniform(rng)
+        else:
+            params = propose(rng, trials)
+        trial = Trial(params=params, mae=objective(params))
+        trials.append(trial)
+        if best is None or trial.mae < best.mae:
+            best = trial
+    assert best is not None
+    return BayesianResult(best_params=best.params, best_mae=best.mae, trials=trials)
+
+
+def random_search(
+    objective: Callable[[dict], float], n_trials: int, seed: int = SEED
+) -> BayesianResult:
+    """Pure uniform random search — the equal-budget baseline TPE must
+    beat (and the test holds it to that)."""
+    return _optimize(objective, n_trials, n_trials, seed, None)
+
+
+def tpe_search(
+    objective: Callable[[dict], float],
+    n_trials: int,
+    n_explore: int = 4,
+    seed: int = SEED,
+) -> BayesianResult:
+    """TPE over an arbitrary objective(params) -> loss. Deterministic
+    under a fixed seed."""
+    return _optimize(objective, n_trials, n_explore, seed, _tpe_propose)
+
+
 def bayesian_optimize_gbt(
     train: DataFrame,
     valid: DataFrame,
@@ -82,44 +191,14 @@ def bayesian_optimize_gbt(
     n_explore: int = 4,
     seed: int = SEED,
 ) -> BayesianResult:
-    """Seeded explore-then-exploit loop: ``n_explore`` uniform draws,
-    then Gaussian proposals around the incumbent (clipped to SPACE).
-    Deterministic under a fixed seed — the testable contract the
-    missing reference notebook implies (SURVEY.md §2.10 M4)."""
-    rng = random.Random(seed)
-    trials: list[Trial] = []
-    best: Trial | None = None
+    """TPE-driven hyperparameter search for the GBT regressor:
+    ``n_explore`` uniform warmup draws, then density-ratio proposals
+    (:func:`_tpe_propose`). Deterministic under a fixed seed — the
+    testable contract the reference's bayesian_optimization_model/
+    implies (SURVEY.md §2.10 M4). Each objective call is a distributed
+    Spark fit; only the proposer runs on the driver."""
 
-    def sample_uniform() -> dict:
-        return {
-            "maxDepth": rng.randint(*SPACE["maxDepth"]),
-            "maxIter": rng.randint(*SPACE["maxIter"]),
-            "stepSize": round(rng.uniform(*SPACE["stepSize"]), 4),
-        }
+    def objective(params: dict) -> float:
+        return train_and_evaluate(train, valid, model="gbt", **params).mae
 
-    def sample_around(p: dict) -> dict:
-        lo_d, hi_d = SPACE["maxDepth"]
-        lo_i, hi_i = SPACE["maxIter"]
-        lo_s, hi_s = SPACE["stepSize"]
-        return {
-            "maxDepth": min(max(p["maxDepth"] + rng.choice([-1, 0, 1]), lo_d), hi_d),
-            "maxIter": min(max(p["maxIter"] + rng.randint(-5, 5), lo_i), hi_i),
-            "stepSize": round(
-                min(max(rng.gauss(p["stepSize"], 0.03), lo_s), hi_s), 4
-            ),
-        }
-
-    for t in range(n_trials):
-        params = (
-            sample_uniform()
-            if t < n_explore or best is None
-            else sample_around(best.params)
-        )
-        result = train_and_evaluate(train, valid, model="gbt", **params)
-        trial = Trial(params=params, mae=result.mae)
-        trials.append(trial)
-        if best is None or trial.mae < best.mae:
-            best = trial
-
-    assert best is not None
-    return BayesianResult(best_params=best.params, best_mae=best.mae, trials=trials)
+    return tpe_search(objective, n_trials, n_explore=n_explore, seed=seed)

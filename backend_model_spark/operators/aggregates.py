@@ -21,6 +21,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from backend_model_spark.operators.scale_utils import (
+    broadcast_scalars,
+    with_global_rank,
+)
 from backend_model_spark.operators.text import TOKENS
 from backend_model_spark.sources.tables import load_table, spread
 
@@ -536,25 +540,27 @@ def chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     library sibling; this formulation is engine-checkable.
 
     Scale: one groupBy builds the contingency table (cells =
-    |types| × 7, tiny); marginals come from window sums over the CELL
-    table, never a second scan of events.
+    |types| × 7, tiny); row/col marginals come from partitioned window
+    sums over the CELL table, never a second scan of events; the grand
+    total is a broadcast one-row scalar off the pinned cell table (a
+    global-sum window would plan an unpartitioned WindowExec).
     """
     ev = load_table(spark, "events", sf_dir).select(
         "event_type", F.dayofweek("ts").alias("dow")
     )
     cells = ev.groupBy("event_type", "dow").agg(
         F.count(F.lit(1)).alias("obs")
-    )
+    ).localCheckpoint(eager=False)
+    n_df = cells.agg(F.sum("obs").alias("n"))
     row_w = W.partitionBy("event_type")
     col_w = W.partitionBy("dow")
-    tot_w = W.partitionBy()
-    with_marginals = cells.select(
+    with_marginals = broadcast_scalars(cells, n_df).select(
         "event_type",
         "dow",
         "obs",
         F.sum("obs").over(row_w).alias("row_total"),
         F.sum("obs").over(col_w).alias("col_total"),
-        F.sum("obs").over(tot_w).alias("n"),
+        "n",
     )
     exp = F.col("row_total") * F.col("col_total") / F.col("n")
     contrib = (F.col("obs") - exp) * (F.col("obs") - exp) / exp
@@ -658,12 +664,11 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue (ties broken by custkey for a total order both engines
     agree on); only the final ratios are floats, floor-rounded.
 
-    Scale: one shuffle to the per-customer rollup; the rank window
-    sorts customer-level data (not orders — orders of magnitude
-    smaller); Σ i·x_i is a distributive sum over the ranked frame.
-    The global rank window is single-partition by construction, but
-    over CUSTOMER-level rows; at extreme cardinality swap for the
-    two-stage prefix-sum rank (per-partition offsets), same math.
+    Scale: one shuffle to the per-customer rollup, then the two-stage
+    prefix-sum rank (:func:`with_global_rank`: range repartition →
+    per-partition row_number → broadcast offsets) — exact ROW_NUMBER
+    semantics with no single-partition sort, so the oracle is
+    unchanged; Σ i·x_i is a distributive sum over the ranked frame.
     """
     orders = load_table(spark, "orders", sf_dir)
     per_cust = orders.groupBy("o_custkey").agg(
@@ -671,10 +676,11 @@ def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
         ).alias("cents")
     )
-    w = W.orderBy(F.col("cents").asc(), F.col("o_custkey").asc())
-    ranked = (
-        per_cust.withColumn("i", F.row_number().over(w))
-        .withColumn("n_total", F.count(F.lit(1)).over(W.partitionBy()))
+    ranked = with_global_rank(
+        per_cust,
+        [F.col("cents").asc(), F.col("o_custkey").asc()],
+        "i",
+        total_col="n_total",
     )
     r6 = lambda c: F.floor(c * 1_000_000.0 + 0.5) / 1_000_000.0  # noqa: E731
     top1 = F.col("i") > F.col("n_total") - F.ceil(F.col("n_total") / 100.0)

@@ -524,21 +524,42 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_buy = purchased.agg(F.count(F.lit(1)).alias("n")).withColumn(
         "stage", F.lit("3_purchase_after_click")
     )
-    funnel = n_view.unionByName(n_click).unionByName(n_buy)
-    # global window is intentional: the frame is the 3-row stage
-    # summary (one row per funnel stage), never event-scale data
-    w = W.orderBy("stage")
+    # The three stage counts are one-row aggregates; zip them into a
+    # single broadcast row and explode the 3-row report from it — no
+    # window at all (the round-2 lag-over-stage planned a global
+    # WindowExec; harmless at 3 rows but the registry is kept free of
+    # the unpartitioned-window shape entirely).
+    one = (
+        n_view.select(F.col("n").alias("nv"))
+        .crossJoin(F.broadcast(n_click.select(F.col("n").alias("nc"))))
+        .crossJoin(F.broadcast(n_buy.select(F.col("n").alias("nb"))))
+    )
+    conv = lambda cur, prev: F.round(  # noqa: E731
+        F.when(prev.isNotNull(), cur / prev).otherwise(F.lit(1.0)), 6
+    )
     return (
-        funnel.withColumn("prev_n", F.lag("n").over(w))
-        .select(
-            "stage",
-            F.col("n").alias("n_users"),
-            F.round(
-                F.when(F.col("prev_n").isNotNull(), F.col("n") / F.col("prev_n"))
-                .otherwise(F.lit(1.0)),
-                6,
-            ).alias("conversion"),
+        one.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("1_view").alias("stage"),
+                        F.col("nv").alias("n_users"),
+                        F.round(F.lit(1.0), 6).alias("conversion"),
+                    ),
+                    F.struct(
+                        F.lit("2_click_after_view").alias("stage"),
+                        F.col("nc").alias("n_users"),
+                        conv(F.col("nc"), F.col("nv")).alias("conversion"),
+                    ),
+                    F.struct(
+                        F.lit("3_purchase_after_click").alias("stage"),
+                        F.col("nb").alias("n_users"),
+                        conv(F.col("nb"), F.col("nc")).alias("conversion"),
+                    ),
+                )
+            ).alias("s")
         )
+        .select("s.stage", "s.n_users", "s.conversion")
         .orderBy("stage")
     )
 

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from backend_model_spark.operators.scale_utils import with_global_rank
 from backend_model_spark.sources.tables import load_table
 
 
@@ -375,9 +376,10 @@ def order_backlog_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reported monthly (count at month end) to keep the series compact.
 
     Scale: one shuffle to per-order ship completion, one to the delta
-    stream's ordering; the running sum is a single global window over
-    DATE-level deltas — swap to the two-stage prefix sum if the date
-    domain ever explodes.
+    stream's ordering; the running sum over DATE-level deltas is the
+    two-stage prefix sum (:func:`with_global_rank` — range repartition,
+    per-partition running sum, broadcast carry-in offsets), never a
+    single-partition window. Oracle unchanged.
     """
     orders = load_table(spark, "orders", sf_dir).select(
         "o_orderkey", "o_orderdate"
@@ -394,10 +396,12 @@ def order_backlog_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.sum("delta").alias("net"))
     )
-    w = W.orderBy("day")
-    daily = deltas.withColumn(
-        "backlog", F.sum("net").over(w.rowsBetween(W.unboundedPreceding, 0))
-    )
+    daily = with_global_rank(
+        deltas,
+        [F.col("day").asc()],
+        "__rk",
+        prefix_sum=("net", "backlog"),
+    ).drop("__rk")
     wm = W.partitionBy(F.date_format("day", "yyyy-MM")).orderBy(
         F.col("day").desc()
     )

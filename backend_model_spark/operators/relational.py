@@ -18,9 +18,9 @@ and windows are the scale extension mandated by SURVEY.md §2.3/§2.6.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from backend_model_spark.operators.scale_utils import broadcast_scalars
 from backend_model_spark.sources.tables import load_table
 
 
@@ -238,7 +238,9 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     floats, floor-rounded at the edge.
 
     Scale: single scan, 9-row aggregate; nothing shuffles but digit
-    counts.
+    counts. The total is a broadcast one-row scalar off the pinned
+    9-row count table (a global-sum window would plan an unpartitioned
+    WindowExec).
     """
     orders = load_table(spark, "orders", sf_dir)
     digit = F.substring(
@@ -249,13 +251,13 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d") >= 1)
         .groupBy("d")
         .agg(F.count(F.lit(1)).alias("n"))
-    )
-    total_w = W.partitionBy()
+    ).localCheckpoint(eager=False)
+    total = counts.agg(F.sum("n").alias("__total"))
     r6 = lambda c: F.floor(c * 1_000_000.0 + 0.5) / 1_000_000.0  # noqa: E731
-    observed = F.col("n") / F.sum("n").over(total_w)
+    observed = F.col("n") / F.col("__total")
     expected = F.log10(1.0 + 1.0 / F.col("d"))
     return (
-        counts.select(
+        broadcast_scalars(counts, total).select(
             "d",
             "n",
             r6(observed).alias("observed_share"),

@@ -18,6 +18,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from backend_model_spark.operators.scale_utils import (
+    broadcast_scalars,
+    with_global_rank,
+)
 from backend_model_spark.sources.tables import load_table, spread
 
 TOKENS = "split(trim(text), '\\\\s+')"
@@ -405,11 +409,13 @@ def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the standard BPE/WordPiece pre-pass. Also emits each token's
     cumulative corpus coverage so a vocab-size cut is a WHERE clause.
 
-    Scale: word-count shuffle (partial aggs map-side), then a single
-    ordered prefix-sum over the *vocabulary* (≪ corpus; a 100 TB
-    corpus yields maybe 10⁷ distinct tokens) — the only single-
-    partition step touches vocab rows, and a production build would
-    band the prefix-sum by count-range if the vocab itself exploded.
+    Scale: word-count shuffle (partial aggs map-side), then the
+    two-stage global rank + prefix-sum (:func:`with_global_rank`) over
+    the *vocabulary* (≪ corpus; a 100 TB corpus yields maybe 10⁷
+    distinct tokens) — exact ROW_NUMBER / running-sum semantics with
+    no single-partition sort, and the corpus total comes from the same
+    materialization (round 2 re-derived the whole count lineage for
+    it). Oracle unchanged.
     """
     docs = spread(load_table(spark, "documents", sf_dir))
     counts = (
@@ -420,18 +426,18 @@ def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 5)
     )
-    w = W.orderBy(F.col("n").desc(), F.col("token").asc())
-    total = counts.agg(F.sum("n").alias("vocab_total"))
+    ranked = with_global_rank(
+        counts,
+        [F.col("n").desc(), F.col("token").asc()],
+        "__rk",
+        prefix_sum=("n", "__cum"),
+        grand_total=("n", "__vocab_total"),
+    )
     return (
-        counts.join(F.broadcast(total))
-        .withColumn("token_id", F.row_number().over(w) - F.lit(1))
+        ranked.withColumn("token_id", (F.col("__rk") - 1).cast("int"))
         .withColumn(
             "cum_coverage",
-            F.round(
-                F.sum("n").over(w.rowsBetween(W.unboundedPreceding, 0))
-                / F.col("vocab_total"),
-                6,
-            ),
+            F.round(F.col("__cum") / F.col("__vocab_total"), 6),
         )
         .select("token_id", "token", "n", "cum_coverage")
         .orderBy("token_id")
@@ -867,32 +873,49 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     KL(p_s ‖ p_c) = Σ_t p_s(t) · ln(p_s(t)/p_c(t)), every term of
     which is present in the corpus by construction (no zero-division;
-    no smoothing needed). Corpus counts come from a sum-window over
-    the per-source tf table on the term key — the same single-scan
-    shape as TF-IDF: corpus scanned once, then one shuffle on term
-    and one on source.
+    no smoothing needed). Since Σ_t c = n_s, the sum factors as
+
+        KL_s = (Σ_t c·ln(c/c_corpus)) / n_s + ln(n_c) − ln(n_s)
+
+    so the per-(source,term) pass needs ONLY the term-partitioned
+    corpus-count window; n_source falls out of the per-source groupBy
+    itself and the corpus total n_c is a one-row scalar summed over
+    the |sources|-row aggregate (round 2 computed n_c as
+    ``sum OVER ()`` across the whole vocabulary×sources table — the
+    full corpus tf through one task). One corpus scan, one shuffle on
+    term, one on source; the oracle uses the same factored form.
     """
     docs = spread(load_table(spark, "documents", sf_dir))
     terms = docs.select(
         "source", F.explode(F.expr(TOKENS)).alias("term")
     ).filter(F.col("term") != "")
     tf = terms.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
-    with_corpus = tf.select(
-        "source",
-        "term",
-        "c",
-        F.sum("c").over(W.partitionBy("term")).alias("c_corpus"),
-        F.sum("c").over(W.partitionBy("source")).alias("n_source"),
-        F.sum("c").over(W.partitionBy()).alias("n_corpus"),
+    with_corpus = tf.withColumn(
+        "c_corpus", F.sum("c").over(W.partitionBy("term"))
     )
-    p_s = F.col("c") / F.col("n_source")
-    p_c = F.col("c_corpus") / F.col("n_corpus")
-    return (
+    per_source = (
         with_corpus.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("vocab"),
-            F.max("n_source").alias("n_tokens"),
-            _round6(F.sum(p_s * F.log(p_s / p_c))).alias("kl_nats"),
+            F.sum("c").alias("n_tokens"),
+            F.sum(
+                F.col("c") * F.log(F.col("c") / F.col("c_corpus"))
+            ).alias("a"),
+        )
+        .localCheckpoint(eager=False)  # |sources| rows; pins one scan
+    )
+    n_corpus = per_source.agg(F.sum("n_tokens").alias("n_corpus"))
+    return (
+        broadcast_scalars(per_source, n_corpus)
+        .select(
+            "source",
+            "vocab",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            _round6(
+                F.col("a") / F.col("n_tokens")
+                + F.log("n_corpus")
+                - F.log("n_tokens")
+            ).alias("kl_nats"),
         )
         .orderBy("source")
     )
@@ -910,21 +933,27 @@ tf AS (
 m AS (
   SELECT
     source, term, c,
-    SUM(c) OVER (PARTITION BY term) AS c_corpus,
-    SUM(c) OVER (PARTITION BY source) AS n_source,
-    SUM(c) OVER () AS n_corpus
+    SUM(c) OVER (PARTITION BY term) AS c_corpus
   FROM tf
-)
+),
+per_source AS (
+  SELECT
+    source,
+    COUNT(*) AS vocab,
+    SUM(c) AS n_tokens,
+    SUM(c * LN(CAST(c AS DOUBLE) / c_corpus)) AS a
+  FROM m
+  GROUP BY source
+),
+tot AS (SELECT SUM(n_tokens) AS n_corpus FROM per_source)
 SELECT
   source,
-  COUNT(*) AS vocab,
-  CAST(MAX(n_source) AS BIGINT) AS n_tokens,
-  FLOOR(SUM(
-    (CAST(c AS DOUBLE) / n_source)
-    * LN((CAST(c AS DOUBLE) / n_source) / (CAST(c_corpus AS DOUBLE) / n_corpus))
-  ) * 1000000 + 0.5) / 1000000 AS kl_nats
-FROM m
-GROUP BY source
+  vocab,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  FLOOR((a / n_tokens + LN(CAST(n_corpus AS DOUBLE))
+         - LN(CAST(n_tokens AS DOUBLE))) * 1000000 + 0.5) / 1000000
+    AS kl_nats
+FROM per_source, tot
 ORDER BY source
 """
 

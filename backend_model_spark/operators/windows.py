@@ -16,6 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from backend_model_spark.operators.scale_utils import (
+    broadcast_scalars,
+    with_global_ntile,
+    with_global_rank,
+)
 from backend_model_spark.sources.tables import load_table
 
 
@@ -309,10 +314,12 @@ def revenue_growth_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     / first year) — no silent zero-fill. Exact cents; ratios
     floor-rounded at the edge.
 
-    Scale: the window operates on the MONTH table (tiny), after one
-    aggregation shuffle of orders. lag(12) assumes a dense month
-    series — combine with the spine gap-fill (events_gapfill_spine
-    pattern) when months can be missing.
+    Scale: lag(1)/lag(12) over the month series would plan a global
+    WindowExec; instead the series gets an exact two-stage global rank
+    (:func:`with_global_rank`) and each offset becomes a broadcast
+    self-join on rank−k over the pinned month table — identical
+    LAG semantics (previous existing row, not previous calendar
+    month, so gap months behave the same as the oracle's LAG).
     """
     orders = load_table(spark, "orders", sf_dir)
     monthly = (
@@ -326,17 +333,27 @@ def revenue_growth_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
-    w = W.orderBy("month")  # month-level series: tiny by construction
-    prev_m = F.lag("cents", 1).over(w)
-    prev_y = F.lag("cents", 12).over(w)
+    ranked = with_global_rank(monthly, [F.col("month").asc()], "__rk")
+    prev_m = ranked.select(
+        (F.col("__rk") + 1).alias("__rk"), F.col("cents").alias("prev_m")
+    )
+    prev_y = ranked.select(
+        (F.col("__rk") + 12).alias("__rk"), F.col("cents").alias("prev_y")
+    )
     r6 = lambda c: F.floor(c * 1_000_000.0 + 0.5) / 1_000_000.0  # noqa: E731
     return (
-        monthly.select(
+        ranked.join(F.broadcast(prev_m), "__rk", "left")
+        .join(F.broadcast(prev_y), "__rk", "left")
+        .select(
             "month",
             "n_orders",
             "cents",
-            r6((F.col("cents") - prev_m) / prev_m).alias("mom_growth"),
-            r6((F.col("cents") - prev_y) / prev_y).alias("yoy_growth"),
+            r6((F.col("cents") - F.col("prev_m")) / F.col("prev_m")).alias(
+                "mom_growth"
+            ),
+            r6((F.col("cents") - F.col("prev_y")) / F.col("prev_y")).alias(
+                "yoy_growth"
+            ),
         )
         .orderBy("month")
     )
@@ -398,15 +415,20 @@ def percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     r6 = lambda c: F.floor(c * 1_000_000.0 + 0.5) / 1_000_000.0  # noqa: E731
+    # Nation-level rollup is tiny but the global-sum window would still
+    # plan an unpartitioned WindowExec; pin one materialization and
+    # broadcast the grand total as a one-row scalar instead.
+    per_nation = per_nation.localCheckpoint(eager=False)
+    grand = per_nation.agg(F.sum("cents").alias("__grand"))
     region_total = F.sum("cents").over(W.partitionBy("region"))
-    grand_total = F.sum("cents").over(W.partitionBy())
     return (
-        per_nation.select(
+        broadcast_scalars(per_nation, grand)
+        .select(
             "region",
             "nation",
             "cents",
             r6(F.col("cents") / region_total).alias("share_of_region"),
-            r6(region_total / grand_total).alias("region_share_of_total"),
+            r6(region_total / F.col("__grand")).alias("region_share_of_total"),
         )
         .orderBy("region", "nation")
     )
@@ -449,8 +471,12 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-dependent quintiles). Recency ranks by most-recent order
     date DESC so quintile 1 = most recent, matching the R in RFM.
 
-    Scale: one shuffle to the customer rollup; three window sorts
-    over customer-level rows; the segment aggregate is 125 cells max.
+    Scale: one shuffle to the customer rollup, then three
+    :func:`with_global_ntile` passes — each a range-shuffle +
+    per-partition rank, never a single-partition sort (the round-2
+    global ``ntile`` windows serialized every customer through one
+    task). Exact-NTILE semantics preserved, so the oracle is
+    unchanged. The segment aggregate is 125 cells max.
     """
     orders = load_table(spark, "orders", sf_dir)
     per_cust = orders.groupBy("o_custkey").agg(
@@ -460,13 +486,16 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
         ).alias("cents"),
     )
-    r_w = W.orderBy(F.col("last_order").desc(), F.col("o_custkey").asc())
-    f_w = W.orderBy(F.col("n_orders").desc(), F.col("o_custkey").asc())
-    m_w = W.orderBy(F.col("cents").desc(), F.col("o_custkey").asc())
-    scored = (
-        per_cust.withColumn("r", F.ntile(5).over(r_w))
-        .withColumn("f", F.ntile(5).over(f_w))
-        .withColumn("m", F.ntile(5).over(m_w))
+    r_o = [F.col("last_order").desc(), F.col("o_custkey").asc()]
+    f_o = [F.col("n_orders").desc(), F.col("o_custkey").asc()]
+    m_o = [F.col("cents").desc(), F.col("o_custkey").asc()]
+    scored = with_global_ntile(
+        with_global_ntile(
+            with_global_ntile(per_cust, 5, r_o, "r"), 5, f_o, "f"
+        ),
+        5,
+        m_o,
+        "m",
     )
     return (
         scored.groupBy("r", "f", "m")

@@ -38,6 +38,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from backend_model_spark.operators.scale_utils import with_global_rank
 from backend_model_spark.sources.tables import TABLE_SCHEMAS, load_table
 
 SCRATCH = os.path.join(
@@ -122,10 +123,13 @@ ORDER BY n_regionkey
 
 def ddl_create_insert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 + S4: `CREATE TABLE IF NOT EXISTS` with a typed schema and a
-    SERIAL-style index (`row_number()` over a deterministic order),
-    `INSERT OVERWRITE ... SELECT`, then a full-table scan via
-    `spark.sql` — the reference's db_queries.py lifecycle on the
-    Spark catalog."""
+    SERIAL-style index, `INSERT OVERWRITE ... SELECT`, then a
+    full-table scan via `spark.sql` — the reference's db_queries.py
+    lifecycle on the Spark catalog. The SERIAL is the two-stage global
+    rank (:func:`with_global_rank`) exposed as a temp view, not
+    `ROW_NUMBER() OVER (ORDER BY ...)` SQL, which would plan an
+    unpartitioned WindowExec — the one place a SERIAL emulation
+    diverges from naive SQL at scale."""
     location = _scratch("ddl", "region_summary")
     spark.sql("DROP TABLE IF EXISTS region_summary")
     spark.sql(
@@ -137,18 +141,23 @@ def ddl_create_insert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) USING PARQUET LOCATION '{location}'
         """
     )
-    load_table(spark, "region", sf_dir).createOrReplaceTempView("_io_region")
-    load_table(spark, "nation", sf_dir).createOrReplaceTempView("_io_nation")
+    region = load_table(spark, "region", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    summary = (
+        region.join(
+            nation, nation.n_regionkey == region.r_regionkey, "left"
+        )
+        .groupBy("r_name")
+        .agg(F.count("n_nationkey").alias("n_nations"))
+    )
+    ranked = with_global_rank(summary, [F.col("r_name").asc()], "idx").select(
+        "idx", "r_name", "n_nations"
+    )
+    ranked.createOrReplaceTempView("_io_region_summary_src")
     spark.sql(
         """
         INSERT OVERWRITE region_summary
-        SELECT
-          ROW_NUMBER() OVER (ORDER BY r.r_name) AS idx,
-          r.r_name,
-          COUNT(n.n_nationkey) AS n_nations
-        FROM _io_region r
-        LEFT JOIN _io_nation n ON n.n_regionkey = r.r_regionkey
-        GROUP BY r.r_name
+        SELECT idx, r_name, n_nations FROM _io_region_summary_src
         """
     )
     return spark.sql("SELECT idx, r_name, n_nations FROM region_summary ORDER BY idx")

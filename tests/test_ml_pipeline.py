@@ -48,6 +48,40 @@ def test_grid_search_selects_deterministically(splits):
     assert best1.getElasticNetParam() == best2.getElasticNetParam()
 
 
+def test_tpe_beats_random_search_at_equal_budget():
+    """The M4 contract: the TPE surrogate (good/bad Parzen split,
+    density-ratio argmax) must out-optimize uniform random search at
+    the same trial budget. Synthetic deterministic objective with its
+    minimum inside SPACE — no Spark fits, so 5 seeds × 20 trials is
+    instant and the comparison is seed-for-seed fair."""
+
+    def objective(p):
+        return (
+            (p["maxDepth"] - 4) ** 2 * 2.0
+            + (p["maxIter"] - 22) ** 2 / 20.0
+            + 80.0 * (p["stepSize"] - 0.12) ** 2
+        )
+
+    seeds = range(5)
+    tpe = [tuning.tpe_search(objective, 20, n_explore=4, seed=s).best_mae for s in seeds]
+    rnd = [tuning.random_search(objective, 20, seed=s).best_mae for s in seeds]
+    assert sum(tpe) < sum(rnd), (tpe, rnd)
+    # and not by luck of one seed: TPE wins pointwise on a majority
+    wins = sum(1 for a, b in zip(tpe, rnd) if a <= b)
+    assert wins >= 3, (tpe, rnd)
+
+
+def test_tpe_deterministic_under_seed():
+    def objective(p):
+        return (p["maxDepth"] - 3) ** 2 + p["stepSize"]
+
+    a = tuning.tpe_search(objective, 12, seed=7)
+    b = tuning.tpe_search(objective, 12, seed=7)
+    assert a.best_params == b.best_params
+    assert a.best_mae == b.best_mae
+    assert [t.params for t in a.trials] == [t.params for t in b.trials]
+
+
 def test_bayesian_loop_deterministic_and_improving(splits):
     train, valid = splits
     r1 = tuning.bayesian_optimize_gbt(train, valid, n_trials=4, n_explore=2)

@@ -310,3 +310,44 @@ def test_incremental_rollup_prunes_history_scan(spark, sf_dir):
     plan = plan_of(spark, "io_incremental_rollup", sf_dir)
     assert "PushedFilters" in plan
     assert "Join" not in plan, "merge is union + re-aggregate, not a join"
+
+
+def _global_window_nodes(logical: str) -> list[str]:
+    """Return Window nodes in a logical tree string whose partition
+    spec is empty (the ``WindowExec ... Moving all data to a single
+    partition`` shape).
+
+    Logical ``Window`` prints 1-3 top-level bracket groups:
+    ``[funcs]`` (over ()), ``[funcs], [part]`` (partition-only: plain
+    attributes, no sort direction), ``[funcs], [order]`` (GLOBAL
+    ordered: sort specs with ASC/DESC), ``[funcs], [part], [order]``.
+    """
+    bad = []
+    for raw in logical.splitlines():
+        idx = raw.find("Window [")
+        if idx < 0:
+            continue
+        node = raw[idx:]
+        groups = node[len("Window "):].split("], [")
+        if len(groups) >= 3:
+            continue  # funcs, partition, order
+        if len(groups) == 1 or " ASC" in groups[1] or " DESC" in groups[1]:
+            bad.append(node[:120])
+    return bad
+
+
+def test_no_unpartitioned_window_anywhere_in_registry(spark, sf_dir):
+    """Round-2 verdict: three registry queries planned global windows
+    (RFM ntile, Gini row_number/count, KL corpus sum) — every one a
+    whole-table single-task sort at scale. This sweeps EVERY registered
+    query's optimized plan and fails on any Window with an empty
+    partition spec, so the anti-pattern cannot re-enter the registry.
+    """
+    offenders = {}
+    for name in sorted(_QUERIES):
+        df = _QUERIES[name](spark, sf_dir)
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        bad = _global_window_nodes(logical)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"global (single-partition) windows: {offenders}"

@@ -14,7 +14,14 @@ from dataclasses import dataclass
 
 from pyspark.ml import Pipeline, PipelineModel
 from pyspark.ml.evaluation import RegressionEvaluator
-from pyspark.ml.feature import StandardScaler, VectorAssembler
+from pyspark.ml.feature import (
+    Binarizer,
+    MinMaxScaler,
+    Normalizer,
+    StandardScaler,
+    StringIndexer,
+    VectorAssembler,
+)
 from pyspark.ml.regression import GBTRegressor, LinearRegression
 
 from pyspark.sql import DataFrame
@@ -41,14 +48,44 @@ FEATURE_COLS = [
 LABEL_COL = "price"
 
 
-def build_pipeline(model: str = "gbt", **params) -> Pipeline:
-    """assembler → scaler → regressor, all MLlib stages."""
+def build_pipeline(
+    model: str = "gbt", scaler: str = "standard", **params
+) -> Pipeline:
+    """assembler → scaler → regressor, all MLlib stages.
+
+    ``scaler`` selects the feature-transform stage, covering the
+    reference's full E3 import surface (EDA Notebook.ipynb cell 2:
+    ``StandardScaler, Normalizer, Binarizer, OrdinalEncoder``):
+    ``standard`` (z-score), ``normalizer`` (row L2), ``binarizer``
+    (elementwise > 0 indicator), ``minmax`` (range scale) or ``none``.
+    The OrdinalEncoder equivalent is :func:`ordinal_indexer` — a
+    column transform, so a pre-assembler stage rather than a scaler.
+    """
+    out = "features_raw" if scaler != "none" else "features"
     assembler = VectorAssembler(
-        inputCols=FEATURE_COLS, outputCol="features_raw", handleInvalid="skip"
+        inputCols=FEATURE_COLS, outputCol=out, handleInvalid="skip"
     )
-    scaler = StandardScaler(
-        inputCol="features_raw", outputCol="features", withMean=True, withStd=True
-    )
+    if scaler == "standard":
+        xform = [
+            StandardScaler(
+                inputCol="features_raw",
+                outputCol="features",
+                withMean=True,
+                withStd=True,
+            )
+        ]
+    elif scaler == "normalizer":
+        xform = [Normalizer(inputCol="features_raw", outputCol="features", p=2.0)]
+    elif scaler == "binarizer":
+        xform = [
+            Binarizer(threshold=0.0, inputCol="features_raw", outputCol="features")
+        ]
+    elif scaler == "minmax":
+        xform = [MinMaxScaler(inputCol="features_raw", outputCol="features")]
+    elif scaler == "none":
+        xform = []
+    else:
+        raise ValueError(f"unknown scaler {scaler!r}")
     if model == "gbt":
         reg = GBTRegressor(
             featuresCol="features",
@@ -67,7 +104,24 @@ def build_pipeline(model: str = "gbt", **params) -> Pipeline:
         )
     else:
         raise ValueError(f"unknown model {model!r}")
-    return Pipeline(stages=[assembler, scaler, reg])
+    return Pipeline(stages=[assembler, *xform, reg])
+
+
+def ordinal_indexer(cols: list[str]) -> list[StringIndexer]:
+    """sklearn ``OrdinalEncoder`` equivalent: one ``StringIndexer``
+    per column with alphabetical category order (sklearn sorts
+    categories lexicographically; MLlib's default is frequency order,
+    which would scramble codes) — the same contract as the E1 label
+    encoding, packaged as pipeline stages."""
+    return [
+        StringIndexer(
+            inputCol=c,
+            outputCol=f"{c}_ord",
+            stringOrderType="alphabetAsc",
+            handleInvalid="keep",
+        )
+        for c in cols
+    ]
 
 
 @dataclass

@@ -653,6 +653,137 @@ ORDER BY c_mktsegment, bucket
 """
 
 
+def _inv_norm_cdf(p: float) -> float:
+    """Φ⁻¹(p) by Acklam's rational approximation, central region
+    (0.02425 < p < 0.97575 — all probe points qualify). Public-domain
+    algorithm; ~1e-9 absolute error, pure arithmetic."""
+    a = (
+        -3.969683028665376e01,
+        2.209460984245205e02,
+        -2.759285104469687e02,
+        1.383577518672690e02,
+        -3.066479806614716e01,
+        2.506628277459239e00,
+    )
+    b = (
+        -5.447609879822406e01,
+        1.615858368580409e02,
+        -1.556989798598866e02,
+        6.680131188771972e01,
+        -1.328068155288572e01,
+    )
+    q = p - 0.5
+    r = q * q
+    num = (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * q
+    den = ((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1.0
+    return num / den
+
+
+# probplot probe grid: 19 interior quantiles, with their theoretical
+# N(0,1) quantiles precomputed ONCE in Python and inlined as literal
+# constants into BOTH engines — the z side of the pairing can never
+# drift cross-engine.
+PROBE_PS = [i / 20 for i in range(1, 20)]
+PROBE_Z = [_inv_norm_cdf(p) for p in PROBE_PS]
+# robust probplot scale: (q75 − q25) / (z75 − z25), z-denominator constant
+_PROBE_Z_IQR = PROBE_Z[14 - 1] - PROBE_Z[5 - 1]  # z(0.75) − z(0.25)
+
+
+def normality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 finish: the probplot pairing (reference: ``scipy.stats.
+    probplot`` on price, EDA Notebook.ipynb cell 22) — sample
+    quantiles of order totals against theoretical normal quantiles,
+    plus the robustly-standardized sample value; for normal data
+    ``normalized ≈ z``, and the deviation profile is the normality
+    probe.
+
+    Engine-parity discipline: the theoretical z are inlined literals
+    (same constant both engines); sample quantiles are rounded at the
+    edge FIRST, and the standardization ((q − median) / IQR-scale) is
+    computed from those already-rounded values with a literal
+    z-denominator — every float either matches by construction or is
+    derived from matching inputs.
+
+    Scale: one sort-based exact percentile aggregate (t-digest
+    ``approx_percentile`` at 100 TB), then arithmetic over a pinned
+    19-row probe table.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    qs = orders.agg(
+        F.percentile(
+            "o_totalprice", F.array(*[F.lit(p) for p in PROBE_PS])
+        ).alias("qs")
+    )
+    p_arr = F.array(*[F.lit(p) for p in PROBE_PS])
+    z_arr = F.array(*[F.lit(z) for z in PROBE_Z])
+    r6 = lambda c: F.floor(c * 1_000_000.0 + 0.5) / 1_000_000.0  # noqa: E731
+    rows = qs.select(
+        F.posexplode("qs").alias("i", "q_raw")
+    ).select(
+        F.element_at(p_arr, F.col("i") + 1).alias("p"),
+        r6(F.element_at(z_arr, F.col("i") + 1)).alias("z"),
+        r6(F.col("q_raw")).alias("sample_q"),
+    ).localCheckpoint(eager=False)  # 19 rows; pins one percentile pass
+    m = rows.agg(
+        F.max(F.when(F.col("p") == 0.5, F.col("sample_q"))).alias("med"),
+        F.max(F.when(F.col("p") == 0.25, F.col("sample_q"))).alias("q25"),
+        F.max(F.when(F.col("p") == 0.75, F.col("sample_q"))).alias("q75"),
+    )
+    scale = (F.col("q75") - F.col("q25")) / F.lit(_PROBE_Z_IQR)
+    return (
+        broadcast_scalars(rows, m)
+        .select(
+            "p",
+            "z",
+            "sample_q",
+            r6((F.col("sample_q") - F.col("med")) / scale).alias("normalized"),
+        )
+        .orderBy("p")
+    )
+
+
+def _normality_oracle() -> str:
+    # CAST: bare decimal literals land as DECIMAL(18) in DuckDB and
+    # overflow the 1e6 rounding multiply — force DOUBLE explicitly
+    probes = ",\n    ".join(
+        f"({i + 1}, CAST({p!r} AS DOUBLE), CAST({z!r} AS DOUBLE))"
+        for i, (p, z) in enumerate(zip(PROBE_PS, PROBE_Z))
+    )
+    plist = ", ".join(repr(p) for p in PROBE_PS)
+    return f"""
+WITH qs AS (
+  SELECT quantile_cont(o_totalprice, [{plist}]) AS q FROM orders
+),
+probes(i, p, z) AS (
+  VALUES
+    {probes}
+),
+r AS (
+  SELECT
+    p,
+    FLOOR(z * 1000000 + 0.5) / 1000000 AS z,
+    FLOOR(q[i] * 1000000 + 0.5) / 1000000 AS sample_q
+  FROM probes, qs
+),
+m AS (
+  SELECT
+    MAX(CASE WHEN p = 0.5 THEN sample_q END) AS med,
+    MAX(CASE WHEN p = 0.25 THEN sample_q END) AS q25,
+    MAX(CASE WHEN p = 0.75 THEN sample_q END) AS q75
+  FROM r
+)
+SELECT
+  p, z, sample_q,
+  FLOOR((sample_q - med) / ((q75 - q25) / CAST({_PROBE_Z_IQR!r} AS DOUBLE))
+        * 1000000 + 0.5) / 1000000 AS normalized
+FROM r, m
+ORDER BY p
+"""
+
+
+NORMALITY_PROBE_ORACLE = _normality_oracle()
+
+
 def revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer revenue concentration: Gini coefficient and top-1% /
     top-10% revenue shares — the inequality profile that drives

@@ -393,11 +393,58 @@ ORDER BY doc_id
 """
 
 
+# grid side length for the blocked pairwise compare: each label's
+# all-pairs work is spread over EMBED_PAIR_BLOCKS² join cells instead
+# of one task. At 100 TB scale this with the largest label's size
+# (cells per label ≈ (label_size / target_rows_per_task)²).
+EMBED_PAIR_BLOCKS = 4
+
+
+def _label_grid_pairs(v: DataFrame, m: int) -> DataFrame:
+    """All within-label ordered pairs (a.vec_id < b.vec_id) via grid
+    (theta-join) partitioning — Okcan & Riedewald's blocked formulation
+    of a skewed self-join, exact by construction.
+
+    Each row hashes to one of ``m`` blocks; side A replicates over the
+    m column-cells of its block row, side B over the m row-cells of
+    its block column, and the join key is the full cell coordinate
+    ``(label, i, j)``. A pair with blocks (i, j) meets in exactly one
+    cell as (a, b) with a.vec_id < b.vec_id, so the output is
+    identical to the naive per-label join while no task ever holds
+    more than (label_size / m)²-ish pair work — a skewed label spreads
+    over m² cells instead of serializing one task (AQE skew-split can
+    rescue a skewed equi-join after the fact; the grid guarantees the
+    spread structurally).
+    """
+    cell = F.explode(F.array(*[F.lit(i) for i in range(m)]))
+    a = (
+        v.withColumn("__blk", F.pmod(F.hash("vec_id"), F.lit(m)))
+        .withColumn("__cj", cell)
+        .alias("a")
+    )
+    b = (
+        v.withColumn("__blk", F.pmod(F.hash("vec_id"), F.lit(m)))
+        .withColumn("__ci", cell)
+        .alias("b")
+    )
+    return a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.__cj") == F.col("b.__blk"))
+        & (F.col("a.__blk") == F.col("b.__ci"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: pairs with cosine ≥ 0.4, bucketed by
     label so the pairwise compare is per-bucket (the IVF trick), not a
-    global cross join. Dot products computed in double with identical
-    left-to-right folds on both engines."""
+    global cross join — and grid-blocked within label
+    (:func:`_label_grid_pairs`) so a skewed label cannot serialize one
+    task (the round-2 shape was per-label all-pairs in a single join
+    cell). Dot products computed in double with identical
+    left-to-right folds on both engines. Oracle unchanged — the grid
+    is a physical repartitioning of the same exact pair set."""
     emb = load_table(spark, "embeddings", sf_dir)
     # spread: parallelize the pairwise stage when the source is one file
     v = spread(emb).select(
@@ -405,8 +452,6 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     )
-    a = v.alias("a")
-    b = v.alias("b")
     dot = F.expr(
         "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
     )
@@ -418,7 +463,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = F.round(dot / (norm_a * norm_b), 6)
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        _label_grid_pairs(v, EMBED_PAIR_BLOCKS)
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= 0.4)
         .select(
@@ -541,6 +586,19 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # already materialized by the shared candidate stage — no persist
     # of our own, and counting it is a cache read
     raw_edges = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return _cluster_report(_connected_components(spark, raw_edges))
+
+
+def _connected_components(spark: SparkSession, raw_edges: DataFrame) -> DataFrame:
+    """Cost-based connected components over an edge DataFrame with
+    columns (doc_a, doc_b) → (node, comp) labels with min-id roots.
+
+    The shared post-candidate decision stage for every dedup family
+    (MinHash/LSH text candidates, embedding-cosine candidates):
+    single-task union-find below ``SINGLE_TASK_MAX_EDGES``,
+    contraction + hook/jump label propagation above — see
+    :func:`duplicate_clusters` for the full strategy rationale.
+    """
     n_edges = raw_edges.count()
     if n_edges <= SINGLE_TASK_MAX_EDGES:
         # union-find with min-id roots IS exact CC when one task sees
@@ -552,13 +610,12 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # localCheckpoint: _cluster_report reads labels twice (sizes +
         # join); without materialization the whole candidate lineage
         # would re-execute per read
-        labels = (
+        return (
             raw_edges.repartition(1)
             .rdd.mapPartitions(_partition_local_cc)
             .toDF("node: bigint, comp: bigint")
             .localCheckpoint()
         )
-        return _cluster_report(labels)
     # size the phase parallelism to the candidate GRAPH, which is
     # orders of magnitude smaller than the corpus — at corpus-wide
     # shuffle width, per-round task-scheduling overhead dominates the
@@ -655,7 +712,7 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"connected components did not converge in {MAX_CC_ITERATIONS} rounds"
         )
     und.unpersist()  # edges itself is the shared stage — stays cached
-    return _cluster_report(labels)
+    return labels
 
 
 def _cluster_report(labels: DataFrame) -> DataFrame:
@@ -938,30 +995,20 @@ def embedding_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding twin of :func:`duplicate_clusters`, closing the
     candidates→decisions loop for semantic dedup.
 
-    Reuses the same cost-based CC machinery: single-task union-find
-    for graphs that fit one task, contraction + hook/jump label
-    propagation beyond (see ``duplicate_clusters``). At 100 TB the
-    candidate stage would come from the IVF/LSH bucketed join rather
-    than the exact label-bucketed compare, with this step unchanged.
+    Reuses the same cost-based CC machinery
+    (:func:`_connected_components`): single-task union-find for graphs
+    that fit one task, contraction + hook/jump label propagation
+    beyond — the large-graph path is shared code, not a re-implement
+    (round 2 raised NotImplementedError here above the single-task
+    bound). At 100 TB the candidate stage would come from the IVF/LSH
+    bucketed join rather than the exact label-bucketed compare, with
+    this step unchanged.
     """
     edges = embedding_neardup_pairs(spark, sf_dir).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
-    n_edges = edges.count()
-    if n_edges <= SINGLE_TASK_MAX_EDGES:
-        # repartition(1), not coalesce(1) — see duplicate_clusters
-        labels = (
-            edges.repartition(1)
-            .rdd.mapPartitions(_partition_local_cc)
-            .toDF("node: bigint, comp: bigint")
-            .localCheckpoint()  # see duplicate_clusters
-        )
-        return _cluster_report(labels).withColumnsRenamed(
-            {"doc_id": "vec_id"}
-        )
-    raise NotImplementedError(
-        "embedding graph above single-task bound: route through "
-        "duplicate_clusters' iterative phase"
+    return _cluster_report(_connected_components(spark, edges)).withColumnsRenamed(
+        {"doc_id": "vec_id"}
     )
 
 

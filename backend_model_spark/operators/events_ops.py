@@ -1137,12 +1137,16 @@ LATE_THRESHOLD_MIN = 60  # arrival later than stream max - 1h counts late
 
 
 def late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch audit of watermark semantics: how much data WOULD a
-    1-hour watermark drop? An event is late when its timestamp trails
-    the running per-user maximum (in event_id arrival order) by more
-    than the threshold — the same rule
-    ``withWatermark("ts", "1 hour")`` applies in the streaming jobs,
-    so this query sizes the loss before anyone picks a watermark.
+    """Batch audit of lateness: how much data MIGHT a 1-hour
+    watermark drop? An event is flagged when its timestamp trails the
+    running per-user maximum (in event_id arrival order) by more than
+    the threshold. This is a per-user heuristic that bounds/
+    approximates streaming loss, not the exact drop rule: a real
+    ``withWatermark("ts", "1 hour")`` tracks one GLOBAL max event
+    time advanced only at micro-batch boundaries, so the true drop
+    count depends on batch timing and can sit on either side of this
+    estimate — use it to size the risk before picking a watermark,
+    not to predict the exact count.
 
     Scale: one window pass per user (running max over arrival order,
     shuffle on user_id), then a small per-type aggregate — the

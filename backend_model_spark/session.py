@@ -40,10 +40,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # events.parquet stores TIMESTAMP(NANOS); Spark 4 reads it
-        # natively as TIMESTAMP_NTZ (µs-truncated) — no legacy flag, so
-        # this session behaves identically to any externally-built one
-        # (the round driver's included), keeping one tested code path.
+        # events.parquet's physical timestamp type has flipped between
+        # TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across data drops.
+        # Spark 4 CANNOT read nanos natively (PARQUET_TYPE_ILLEGAL);
+        # this STATIC conf (builder-time only — runtime set is
+        # silently ignored) makes nanos files read as LongType, which
+        # tables.py normalizes back to timestamps. It is a no-op for
+        # micros files, so the current data is unaffected either way.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "90g"))

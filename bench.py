@@ -39,6 +39,9 @@ HEADLINE = [
     "events_funnel",
     "pipeline_corpus_prep",
     "text_tfidf",
+    # round 3: the heaviest rewritten two-stage-rank query — holds the
+    # no-global-window fix in the bench, not just in plan tests
+    "window_rfm_segments",
 ]
 
 

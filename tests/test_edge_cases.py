@@ -447,3 +447,65 @@ def test_cc_strategy_parity(spark, monkeypatch):
     contracted = D.duplicate_clusters(spark, sf).toPandas()[key]
     assert single_task.values.tolist() == iterative.values.tolist()
     assert single_task.values.tolist() == contracted.values.tolist()
+
+
+def test_embedding_cc_strategies_shared(spark, monkeypatch):
+    """Round-2 advice: embedding_duplicate_clusters hard-failed above
+    the single-task edge bound. The CC strategy is now a shared helper
+    — forcing the iterative (and contraction) paths must produce the
+    same components as single-task union-find, not raise."""
+    import backend_model_spark.operators.dedup as D
+
+    sf = "/root/testdata/sf0.001"
+    key = ["vec_id", "component", "n_members"]
+    single_task = D.embedding_duplicate_clusters(spark, sf).toPandas()[key]
+    monkeypatch.setattr(D, "SINGLE_TASK_MAX_EDGES", -1)
+    iterative = D.embedding_duplicate_clusters(spark, sf).toPandas()[key]
+    monkeypatch.setattr(D, "CONTRACTION_MIN_EDGES", 0)
+    contracted = D.embedding_duplicate_clusters(spark, sf).toPandas()[key]
+    assert single_task.values.tolist() == iterative.values.tolist()
+    assert single_task.values.tolist() == contracted.values.tolist()
+
+
+def test_grid_pairs_bound_per_cell_and_exact(spark):
+    """The blocked pairwise compare must (a) emit exactly the naive
+    within-label ordered pair set and (b) bound any one join cell's
+    pair work well below the naive single-cell label² — the skew
+    guarantee that lets a giant label survive at 100 TB."""
+    from pyspark.sql import functions as F
+
+    import backend_model_spark.operators.dedup as D
+
+    rows = [(i, "big" if i < 80 else "small") for i in range(100)]
+    v = spark.createDataFrame(rows, "vec_id long, label string")
+    m = D.EMBED_PAIR_BLOCKS
+    grid = D._label_grid_pairs(v, m).select(
+        F.col("a.vec_id").alias("x"),
+        F.col("b.vec_id").alias("y"),
+        F.col("a.label").alias("label"),
+        F.col("a.__blk").alias("i"),
+        F.col("b.__blk").alias("j"),
+    )
+    pairs = {(r["x"], r["y"]) for r in grid.collect()}
+    naive = {
+        (a, b)
+        for a, la in rows
+        for b, lb in rows
+        if la == lb and a < b
+    }
+    assert pairs == naive, "grid join must be a pure repartition of the pair set"
+    # per-cell work: worst cell ≤ ceil(label/m)² with hash slack,
+    # always far under the naive label²/2 single-cell bound
+    cell_counts = (
+        grid.groupBy("label", "i", "j").count().agg(F.max("count")).collect()[0][0]
+    )
+    naive_worst = 80 * 79 // 2
+    assert cell_counts < naive_worst / 2, (cell_counts, naive_worst)
+    # and the skewed label's work actually spreads across m² cells
+    n_cells_big = (
+        grid.filter(F.col("label") == "big")
+        .select("i", "j")
+        .distinct()
+        .count()
+    )
+    assert n_cells_big == m * m

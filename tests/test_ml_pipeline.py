@@ -38,6 +38,39 @@ def test_e2e_train_predict_smoke(splits):
     assert result.mae <= baseline_mae * 1.05
 
 
+@pytest.mark.parametrize("scaler", ["normalizer", "binarizer", "minmax", "none"])
+def test_e3_scaler_stages_e2e(splits, scaler):
+    """E3 finish: every scaler the reference imports (Normalizer,
+    Binarizer, plus MinMax/none) must run e2e through fit → transform
+    → evaluate with a finite MAE."""
+    train, valid = splits
+    result = train_and_evaluate(train, valid, model="linear", scaler=scaler)
+    assert result.mae == result.mae and result.mae > 0
+
+
+def test_ordinal_indexer_alphabetical_codes(spark):
+    """OrdinalEncoder equivalent: codes follow sklearn's alphabetical
+    category order, not MLlib's default frequency order."""
+    from pyspark.ml import Pipeline
+
+    from backend_model_spark.ml.pipeline import ordinal_indexer
+
+    df = spark.createDataFrame(
+        [("delta", "y"), ("alpha", "n"), ("carol", "y"), ("alpha", "y")],
+        "city string, flag string",
+    )
+    fitted = Pipeline(stages=ordinal_indexer(["city", "flag"])).fit(df)
+    out = {
+        (r["city"], r["flag"]): (r["city_ord"], r["flag_ord"])
+        for r in fitted.transform(df).collect()
+    }
+    # alphabetical: alpha=0, carol=1, delta=2 even though alpha is most frequent
+    assert out[("alpha", "y")] == (0.0, 1.0)
+    assert out[("carol", "y")] == (1.0, 1.0)
+    assert out[("delta", "y")] == (2.0, 1.0)
+    assert out[("alpha", "n")] == (0.0, 0.0)
+
+
 def test_grid_search_selects_deterministically(splits):
     train, _ = splits
     cv1 = tuning.grid_search_linear(train, n_folds=2)

@@ -89,6 +89,174 @@ ORDER BY lang
 """
 
 
+# finer-grained bucket for computed (non-integer-percent) rates:
+# first 8 md5 hex chars mod 1e8 — same content-addressed discipline
+BUCKET8 = "conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) % 100000000"
+BUCKET8_SQL = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100000000"
+)
+
+
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language mixing (XLM-R / mT5 style, public):
+    sample language l with probability ∝ n_l^α, α = 0.5 — flattens a
+    skewed language distribution toward uniform without the brutality
+    of equal quotas. Downsampling-only normalization: keep-rate
+    r_l = (n_min / n_l)^(1−α) = sqrt(n_min / n_l), so the smallest
+    language keeps everything and no language upsamples.
+
+    Engine parity: α = 0.5 makes the rate a single ``sqrt`` — IEEE
+    correctly-rounded in both engines, so the floor-rounded micro rate
+    can never straddle a ULP; membership is the content-addressed
+    md5 bucket (fine-grained 1e8 variant) against that rate —
+    reproducible across engines, partitionings, and corpus re-runs.
+
+    Scale: one column-pruned count scan (lang only) for the tiny rate
+    table, broadcast back onto the corpus scan; no shuffle before the
+    reporting aggregate.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    n_min = counts.agg(F.min("n_l").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        "n_l",
+        F.floor(
+            F.sqrt(F.col("n_min").cast("double") / F.col("n_l")) * 100_000_000
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("rate_u8"),
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(F.expr(BUCKET8) < F.col("rate_u8"))
+        .groupBy("lang")
+        .agg(
+            F.max("n_l").alias("n_total"),
+            F.max("rate_u8").alias("rate_u8"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+TEMPERATURE_MIX_ORACLE = f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang
+),
+mn AS (SELECT MIN(n_l) AS n_min FROM counts),
+rates AS (
+  SELECT
+    lang, n_l,
+    CAST(FLOOR(SQRT(CAST(n_min AS DOUBLE) / n_l) * 100000000 + 0.5)
+         AS BIGINT) AS rate_u8
+  FROM counts, mn
+)
+SELECT
+  d.lang,
+  CAST(MAX(r.n_l) AS BIGINT) AS n_total,
+  MAX(r.rate_u8) AS rate_u8,
+  COUNT(*) AS n_kept
+FROM documents d
+JOIN rates r ON d.lang = r.lang
+WHERE {BUCKET8_SQL} < r.rate_u8
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
+
+def importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance resampling: each document's
+    keep-probability IS its composite quality score (the DSIR-style
+    "sample proportional to importance weight" selection step, with
+    the heuristic gate of ``text.quality_scores`` as the weight).
+    Reported per source: total, kept, and kept mean quality.
+
+    Engine parity: the score is already floor-rounded at 6 dp by
+    :func:`backend_model_spark.operators.text.quality_frame` (both
+    engines produce the identical double), so the micro keep-rate
+    ``floor(score·1e8 + 0.5)`` and the md5-bucket membership test are
+    exact on both sides. Single scan, no shuffle before the report.
+    """
+    from backend_model_spark.operators.text import quality_frame
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = quality_frame(docs).withColumn(
+        "rate_u8",
+        F.floor(F.col("quality_score") * 100_000_000 + 0.5).cast("bigint"),
+    )
+    kept = (F.expr(BUCKET8) < F.col("rate_u8")).cast("long")
+    return (
+        scored.select("source", "quality_score", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+            (
+                F.floor(
+                    F.sum(F.when(F.col("kept") == 1, F.col("quality_score")))
+                    # nullif: a zero-kept source yields NULL, not an
+                    # ANSI divide-by-zero error — same rule as oracle
+                    / F.nullif(F.sum("kept"), F.lit(0))
+                    * 1_000_000.0
+                    + 0.5
+                )
+                / 1_000_000.0
+            ).alias("kept_mean_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+IMPORTANCE_RESAMPLE_ORACLE = rf"""
+WITH feats AS (
+  SELECT
+    doc_id,
+    source,
+    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tokens,
+    (length(trim(text)) - (len(string_split_regex(trim(text), '\s+')) - 1))
+      / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS mean_tok_len,
+    CAST(
+        (len(string_split(' ' || text || ' ', ' the ')) - 1)
+      + (len(string_split(' ' || text || ' ', ' a ')) - 1)
+    AS DOUBLE)
+      / len(string_split_regex(trim(text), '\s+')) AS stop_ratio
+  FROM documents
+),
+scored AS (
+  SELECT
+    doc_id,
+    source,
+    floor((
+        LEAST(n_tokens / 100.0, 1.0) * 0.5
+      + (1.0 - LEAST(stop_ratio * 2.0, 1.0)) * 0.3
+      + LEAST(mean_tok_len / 8.0, 1.0) * 0.2
+    ) * 1000000.0 + 0.5) / 1000000.0 AS quality_score
+  FROM feats
+),
+flagged AS (
+  SELECT
+    source,
+    quality_score,
+    CASE WHEN {BUCKET8_SQL}
+         < CAST(FLOOR(quality_score * 100000000 + 0.5) AS BIGINT)
+    THEN 1 ELSE 0 END AS kept
+  FROM scored
+)
+SELECT
+  source,
+  COUNT(*) AS n_total,
+  CAST(SUM(kept) AS BIGINT) AS n_kept,
+  FLOOR(SUM(CASE WHEN kept = 1 THEN quality_score END)
+        / CAST(NULLIF(SUM(kept), 0) AS DOUBLE) * 1000000 + 0.5) / 1000000
+    AS kept_mean_quality
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+
+
 def train_test_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/20 train/test split (SURVEY §2.9 E4, made
     reproducible): membership is a function of doc_id alone, so the

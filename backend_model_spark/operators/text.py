@@ -89,15 +89,12 @@ ORDER BY lang
 """
 
 
-def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic document quality scoring: token count, mean token
-    length, stopword ratio, and a composite score — the standard
-    pre-training quality gate features (length/stopword heuristics)."""
-    # repartition: single-file source, per-doc scoring wants all cores;
-    # tokenize once into a column (not re-evaluated per expression)
-    docs = spread(load_table(spark, "documents", sf_dir)).withColumn(
-        "toks", F.expr(TOKENS)
-    )
+def quality_frame(docs: DataFrame) -> DataFrame:
+    """Per-document quality features over a ``documents``-shaped frame
+    — shared by :func:`quality_scores` and the importance-resampling
+    op in ``sampling.py`` (same score, computed inline in each
+    query's own single scan rather than via a doc-level self-join)."""
+    docs = docs.withColumn("toks", F.expr(TOKENS))
     toks = F.col("toks")
     n_tokens = F.size(toks).cast("double")
     # mean token length = (chars - separators) / tokens
@@ -111,13 +108,30 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (1.0 - F.least(stop_ratio * 2.0, F.lit(1.0))) * 0.3
         + F.least(mean_tok_len / 8.0, F.lit(1.0)) * 0.2
     )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        _round6(mean_tok_len).alias("mean_token_len"),
+        _round6(stop_ratio).alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality scoring: token count, mean token
+    length, stopword ratio, and a composite score — the standard
+    pre-training quality gate features (length/stopword heuristics)."""
+    # spread: single-file source, per-doc scoring wants all cores
+    docs = spread(load_table(spark, "documents", sf_dir))
     return (
-        docs.select(
+        quality_frame(docs)
+        .select(
             "doc_id",
-            F.size(toks).alias("n_tokens"),
-            _round6(mean_tok_len).alias("mean_token_len"),
-            _round6(stop_ratio).alias("stopword_ratio"),
-            score.alias("quality_score"),
+            "n_tokens",
+            "mean_token_len",
+            "stopword_ratio",
+            "quality_score",
         )
         .orderBy("doc_id")
     )
@@ -148,6 +162,113 @@ SELECT
     + LEAST(mean_tok_len / 8.0, 1.0) * 0.2
   ) * 1000000.0 + 0.5) / 1000000.0 AS quality_score
 FROM feats
+ORDER BY doc_id
+"""
+
+
+# Gopher-style repetition gates (Rae et al. 2021 §A1.1, public):
+# docs dominated by one word or by repeated n-grams are boilerplate.
+REP_TOP_WORD_MAX = 0.30
+REP_DUP_2GRAM_MAX = 0.20
+REP_DUP_3GRAM_MAX = 0.18
+
+
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition quality signals per document:
+    top-word share (fraction of tokens that are the single most
+    frequent token) and duplicate 2-/3-gram fractions, plus the
+    composite keep/drop flag at the published Gopher thresholds —
+    the boilerplate gate that runs beside :func:`quality_scores` in a
+    pre-training corpus pipeline.
+
+    Scale: ZERO shuffle — every signal is a higher-order array
+    expression over the per-row token array (single scan, fully
+    parallel). The top-word count uses the O(distinct·n) per-row
+    fold (``transform(array_distinct(t), x -> count of x)``) instead
+    of explode + groupBy(doc, term): corpus docs are bounded (chunked
+    upstream by ``pipeline_corpus_prep``), so per-row quadratic in
+    doc length beats a corpus-wide shuffle; for pathological
+    million-token docs, flip to the tf-shuffle formulation.
+    """
+    docs = spread(load_table(spark, "documents", sf_dir)).withColumn(
+        "t", F.expr(TOKENS)
+    )
+    n = F.size("t")
+    top_cnt = F.expr(
+        "array_max(transform(array_distinct(t), x -> size(filter(t, y -> y = x))))"
+    )
+    # sequence(1, n-1) DESCENDS when n < 2 in Spark — guard explicitly
+    grams = lambda k: F.expr(  # noqa: E731
+        f"case when size(t) >= {k} then "
+        f"transform(sequence(1, size(t) - {k - 1}), i -> "
+        f"concat_ws(' ', slice(t, i, {k}))) "
+        f"else array() end"
+    )
+    dup_frac = lambda g: F.when(  # noqa: E731
+        F.size(g) > 0,
+        1.0 - F.size(F.array_distinct(g)) / F.size(g).cast("double"),
+    ).otherwise(F.lit(0.0))
+    top_share = F.when(
+        n > 0, top_cnt / n.cast("double")
+    ).otherwise(F.lit(0.0))
+    g2, g3 = grams(2), grams(3)
+    out = docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        _round6(top_share).alias("top_word_share"),
+        _round6(dup_frac(g2)).alias("dup_2gram_frac"),
+        _round6(dup_frac(g3)).alias("dup_3gram_frac"),
+    )
+    keep = (
+        (F.col("top_word_share") <= REP_TOP_WORD_MAX)
+        & (F.col("dup_2gram_frac") <= REP_DUP_2GRAM_MAX)
+        & (F.col("dup_3gram_frac") <= REP_DUP_3GRAM_MAX)
+    )
+    return out.withColumn("keep", keep).orderBy("doc_id")
+
+
+REPETITION_SIGNALS_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+  FROM documents
+),
+g AS (
+  SELECT
+    doc_id,
+    len(t) AS n_tokens,
+    CASE WHEN len(t) > 0 THEN
+      list_max(list_transform(list_distinct(t),
+               x -> len(list_filter(t, y -> y = x)))) / CAST(len(t) AS DOUBLE)
+    ELSE 0.0 END AS top_word_share,
+    CASE WHEN len(t) >= 2 THEN
+      list_transform(generate_series(1, len(t) - 1),
+                     i -> t[i] || ' ' || t[i + 1])
+    ELSE [] END AS g2,
+    CASE WHEN len(t) >= 3 THEN
+      list_transform(generate_series(1, len(t) - 2),
+                     i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+    ELSE [] END AS g3
+  FROM t
+),
+f AS (
+  SELECT
+    doc_id,
+    CAST(n_tokens AS INTEGER) AS n_tokens,
+    FLOOR(top_word_share * 1000000 + 0.5) / 1000000 AS top_word_share,
+    FLOOR((CASE WHEN len(g2) > 0
+           THEN 1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE)
+           ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS dup_2gram_frac,
+    FLOOR((CASE WHEN len(g3) > 0
+           THEN 1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE)
+           ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS dup_3gram_frac
+  FROM g
+)
+SELECT
+  doc_id, n_tokens, top_word_share, dup_2gram_frac, dup_3gram_frac,
+  (top_word_share <= {REP_TOP_WORD_MAX}
+   AND dup_2gram_frac <= {REP_DUP_2GRAM_MAX}
+   AND dup_3gram_frac <= {REP_DUP_3GRAM_MAX}) AS keep
+FROM f
 ORDER BY doc_id
 """
 

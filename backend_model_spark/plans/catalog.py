@@ -415,6 +415,11 @@ register("events_late_audit", events_ops.late_data_audit, events_ops.LATE_DATA_O
 
 # --- text analysis (LLM-data-pipeline surface) -------------------------------
 register("text_language_id", text.language_id, text.LANG_ID_ORACLE)
+register(
+    "text_repetition_signals",
+    text.repetition_signals,
+    text.REPETITION_SIGNALS_ORACLE,
+)
 register("text_fingerprints", text.fingerprints, text.FINGERPRINT_ORACLE)
 register("text_top_tokens", text.top_tokens, text.TOP_TOKENS_ORACLE)
 register("text_char_stats", text.char_stats, text.CHAR_STATS_ORACLE)
@@ -484,6 +489,16 @@ register(
 )
 
 # --- sampling / dataset mixing (training-data selection layer) -----------------
+register(
+    "sample_temperature_mix",
+    sampling.temperature_mix,
+    sampling.TEMPERATURE_MIX_ORACLE,
+)
+register(
+    "sample_importance_resample",
+    sampling.importance_resample,
+    sampling.IMPORTANCE_RESAMPLE_ORACLE,
+)
 register(
     "sample_pack_sequences",
     sampling.pack_sequences,

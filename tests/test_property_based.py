@@ -146,3 +146,54 @@ def test_sessionize_bounds(spark, offsets):
         assert row["n_events"] == n
         assert 1 <= row["n_sessions"] <= n
         assert row["max_session_events"] <= n
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-5, max_value=5), min_size=1, max_size=60
+    ),
+    k=st.integers(min_value=1, max_value=7),
+)
+def test_global_rank_ntile_prefix_sum_match_window_semantics(spark, vals, k):
+    """The two-stage rank primitive (every former global window routes
+    through it) must agree exactly with Spark's own single-partition
+    row_number / ntile / running sum on arbitrary tie-heavy data."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from backend_model_spark.operators.scale_utils import (
+        with_global_ntile,
+        with_global_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id int, v int"
+    )
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = with_global_ntile(
+        with_global_rank(
+            df, order, "r", total_col="n", prefix_sum=("v", "cum")
+        ),
+        k,
+        order,
+        "t",
+    ).toPandas().set_index("id").sort_index()
+    w = W.orderBy(*order)
+    ref = (
+        df.withColumn("r", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy()))
+        .withColumn(
+            "cum", F.sum("v").over(w.rowsBetween(W.unboundedPreceding, 0))
+        )
+        .withColumn("t", F.ntile(k).over(w))
+        .toPandas()
+        .set_index("id")
+        .sort_index()
+    )
+    for col in ["r", "n", "cum", "t"]:
+        assert got[col].tolist() == ref[col].tolist(), (col, vals, k)

@@ -16,7 +16,7 @@ tiers:
   SURVEY.md §2.
 * TIER 2 (remainder): the rest of each family, grouped as before.
 
-190 registered queries; names are stable across rounds — only
+194 registered queries; names are stable across rounds — only
 insertion order (the verified prefix) rotates.
 """
 
@@ -524,6 +524,7 @@ register("sim_ivf_recall", similarity.ivf_recall_vs_exact, None)
 
 # --- sources / sinks / DDL (SURVEY §2.1 S1-S7) ---------------------------------
 register("io_upsert_merge", io_ops.upsert_merge, io_ops.UPSERT_ORACLE)
+register("io_scd2_merge", io_ops.scd2_dimension_merge, io_ops.SCD2_ORACLE)
 register("io_append_sink", io_ops.append_sink, io_ops.APPEND_SINK_ORACLE)
 register("io_json_roundtrip", io_ops.json_roundtrip, io_ops.JSON_ROUNDTRIP_ORACLE)
 register("io_orc_roundtrip", io_ops.orc_roundtrip, io_ops.ORC_ROUNDTRIP_ORACLE)

@@ -269,6 +269,107 @@ def upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SCD2_EFF_DATE = "1998-06-01"
+
+
+def scd2_dimension_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge on the customer dim —
+    the versioned-history sibling of :func:`upsert_merge` (SCD1
+    overwrite). An update batch (every 7th customer's balance moves
+    +500, effective ``SCD2_EFF_DATE``) closes the matched current
+    version (``valid_to`` = effective date) and appends a new current
+    version; unmatched rows pass through untouched. Reported per
+    nation: version counts, current/closed split, current balance.
+
+    Scale: one shuffle on the dimension key (the update batch is
+    corpus-proportional, so no broadcast); the three branches are
+    projections of the SAME join output — Spark plans one join, and a
+    bucketed target drops the shuffle entirely (test_bucketing
+    pattern). Table formats (Delta/Iceberg MERGE) add file pruning on
+    top of this exact plan.
+    """
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    updates = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", (F.col("c_acctbal") + 500.0).alias("new_bal")
+    )
+    j = cust.join(updates, "c_custkey", "left")
+    eff = F.lit(SCD2_EFF_DATE).cast("date")
+    matched = j.filter(F.col("new_bal").isNotNull())
+    unchanged = j.filter(F.col("new_bal").isNull()).select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").alias("bal"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    closed = matched.select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").alias("bal"),
+        eff.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    current = matched.select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("new_bal").alias("bal"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    scd = unchanged.unionByName(closed).unionByName(current)
+    cents = F.floor(F.col("bal") * 100 + 0.5).cast("bigint")
+    return (
+        scd.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.sum(F.col("is_current").cast("long")).alias("n_current"),
+            F.sum((~F.col("is_current")).cast("long")).alias("n_closed"),
+            F.sum(F.when(F.col("is_current"), cents)).alias(
+                "current_cents"
+            ),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+SCD2_ORACLE = f"""
+WITH updates AS (
+  SELECT c_custkey, c_acctbal + 500.0 AS new_bal
+  FROM customer WHERE c_custkey % 7 = 0
+),
+j AS (
+  SELECT c.c_custkey, c.c_nationkey, c.c_acctbal, u.new_bal
+  FROM customer c LEFT JOIN updates u ON c.c_custkey = u.c_custkey
+),
+scd AS (
+  SELECT c_custkey, c_nationkey, c_acctbal AS bal,
+         CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+  FROM j WHERE new_bal IS NULL
+  UNION ALL
+  SELECT c_custkey, c_nationkey, c_acctbal AS bal,
+         DATE '{SCD2_EFF_DATE}' AS valid_to, FALSE AS is_current
+  FROM j WHERE new_bal IS NOT NULL
+  UNION ALL
+  SELECT c_custkey, c_nationkey, new_bal AS bal,
+         CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+  FROM j WHERE new_bal IS NOT NULL
+)
+SELECT
+  c_nationkey,
+  COUNT(*) AS n_versions,
+  CAST(SUM(CASE WHEN is_current THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+  CAST(SUM(CASE WHEN is_current THEN 0 ELSE 1 END) AS BIGINT) AS n_closed,
+  CAST(SUM(CASE WHEN is_current
+       THEN CAST(FLOOR(bal * 100 + 0.5) AS BIGINT) END) AS BIGINT)
+    AS current_cents
+FROM scd
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 UPSERT_ORACLE = """
 WITH updates AS (
   SELECT o_orderkey, o_totalprice + 1000.0 AS u_totalprice

@@ -351,3 +351,32 @@ def test_no_unpartitioned_window_anywhere_in_registry(spark, sf_dir):
         if bad:
             offenders[name] = bad
     assert not offenders, f"global (single-partition) windows: {offenders}"
+
+
+def test_scd2_single_join(spark, sf_dir):
+    """SCD2's three version branches are projections of ONE
+    target⟕updates join — the plan must not join per branch."""
+    plan = plan_of(spark, "io_scd2_merge", sf_dir)
+    import re
+
+    n_joins = len(re.findall(r"Join|BroadcastHashJoin|SortMergeJoin", plan))
+    # one logical join; allow its two formatted mentions (tree + detail)
+    assert plan.count("CartesianProduct") == 0
+    assert _n_scans(plan) <= 6, "customer must not be rescanned per branch"
+
+
+def test_temperature_mix_broadcasts_rates(spark, sf_dir):
+    """The computed per-language rate table is tiny and must broadcast
+    back onto the corpus scan — never shuffle the corpus on lang."""
+    plan = plan_of(spark, "sample_temperature_mix", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_grid_join_not_cartesian(spark, sf_dir):
+    """The grid-blocked pair stage must plan an equi-join on the full
+    (label, i, j) cell key — never a cartesian/broadcast-nested-loop
+    over the vectors."""
+    plan = plan_of(spark, "dedup_embedding_neardup", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -16,7 +16,7 @@ tiers:
   SURVEY.md §2.
 * TIER 2 (remainder): the rest of each family, grouped as before.
 
-194 registered queries; names are stable across rounds — only
+195 registered queries; names are stable across rounds — only
 insertion order (the verified prefix) rotates.
 """
 
@@ -560,6 +560,11 @@ register(
 register("ml_gbt_feature_importance", ml_queries.gbt_feature_importance, None)
 
 # --- structured streaming (availableNow batch-equivalence) --------------------
+register(
+    "streaming_left_join_attribution",
+    streaming_jobs.streaming_left_join_attribution,
+    streaming_jobs.STREAMING_LEFT_JOIN_ORACLE,
+)
 register(
     "streaming_dedup_user_types",
     streaming_jobs.streaming_dedup_user_types,

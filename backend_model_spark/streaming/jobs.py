@@ -18,6 +18,7 @@ the memory sink here is the verification tap; production sinks run
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import uuid
@@ -334,6 +335,104 @@ JOIN events c
  AND c.user_id = p.user_id
  AND c.ts >= p.ts - INTERVAL 2 HOUR
  AND c.ts <= p.ts
+ORDER BY purchase_id, click_id
+"""
+
+
+def streaming_left_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every purchase, attributed to
+    same-user clicks in the preceding 2 hours — or emitted with NULL
+    click columns if none arrive. The semantics inner join can't
+    cover: an outer result may only emit once the watermark proves no
+    matching click can still arrive, so unmatched rows sit in state
+    until event time passes them.
+
+    Batch-equivalence trick (the production "flush sentinel"): a
+    far-future sentinel event unioned into BOTH sides advances the
+    global watermark past every real row at end-of-input, and Spark's
+    no-data microbatch (``noDataMicroBatches``, on by default) then
+    emits the trailing outer results that a plain ``availableNow``
+    run would leave stuck in state. Sentinels use user_id −1 so they
+    match nothing, and are filtered from the sink. The sentinel
+    timestamp derives from a batch max-ts probe — a deployment would
+    use a wall-clock heartbeat topic instead; the probe stands in for
+    it against static test data.
+
+    Scale: state per side is bounded by the watermark + the 2 h range
+    condition exactly as in the inner join; outer emission adds no
+    extra state, only delayed eviction.
+    """
+    import datetime
+
+    max_ts = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .agg(F.max("ts"))
+        .collect()[0][0]
+    )  # one scalar: the heartbeat stand-in
+    sent_dir = os.path.join(
+        _CKPT_ROOT, "flush_sentinel_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    if not os.path.exists(os.path.join(sent_dir, "_SUCCESS")):
+        sentinel_ts = (max_ts if isinstance(max_ts, datetime.datetime) else max_ts.to_pydatetime()) + datetime.timedelta(days=30)
+        spark.createDataFrame(
+            [(-1, sentinel_ts, -1, "__flush__", 0.0, None)],
+            _raw_events_schema(T.TimestampNTZType()),
+        ).coalesce(1).write.mode("overwrite").parquet(sent_dir)
+    sentinel = (
+        spark.readStream.schema(_raw_events_schema(T.TimestampNTZType()))
+        .parquet(sent_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .unionByName(sentinel)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .unionByName(sentinel)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 2 HOURS"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "left_outer",
+    ).select(
+        "purchase_id", "user_id", "purchase_ts", "purchase_value", "click_id", "click_ts"
+    )
+    out = _run_to_memory(joined, "append")
+    return out.filter(F.col("user_id") >= 0).orderBy("purchase_id", "click_id")
+
+
+STREAMING_LEFT_JOIN_ORACLE = """
+SELECT
+  p.event_id AS purchase_id,
+  p.user_id  AS user_id,
+  p.ts       AS purchase_ts,
+  p.value    AS purchase_value,
+  c.event_id AS click_id,
+  c.ts       AS click_ts
+FROM events p
+LEFT JOIN events c
+  ON c.event_type = 'click'
+ AND c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 2 HOUR
+ AND c.ts <= p.ts
+WHERE p.event_type = 'purchase'
 ORDER BY purchase_id, click_id
 """
 

@@ -509,3 +509,62 @@ def test_grid_pairs_bound_per_cell_and_exact(spark):
         .count()
     )
     assert n_cells_big == m * m
+
+
+def test_global_rank_empty_and_single_row(spark):
+    """The two-stage rank primitive on degenerate inputs: empty frame
+    stays empty (no null-offset join explosions); single row ranks 1,
+    tile 1, prefix sum = its own value."""
+    from pyspark.sql import functions as F
+
+    from backend_model_spark.operators.scale_utils import (
+        with_global_ntile,
+        with_global_rank,
+    )
+
+    empty = spark.createDataFrame([], "k int, v int")
+    order = [F.col("v").asc(), F.col("k").asc()]
+    out = with_global_ntile(
+        with_global_rank(empty, order, "r", total_col="n", prefix_sum=("v", "c")),
+        5,
+        order,
+        "t",
+    )
+    assert out.count() == 0
+
+    one = spark.createDataFrame([(7, 42)], "k int, v int")
+    row = with_global_ntile(
+        with_global_rank(one, order, "r", total_col="n", prefix_sum=("v", "c")),
+        5,
+        order,
+        "t",
+    ).collect()[0]
+    assert (row["r"], row["n"], row["c"], row["t"]) == (1, 1, 42, 1)
+
+
+def test_repetition_signals_flags_degenerate_doc(spark, tmp_path):
+    """A doc that is one word repeated must trip every Gopher gate;
+    a normal varied doc must pass all three."""
+    import pandas as pd
+
+    from backend_model_spark.operators.text import repetition_signals
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [
+                "spam " * 50,
+                "the quick brown fox jumps over a lazy dog near the river bank today",
+            ],
+            "lang": ["en", "en"],
+            "source": ["s0", "s0"],
+            "n_chars": [250, 68],
+        }
+    )
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    out = {r["doc_id"]: r for r in repetition_signals(spark, sf).collect()}
+    assert out[0]["top_word_share"] == 1.0
+    assert out[0]["dup_2gram_frac"] > 0.9
+    assert not out[0]["keep"]
+    assert out[1]["keep"], dict(out[1].asDict())

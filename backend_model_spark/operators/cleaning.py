@@ -299,3 +299,77 @@ JOIN fences ON o_orderstatus = f_status
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
+
+
+def impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-median imputation — the sklearn ``SimpleImputer``
+    pattern the reference's cleaning stage gestures at, done
+    group-aware (impute a customer's missing balance with their
+    NATION's median, not the global one). "Missing" is the negative
+    account balance (the sentinel convention in the synthetic data).
+
+    Exact parity: medians via ``percentile``/``quantile_cont`` over
+    non-missing rows only; the report sums integer cents of the
+    imputed column so aggregation order can't drift the hash.
+
+    Scale: one groupBy for the 25-row median table, broadcast back
+    onto the scan; no shuffle of the fact side.
+    """
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    missing = F.col("c_acctbal") < 0
+    medians = (
+        cust.filter(~missing)
+        .groupBy("c_nationkey")
+        .agg(F.percentile("c_acctbal", F.lit(0.5)).alias("nation_median"))
+    )
+    filled = (
+        cust.join(F.broadcast(medians), "c_nationkey", "left")
+        .withColumn(
+            "bal_filled",
+            F.when(missing, F.col("nation_median")).otherwise(F.col("c_acctbal")),
+        )
+    )
+    cents = F.floor(F.col("bal_filled") * 100 + 0.5).cast("bigint")
+    return (
+        filled.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(missing.cast("long")).alias("n_imputed"),
+            (
+                F.floor(F.max("nation_median") * 1_000_000.0 + 0.5) / 1_000_000.0
+            ).alias("nation_median"),
+            F.sum(cents).alias("filled_cents"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+IMPUTE_ORACLE = """
+WITH medians AS (
+  SELECT c_nationkey AS m_nation,
+         quantile_cont(c_acctbal, 0.5) AS nation_median
+  FROM customer WHERE c_acctbal >= 0
+  GROUP BY c_nationkey
+),
+filled AS (
+  SELECT
+    c.c_nationkey,
+    CASE WHEN c.c_acctbal < 0 THEN 1 ELSE 0 END AS imputed,
+    CASE WHEN c.c_acctbal < 0 THEN m.nation_median ELSE c.c_acctbal END
+      AS bal_filled,
+    m.nation_median
+  FROM customer c LEFT JOIN medians m ON c.c_nationkey = m.m_nation
+)
+SELECT
+  c_nationkey,
+  COUNT(*) AS n_customers,
+  CAST(SUM(imputed) AS BIGINT) AS n_imputed,
+  FLOOR(MAX(nation_median) * 1000000 + 0.5) / 1000000 AS nation_median,
+  CAST(SUM(CAST(FLOOR(bal_filled * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS filled_cents
+FROM filled
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""

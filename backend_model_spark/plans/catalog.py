@@ -16,7 +16,7 @@ tiers:
   SURVEY.md §2.
 * TIER 2 (remainder): the rest of each family, grouped as before.
 
-195 registered queries; names are stable across rounds — only
+197 registered queries; names are stable across rounds — only
 insertion order (the verified prefix) rotates.
 """
 
@@ -262,6 +262,7 @@ register("set_intersect", sorts_sets.intersect_custkeys, sorts_sets.INTERSECT_OR
 register("set_except_all", sorts_sets.except_custkeys, sorts_sets.EXCEPT_ORACLE)
 
 # --- cleaning / scalar functions (SURVEY §2.2, §2.8) ------------------------
+register("clean_impute_group_median", cleaning.impute_group_median, cleaning.IMPUTE_ORACLE)
 register(
     "clean_cast_priority",
     cleaning.cast_string_priority_to_int,
@@ -523,6 +524,7 @@ register("mllib_pca_variance", mllib_ops.mllib_pca_variance, None)
 register("sim_ivf_recall", similarity.ivf_recall_vs_exact, None)
 
 # --- sources / sinks / DDL (SURVEY §2.1 S1-S7) ---------------------------------
+register("io_bucketed_join", io_ops.bucketed_join, io_ops.BUCKETED_JOIN_ORACLE)
 register("io_upsert_merge", io_ops.upsert_merge, io_ops.UPSERT_ORACLE)
 register("io_scd2_merge", io_ops.scd2_dimension_merge, io_ops.SCD2_ORACLE)
 register("io_append_sink", io_ops.append_sink, io_ops.APPEND_SINK_ORACLE)

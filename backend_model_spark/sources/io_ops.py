@@ -695,3 +695,62 @@ FROM documents
 GROUP BY 1
 ORDER BY lang_bucket
 """
+
+
+BUCKETED_JOIN_BUCKETS = 8
+
+
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zero-exchange fact⨝fact pattern as a first-class query:
+    write orders and customer bucketed+sorted by the join key, then
+    join the bucketed tables — Spark plans a SortMergeJoin with NO
+    Exchange on either side (pinned by tests/test_bucketing.py). At
+    100 TB bucketing at write time amortizes the join shuffle across
+    every downstream run; this query IS that write-then-join
+    lifecycle, reported as a segment rollup the oracle reproduces
+    from the raw tables.
+
+    Exact-cents sum so bucket-parallel aggregation order is
+    irrelevant to the hash.
+    """
+    # drop catalog entries AND their on-disk locations: the warehouse
+    # dir outlives the in-memory catalog across sessions, and a
+    # managed-table CREATE refuses an existing location
+    import shutil
+
+    for tbl, src, bucket_col in (
+        ("io_orders_bkt", "orders", "o_custkey"),
+        ("io_customer_bkt", "customer", "c_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        location = _scratch("bucketed", tbl)
+        shutil.rmtree(location, ignore_errors=True)
+        load_table(spark, src, sf_dir).write.bucketBy(
+            BUCKETED_JOIN_BUCKETS, bucket_col
+        ).sortBy(bucket_col).option("path", location).mode(
+            "overwrite"
+        ).saveAsTable(tbl)
+    o = spark.table("io_orders_bkt")
+    c = spark.table("io_customer_bkt")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("sum_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+BUCKETED_JOIN_ORACLE = """
+SELECT
+  c_mktsegment,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS sum_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""

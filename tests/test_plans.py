@@ -380,3 +380,26 @@ def test_embedding_grid_join_not_cartesian(spark, sf_dir):
     plan = plan_of(spark, "dedup_embedding_neardup", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_io_bucketed_join_zero_exchange(spark, sf_dir):
+    """The registered bucketed-join lifecycle must actually deliver
+    the zero-exchange SortMergeJoin below the aggregate (same
+    contract test_bucketing pins for its own tables)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, "io_bucketed_join", sf_dir)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    import re
+
+    assert "SortMergeJoin" in plan
+    # node ids below the join belong to its subtree (test_bucketing's
+    # id rule): no Exchange may feed the join — the only exchanges
+    # allowed sit above it (final aggregate/sort)
+    smj_id = int(re.search(r"SortMergeJoin[^(]*\((\d+)\)", plan).group(1))
+    feeding = [
+        int(m) for m in re.findall(r"Exchange \((\d+)\)", plan) if int(m) < smj_id
+    ]
+    assert not feeding, f"bucketed join still shuffles: {feeding}"

@@ -137,20 +137,20 @@ register(
     aggregates.CONCENTRATION_ORACLE,
 )
 register("text_source_kl", text.source_kl_divergence, text.KL_DIVERGENCE_ORACLE)
-register("text_token_stats", text.token_stats_per_lang, text.TOKEN_STATS_ORACLE)
-register("join_q5_region_revenue", joins.q5_region_revenue, joins.Q5_ORACLE)
 register(
-    "sample_train_test_split",
-    sampling.train_test_split_hash,
-    sampling.TRAIN_TEST_SPLIT_ORACLE,
+    "text_repetition_signals",
+    text.repetition_signals,
+    text.REPETITION_SIGNALS_ORACLE,
 )
+register("join_q5_region_revenue", joins.q5_region_revenue, joins.Q5_ORACLE)
+register("io_bucketed_join", io_ops.bucketed_join, io_ops.BUCKETED_JOIN_ORACLE)
 register("io_ddl_create_insert_scan", io_ops.ddl_create_insert_scan, io_ops.DDL_ORACLE)
 register("text_vocab_build", text.vocab_build, text.VOCAB_ORACLE)
 register("join_order_backlog", joins.order_backlog_series, joins.BACKLOG_ORACLE)
 register(
-    "sim_centroid_assign",
-    similarity.centroid_assign,
-    similarity.CENTROID_ASSIGN_ORACLE,
+    "sample_importance_resample",
+    sampling.importance_resample,
+    sampling.IMPORTANCE_RESAMPLE_ORACLE,
 )
 register(
     "window_revenue_growth", windows.revenue_growth_series, windows.REVENUE_GROWTH_ORACLE
@@ -165,7 +165,11 @@ register(
     aggregates.normality_probe,
     aggregates.NORMALITY_PROBE_ORACLE,
 )
-register("text_bpe_token_count", text.bpe_token_estimate, text.BPE_TOKEN_ORACLE)
+register(
+    "sample_temperature_mix",
+    sampling.temperature_mix,
+    sampling.TEMPERATURE_MIX_ORACLE,
+)
 register("agg_chi2_independence", aggregates.chi2_independence, aggregates.CHI2_ORACLE)
 register("dq_benford", relational.benford_first_digit, relational.BENFORD_ORACLE)
 register(
@@ -178,13 +182,13 @@ register(
     dedup.embedding_duplicate_clusters,
     dedup.EMBEDDING_CLUSTERS_ORACLE,
 )
-register("io_etl_orchestration", io_ops.etl_orchestration, io_ops.ETL_ORACLE)
+register("io_scd2_merge", io_ops.scd2_dimension_merge, io_ops.SCD2_ORACLE)
 register(
     "sql_recursive_cte",
     sql_api.recursive_cte_month_spine,
     sql_api.RECURSIVE_CTE_SQL,
 )
-register("clean_outlier_iqr", cleaning.outlier_iqr_filter, cleaning.OUTLIER_IQR_ORACLE)
+register("clean_impute_group_median", cleaning.impute_group_median, cleaning.IMPUTE_ORACLE)
 register(
     "io_incremental_rollup", io_ops.incremental_rollup, io_ops.INCREMENTAL_ROLLUP_ORACLE
 )
@@ -200,9 +204,9 @@ register(
     dedup.DUPLICATE_CLUSTERS_ORACLE,
 )
 register(
-    "streaming_session_windows",
-    streaming_jobs.streaming_session_windows,
-    streaming_jobs.STREAMING_SESSION_ORACLE,
+    "streaming_left_join_attribution",
+    streaming_jobs.streaming_left_join_attribution,
+    streaming_jobs.STREAMING_LEFT_JOIN_ORACLE,
 )
 
 # ======================================================================
@@ -262,7 +266,7 @@ register("set_intersect", sorts_sets.intersect_custkeys, sorts_sets.INTERSECT_OR
 register("set_except_all", sorts_sets.except_custkeys, sorts_sets.EXCEPT_ORACLE)
 
 # --- cleaning / scalar functions (SURVEY §2.2, §2.8) ------------------------
-register("clean_impute_group_median", cleaning.impute_group_median, cleaning.IMPUTE_ORACLE)
+register("clean_outlier_iqr", cleaning.outlier_iqr_filter, cleaning.OUTLIER_IQR_ORACLE)
 register(
     "clean_cast_priority",
     cleaning.cast_string_priority_to_int,
@@ -415,12 +419,9 @@ register(
 register("events_late_audit", events_ops.late_data_audit, events_ops.LATE_DATA_ORACLE)
 
 # --- text analysis (LLM-data-pipeline surface) -------------------------------
+register("text_token_stats", text.token_stats_per_lang, text.TOKEN_STATS_ORACLE)
+register("text_bpe_token_count", text.bpe_token_estimate, text.BPE_TOKEN_ORACLE)
 register("text_language_id", text.language_id, text.LANG_ID_ORACLE)
-register(
-    "text_repetition_signals",
-    text.repetition_signals,
-    text.REPETITION_SIGNALS_ORACLE,
-)
 register("text_fingerprints", text.fingerprints, text.FINGERPRINT_ORACLE)
 register("text_top_tokens", text.top_tokens, text.TOP_TOKENS_ORACLE)
 register("text_char_stats", text.char_stats, text.CHAR_STATS_ORACLE)
@@ -451,6 +452,11 @@ register("dedup_simhash", dedup.simhash_fingerprints, dedup.SIMHASH_ORACLE)
 register("dedup_graph_pagerank", dedup.lsh_graph_pagerank, dedup.PAGERANK_ORACLE)
 
 # --- similarity search ---------------------------------------------------------
+register(
+    "sim_centroid_assign",
+    similarity.centroid_assign,
+    similarity.CENTROID_ASSIGN_ORACLE,
+)
 register("sim_ivf_topk", similarity.ivf_topk, similarity.IVF_TOPK_ORACLE)
 register(
     "sim_lsh_hyperplane_buckets",
@@ -491,14 +497,9 @@ register(
 
 # --- sampling / dataset mixing (training-data selection layer) -----------------
 register(
-    "sample_temperature_mix",
-    sampling.temperature_mix,
-    sampling.TEMPERATURE_MIX_ORACLE,
-)
-register(
-    "sample_importance_resample",
-    sampling.importance_resample,
-    sampling.IMPORTANCE_RESAMPLE_ORACLE,
+    "sample_train_test_split",
+    sampling.train_test_split_hash,
+    sampling.TRAIN_TEST_SPLIT_ORACLE,
 )
 register(
     "sample_pack_sequences",
@@ -524,9 +525,8 @@ register("mllib_pca_variance", mllib_ops.mllib_pca_variance, None)
 register("sim_ivf_recall", similarity.ivf_recall_vs_exact, None)
 
 # --- sources / sinks / DDL (SURVEY §2.1 S1-S7) ---------------------------------
-register("io_bucketed_join", io_ops.bucketed_join, io_ops.BUCKETED_JOIN_ORACLE)
+register("io_etl_orchestration", io_ops.etl_orchestration, io_ops.ETL_ORACLE)
 register("io_upsert_merge", io_ops.upsert_merge, io_ops.UPSERT_ORACLE)
-register("io_scd2_merge", io_ops.scd2_dimension_merge, io_ops.SCD2_ORACLE)
 register("io_append_sink", io_ops.append_sink, io_ops.APPEND_SINK_ORACLE)
 register("io_json_roundtrip", io_ops.json_roundtrip, io_ops.JSON_ROUNDTRIP_ORACLE)
 register("io_orc_roundtrip", io_ops.orc_roundtrip, io_ops.ORC_ROUNDTRIP_ORACLE)
@@ -563,9 +563,9 @@ register("ml_gbt_feature_importance", ml_queries.gbt_feature_importance, None)
 
 # --- structured streaming (availableNow batch-equivalence) --------------------
 register(
-    "streaming_left_join_attribution",
-    streaming_jobs.streaming_left_join_attribution,
-    streaming_jobs.STREAMING_LEFT_JOIN_ORACLE,
+    "streaming_session_windows",
+    streaming_jobs.streaming_session_windows,
+    streaming_jobs.STREAMING_SESSION_ORACLE,
 )
 register(
     "streaming_dedup_user_types",

@@ -412,9 +412,11 @@ def _label_grid_pairs(v: DataFrame, m: int) -> DataFrame:
     cell as (a, b) with a.vec_id < b.vec_id, so the output is
     identical to the naive per-label join while no task ever holds
     more than (label_size / m)²-ish pair work — a skewed label spreads
-    over m² cells instead of serializing one task (AQE skew-split can
-    rescue a skewed equi-join after the fact; the grid guarantees the
-    spread structurally).
+    over m² cells instead of serializing one task. AQE skew-split
+    cannot rescue this shape: its heuristics are byte-based, and a hot
+    label's bytes sit far below the skew threshold while its PAIR work
+    is quadratic — measured in SCALE.md (forced-SMJ skew regime:
+    naive 21.8 s vs grid m=4 4.5 s at identical output).
     """
     cell = F.explode(F.array(*[F.lit(i) for i in range(m)]))
     a = (

@@ -731,7 +731,7 @@ def _cluster_report(labels: DataFrame) -> DataFrame:
     )
 
 
-DUPLICATE_CLUSTERS_ORACLE = f"""
+_CC_ORACLE_PREFIX = f"""
 WITH RECURSIVE shingled AS (
   SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS shingle
   FROM documents
@@ -768,6 +768,10 @@ reach(node, r) AS (
   SELECT re.node, u.dst AS r FROM reach re JOIN und u ON re.r = u.src
 ),
 comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+"""
+
+
+DUPLICATE_CLUSTERS_ORACLE = _CC_ORACLE_PREFIX + """
 SELECT c.node AS doc_id, c.component, cnt.n_members
 FROM comp c
 JOIN (SELECT component, COUNT(*) AS n_members FROM comp GROUP BY component) cnt
@@ -1046,4 +1050,56 @@ FROM comp c
 JOIN (SELECT component, COUNT(*) AS n_members FROM comp GROUP BY component) cnt
   ON c.component = cnt.component
 ORDER BY vec_id
+"""
+
+
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup DECISION a corpus pipeline actually ships:
+    which documents survive. Composes the full production chain —
+    MinHash signatures → LSH band candidates → connected components →
+    keep = cluster minimum or singleton — and reports the per-source
+    retention (kept/dropped counts + dedup ratio), i.e. the yield
+    table a data-curation run publishes.
+
+    Scale: reuses the shared candidate stage (cached per sf_dir) and
+    the cost-based CC (:func:`_connected_components`); the final pass
+    is one broadcast-size join of the drop set (cluster non-minima —
+    bounded by duplicate count, ≪ corpus) onto the corpus scan.
+    """
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    edges = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _connected_components(spark, edges)
+    drops = labels.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias("doc_id"), F.lit(1).alias("__drop")
+    )
+    flagged = docs.join(F.broadcast(drops), "doc_id", "left")
+    r6 = lambda c: F.floor(c * 1_000_000.0 + 0.5) / 1_000_000.0  # noqa: E731
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("__drop").isNull(), 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+            F.sum(F.coalesce(F.col("__drop"), F.lit(0))).alias("n_dropped"),
+        )
+        .withColumn("dedup_ratio", r6(F.col("n_dropped") / F.col("n_docs")))
+        .orderBy("source")
+    )
+
+
+KEEP_LIST_ORACLE = _CC_ORACLE_PREFIX + """,
+drops AS (SELECT node FROM comp WHERE node != component)
+SELECT
+  d.source,
+  COUNT(*) AS n_docs,
+  CAST(SUM(CASE WHEN dr.node IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN dr.node IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+    AS n_dropped,
+  FLOOR(SUM(CASE WHEN dr.node IS NULL THEN 0 ELSE 1 END)
+        / CAST(COUNT(*) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS dedup_ratio
+FROM documents d
+LEFT JOIN drops dr ON d.doc_id = dr.node
+GROUP BY d.source
+ORDER BY d.source
 """

@@ -16,7 +16,7 @@ tiers:
   SURVEY.md §2.
 * TIER 2 (remainder): the rest of each family, grouped as before.
 
-197 registered queries; names are stable across rounds — only
+198 registered queries; names are stable across rounds — only
 insertion order (the verified prefix) rotates.
 """
 
@@ -446,6 +446,7 @@ register(
 )
 
 # --- deduplication ------------------------------------------------------------
+register("dedup_keep_list", dedup.dedup_keep_list, dedup.KEEP_LIST_ORACLE)
 register("dedup_ngram_jaccard", dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_ORACLE)
 register("dedup_minhash_signatures", dedup.minhash_signatures, dedup.MINHASH_ORACLE)
 register("dedup_simhash", dedup.simhash_fingerprints, dedup.SIMHASH_ORACLE)

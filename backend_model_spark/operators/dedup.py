@@ -1103,3 +1103,123 @@ LEFT JOIN drops dr ON d.doc_id = dr.node
 GROUP BY d.source
 ORDER BY d.source
 """
+
+
+# Non-overlapping passage width for first-wins chunk dedup: 20 tokens
+# is the CCNet/RefinedWeb-style "paragraph" granularity scaled to the
+# ~60-token synthetic docs (3 chunks/doc).
+CHUNK_TOKENS = 20
+
+
+def chunk_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level first-wins dedup (CCNet-style line dedup, mapped
+    to fixed 20-token chunks because the corpus has no newlines): every
+    document is cut into non-overlapping 20-token chunks, each chunk is
+    fingerprinted, and only the corpus-wide FIRST occurrence of a
+    fingerprint (min ``(doc_id, chunk_idx)``) survives. Reported per
+    document: chunk counts and the retained-token fraction — the
+    per-doc signal a pre-training pipeline uses to drop boilerplate
+    that repeats across pages (reference has no analogue; extension
+    surface per SURVEY.md §7 M4).
+
+    Scale: chunking is a narrow ``posexplode`` inside codegen (chunk
+    text never leaves the executor — only its md5 and token count do);
+    first-wins is ONE shuffle on the fingerprint (a partitioned
+    ``row_number`` window over ``fp`` — uniformly distributed md5 key,
+    so no skew); the per-doc rollup shuffles on ``doc_id``. No
+    all-pairs work anywhere, no global window. At 100 TB the fp
+    shuffle is the classic dedup exchange; a popular boilerplate chunk
+    lands millions of rows in one fp group, but the window computes
+    only row_number over it (streaming, no buffering beyond sort), and
+    the alternative min-aggregate+join formulation is available if a
+    single fp group ever exceeds a task's sort budget.
+    """
+    from pyspark.sql import Window as W
+
+    docs = spread(load_table(spark, "documents", sf_dir)).withColumn(
+        "toks", F.expr(TOKENS)
+    )
+    n_chunks = F.ceil(F.size("toks") / F.lit(float(CHUNK_TOKENS))).cast("int")
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_chunks),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.slice(
+                        F.col("toks"),
+                        (i - 1) * CHUNK_TOKENS + 1,
+                        CHUNK_TOKENS,
+                    ),
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.md5("chunk").alias("fp"),
+        F.size(F.split("chunk", " ")).alias("chunk_toks"),
+    )
+    first_wins = chunks.withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("fp").orderBy("doc_id", "chunk_idx")),
+    )
+    kept = F.when(F.col("rn") == 1, 1).otherwise(0)
+    r6 = lambda c: F.floor(c * 1_000_000.0 + 0.5) / 1_000_000.0  # noqa: E731
+    return (
+        first_wins.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(kept).alias("kept_chunks"),
+            F.sum("chunk_toks").alias("n_toks"),
+            F.sum(kept * F.col("chunk_toks")).alias("kept_toks"),
+        )
+        .withColumn(
+            "retained_ratio", r6(F.col("kept_toks") / F.col("n_toks"))
+        )
+        .orderBy("doc_id")
+    )
+
+
+CHUNK_FIRST_WINS_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(
+           1, CAST(CEIL(len(toks) / {float(CHUNK_TOKENS)}) AS BIGINT)
+         )) AS i
+  FROM t
+),
+chunks AS (
+  SELECT
+    doc_id,
+    CAST(i - 1 AS INTEGER) AS chunk_idx,
+    md5(array_to_string(
+      list_slice(toks, CAST((i - 1) * {CHUNK_TOKENS} + 1 AS BIGINT),
+                 CAST(i * {CHUNK_TOKENS} AS BIGINT)), ' ')) AS fp,
+    len(list_slice(toks, CAST((i - 1) * {CHUNK_TOKENS} + 1 AS BIGINT),
+                   CAST(i * {CHUNK_TOKENS} AS BIGINT))) AS chunk_toks
+  FROM idx
+),
+marked AS (
+  SELECT doc_id, chunk_toks,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+)
+SELECT
+  doc_id,
+  COUNT(*) AS n_chunks,
+  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+  CAST(SUM(chunk_toks) AS BIGINT) AS n_toks,
+  CAST(SUM(CASE WHEN rn = 1 THEN chunk_toks ELSE 0 END) AS BIGINT)
+    AS kept_toks,
+  FLOOR(SUM(CASE WHEN rn = 1 THEN chunk_toks ELSE 0 END)
+        / CAST(SUM(chunk_toks) AS DOUBLE) * 1000000 + 0.5) / 1000000
+    AS retained_ratio
+FROM marked
+GROUP BY doc_id
+ORDER BY doc_id
+"""

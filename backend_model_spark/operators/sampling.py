@@ -490,3 +490,96 @@ SELECT doc_id, source, CAST(weight_tokens AS INTEGER) AS weight_tokens
 FROM top
 ORDER BY doc_id
 """
+
+
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training-data emission: rank documents
+    within each source by quality (best first, ``doc_id`` tie-break),
+    then interleave the sources round-robin — global position is
+    ordered by ``(rank_in_source, source)``, so epoch position k·S..
+    (k+1)·S-1 holds every source's (k+1)-th best document. This is the
+    "order by difficulty, keep the mixture balanced everywhere in the
+    epoch" shape curriculum/mixing schedules need.
+
+    Scale: the per-source rank is a partitioned window (shuffles on
+    ``source`` — bounded cardinality, and a skewed giant source still
+    only sorts its own rows); the global interleave position uses the
+    two-stage range-partitioned rank (``with_global_rank``), never an
+    unpartitioned window. Output is the full corpus ordering — at
+    100 TB this frame IS the shuffle-ordered write manifest.
+    """
+    from backend_model_spark.operators.scale_utils import with_global_rank
+    from backend_model_spark.operators.text import quality_frame
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = quality_frame(docs).select("doc_id", "source", "quality_score")
+    ranked = scored.withColumn(
+        "rank_in_source",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.col("quality_score").desc(), F.col("doc_id")
+            )
+        ),
+    )
+    return (
+        with_global_rank(
+            ranked,
+            [F.col("rank_in_source").asc(), F.col("source").asc()],
+            "curriculum_pos",
+        )
+        .select(
+            "doc_id", "source", "quality_score",
+            F.col("rank_in_source").cast("bigint").alias("rank_in_source"),
+            "curriculum_pos",
+        )
+        .orderBy("curriculum_pos")
+    )
+
+
+CURRICULUM_ORDER_ORACLE = r"""
+WITH feats AS (
+  SELECT
+    doc_id,
+    source,
+    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_tokens,
+    (length(trim(text)) - (len(string_split_regex(trim(text), '\s+')) - 1))
+      / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+      AS mean_tok_len,
+    CAST(
+        (len(string_split(' ' || text || ' ', ' the ')) - 1)
+      + (len(string_split(' ' || text || ' ', ' a ')) - 1)
+    AS DOUBLE)
+      / len(string_split_regex(trim(text), '\s+')) AS stop_ratio
+  FROM documents
+),
+scored AS (
+  SELECT
+    doc_id,
+    source,
+    floor((
+        LEAST(n_tokens / 100.0, 1.0) * 0.5
+      + (1.0 - LEAST(stop_ratio * 2.0, 1.0)) * 0.3
+      + LEAST(mean_tok_len / 8.0, 1.0) * 0.2
+    ) * 1000000.0 + 0.5) / 1000000.0 AS quality_score
+  FROM feats
+),
+ranked AS (
+  SELECT
+    doc_id,
+    source,
+    quality_score,
+    CAST(row_number() OVER (
+      PARTITION BY source ORDER BY quality_score DESC, doc_id
+    ) AS BIGINT) AS rank_in_source
+  FROM scored
+)
+SELECT
+  doc_id,
+  source,
+  quality_score,
+  rank_in_source,
+  CAST(row_number() OVER (ORDER BY rank_in_source, source) AS BIGINT)
+    AS curriculum_pos
+FROM ranked
+ORDER BY curriculum_pos
+"""

@@ -1604,3 +1604,94 @@ GROUP BY 1, 2
 HAVING COUNT(*) >= 2
 ORDER BY doc_a, doc_b
 """
+
+
+# Hashed linear classifier: feature space and deterministic
+# pseudo-weights. The weight for bucket b is the Knuth multiplicative
+# remix ((b * 2654435761) mod 1000003) — pure bigint arithmetic both
+# engines evaluate identically (max product ≈ 1.1e13 < 2^51, no
+# overflow under ANSI mode), standing in for trained coefficients so
+# the whole scoring path is oracle-exact.
+CLS_BUCKETS = 4096
+CLS_MIX = 2_654_435_761
+CLS_P = 1_000_003
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier: each token is
+    hashed into one of 4096 buckets (first 4 md5 hex chars), each
+    bucket carries a fixed weight in (-0.5, 0.5), and the document
+    score is the logistic of 4× the mean token weight —
+    ``keep = score ≥ 0.5``. The weights here are a deterministic
+    pseudo-model (see ``CLS_MIX``); swapping in trained fastText
+    coefficients is a broadcast-lookup change, not a plan change.
+
+    Scale: scoring is a per-document array fold (``aggregate`` over
+    ``transform``) entirely inside codegen — zero shuffle, zero
+    Python, no explode; the token-weight sum is kept in INTEGER space
+    (sum of ``(b·MIX) mod P``) so the mean is exact cross-engine, and
+    the keep decision compares integers (``2·Σw ≥ n·P``), never a
+    rounded float. A real trained model at 100 TB broadcasts its
+    weight array and swaps the arithmetic remix for
+    ``weights[bucket]`` — same single-scan shape.
+    """
+    docs = spread(load_table(spark, "documents", sf_dir)).withColumn(
+        "toks", F.expr(TOKENS)
+    )
+    bucket = lambda t: (  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("bigint")
+        % CLS_BUCKETS
+    )
+    w_int = lambda t: (bucket(t) * CLS_MIX) % CLS_P  # noqa: E731
+    scored = docs.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.aggregate(
+            F.col("toks"), F.lit(0).cast("bigint"), lambda acc, t: acc + w_int(t)
+        ).alias("w_sum"),
+    )
+    mean_w = F.col("w_sum") / (F.col("n_tokens") * float(CLS_P)) - 0.5
+    return (
+        scored.select(
+            "doc_id",
+            "n_tokens",
+            "w_sum",
+            _round6(mean_w).alias("mean_w"),
+            _round6(1.0 / (1.0 + F.exp(-4.0 * mean_w))).alias("score"),
+            (2 * F.col("w_sum") >= F.col("n_tokens") * F.lit(CLS_P))
+            .cast("int")
+            .alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_CLASSIFIER_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+),
+scored AS (
+  SELECT
+    doc_id,
+    len(toks) AS n_tokens,
+    CAST(list_sum(list_transform(
+      toks,
+      tok -> (CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) % {CLS_BUCKETS})
+             * {CLS_MIX} % {CLS_P}
+    )) AS BIGINT) AS w_sum
+  FROM t
+)
+SELECT
+  doc_id,
+  CAST(n_tokens AS INTEGER) AS n_tokens,
+  w_sum,
+  FLOOR((w_sum / (n_tokens * {float(CLS_P)}) - 0.5) * 1000000 + 0.5)
+    / 1000000 AS mean_w,
+  FLOOR(
+    1.0 / (1.0 + exp(-4.0 * (w_sum / (n_tokens * {float(CLS_P)}) - 0.5)))
+    * 1000000 + 0.5) / 1000000 AS score,
+  CAST(CASE WHEN 2 * w_sum >= n_tokens * {CLS_P} THEN 1 ELSE 0 END
+    AS INTEGER) AS keep
+FROM scored
+ORDER BY doc_id
+"""

@@ -155,8 +155,24 @@ register(
 register(
     "window_revenue_growth", windows.revenue_growth_series, windows.REVENUE_GROWTH_ORACLE
 )
-register("events_funnel", events_ops.funnel_conversion, events_ops.FUNNEL_ORACLE)
-register("dedup_lsh_verified", dedup.lsh_verified_pairs, dedup.LSH_VERIFIED_ORACLE)
+# round-3 late additions (driver-unseen → verified prefix; displaced
+# r02-green stable entries: events_funnel, dedup_lsh_verified,
+# sql_recursive_cte → tier 2)
+register(
+    "dedup_chunk_first_wins",
+    dedup.chunk_first_wins,
+    dedup.CHUNK_FIRST_WINS_ORACLE,
+)
+register(
+    "text_quality_classifier",
+    text.quality_classifier,
+    text.QUALITY_CLASSIFIER_ORACLE,
+)
+register(
+    "sample_curriculum_order",
+    sampling.curriculum_order,
+    sampling.CURRICULUM_ORDER_ORACLE,
+)
 register(
     "window_percent_of_parent", windows.percent_of_parent, windows.PERCENT_OF_PARENT_ORACLE
 )
@@ -183,11 +199,6 @@ register(
     dedup.EMBEDDING_CLUSTERS_ORACLE,
 )
 register("io_scd2_merge", io_ops.scd2_dimension_merge, io_ops.SCD2_ORACLE)
-register(
-    "sql_recursive_cte",
-    sql_api.recursive_cte_month_spine,
-    sql_api.RECURSIVE_CTE_SQL,
-)
 register("clean_impute_group_median", cleaning.impute_group_median, cleaning.IMPUTE_ORACLE)
 register(
     "io_incremental_rollup", io_ops.incremental_rollup, io_ops.INCREMENTAL_ROLLUP_ORACLE
@@ -368,6 +379,7 @@ register(
 )
 
 # --- events / time series (SURVEY §2.11 batch halves) ------------------------
+register("events_funnel", events_ops.funnel_conversion, events_ops.FUNNEL_ORACLE)
 register(
     "events_retention_cohorts",
     events_ops.retention_cohorts,
@@ -446,6 +458,7 @@ register(
 )
 
 # --- deduplication ------------------------------------------------------------
+register("dedup_lsh_verified", dedup.lsh_verified_pairs, dedup.LSH_VERIFIED_ORACLE)
 register("dedup_keep_list", dedup.dedup_keep_list, dedup.KEEP_LIST_ORACLE)
 register("dedup_ngram_jaccard", dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_ORACLE)
 register("dedup_minhash_signatures", dedup.minhash_signatures, dedup.MINHASH_ORACLE)
@@ -545,6 +558,11 @@ register("func_math", scalar_funcs.math_functions, scalar_funcs.MATH_FUNCS_ORACL
 register("func_array", scalar_funcs.array_functions, scalar_funcs.ARRAY_FUNCS_ORACLE)
 
 # --- SQL-API constructs (identical ANSI text on both engines) ------------------
+register(
+    "sql_recursive_cte",
+    sql_api.recursive_cte_month_spine,
+    sql_api.RECURSIVE_CTE_SQL,
+)
 register("sql_q4_exists", sql_api.q4_order_priority, sql_api.Q4_EXISTS_SQL)
 register("sql_having", sql_api.having_filter, sql_api.HAVING_SQL)
 register("sql_filtered_aggs", sql_api.filtered_aggregates, sql_api.FILTERED_AGG_SQL)

@@ -568,3 +568,80 @@ def test_repetition_signals_flags_degenerate_doc(spark, tmp_path):
     assert out[0]["dup_2gram_frac"] > 0.9
     assert not out[0]["keep"]
     assert out[1]["keep"], dict(out[1].asDict())
+
+
+def test_chunk_first_wins_dedups_shared_passage(spark, tmp_path):
+    """Two docs sharing an identical 20-token passage: the earlier doc
+    keeps it, the later doc loses exactly that chunk (and its tokens);
+    a unique doc retains everything."""
+    import pandas as pd
+
+    from backend_model_spark.operators.dedup import chunk_first_wins
+
+    shared = " ".join(f"w{i}" for i in range(20))
+    uniq_a = " ".join(f"a{i}" for i in range(20))
+    uniq_b = " ".join(f"b{i}" for i in range(20))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                shared + " " + uniq_a,      # chunks: [shared, uniq_a]
+                shared + " " + uniq_b,      # shared chunk is a dup of doc 0's
+                " ".join(f"c{i}" for i in range(10)),  # one short unique chunk
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s0"] * 3,
+            "n_chars": [0, 0, 0],
+        }
+    )
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    out = {r["doc_id"]: r for r in chunk_first_wins(spark, sf).collect()}
+    assert out[0]["n_chunks"] == 2 and out[0]["kept_chunks"] == 2
+    assert out[0]["retained_ratio"] == 1.0
+    assert out[1]["n_chunks"] == 2 and out[1]["kept_chunks"] == 1
+    assert out[1]["kept_toks"] == 20 and out[1]["n_toks"] == 40
+    assert out[1]["retained_ratio"] == 0.5
+    assert out[2]["n_chunks"] == 1 and out[2]["kept_chunks"] == 1
+
+
+def test_quality_classifier_decision_is_integer_exact(spark, sf_dir):
+    """keep must equal the integer-space decision 2·Σw ≥ n·P for every
+    document (never a rounded-float comparison), and the score must be
+    on the correct side of 0.5 accordingly."""
+    from backend_model_spark.operators.text import CLS_P, quality_classifier
+
+    rows = quality_classifier(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        expect = 1 if 2 * r["w_sum"] >= r["n_tokens"] * CLS_P else 0
+        assert r["keep"] == expect
+        if r["keep"]:
+            assert r["score"] >= 0.5
+        else:
+            assert r["score"] < 0.5
+
+
+def test_curriculum_order_interleaves_sources(spark, sf_dir):
+    """Positions are a 1..N permutation, and the first |sources|
+    positions contain exactly every source's rank-1 document."""
+    from backend_model_spark.operators.sampling import curriculum_order
+
+    rows = curriculum_order(spark, sf_dir).collect()
+    n = len(rows)
+    assert sorted(r["curriculum_pos"] for r in rows) == list(range(1, n + 1))
+    sources = {r["source"] for r in rows}
+    head = [r for r in rows if r["curriculum_pos"] <= len(sources)]
+    assert {r["source"] for r in head} == sources
+    assert all(r["rank_in_source"] == 1 for r in head)
+    # within one source, positions must be strictly increasing in rank
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(
+            (r["rank_in_source"], r["curriculum_pos"])
+        )
+    for pairs in by_src.values():
+        pairs.sort()
+        assert all(
+            p1 < p2 for (_, p1), (_, p2) in zip(pairs, pairs[1:])
+        )

@@ -153,3 +153,83 @@ def mllib_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component int, variance_ratio double"
     ).orderBy("component")
+
+
+def mllib_fpgrowth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FP-Growth frequent-itemset mining over order baskets: each order
+    is the set of part brands it contains; report itemsets of size ≤ 2
+    with support ≥ 2% plus their exact frequencies. Market-basket
+    analytics on the star schema — the MLlib sibling of
+    ``join_market_basket`` (which counts pairwise co-occurrence
+    directly).
+
+    Unlike the other MLlib entries this one IS oracle-checkable: exact
+    frequent-itemset mining is deterministic, and level-1/level-2
+    itemsets are expressible in SQL (distinct-brand scan + basket
+    self-join). The size cap is applied AFTER mining, purely so the
+    oracle stays SQL-expressible; FPGrowth itself mines all levels.
+
+    Scale: FPGrowth distributes by suffix-partitioning the FP-tree
+    (PFP, Li et al. 2008) — shuffle on item, no candidate explosion;
+    basket build is one groupBy on orderkey. The brand alphabet is
+    tiny (25) so the tree is shallow; support 2% prunes the lattice
+    before level 3 (measured: max pair support ≈3%, so level 2 is
+    populated and level 3 is empty at every test SF).
+    """
+    from pyspark.ml.fpm import FPGrowth
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    baskets = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("p_brand").alias("items"))
+    )
+    fp = FPGrowth(itemsCol="items", minSupport=0.02, minConfidence=0.5)
+    model = fp.fit(baskets)
+    n_baskets = baskets.count()
+    return (
+        model.freqItemsets.filter(F.size("items") <= 2)
+        .select(
+            F.array_join(F.array_sort("items"), ",").alias("itemset"),
+            F.size("items").alias("k"),
+            F.col("freq").alias("freq"),
+            F.floor(F.col("freq") / F.lit(float(n_baskets)) * 1_000_000 + 0.5)
+            .cast("double")
+            .alias("support_ppm"),
+        )
+        .orderBy("itemset")
+    )
+
+
+FPGROWTH_PAIRS_ORACLE = """
+WITH baskets AS (
+  SELECT l_orderkey, list_sort(list(DISTINCT p_brand)) AS items
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY l_orderkey
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_baskets FROM baskets),
+singles AS (
+  SELECT b AS itemset, 1 AS k, COUNT(*) AS freq
+  FROM (SELECT l_orderkey, unnest(items) AS b FROM baskets)
+  GROUP BY b
+),
+pairs AS (
+  SELECT x.b || ',' || y.b AS itemset, 2 AS k, COUNT(*) AS freq
+  FROM (SELECT l_orderkey, unnest(items) AS b FROM baskets) x
+  JOIN (SELECT l_orderkey, unnest(items) AS b FROM baskets) y
+    ON x.l_orderkey = y.l_orderkey AND x.b < y.b
+  GROUP BY x.b, y.b
+),
+lvl AS (
+  SELECT * FROM singles UNION ALL SELECT * FROM pairs
+)
+SELECT
+  itemset,
+  CAST(k AS INTEGER) AS k,
+  CAST(freq AS BIGINT) AS freq,
+  FLOOR(freq / n_baskets * 1000000 + 0.5) AS support_ppm
+FROM lvl, n
+WHERE freq >= 0.02 * n_baskets
+ORDER BY itemset
+"""

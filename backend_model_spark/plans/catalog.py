@@ -74,12 +74,9 @@ register(
     similarity.cosine_topk_bruteforce,
     similarity.COSINE_TOPK_ORACLE,
 )
-# aggregates
-register(
-    "agg_grouped_orders",
-    aggregates.grouped_agg_orders_by_status,
-    aggregates.GROUPED_AGG_ORACLE,
-)
+# aggregates (family's tier-1 reps are the round-3 rotation entries
+# below: agg_revenue_concentration, agg_normality_probe, agg_chi2;
+# agg_grouped_orders displaced to tier 2 for the FPGrowth addition)
 # sampling / dataset mixing
 register(
     "sample_stratified_hash",
@@ -174,6 +171,11 @@ register(
     sampling.CURRICULUM_ORDER_ORACLE,
 )
 register(
+    "mllib_fpgrowth_pairs",
+    mllib_ops.mllib_fpgrowth_pairs,
+    mllib_ops.FPGROWTH_PAIRS_ORACLE,
+)
+register(
     "window_percent_of_parent", windows.percent_of_parent, windows.PERCENT_OF_PARENT_ORACLE
 )
 register(
@@ -230,6 +232,11 @@ register("agg_unpivot_rates", relational.unpivot_lineitem_rates, relational.UNPI
 register("dq_audit", relational.dq_audit, relational.DQ_AUDIT_ORACLE)
 
 # --- aggregates (SURVEY §2.5) ----------------------------------------------
+register(
+    "agg_grouped_orders",
+    aggregates.grouped_agg_orders_by_status,
+    aggregates.GROUPED_AGG_ORACLE,
+)
 register("agg_rollup", aggregates.rollup_orders, aggregates.ROLLUP_ORACLE)
 register("agg_cube", aggregates.cube_lineitem_flags, aggregates.CUBE_ORACLE)
 register("agg_pivot", aggregates.pivot_quantity_by_status, aggregates.PIVOT_ORACLE)

@@ -403,3 +403,45 @@ def test_io_bucketed_join_zero_exchange(spark, sf_dir):
         int(m) for m in re.findall(r"Exchange \((\d+)\)", plan) if int(m) < smj_id
     ]
     assert not feeding, f"bucketed join still shuffles: {feeding}"
+
+
+def test_quality_classifier_zero_shuffle_scoring(spark, sf_dir):
+    """The hashed-classifier scoring path is a per-document array fold:
+    no join, no aggregation, and the only exchanges are the optional
+    spread() repartition plus the presentation sort."""
+    plan = plan_of(spark, "text_quality_classifier", sf_dir)
+    assert "Join" not in plan, "classifier must not join"
+    assert "HashAggregate" not in plan, "classifier must not aggregate"
+    # formatted plans print each exchange twice (tree + detail):
+    # 2 real exchanges = spread() round-robin + presentation sort
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 4, f"unexpected exchange inflation: {n_exchanges}"
+
+
+def test_chunk_first_wins_partitioned_window_only(spark, sf_dir):
+    """First-wins must rank within fp partitions (uniform md5 key) —
+    never an unpartitioned window — and needs no join: one window
+    pass + one per-doc rollup."""
+    import re
+
+    plan = plan_of(spark, "dedup_chunk_first_wins", sf_dir)
+    assert "Join" not in plan, "first-wins dedup must not join"
+    n_windows = len(re.findall(r"^\(\d+\) Window", plan, re.MULTILINE))
+    assert n_windows == 1, f"exactly one window pass, got {n_windows}"
+
+
+def test_fpgrowth_respects_anti_monotonicity(spark, sf_dir):
+    """Frequent-itemset outputs must satisfy the Apriori invariant:
+    every frequent pair's frequency is bounded by each member's
+    singleton frequency (plan assertions don't apply — ``fit()``
+    materializes the itemsets before the DataFrame is returned)."""
+    from backend_model_spark.operators.mllib_ops import mllib_fpgrowth_pairs
+
+    rows = mllib_fpgrowth_pairs(spark, sf_dir).collect()
+    singles = {r["itemset"]: r["freq"] for r in rows if r["k"] == 1}
+    pairs = [r for r in rows if r["k"] == 2]
+    assert singles, "no frequent singletons mined"
+    for r in pairs:
+        a, b = r["itemset"].split(",")
+        assert r["freq"] <= singles.get(a, 0)
+        assert r["freq"] <= singles.get(b, 0)

@@ -83,8 +83,9 @@ register(
     sampling.stratified_sample,
     sampling.STRATIFIED_SAMPLE_ORACLE,
 )
-# sources / sinks
-register("io_csv_roundtrip", io_ops.csv_roundtrip, io_ops.CSV_ROUNDTRIP_ORACLE)
+# sources / sinks (io_csv_roundtrip displaced to tier 2 for the
+# z-order layout probe; io keeps 5 other tier-1 reps)
+register("io_zorder_layout", io_ops.zorder_layout, io_ops.ZORDER_LAYOUT_ORACLE)
 # SQL API
 register("sql_grouping_sets", sql_api.grouping_sets, sql_api.GROUPING_SETS_SQL)
 # cleaning
@@ -546,6 +547,7 @@ register("mllib_pca_variance", mllib_ops.mllib_pca_variance, None)
 register("sim_ivf_recall", similarity.ivf_recall_vs_exact, None)
 
 # --- sources / sinks / DDL (SURVEY §2.1 S1-S7) ---------------------------------
+register("io_csv_roundtrip", io_ops.csv_roundtrip, io_ops.CSV_ROUNDTRIP_ORACLE)
 register("io_etl_orchestration", io_ops.etl_orchestration, io_ops.ETL_ORACLE)
 register("io_upsert_merge", io_ops.upsert_merge, io_ops.UPSERT_ORACLE)
 register("io_append_sink", io_ops.append_sink, io_ops.APPEND_SINK_ORACLE)

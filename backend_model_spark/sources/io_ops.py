@@ -754,3 +754,179 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+# Z-order layout probe: 8-bit grid per dimension (256 cells), 16-bit
+# interleaved curve, top 6 bits = 64 logical files.
+_Z_BITS = 8
+_Z_FILES_SHIFT = 1 << 10  # z >> 10 == floor(z / 1024): top 6 of 16 bits
+_D_FILES_SHIFT = 1 << 2   # date_cell >> 2: top 6 of 8 bits
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional clustering (Z-order) as a data-skipping
+    layout, quantified: map each order onto a 256×256 grid over
+    ``(o_custkey, o_orderdate)``, interleave the cell bits into a
+    16-bit Morton code, and bin rows into 64 logical files by the
+    code's top bits — versus the naive date-sorted layout (top bits of
+    the date cell alone). For each layout, report the average per-file
+    key span in ppm of the global range, per dimension: a file's
+    parquet min/max index can skip a predicate only when its span is
+    narrow, so these two numbers ARE the expected scan fractions for
+    single-dimension predicates under each layout.
+
+    This is the ``OPTIMIZE ZORDER BY``-style layout decision made
+    measurable: date-sorting gives perfect date spans but every file
+    covers the whole custkey range (custkey predicates scan 100%);
+    the Morton curve bounds BOTH spans near 1/√files. At 100 TB the
+    same code becomes ``repartitionByRange(F.col("z"))`` before the
+    write so file min/max statistics prune two-dimensionally; this
+    operator is the measurement that justifies it.
+
+    Scale: two scans of orders (one for the 4 global extrema —
+    broadcast back as scalars — one gridded pass), one groupBy per
+    layout on a 6-bit key. Bit interleaving is pure bigint arithmetic
+    (exact on both engines); per-file spans are integer-ppm before
+    averaging so the oracle hash is stable.
+    """
+    from functools import reduce as _reduce
+    from operator import add as _add
+
+    from backend_model_spark.operators.scale_utils import broadcast_scalars
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lit("1970-01-01")).alias("d"),
+    )
+    rng = orders.agg(
+        F.min("o_custkey").alias("ck_min"),
+        F.max("o_custkey").alias("ck_max"),
+        F.min("d").alias("d_min"),
+        F.max("d").alias("d_max"),
+    )
+    g = broadcast_scalars(orders, rng)
+    n_cells = 1 << _Z_BITS
+
+    def cell(x: str, lo: str, hi: str):
+        return F.floor(
+            (F.col(x) - F.col(lo))
+            * F.lit(n_cells)
+            / (F.col(hi) - F.col(lo) + 1)
+        ).cast("bigint")
+
+    g = g.withColumn("ck_cell", cell("o_custkey", "ck_min", "ck_max"))
+    g = g.withColumn("d_cell", cell("d", "d_min", "d_max"))
+    z = _reduce(
+        _add,
+        [
+            (F.floor(F.col("ck_cell") / (1 << i)) % 2) * (1 << (2 * i + 1))
+            + (F.floor(F.col("d_cell") / (1 << i)) % 2) * (1 << (2 * i))
+            for i in range(_Z_BITS)
+        ],
+    )
+    g = g.withColumn("z", z.cast("bigint")).persist()
+
+    def layout_summary(bucket_col, label: str) -> DataFrame:
+        per_file = g.groupBy(bucket_col.alias("bucket")).agg(
+            F.min("o_custkey").alias("ck_lo"),
+            F.max("o_custkey").alias("ck_hi"),
+            F.min("d").alias("d_lo"),
+            F.max("d").alias("d_hi"),
+            F.first("ck_min").alias("ck_min"),
+            F.first("ck_max").alias("ck_max"),
+            F.first("d_min").alias("d_min"),
+            F.first("d_max").alias("d_max"),
+        )
+        span = lambda lo, hi, gmin, gmax: F.floor(  # noqa: E731
+            (F.col(hi) - F.col(lo) + 1)
+            * 1_000_000
+            / (F.col(gmax) - F.col(gmin) + 1)
+        ).cast("bigint")
+        spans = per_file.select(
+            span("ck_lo", "ck_hi", "ck_min", "ck_max").alias("ck_ppm"),
+            span("d_lo", "d_hi", "d_min", "d_max").alias("d_ppm"),
+        )
+        return spans.agg(
+            F.lit(label).alias("layout"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.floor(F.sum("ck_ppm") / F.count(F.lit(1)) + 0.5)
+            .cast("bigint")
+            .alias("avg_cust_span_ppm"),
+            F.floor(F.sum("d_ppm") / F.count(F.lit(1)) + 0.5)
+            .cast("bigint")
+            .alias("avg_date_span_ppm"),
+        )
+
+    out = layout_summary(
+        F.floor(F.col("z") / _Z_FILES_SHIFT), "zorder"
+    ).unionByName(
+        layout_summary(F.floor(F.col("d_cell") / _D_FILES_SHIFT), "datesort")
+    )
+    return out.orderBy("layout")
+
+
+def _zorder_bit_sum_sql() -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(
+            f"(FLOOR(ck_cell / {1 << i}) % 2) * {1 << (2 * i + 1)}"
+            f" + (FLOOR(d_cell / {1 << i}) % 2) * {1 << (2 * i)}"
+        )
+    return " + ".join(terms)
+
+
+ZORDER_LAYOUT_ORACLE = f"""
+WITH o AS (
+  SELECT o_custkey,
+         datediff('day', DATE '1970-01-01', o_orderdate) AS d
+  FROM orders
+),
+rng AS (
+  SELECT min(o_custkey) AS ck_min, max(o_custkey) AS ck_max,
+         min(d) AS d_min, max(d) AS d_max
+  FROM o
+),
+gridded AS (
+  SELECT
+    o_custkey, d, ck_min, ck_max, d_min, d_max,
+    CAST(FLOOR((o_custkey - ck_min) * {1 << _Z_BITS}
+               / (ck_max - ck_min + 1)) AS BIGINT) AS ck_cell,
+    CAST(FLOOR((d - d_min) * {1 << _Z_BITS}
+               / (d_max - d_min + 1)) AS BIGINT) AS d_cell
+  FROM o, rng
+),
+zed AS (
+  SELECT *, CAST({_zorder_bit_sum_sql()} AS BIGINT) AS z FROM gridded
+),
+files AS (
+  SELECT 'zorder' AS layout, CAST(FLOOR(z / {_Z_FILES_SHIFT}) AS BIGINT)
+           AS bucket, *
+  FROM zed
+  UNION ALL
+  SELECT 'datesort' AS layout,
+         CAST(FLOOR(d_cell / {_D_FILES_SHIFT}) AS BIGINT) AS bucket, *
+  FROM zed
+),
+per_file AS (
+  SELECT
+    layout, bucket,
+    CAST(FLOOR((max(o_custkey) - min(o_custkey) + 1) * 1000000
+               / (any_value(ck_max) - any_value(ck_min) + 1)) AS BIGINT)
+      AS ck_ppm,
+    CAST(FLOOR((max(d) - min(d) + 1) * 1000000
+               / (any_value(d_max) - any_value(d_min) + 1)) AS BIGINT)
+      AS d_ppm
+  FROM files
+  GROUP BY layout, bucket
+)
+SELECT
+  layout,
+  COUNT(*) AS n_files,
+  CAST(FLOOR(SUM(ck_ppm) / COUNT(*) + 0.5) AS BIGINT)
+    AS avg_cust_span_ppm,
+  CAST(FLOOR(SUM(d_ppm) / COUNT(*) + 0.5) AS BIGINT)
+    AS avg_date_span_ppm
+FROM per_file
+GROUP BY layout
+ORDER BY layout
+"""

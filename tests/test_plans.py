@@ -445,3 +445,21 @@ def test_fpgrowth_respects_anti_monotonicity(spark, sf_dir):
         a, b = r["itemset"].split(",")
         assert r["freq"] <= singles.get(a, 0)
         assert r["freq"] <= singles.get(b, 0)
+
+
+def test_zorder_bounds_both_dimensions(spark, sf_dir):
+    """The Morton layout must shrink the custkey span dramatically vs
+    the date-sorted layout while keeping the date span far from full —
+    the two-dimensional pruning tradeoff quantified (theory: both
+    spans ≈ 1/√n_files for z-order; custkey span ≈ 1 for date-sort)."""
+    from backend_model_spark.sources.io_ops import zorder_layout
+
+    rows = {r["layout"]: r for r in zorder_layout(spark, sf_dir).collect()}
+    z, d = rows["zorder"], rows["datesort"]
+    assert z["n_files"] >= 32 and d["n_files"] >= 32
+    # date-sort: every file spans essentially the whole custkey range
+    assert d["avg_cust_span_ppm"] > 900_000
+    # z-order: custkey span collapses by >4x and date span stays
+    # bounded (not degenerate to full range)
+    assert z["avg_cust_span_ppm"] * 4 < d["avg_cust_span_ppm"]
+    assert z["avg_date_span_ppm"] < 500_000

@@ -1223,3 +1223,131 @@ FROM marked
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the LSH candidate graph: node/edge/wedge
+    counts, the exact triangle count, and global transitivity
+    (3·triangles / wedges) — the structural summary that tells a dedup
+    pipeline whether its candidate graph is clique-like (true
+    duplicate clusters: transitivity → 1) or chain-like noise from
+    band collisions (transitivity → 0).
+
+    Scale: the classic degree-orientation trick. Counting each
+    triangle once by enumerating closed wedges at an arbitrary vertex
+    is O(Σ deg²) — catastrophic on a skewed graph (one viral doc in
+    10⁶ pairs → 10¹² wedges). Orienting every edge from its
+    (degree, id)-smaller endpoint to the larger caps out-degree at
+    O(√m), so oriented-wedge generation is O(m^1.5) worst case and the
+    hot node generates almost no wedges (it is every edge's HEAD).
+    Three shuffles total: degree groupBy, wedge self-join on the
+    low vertex, closing equi-join on (v, w).
+    """
+    edges = lsh_candidate_pairs(spark, sf_dir)  # doc_a < doc_b, distinct
+    deg = (
+        edges.select(F.col("doc_a").alias("node"))
+        .unionAll(edges.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    n_nodes = deg.count()
+    n_edges = edges.count()
+    # wedges (unordered neighbor pairs at the center): Σ deg·(deg−1)/2
+    wedge_row = deg.agg(
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2)
+        .cast("bigint")
+        .alias("n_wedges")
+    )
+    da = deg.withColumnsRenamed({"node": "doc_a", "deg": "deg_a"})
+    db = deg.withColumnsRenamed({"node": "doc_b", "deg": "deg_b"})
+    withdeg = edges.join(da, "doc_a").join(db, "doc_b")
+    # orient small→large by (deg, id); u = tail, v = head
+    small_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    oriented = withdeg.select(
+        F.when(small_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("u"),
+        F.when(small_first, F.struct("deg_b", "doc_b")).otherwise(
+            F.struct(
+                F.col("deg_a").alias("deg_b"), F.col("doc_a").alias("doc_b")
+            )
+        ).alias("v"),
+    ).select("u", F.col("v.doc_b").alias("v"), F.col("v.deg_b").alias("deg_v"))
+    e1 = oriented.select("u", F.col("v").alias("x"), F.col("deg_v").alias("dx"))
+    e2 = oriented.select(
+        F.col("u").alias("u2"), F.col("v").alias("y"), F.col("deg_v").alias("dy")
+    )
+    # ordered out-neighbor pairs (x before y in the same orientation)
+    wedges = e1.join(e2, (F.col("u") == F.col("u2"))).filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("x"), F.col("v").alias("y")
+    )
+    n_triangles = wedges.join(closing, ["x", "y"]).count()
+    r6 = lambda c: F.floor(c * 1_000_000.0 + 0.5) / 1_000_000.0  # noqa: E731
+    return wedge_row.select(
+        F.lit(n_nodes).cast("bigint").alias("n_nodes"),
+        F.lit(n_edges).cast("bigint").alias("n_edges"),
+        F.col("n_wedges"),
+        F.lit(n_triangles).cast("bigint").alias("n_triangles"),
+        F.when(F.col("n_wedges") > 0, r6(F.lit(3.0 * n_triangles) / F.col("n_wedges")))
+        .otherwise(F.lit(0.0))
+        .alias("transitivity"),
+    )
+
+
+GRAPH_TRIANGLES_ORACLE = f"""
+WITH shingled AS (
+  SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS shingle
+  FROM documents
+),
+sigs AS (
+  SELECT
+    doc_id,
+    {MINHASH_SQL_AGGS}
+  FROM shingled
+  GROUP BY doc_id
+),
+banded AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, {band} AS band,"
+    f" CAST(mh_{2 * band} AS VARCHAR) || '_' || CAST(mh_{2 * band + 1} AS VARCHAR)"
+    f" AS bucket FROM sigs"
+    for band in range(N_MINHASH // 2)
+  )}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT doc_a AS node FROM cand UNION ALL SELECT doc_b AS node FROM cand
+  ) GROUP BY node
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM cand e1
+  JOIN cand e2 ON e2.doc_a = e1.doc_a AND e2.doc_b > e1.doc_b
+  JOIN cand e3 ON e3.doc_a = e1.doc_b AND e3.doc_b = e2.doc_b
+),
+agg AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS n_nodes,
+    CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_edges,
+    CAST(SUM(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges
+  FROM deg
+)
+SELECT
+  n_nodes,
+  n_edges,
+  n_wedges,
+  CAST(n_triangles AS BIGINT) AS n_triangles,
+  CASE WHEN n_wedges > 0
+       THEN FLOOR(3.0 * n_triangles / n_wedges * 1000000 + 0.5) / 1000000
+       ELSE 0.0 END AS transitivity
+FROM agg, tri
+"""

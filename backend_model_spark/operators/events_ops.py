@@ -1201,3 +1201,130 @@ FROM flagged
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# bin width for the interval-overlap equi-join (1 hour in µs)
+OVERLAP_BIN_US = 3_600 * 1_000_000
+
+
+def session_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join across users: build 30-min-gap sessions
+    (as :func:`sessionize_users`), then find every cross-user pair of
+    sessions that overlap in time, aggregated per user pair (overlap
+    count + total overlapping µs). Concurrency analysis — "who is
+    active together" — and the relational shape genomics/telemetry
+    range joins share.
+
+    Scale: the naive formulation is an all-pairs θ-join
+    (``a.s ≤ b.e AND b.s ≤ a.e`` gives Spark no equi-key → a
+    BroadcastNestedLoopJoin, O(n²) compares). Instead each session is
+    exploded into the 1-hour bins it touches and the join is an
+    EQUI-join on the bin plus the exact overlap predicate, with
+    ``distinct`` collapsing pairs that share several bins. Cost is
+    Σ per-bin pairs — data-dependent, bounded by true temporal
+    concurrency, not by n². Bin width is the knob: ≈ median session
+    length balances replication (a session touches len/bin + 1 bins)
+    against per-bin pair fan-out; at 100 TB you'd derive it from the
+    session-length histogram (``events_sessionize``) the same way.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = _us("ts") - F.lag(_us("ts"), 1).over(w)
+    sess = (
+        ev.withColumn(
+            "new_session",
+            F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_session").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min(_us("ts")).alias("s"), F.max(_us("ts")).alias("e"))
+    )
+    binned = sess.select(
+        "user_id",
+        "sid",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / OVERLAP_BIN_US),
+                F.floor(F.col("e") / OVERLAP_BIN_US),
+            )
+        ).alias("bin"),
+    )
+    a, b = binned.alias("a"), binned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bin") == F.col("b.bin"))
+            & (F.col("a.user_id") < F.col("b.user_id"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("a.sid").alias("sid_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("b.sid").alias("sid_b"),
+            (
+                F.least(F.col("a.e"), F.col("b.e"))
+                - F.greatest(F.col("a.s"), F.col("b.s"))
+            ).alias("overlap_us"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            F.sum("overlap_us").alias("total_overlap_us"),
+        )
+        .orderBy("user_a", "user_b")
+    )
+
+
+SESSION_OVERLAP_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ) IS NULL
+         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ) > {SESSION_GAP_US}
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessioned AS (
+  SELECT user_id, ts,
+    CAST(SUM(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS sid
+  FROM ordered
+),
+sess AS (
+  SELECT user_id, sid,
+         min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+  FROM sessioned GROUP BY user_id, sid
+),
+pairs AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b,
+         LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS overlap_us
+  FROM sess a
+  JOIN sess b
+    ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+)
+SELECT
+  user_a,
+  user_b,
+  COUNT(*) AS n_overlaps,
+  CAST(SUM(overlap_us) AS BIGINT) AS total_overlap_us
+FROM pairs
+GROUP BY user_a, user_b
+ORDER BY user_a, user_b
+"""

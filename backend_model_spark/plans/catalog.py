@@ -66,8 +66,7 @@ register(
 register("events_sessionize", events_ops.sessionize_users, events_ops.SESSIONIZE_ORACLE)
 # text analysis
 register("text_quality_scores", text.quality_scores, text.QUALITY_ORACLE)
-# dedup
-register("dedup_exact_groups", dedup.exact_dedup_groups, dedup.EXACT_DEDUP_ORACLE)
+# dedup (tier-1 reps are in the rotation block below)
 # similarity
 register(
     "sim_cosine_topk_bruteforce",
@@ -92,9 +91,9 @@ register("sql_grouping_sets", sql_api.grouping_sets, sql_api.GROUPING_SETS_SQL)
 register("clean_junk_filter", cleaning.junk_value_filter, cleaning.JUNK_FILTER_ORACLE)
 # scalar functions
 register("func_regex", scalar_funcs.regex_functions, scalar_funcs.REGEX_FUNCS_ORACLE)
-# sorts / sets
+# sorts / sets (set_union_all displaced to tier 2; dedup_exact_groups
+# likewise — both r02-driver-green, families still represented)
 register("sort_topk_orders", sorts_sets.topk_orders_by_price, sorts_sets.TOPK_ORDERS_ORACLE)
-register("set_union_all", sorts_sets.union_all_segments, sorts_sets.UNION_ALL_ORACLE)
 # multimodal
 register("media_payload_stats", multimodal.payload_stats, multimodal.PAYLOAD_STATS_ORACLE)
 # UDF tiers
@@ -175,6 +174,16 @@ register(
     "mllib_fpgrowth_pairs",
     mllib_ops.mllib_fpgrowth_pairs,
     mllib_ops.FPGROWTH_PAIRS_ORACLE,
+)
+register(
+    "dedup_graph_triangles",
+    dedup.graph_triangles,
+    dedup.GRAPH_TRIANGLES_ORACLE,
+)
+register(
+    "events_overlap_join",
+    events_ops.session_overlap_join,
+    events_ops.SESSION_OVERLAP_ORACLE,
 )
 register(
     "window_percent_of_parent", windows.percent_of_parent, windows.PERCENT_OF_PARENT_ORACLE
@@ -276,6 +285,7 @@ register(
 )
 
 # --- sorts / limits / set ops (SURVEY §2.4, §2.7) ---------------------------
+register("set_union_all", sorts_sets.union_all_segments, sorts_sets.UNION_ALL_ORACLE)
 register(
     "sort_key_projection",
     sorts_sets.sort_by_key_projection,
@@ -466,6 +476,7 @@ register(
 )
 
 # --- deduplication ------------------------------------------------------------
+register("dedup_exact_groups", dedup.exact_dedup_groups, dedup.EXACT_DEDUP_ORACLE)
 register("dedup_lsh_verified", dedup.lsh_verified_pairs, dedup.LSH_VERIFIED_ORACLE)
 register("dedup_keep_list", dedup.dedup_keep_list, dedup.KEEP_LIST_ORACLE)
 register("dedup_ngram_jaccard", dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_ORACLE)

@@ -645,3 +645,63 @@ def test_curriculum_order_interleaves_sources(spark, sf_dir):
         assert all(
             p1 < p2 for (_, p1), (_, p2) in zip(pairs, pairs[1:])
         )
+
+
+def test_graph_triangles_counts_clique_once(spark, tmp_path):
+    """Three identical docs form a 3-clique in the candidate graph:
+    exactly one triangle, transitivity 1.0 — and the degree-oriented
+    count must not double-count the closed wedge."""
+    import pandas as pd
+
+    from backend_model_spark.operators.dedup import graph_triangles
+
+    txt = " ".join(f"tok{i}" for i in range(30))
+    other = " ".join(f"zz{i}" for i in range(30))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [txt, txt, txt, other],
+            "lang": ["en"] * 4,
+            "source": ["s0"] * 4,
+            "n_chars": [0] * 4,
+        }
+    )
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    row = graph_triangles(spark, sf).collect()[0]
+    assert row["n_nodes"] == 3 and row["n_edges"] == 3
+    assert row["n_triangles"] == 1
+    assert row["n_wedges"] == 3
+    assert row["transitivity"] == 1.0
+
+
+def test_session_overlap_join_exact_window_math(spark, tmp_path):
+    """Two users with hand-placed sessions: overlap must be the exact
+    intersection in µs, a session spanning several hour bins must
+    count once, and disjoint users must not pair."""
+    import pandas as pd
+
+    from backend_model_spark.operators.events_ops import session_overlap_join
+
+    t0 = pd.Timestamp("2024-01-01 10:00:00")
+    rows = []
+    # user 1: one session 10:00 → 12:00 (events every 20 min, crosses
+    # three hour-bins)
+    for i in range(7):
+        rows.append((100 + i, t0 + pd.Timedelta(minutes=20 * i), 1, "c", 0.0, "{}"))
+    # user 2: one session 11:30 → 11:50 (inside user 1's) → overlap 20 min
+    rows.append((200, t0 + pd.Timedelta(minutes=90), 2, "c", 0.0, "{}"))
+    rows.append((201, t0 + pd.Timedelta(minutes=110), 2, "c", 0.0, "{}"))
+    # user 3: far away, no overlap
+    rows.append((300, t0 + pd.Timedelta(days=2), 3, "c", 0.0, "{}"))
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = str(tmp_path)
+    ev.to_parquet(f"{sf}/events.parquet")
+    out = session_overlap_join(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["user_a"], r["user_b"]) == (1, 2)
+    assert r["n_overlaps"] == 1  # single pair despite shared bins
+    assert r["total_overlap_us"] == 20 * 60 * 1_000_000

@@ -42,6 +42,9 @@ HEADLINE = [
     # round 3: the heaviest rewritten two-stage-rank query — holds the
     # no-global-window fix in the bench, not just in plan tests
     "window_rfm_segments",
+    # round 3 late addition: passage-level first-wins dedup — the
+    # corpus-wide fingerprint shuffle shape (CCNet line dedup)
+    "dedup_chunk_first_wins",
 ]
 
 

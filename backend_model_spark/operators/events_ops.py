@@ -798,7 +798,13 @@ def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: state per task is one user's two frames (bounded); the
     shuffle is keyed on user_id — same exchange shape as the native
-    formulation, plus Arrow transfer cost.
+    formulation, plus Arrow transfer cost. Measured at sf0.1: ~21 s
+    vs ~0.5 s for the native window form — ~14 ms of per-group
+    Python/Arrow crossing overhead × 1,500 user groups, the
+    quantified "UDFs are the slow path" lesson this tier exists to
+    demonstrate. The fix at scale is not tuning this op but using
+    the native formulation; per-group cost is flat, so wall time
+    scales with GROUP COUNT, not rows.
     """
     import pandas as pd
 
@@ -834,16 +840,15 @@ def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # unit-safe: divide the timedelta by 1 µs instead of viewing
         # raw int64 (whose unit depends on the Arrow/pandas version);
-        # NaT → <NA> via nullable Int64
+        # NaT → NaN → <NA> via the vectorized nullable-Int64 cast
+        # (values are exact µs multiples far below 2^53, so the float
+        # round-trip is exact)
         gap = (merged["ts"] - merged["click_ts"]) / pd.Timedelta(microseconds=1)
         out = pd.DataFrame(
             {
                 "purchase_id": merged["event_id"].astype("int64"),
                 "user_id": merged["user_id"].astype("int64"),
-                "gap_us": pd.array(
-                    [int(g) if pd.notna(g) else None for g in gap],
-                    dtype="Int64",
-                ),
+                "gap_us": gap.round().astype("Int64"),
             }
         )
         return out
@@ -1327,4 +1332,71 @@ SELECT
 FROM pairs
 GROUP BY user_a, user_b
 ORDER BY user_a, user_b
+"""
+
+
+def pattern_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-style sequence-pattern matching: compress each user's event
+    history into an ordered type-initial string (``v``iew, ``c``lick,
+    ``p``urchase, ``s``ignup, ``e``rror — initials are distinct by
+    construction) and count strict ``view→click→purchase`` runs
+    (contiguous ``'vcp'`` occurrences) plus the position of the first
+    one. The MATCH_RECOGNIZE shape reduced to exact string algebra —
+    complementary to :func:`funnel_conversion`, which measures the
+    relaxed (any-gap) ordering via stage-min timestamps.
+
+    Scale: one shuffle on user_id; per-user history collapses to a
+    string whose length is the user's event count, then all pattern
+    work is ``split``/``instr`` inside codegen. A power user with 10⁶
+    events makes a 1 MB string in one aggregation buffer — the
+    documented bound; past that, sessionized substrings (chunk the
+    history at session boundaries, count per session, sum) keep the
+    same algebra with bounded state. No regex engine in the hot path:
+    the pattern is metachar-free, so occurrence counting is
+    split-length arithmetic, identical on both engines.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    seq = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts", "event_id", F.substring("event_type", 1, 1).alias("i")
+                        )
+                    )
+                ),
+                lambda x: x["i"],
+            ),
+        ).alias("seq"),
+    )
+    return (
+        seq.select(
+            "user_id",
+            "n_events",
+            (F.size(F.split("seq", "vcp", -1)) - 1).alias("n_strict_vcp"),
+            F.instr("seq", "vcp").alias("first_vcp_pos"),
+        )
+        .orderBy("user_id")
+    )
+
+
+PATTERN_SEQUENCE_ORACLE = """
+WITH seqs AS (
+  SELECT
+    user_id,
+    COUNT(*) AS n_events,
+    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events
+  GROUP BY user_id
+)
+SELECT
+  user_id,
+  n_events,
+  CAST(len(string_split(seq, 'vcp')) - 1 AS INTEGER) AS n_strict_vcp,
+  CAST(strpos(seq, 'vcp') AS INTEGER) AS first_vcp_pos
+FROM seqs
+ORDER BY user_id
 """

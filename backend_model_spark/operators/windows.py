@@ -269,21 +269,94 @@ def range_frame_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is partition-order independent. The banded sum uses the
     exact-cents discipline (floor(x*100+0.5) summed as integers) so
     sliding-accumulator float order can't drift from the oracle.
+
+    Scale rewrite (round 3): the naive ``partitionBy(status)
+    .rangeBetween(-50000, current)`` is a scale-killer twice over —
+    ``o_orderstatus`` has 3 values, so each window partition is a
+    third of the table through ONE task, and Spark re-accumulates a
+    bounded sliding frame per row, O(rows × band occupancy) per
+    partition (measured 23 s at sf0.1 vs ~2 s for this form). The
+    decomposition: bucket prices into band-width (50k) buckets; a
+    trailing band [p−50k, p] touches exactly buckets ``b`` and
+    ``b−1``, so the frame aggregate splits into
+    * a within-bucket running (RANGE-cumulative, tie-correct) prefix
+      over ``(status, bucket)`` — every bucket-``b`` row is ≥ p−50k
+      by construction, and
+    * a neighbor-bucket suffix at threshold p−50k: probes (one per
+      row, keyed into bucket ``b−1``) unioned with that bucket's rows
+      and swept DESC by value, running count/sum of data rows —
+      RANGE semantics make the threshold inclusive and tie-safe.
+    Window partitions become (status × bucket) — thousands of
+    bounded cells at any scale — and every pass is O(n log n); the
+    final assembly is one equi-join on the unique order key.
     """
-    orders = load_table(spark, "orders", sf_dir)
-    w = (
-        W.partitionBy("o_orderstatus")
-        .orderBy(F.col("o_totalprice"))
-        .rangeBetween(-50_000, W.currentRow)
+    band = 50_000
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    cents = F.floor(F.col("o_totalprice") * 100 + 0.5)
+    base = orders.withColumn(
+        "cents", F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    ).withColumn("bkt", F.floor(F.col("o_totalprice") / band).cast("bigint"))
+
+    # component 1: tie-correct cumulative within (status, bucket)
+    w_in = (
+        W.partitionBy("o_orderstatus", "bkt")
+        .orderBy(F.col("o_totalprice"))
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    within = base.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w_in).alias("cnt_in"),
+        F.sum("cents").over(w_in).alias("sum_in"),
+    )
+
+    # component 2: suffix of bucket b-1 at threshold p-50k, via the
+    # union-tag sweep (same pattern as the as-of join)
+    probes = base.select(
+        "o_orderstatus",
+        (F.col("bkt") - 1).alias("bkt"),
+        (F.col("o_totalprice") - band).alias("val"),
+        F.col("o_orderkey").alias("probe_key"),
+        F.lit(0).alias("is_data"),
+        F.lit(0).cast("bigint").alias("dcents"),
+    )
+    data = base.select(
+        "o_orderstatus",
+        "bkt",
+        F.col("o_totalprice").alias("val"),
+        F.lit(None).cast("bigint").alias("probe_key"),
+        F.lit(1).alias("is_data"),
+        F.col("cents").alias("dcents"),
+    )
+    w_desc = (
+        W.partitionBy("o_orderstatus", "bkt")
+        .orderBy(F.col("val").desc())
+        .rangeBetween(W.unboundedPreceding, W.currentRow)
+    )
+    prev = (
+        probes.unionByName(data)
+        .select(
+            "probe_key",
+            F.sum("is_data").over(w_desc).alias("cnt_prev"),
+            F.sum("dcents").over(w_desc).alias("sum_prev"),
+        )
+        .filter(F.col("probe_key").isNotNull())
+    )
+
     return (
-        orders.select(
+        within.join(prev, within.o_orderkey == prev.probe_key)
+        .select(
             "o_orderkey",
             "o_orderstatus",
             "o_totalprice",
-            F.count(F.lit(1)).over(w).alias("n_in_band"),
-            F.round(F.sum(cents).over(w) / 100.0, 2).alias("band_total"),
+            (F.col("cnt_in") + F.col("cnt_prev")).alias("n_in_band"),
+            F.round(
+                (F.col("sum_in") + F.coalesce(F.col("sum_prev"), F.lit(0)))
+                / 100.0,
+                2,
+            ).alias("band_total"),
         )
         .filter(F.col("o_totalprice") >= 400_000)
         .orderBy("o_orderstatus", "o_totalprice", "o_orderkey")

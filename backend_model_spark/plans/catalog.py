@@ -106,12 +106,8 @@ register(
     ml_queries.linear_fit_closed_form,
     ml_queries.LINEAR_FIT_ORACLE,
 )
-# streaming
-register(
-    "streaming_hourly_counts",
-    streaming_jobs.streaming_hourly_counts,
-    streaming_jobs.STREAMING_HOURLY_ORACLE,
-)
+# streaming (hourly-counts displaced to tier 2 for the pattern-match
+# addition; streaming keeps left_join_attribution in the prefix)
 # TPC-H suite
 register("tpch_q10_returns", tpch_suite.q10_returned_items, tpch_suite.Q10_ORACLE)
 
@@ -184,6 +180,11 @@ register(
     "events_overlap_join",
     events_ops.session_overlap_join,
     events_ops.SESSION_OVERLAP_ORACLE,
+)
+register(
+    "events_pattern_sequence",
+    events_ops.pattern_sequence,
+    events_ops.PATTERN_SEQUENCE_ORACLE,
 )
 register(
     "window_percent_of_parent", windows.percent_of_parent, windows.PERCENT_OF_PARENT_ORACLE
@@ -601,6 +602,11 @@ register(
 register("ml_gbt_feature_importance", ml_queries.gbt_feature_importance, None)
 
 # --- structured streaming (availableNow batch-equivalence) --------------------
+register(
+    "streaming_hourly_counts",
+    streaming_jobs.streaming_hourly_counts,
+    streaming_jobs.STREAMING_HOURLY_ORACLE,
+)
 register(
     "streaming_session_windows",
     streaming_jobs.streaming_session_windows,

@@ -705,3 +705,36 @@ def test_session_overlap_join_exact_window_math(spark, tmp_path):
     assert (r["user_a"], r["user_b"]) == (1, 2)
     assert r["n_overlaps"] == 1  # single pair despite shared bins
     assert r["total_overlap_us"] == 20 * 60 * 1_000_000
+
+
+def test_pattern_sequence_strict_counting(spark, tmp_path):
+    """Hand-built histories: contiguous v,c,p runs count exactly,
+    interleaved types break strictness, and first-match position is
+    1-based (0 = absent)."""
+    import pandas as pd
+
+    from backend_model_spark.operators.events_ops import pattern_sequence
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+
+    def emit(user, types):
+        for i, ty in enumerate(types):
+            rows.append(
+                (user * 1000 + i, t0 + pd.Timedelta(seconds=i), user, ty, 0.0, "{}")
+            )
+
+    emit(1, ["view", "click", "purchase", "view", "click", "purchase"])  # vcpvcp
+    emit(2, ["view", "view", "click", "purchase"])                      # vvcp
+    emit(3, ["view", "click", "view", "click", "purchase"])             # vcvcp
+    emit(4, ["purchase", "click", "view"])                              # pcv
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    sf = str(tmp_path)
+    ev.to_parquet(f"{sf}/events.parquet")
+    out = {r["user_id"]: r for r in pattern_sequence(spark, sf).collect()}
+    assert (out[1]["n_strict_vcp"], out[1]["first_vcp_pos"]) == (2, 1)
+    assert (out[2]["n_strict_vcp"], out[2]["first_vcp_pos"]) == (1, 2)
+    assert (out[3]["n_strict_vcp"], out[3]["first_vcp_pos"]) == (1, 3)
+    assert (out[4]["n_strict_vcp"], out[4]["first_vcp_pos"]) == (0, 0)

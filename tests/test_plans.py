@@ -463,3 +463,22 @@ def test_zorder_bounds_both_dimensions(spark, sf_dir):
     # bounded (not degenerate to full range)
     assert z["avg_cust_span_ppm"] * 4 < d["avg_cust_span_ppm"]
     assert z["avg_date_span_ppm"] < 500_000
+
+
+def test_range_frame_windows_are_bucket_grained(spark, sf_dir):
+    """The trailing-band rewrite must never run a window partitioned by
+    the 3-value status alone: every Window's partition spec includes
+    the band bucket, and no bounded sliding RANGE frame remains (only
+    cumulative unbounded-preceding frames)."""
+    import re
+
+    plan = plan_of(spark, "window_range_frame", sf_dir)
+    # every window partition spec mentions bkt alongside status
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected Window operators in the plan"
+    for spec in specs:
+        assert "bkt" in spec, f"window not bucket-grained: {spec}"
+    # bounded sliding frames are gone: specifiedwindowframe appears
+    # only with unboundedpreceding lower bounds
+    for frame in re.findall(r"specifiedwindowframe\([^)]*\)", plan.lower()):
+        assert "unboundedpreceding" in frame, frame

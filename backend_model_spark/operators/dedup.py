@@ -1351,3 +1351,109 @@ SELECT
        ELSE 0.0 END AS transitivity
 FROM agg, tri
 """
+
+
+def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality evaluation: recall and precision of the banded
+    MinHash candidate set against exact ground truth (word-3-gram
+    Jaccard ≥ 0.5, the verify threshold). One summary row:
+    truth/candidate/hit counts, recall_ppm (truth pairs the bands
+    caught) and precision_ppm (candidate pairs that are true dups) —
+    the two numbers that size an LSH deployment: recall bounds what
+    dedup misses, precision prices the verify stage.
+
+    Both sides are deterministic (md5-derived MinHash, exact
+    Jaccard), so unlike the usual ANN-recall ops this evaluation is
+    fully oracle-checkable. Scale: the truth side's inverted-index
+    self-join is the expensive exact path — at 100 TB you'd measure
+    recall on a stratified SAMPLE of documents (content-addressed,
+    like ``sample_stratified_hash``) and apply the measured
+    recall/precision to the full-corpus run; the full-outer pair join
+    here is on (doc_a, doc_b) keys, uniform and skew-free.
+    """
+    truth = (
+        ngram_jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= VERIFY_JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.lit(1).alias("t"))
+    )
+    cand = lsh_candidate_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("c")
+    )
+    both = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
+    return both.agg(
+        F.sum("t").alias("n_truth"),
+        F.sum("c").alias("n_candidates"),
+        F.sum(
+            F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1).otherwise(0)
+        ).alias("n_hits"),
+    ).select(
+        "n_truth",
+        "n_candidates",
+        "n_hits",
+        F.floor(F.col("n_hits") * 1_000_000 / F.col("n_truth"))
+        .cast("bigint")
+        .alias("recall_ppm"),
+        F.floor(F.col("n_hits") * 1_000_000 / F.col("n_candidates"))
+        .cast("bigint")
+        .alias("precision_ppm"),
+    )
+
+
+LSH_RECALL_ORACLE = f"""
+WITH shingled AS (
+  SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS shingle
+  FROM documents
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM shingled GROUP BY doc_id
+),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingled a
+  JOIN shingled b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE ROUND(n_common / CAST(sa.n_shingles + sb.n_shingles - n_common
+                              AS DOUBLE), 6) >= {VERIFY_JACCARD_THRESHOLD}
+),
+sigs AS (
+  SELECT
+    doc_id,
+    {MINHASH_SQL_AGGS}
+  FROM shingled
+  GROUP BY doc_id
+),
+banded AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, {band} AS band,"
+    f" CAST(mh_{2 * band} AS VARCHAR) || '_' || CAST(mh_{2 * band + 1} AS VARCHAR)"
+    f" AS bucket FROM sigs"
+    for band in range(N_MINHASH // 2)
+  )}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+joined AS (
+  SELECT t.doc_a AS ta, c.doc_a AS ca
+  FROM truth t
+  FULL OUTER JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT
+  CAST(COUNT(ta) AS BIGINT) AS n_truth,
+  CAST(COUNT(ca) AS BIGINT) AS n_candidates,
+  CAST(COUNT(CASE WHEN ta IS NOT NULL AND ca IS NOT NULL THEN 1 END)
+    AS BIGINT) AS n_hits,
+  CAST(FLOOR(COUNT(CASE WHEN ta IS NOT NULL AND ca IS NOT NULL THEN 1 END)
+             * 1000000.0 / COUNT(ta)) AS BIGINT) AS recall_ppm,
+  CAST(FLOOR(COUNT(CASE WHEN ta IS NOT NULL AND ca IS NOT NULL THEN 1 END)
+             * 1000000.0 / COUNT(ca)) AS BIGINT) AS precision_ppm
+FROM joined
+"""

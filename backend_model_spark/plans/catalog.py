@@ -62,8 +62,8 @@ register(
     windows.top_orders_per_customer,
     windows.TOP_PER_CUSTOMER_ORACLE,
 )
-# events / time series
-register("events_sessionize", events_ops.sessionize_users, events_ops.SESSIONIZE_ORACLE)
+# events / time series (sessionize displaced to tier 2; the family
+# keeps asof_join + the three round-3 additions in the prefix)
 # text analysis
 register("text_quality_scores", text.quality_scores, text.QUALITY_ORACLE)
 # dedup (tier-1 reps are in the rotation block below)
@@ -76,12 +76,8 @@ register(
 # aggregates (family's tier-1 reps are the round-3 rotation entries
 # below: agg_revenue_concentration, agg_normality_probe, agg_chi2;
 # agg_grouped_orders displaced to tier 2 for the FPGrowth addition)
-# sampling / dataset mixing
-register(
-    "sample_stratified_hash",
-    sampling.stratified_sample,
-    sampling.STRATIFIED_SAMPLE_ORACLE,
-)
+# sampling / dataset mixing (stratified_hash displaced to tier 2;
+# importance_resample / temperature_mix / curriculum_order remain)
 # sources / sinks (io_csv_roundtrip displaced to tier 2 for the
 # z-order layout probe; io keeps 5 other tier-1 reps)
 register("io_zorder_layout", io_ops.zorder_layout, io_ops.ZORDER_LAYOUT_ORACLE)
@@ -186,6 +182,12 @@ register(
     events_ops.pattern_sequence,
     events_ops.PATTERN_SEQUENCE_ORACLE,
 )
+register(
+    "io_schema_evolution",
+    io_ops.schema_evolution_scan,
+    io_ops.SCHEMA_EVOLUTION_ORACLE,
+)
+register("dedup_lsh_recall", dedup.lsh_recall, dedup.LSH_RECALL_ORACLE)
 register(
     "window_percent_of_parent", windows.percent_of_parent, windows.PERCENT_OF_PARENT_ORACLE
 )
@@ -398,6 +400,7 @@ register(
 )
 
 # --- events / time series (SURVEY §2.11 batch halves) ------------------------
+register("events_sessionize", events_ops.sessionize_users, events_ops.SESSIONIZE_ORACLE)
 register("events_funnel", events_ops.funnel_conversion, events_ops.FUNNEL_ORACLE)
 register(
     "events_retention_cohorts",
@@ -530,6 +533,11 @@ register(
 )
 
 # --- sampling / dataset mixing (training-data selection layer) -----------------
+register(
+    "sample_stratified_hash",
+    sampling.stratified_sample,
+    sampling.STRATIFIED_SAMPLE_ORACLE,
+)
 register(
     "sample_train_test_split",
     sampling.train_test_split_hash,

@@ -930,3 +930,60 @@ FROM per_file
 GROUP BY layout
 ORDER BY layout
 """
+
+
+def schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift ingestion: an early parquet batch (orders before
+    1995: 3 columns) and a later batch that gained a column
+    (``o_orderpriority``) land in the same dataset directory; the
+    read uses ``mergeSchema`` so the unified scan surfaces the new
+    column with nulls for pre-drift rows. Reported per order-year:
+    row counts, how many rows carry the new column, and its distinct
+    cardinality — the audit a pipeline runs after a producer ships a
+    schema change.
+
+    Scale: ``mergeSchema`` reconciles footers at planning time (at
+    100 TB: enable only on datasets that actually drift, or pin the
+    evolved schema explicitly — footer merging reads every file's
+    metadata); the scan itself stays one pass, and missing columns
+    materialize as constant-null vectors, not data rewrites. This is
+    the parquet-native form of additive schema evolution: old files
+    are never rewritten.
+    """
+    path = _scratch("schema_evolution", "orders_drift")
+    orders = load_table(spark, "orders", sf_dir)
+    early = orders.filter(F.col("o_orderdate") < "1995-01-01").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    late = orders.filter(F.col("o_orderdate") >= "1995-01-01").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    early.write.mode("overwrite").parquet(os.path.join(path, "batch=early"))
+    late.write.mode("overwrite").parquet(os.path.join(path, "batch=late"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "batch=early"), os.path.join(path, "batch=late")
+    )
+    return (
+        merged.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_orderpriority").alias("n_with_priority"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+        .orderBy("order_year")
+    )
+
+
+SCHEMA_EVOLUTION_ORACLE = """
+SELECT
+  CAST(year(o_orderdate) AS INTEGER) AS order_year,
+  COUNT(*) AS n_rows,
+  COUNT(CASE WHEN o_orderdate >= DATE '1995-01-01'
+             THEN o_orderpriority END) AS n_with_priority,
+  CAST(COUNT(DISTINCT CASE WHEN o_orderdate >= DATE '1995-01-01'
+                           THEN o_orderpriority END) AS BIGINT)
+    AS n_priorities
+FROM orders
+GROUP BY 1
+ORDER BY order_year
+"""

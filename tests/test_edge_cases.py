@@ -738,3 +738,29 @@ def test_pattern_sequence_strict_counting(spark, tmp_path):
     assert (out[2]["n_strict_vcp"], out[2]["first_vcp_pos"]) == (1, 2)
     assert (out[3]["n_strict_vcp"], out[3]["first_vcp_pos"]) == (1, 3)
     assert (out[4]["n_strict_vcp"], out[4]["first_vcp_pos"]) == (0, 0)
+
+
+def test_schema_evolution_null_fills_pre_drift_rows(spark, sf_dir):
+    """Years before the drift point must report zero rows carrying the
+    late-added column; years after must carry it on every row."""
+    from backend_model_spark.sources.io_ops import schema_evolution_scan
+
+    rows = schema_evolution_scan(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["order_year"] < 1995:
+            assert r["n_with_priority"] == 0 and r["n_priorities"] == 0
+        else:
+            assert r["n_with_priority"] == r["n_rows"]
+            assert r["n_priorities"] > 0
+
+
+def test_lsh_recall_confusion_invariants(spark, sf_dir):
+    """Hits are bounded by both sides and the ppm ratios must be the
+    floor of the exact fractions."""
+    from backend_model_spark.operators.dedup import lsh_recall
+
+    r = lsh_recall(spark, sf_dir).collect()[0]
+    assert 0 < r["n_hits"] <= min(r["n_truth"], r["n_candidates"])
+    assert r["recall_ppm"] == r["n_hits"] * 1_000_000 // r["n_truth"]
+    assert r["precision_ppm"] == r["n_hits"] * 1_000_000 // r["n_candidates"]

@@ -1615,14 +1615,21 @@ ORDER BY doc_a, doc_b
 CLS_BUCKETS = 4096
 CLS_MIX = 2_654_435_761
 CLS_P = 1_000_003
+# decision bias (rational 387/1000): the corpus vocabulary's
+# empirical mean normalized weight is ~0.387, so the keep boundary
+# sits at the distribution's center — a fastText model's bias term,
+# kept rational so the decision stays integer-exact
+CLS_BIAS_NUM = 387
+CLS_BIAS_DEN = 1000
 
 
 def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed linear quality classifier: each token is
     hashed into one of 4096 buckets (first 4 md5 hex chars), each
     bucket carries a fixed weight in (-0.5, 0.5), and the document
-    score is the logistic of 4× the mean token weight —
-    ``keep = score ≥ 0.5``. The weights here are a deterministic
+    score is the logistic of 4× the bias-centered mean token weight —
+    ``keep = score ≥ 0.5``, i.e. mean weight above the model bias
+    (``CLS_BIAS_*``). The weights here are a deterministic
     pseudo-model (see ``CLS_MIX``); swapping in trained fastText
     coefficients is a broadcast-lookup change, not a plan change.
 
@@ -1630,8 +1637,8 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``transform``) entirely inside codegen — zero shuffle, zero
     Python, no explode; the token-weight sum is kept in INTEGER space
     (sum of ``(b·MIX) mod P``) so the mean is exact cross-engine, and
-    the keep decision compares integers (``2·Σw ≥ n·P``), never a
-    rounded float. A real trained model at 100 TB broadcasts its
+    the keep decision compares integers
+    (``DEN·Σw ≥ NUM·n·P``), never a rounded float. A real trained model at 100 TB broadcasts its
     weight array and swaps the arithmetic remix for
     ``weights[bucket]`` — same single-scan shape.
     """
@@ -1650,7 +1657,8 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("toks"), F.lit(0).cast("bigint"), lambda acc, t: acc + w_int(t)
         ).alias("w_sum"),
     )
-    mean_w = F.col("w_sum") / (F.col("n_tokens") * float(CLS_P)) - 0.5
+    bias = float(CLS_BIAS_NUM) / CLS_BIAS_DEN
+    mean_w = F.col("w_sum") / (F.col("n_tokens") * float(CLS_P)) - bias
     return (
         scored.select(
             "doc_id",
@@ -1658,7 +1666,11 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w_sum",
             _round6(mean_w).alias("mean_w"),
             _round6(1.0 / (1.0 + F.exp(-4.0 * mean_w))).alias("score"),
-            (2 * F.col("w_sum") >= F.col("n_tokens") * F.lit(CLS_P))
+            (
+                CLS_BIAS_DEN * F.col("w_sum")
+                >= F.col("n_tokens").cast("bigint")
+                * F.lit(CLS_BIAS_NUM * CLS_P)
+            )
             .cast("int")
             .alias("keep"),
         )
@@ -1685,13 +1697,214 @@ SELECT
   doc_id,
   CAST(n_tokens AS INTEGER) AS n_tokens,
   w_sum,
-  FLOOR((w_sum / (n_tokens * {float(CLS_P)}) - 0.5) * 1000000 + 0.5)
+  FLOOR((w_sum / (n_tokens * {float(CLS_P)})
+         - {CLS_BIAS_NUM / CLS_BIAS_DEN}) * 1000000 + 0.5)
     / 1000000 AS mean_w,
   FLOOR(
-    1.0 / (1.0 + exp(-4.0 * (w_sum / (n_tokens * {float(CLS_P)}) - 0.5)))
+    1.0 / (1.0 + exp(-4.0 * (w_sum / (n_tokens * {float(CLS_P)})
+                             - {CLS_BIAS_NUM / CLS_BIAS_DEN})))
     * 1000000 + 0.5) / 1000000 AS score,
-  CAST(CASE WHEN 2 * w_sum >= n_tokens * {CLS_P} THEN 1 ELSE 0 END
-    AS INTEGER) AS keep
+  CAST(CASE WHEN {CLS_BIAS_DEN} * w_sum >= n_tokens * {CLS_BIAS_NUM * CLS_P}
+       THEN 1 ELSE 0 END AS INTEGER) AS keep
 FROM scored
 ORDER BY doc_id
+"""
+
+
+# length gate for the model-gated pipeline (tokens)
+PIPE2_MIN_TOKENS = 30
+# retained-token floor after passage dedup
+PIPE2_MIN_RETAINED_PPM = 800_000
+
+
+def quality_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 corpus pipeline as ONE lazy lineage: model-based
+    gate (hashed linear classifier, integer-exact keep) → length gate
+    (≥30 tokens) → passage-level first-wins dedup over the SURVIVING
+    corpus (20-token chunks, keep the corpus-wide first occurrence) →
+    drop documents retaining <80% of their tokens → per-source yield
+    funnel. The sibling of :func:`corpus_prep_pipeline` with the
+    heuristic stages upgraded to their model-based / passage-level
+    round-3 forms — every stage individually oracle-proved
+    (``text_quality_classifier``, ``dedup_chunk_first_wins``), here
+    composed so Catalyst fuses the gates into the scan and the
+    pipeline pays ONE fingerprint shuffle.
+
+    Note the ordering semantics: passage dedup ranks first-occurrence
+    among the documents that SURVIVE the gates (a dropped early doc
+    does not shadow a later duplicate) — the composition is not
+    commutative with the gates, which is exactly why it must be one
+    plan, not three queries glued by a driver.
+
+    Scale: gates are per-row codegen (array fold + size check, no
+    shuffle); the chunk-fingerprint exchange is the single
+    corpus-width shuffle (uniform md5 key); the funnel aggregates
+    per-doc metadata only. Identical shape at 100 TB.
+    """
+    docs = spread(load_table(spark, "documents", sf_dir)).withColumn(
+        "toks", F.expr(TOKENS)
+    )
+    bucket = lambda t: (  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("bigint") % CLS_BUCKETS
+    )
+    w_int = lambda t: (bucket(t) * CLS_MIX) % CLS_P  # noqa: E731
+    scored = docs.withColumn(
+        "w_sum",
+        F.aggregate(
+            F.col("toks"), F.lit(0).cast("bigint"), lambda acc, t: acc + w_int(t)
+        ),
+    ).withColumn("n_tokens", F.size("toks"))
+    gated = scored.withColumn(
+        "pass_model",
+        CLS_BIAS_DEN * F.col("w_sum")
+        >= F.col("n_tokens").cast("bigint") * F.lit(CLS_BIAS_NUM * CLS_P),
+    ).withColumn("pass_len", F.col("n_tokens") >= PIPE2_MIN_TOKENS)
+    survivors = gated.filter(F.col("pass_model") & F.col("pass_len"))
+
+    n_chunks = F.ceil(F.size("toks") / F.lit(20.0)).cast("int")
+    chunks = survivors.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_chunks),
+                lambda i: F.concat_ws(" ", F.slice(F.col("toks"), (i - 1) * 20 + 1, 20)),
+            )
+        ).alias("chunk_idx", "chunk"),
+    ).select(
+        "doc_id",
+        "source",
+        "chunk_idx",
+        F.md5("chunk").alias("fp"),
+        F.size(F.split("chunk", " ")).alias("chunk_toks"),
+    )
+    from pyspark.sql import Window as W2
+
+    first_wins = chunks.withColumn(
+        "rn",
+        F.row_number().over(W2.partitionBy("fp").orderBy("doc_id", "chunk_idx")),
+    )
+    kept_flag = F.when(F.col("rn") == 1, 1).otherwise(0)
+    per_doc = first_wins.groupBy("doc_id", "source").agg(
+        F.sum("chunk_toks").alias("n_toks"),
+        F.sum(kept_flag * F.col("chunk_toks")).alias("kept_toks"),
+    )
+    retained = per_doc.withColumn(
+        "pass_dedup",
+        F.col("kept_toks") * 1_000_000 >= F.col("n_toks") * PIPE2_MIN_RETAINED_PPM,
+    )
+
+    funnel_gates = gated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("pass_model").cast("int")).alias("pass_model"),
+        F.sum((F.col("pass_model") & F.col("pass_len")).cast("int")).alias(
+            "pass_gates"
+        ),
+    )
+    funnel_dedup = retained.groupBy("source").agg(
+        F.sum(F.col("pass_dedup").cast("int")).alias("final_docs"),
+        F.sum(F.when(F.col("pass_dedup"), F.col("kept_toks"))).alias(
+            "final_tokens"
+        ),
+    )
+    return (
+        funnel_gates.join(funnel_dedup, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "pass_model",
+            "pass_gates",
+            F.coalesce(F.col("final_docs"), F.lit(0)).cast("bigint").alias(
+                "final_docs"
+            ),
+            F.coalesce(F.col("final_tokens"), F.lit(0)).cast("bigint").alias(
+                "final_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+QUALITY_DEDUP_PIPELINE_ORACLE = rf"""
+WITH scored AS (
+  SELECT
+    doc_id,
+    source,
+    string_split_regex(trim(text), '\s+') AS toks,
+    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+    CAST(list_sum(list_transform(
+      string_split_regex(trim(text), '\s+'),
+      tok -> (CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) % {CLS_BUCKETS})
+             * {CLS_MIX} % {CLS_P}
+    )) AS BIGINT) AS w_sum
+  FROM documents
+),
+gated AS (
+  SELECT *,
+    ({CLS_BIAS_DEN} * w_sum >= n_tokens * {CLS_BIAS_NUM * CLS_P})
+      AS pass_model,
+    (n_tokens >= {PIPE2_MIN_TOKENS}) AS pass_len
+  FROM scored
+),
+survivors AS (
+  SELECT * FROM gated WHERE pass_model AND pass_len
+),
+idx AS (
+  SELECT doc_id, source, toks,
+         unnest(generate_series(
+           1, CAST(CEIL(n_tokens / 20.0) AS BIGINT))) AS i
+  FROM survivors
+),
+chunks AS (
+  SELECT doc_id, source, CAST(i - 1 AS INTEGER) AS chunk_idx,
+    md5(array_to_string(list_slice(toks, CAST((i-1)*20+1 AS BIGINT),
+                                   CAST(i*20 AS BIGINT)), ' ')) AS fp,
+    len(list_slice(toks, CAST((i-1)*20+1 AS BIGINT),
+                   CAST(i*20 AS BIGINT))) AS chunk_toks
+  FROM idx
+),
+marked AS (
+  SELECT doc_id, source, chunk_toks,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+),
+per_doc AS (
+  SELECT doc_id, source,
+         SUM(chunk_toks) AS n_toks,
+         SUM(CASE WHEN rn = 1 THEN chunk_toks ELSE 0 END) AS kept_toks
+  FROM marked GROUP BY doc_id, source
+),
+retained AS (
+  SELECT *,
+         (kept_toks * 1000000 >= n_toks * {PIPE2_MIN_RETAINED_PPM})
+           AS pass_dedup
+  FROM per_doc
+),
+funnel_gates AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN pass_model THEN 1 ELSE 0 END) AS BIGINT)
+           AS pass_model,
+         CAST(SUM(CASE WHEN pass_model AND pass_len THEN 1 ELSE 0 END)
+           AS BIGINT) AS pass_gates
+  FROM gated GROUP BY source
+),
+funnel_dedup AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN pass_dedup THEN 1 ELSE 0 END) AS BIGINT)
+           AS final_docs,
+         CAST(SUM(CASE WHEN pass_dedup THEN kept_toks END) AS BIGINT)
+           AS final_tokens
+  FROM retained GROUP BY source
+)
+SELECT
+  g.source,
+  g.n_docs,
+  g.pass_model,
+  g.pass_gates,
+  COALESCE(d.final_docs, 0) AS final_docs,
+  COALESCE(d.final_tokens, 0) AS final_tokens
+FROM funnel_gates g
+LEFT JOIN funnel_dedup d ON g.source = d.source
+ORDER BY g.source
 """

@@ -64,8 +64,8 @@ register(
 )
 # events / time series (sessionize displaced to tier 2; the family
 # keeps asof_join + the three round-3 additions in the prefix)
-# text analysis
-register("text_quality_scores", text.quality_scores, text.QUALITY_ORACLE)
+# text analysis (quality_scores displaced to tier 2; the family keeps
+# 5 other reps in the prefix incl. the round-3 classifier)
 # dedup (tier-1 reps are in the rotation block below)
 # similarity
 register(
@@ -188,6 +188,11 @@ register(
     io_ops.SCHEMA_EVOLUTION_ORACLE,
 )
 register("dedup_lsh_recall", dedup.lsh_recall, dedup.LSH_RECALL_ORACLE)
+register(
+    "pipeline_quality_dedup",
+    text.quality_dedup_pipeline,
+    text.QUALITY_DEDUP_PIPELINE_ORACLE,
+)
 register(
     "window_percent_of_parent", windows.percent_of_parent, windows.PERCENT_OF_PARENT_ORACLE
 )
@@ -453,6 +458,7 @@ register(
 register("events_late_audit", events_ops.late_data_audit, events_ops.LATE_DATA_ORACLE)
 
 # --- text analysis (LLM-data-pipeline surface) -------------------------------
+register("text_quality_scores", text.quality_scores, text.QUALITY_ORACLE)
 register("text_token_stats", text.token_stats_per_lang, text.TOKEN_STATS_ORACLE)
 register("text_bpe_token_count", text.bpe_token_estimate, text.BPE_TOKEN_ORACLE)
 register("text_language_id", text.language_id, text.LANG_ID_ORACLE)

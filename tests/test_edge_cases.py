@@ -606,15 +606,27 @@ def test_chunk_first_wins_dedups_shared_passage(spark, tmp_path):
 
 
 def test_quality_classifier_decision_is_integer_exact(spark, sf_dir):
-    """keep must equal the integer-space decision 2·Σw ≥ n·P for every
-    document (never a rounded-float comparison), and the score must be
-    on the correct side of 0.5 accordingly."""
-    from backend_model_spark.operators.text import CLS_P, quality_classifier
+    """keep must equal the integer-space biased decision
+    DEN·Σw ≥ NUM·n·P for every document (never a rounded-float
+    comparison), and the score must be on the correct side of 0.5
+    accordingly."""
+    from backend_model_spark.operators.text import (
+        CLS_BIAS_DEN,
+        CLS_BIAS_NUM,
+        CLS_P,
+        quality_classifier,
+    )
 
     rows = quality_classifier(spark, sf_dir).collect()
     assert rows
+    keeps = sum(r["keep"] for r in rows)
+    assert 0 < keeps < len(rows), "biased decision should split the corpus"
     for r in rows:
-        expect = 1 if 2 * r["w_sum"] >= r["n_tokens"] * CLS_P else 0
+        expect = (
+            1
+            if CLS_BIAS_DEN * r["w_sum"] >= CLS_BIAS_NUM * CLS_P * r["n_tokens"]
+            else 0
+        )
         assert r["keep"] == expect
         if r["keep"]:
             assert r["score"] >= 0.5

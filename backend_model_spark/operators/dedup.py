@@ -1136,8 +1136,14 @@ def chunk_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    docs = spread(load_table(spark, "documents", sf_dir)).withColumn(
-        "toks", F.expr(TOKENS)
+    # null-text guard: Spark's sequence(1, ceil(size(NULL)/20)) would
+    # yield a DESCENDING [1, 0] (two phantom chunks) while DuckDB's
+    # generate_series(1, NULL) yields nothing — filter explicitly on
+    # both sides so a future null-bearing corpus can't diverge
+    docs = (
+        spread(load_table(spark, "documents", sf_dir))
+        .filter(F.col("text").isNotNull())
+        .withColumn("toks", F.expr(TOKENS))
     )
     n_chunks = F.ceil(F.size("toks") / F.lit(float(CHUNK_TOKENS))).cast("int")
     chunks = docs.select(
@@ -1184,7 +1190,8 @@ def chunk_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CHUNK_FIRST_WINS_ORACLE = rf"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
 ),
 idx AS (
   SELECT doc_id, toks,

@@ -1642,8 +1642,10 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight array and swaps the arithmetic remix for
     ``weights[bucket]`` — same single-scan shape.
     """
-    docs = spread(load_table(spark, "documents", sf_dir)).withColumn(
-        "toks", F.expr(TOKENS)
+    docs = (
+        spread(load_table(spark, "documents", sf_dir))
+        .filter(F.col("text").isNotNull())
+        .withColumn("toks", F.expr(TOKENS))
     )
     bucket = lambda t: (  # noqa: E731
         F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("bigint")
@@ -1680,7 +1682,8 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUALITY_CLASSIFIER_ORACLE = rf"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents WHERE text IS NOT NULL
 ),
 scored AS (
   SELECT
@@ -1741,8 +1744,12 @@ def quality_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-width shuffle (uniform md5 key); the funnel aggregates
     per-doc metadata only. Identical shape at 100 TB.
     """
-    docs = spread(load_table(spark, "documents", sf_dir)).withColumn(
-        "toks", F.expr(TOKENS)
+    # null-text guard: see dedup.chunk_first_wins — Spark's
+    # sequence(1, 0) emits [1, 0] where DuckDB emits nothing
+    docs = (
+        spread(load_table(spark, "documents", sf_dir))
+        .filter(F.col("text").isNotNull())
+        .withColumn("toks", F.expr(TOKENS))
     )
     bucket = lambda t: (  # noqa: E731
         F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("bigint") % CLS_BUCKETS
@@ -1837,7 +1844,7 @@ WITH scored AS (
       tok -> (CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) % {CLS_BUCKETS})
              * {CLS_MIX} % {CLS_P}
     )) AS BIGINT) AS w_sum
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ),
 gated AS (
   SELECT *,

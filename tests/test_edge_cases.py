@@ -776,3 +776,29 @@ def test_lsh_recall_confusion_invariants(spark, sf_dir):
     assert 0 < r["n_hits"] <= min(r["n_truth"], r["n_candidates"])
     assert r["recall_ppm"] == r["n_hits"] * 1_000_000 // r["n_truth"]
     assert r["precision_ppm"] == r["n_hits"] * 1_000_000 // r["n_candidates"]
+
+
+def test_chunk_ops_ignore_null_text(spark, tmp_path):
+    """A null-text document must contribute NOTHING to chunk-based ops
+    (without the guard, Spark's sequence(1, 0) emits a descending
+    [1, 0] — two phantom chunks — where DuckDB emits no rows)."""
+    import pandas as pd
+
+    from backend_model_spark.operators.dedup import chunk_first_wins
+    from backend_model_spark.operators.text import quality_classifier
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["alpha beta gamma delta", None],
+            "lang": ["en", "en"],
+            "source": ["s0", "s0"],
+            "n_chars": [22, 0],
+        }
+    )
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet")
+    chunk_ids = [r["doc_id"] for r in chunk_first_wins(spark, sf).collect()]
+    assert chunk_ids == [0]
+    cls_ids = [r["doc_id"] for r in quality_classifier(spark, sf).collect()]
+    assert cls_ids == [0]

@@ -197,3 +197,66 @@ def test_global_rank_ntile_prefix_sum_match_window_semantics(spark, vals, k):
     )
     for col in ["r", "n", "cum", "t"]:
         assert got[col].tolist() == ref[col].tolist(), (col, vals, k)
+
+
+def _chunk_first_wins_reference(texts: list[str]) -> dict[int, tuple[int, int]]:
+    """Python reference for chunk_first_wins: per doc_id (n_toks,
+    kept_toks) under corpus-wide first-occurrence semantics."""
+    seen: set[str] = set()
+    out: dict[int, tuple[int, int]] = {}
+    for doc_id, text in enumerate(texts):
+        toks = text.strip().split() if text.strip() else [""]
+        n_toks = kept = 0
+        for i in range(0, max(len(toks), 1), 20):
+            chunk = " ".join(toks[i : i + 20])
+            n = len(chunk.split(" "))
+            n_toks += n
+            if chunk not in seen:
+                seen.add(chunk)
+                kept += n
+        out[doc_id] = (n_toks, kept)
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.lists(st.tuples(doc_text, doc_lang), min_size=1, max_size=12))
+def test_chunk_first_wins_matches_python_reference(spark, data):
+    """First-wins dedup must agree with an imperative reference on
+    arbitrary corpora: token conservation and first-occurrence
+    ownership (earlier doc_id keeps, later ones lose)."""
+    from backend_model_spark.operators.dedup import chunk_first_wins
+
+    texts = [t for t, _ in data]
+    sf = _write_docs(texts, [lg for _, lg in data])
+    out = {
+        r["doc_id"]: (r["n_toks"], r["kept_toks"])
+        for r in chunk_first_wins(spark, sf).collect()
+    }
+    assert out == _chunk_first_wins_reference(texts)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.lists(st.tuples(doc_text, doc_lang), min_size=2, max_size=12))
+def test_curriculum_order_is_permutation_with_quality_monotone(spark, data):
+    """Curriculum positions are a 1..N permutation and, within a
+    source, quality is non-increasing along the curriculum."""
+    from backend_model_spark.operators.sampling import curriculum_order
+
+    sf = _write_docs([t for t, _ in data], [lg for _, lg in data])
+    rows = sorted(
+        curriculum_order(spark, sf).collect(), key=lambda r: r["curriculum_pos"]
+    )
+    assert [r["curriculum_pos"] for r in rows] == list(range(1, len(data) + 1))
+    last_q: dict[str, float] = {}
+    for r in rows:
+        if r["source"] in last_q:
+            assert r["quality_score"] <= last_q[r["source"]]
+        last_q[r["source"]] = r["quality_score"]

@@ -260,3 +260,51 @@ def test_curriculum_order_is_permutation_with_quality_monotone(spark, data):
         if r["source"] in last_q:
             assert r["quality_score"] <= last_q[r["source"]]
         last_q[r["source"]] = r["quality_score"]
+
+
+def _pattern_reference(histories: dict[int, list[str]]) -> dict[int, tuple[int, int]]:
+    """Python reference: (n_strict_vcp, first_vcp_pos 1-based/0)."""
+    out = {}
+    for uid, types in histories.items():
+        seq = "".join(t[0] for t in types)
+        out[uid] = (seq.count("vcp"), seq.find("vcp") + 1)
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),
+            st.sampled_from(["view", "click", "purchase", "signup", "error"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_pattern_sequence_matches_python_reference(spark, data):
+    """Strict-run counting over arbitrary per-user histories must
+    agree with a direct string scan (events get increasing timestamps
+    in list order, so arrival order IS string order)."""
+    from backend_model_spark.operators.events_ops import pattern_sequence
+
+    sf = os.path.join(SCRATCH, uuid.uuid4().hex[:12])
+    os.makedirs(sf, exist_ok=True)
+    t0 = pd.Timestamp("2024-01-01")
+    rows = []
+    histories: dict[int, list[str]] = {}
+    for i, (uid, ty) in enumerate(data):
+        rows.append((i, t0 + pd.Timedelta(seconds=i), uid, ty, 0.0, "{}"))
+        histories.setdefault(uid, []).append(ty)
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(os.path.join(sf, "events.parquet"))
+    out = {
+        r["user_id"]: (r["n_strict_vcp"], r["first_vcp_pos"])
+        for r in pattern_sequence(spark, sf).collect()
+    }
+    assert out == _pattern_reference(histories)

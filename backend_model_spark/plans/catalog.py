@@ -16,7 +16,7 @@ tiers:
   SURVEY.md §2.
 * TIER 2 (remainder): the rest of each family, grouped as before.
 
-198 registered queries; names are stable across rounds — only
+210 registered queries; names are stable across rounds — only
 insertion order (the verified prefix) rotates.
 """
 
@@ -83,8 +83,8 @@ register(
 register("io_zorder_layout", io_ops.zorder_layout, io_ops.ZORDER_LAYOUT_ORACLE)
 # SQL API
 register("sql_grouping_sets", sql_api.grouping_sets, sql_api.GROUPING_SETS_SQL)
-# cleaning
-register("clean_junk_filter", cleaning.junk_value_filter, cleaning.JUNK_FILTER_ORACLE)
+# cleaning (junk_filter displaced to tier 2; impute_group_median
+# remains in the prefix)
 # scalar functions
 register("func_regex", scalar_funcs.regex_functions, scalar_funcs.REGEX_FUNCS_ORACLE)
 # sorts / sets (set_union_all displaced to tier 2; dedup_exact_groups
@@ -192,6 +192,11 @@ register(
     "pipeline_quality_dedup",
     text.quality_dedup_pipeline,
     text.QUALITY_DEDUP_PIPELINE_ORACLE,
+)
+register(
+    "io_compact_small_files",
+    io_ops.compact_small_files,
+    io_ops.COMPACT_SMALL_FILES_ORACLE,
 )
 register(
     "window_percent_of_parent", windows.percent_of_parent, windows.PERCENT_OF_PARENT_ORACLE
@@ -303,6 +308,7 @@ register("set_intersect", sorts_sets.intersect_custkeys, sorts_sets.INTERSECT_OR
 register("set_except_all", sorts_sets.except_custkeys, sorts_sets.EXCEPT_ORACLE)
 
 # --- cleaning / scalar functions (SURVEY §2.2, §2.8) ------------------------
+register("clean_junk_filter", cleaning.junk_value_filter, cleaning.JUNK_FILTER_ORACLE)
 register("clean_outlier_iqr", cleaning.outlier_iqr_filter, cleaning.OUTLIER_IQR_ORACLE)
 register(
     "clean_cast_priority",

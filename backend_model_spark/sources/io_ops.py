@@ -987,3 +987,85 @@ FROM orders
 GROUP BY 1
 ORDER BY order_year
 """
+
+
+# deliberately fragmented write width, and the compaction row target
+_FRAG_FILES = 64
+_COMPACT_ROWS_PER_FILE = 50_000
+
+
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-files problem, full lifecycle: write orders
+    deliberately fragmented (``repartition(64)`` → 64 parquet files),
+    then compact by rewriting at ``ceil(rows / 50k)`` files — the
+    table-maintenance pass every long-lived lake table needs (the
+    OPTIMIZE/compaction half of the Z-order story at
+    :func:`zorder_layout`). Reports per phase: actual on-disk file
+    count (listed from the filesystem, not assumed), row count, and
+    mean rows per file.
+
+    Why it matters at 100 TB: a streaming or frequently-appending
+    producer accretes millions of small files; every downstream scan
+    then pays per-file open/footer costs and the driver pays listing
+    memory. Compaction is a full-shuffle rewrite, so it runs
+    incrementally per partition in production — this operator shows
+    the primitive. The row-count target (not bytes) keeps the result
+    engine-checkable: DuckDB can predict ``ceil(n/50k)`` but not
+    parquet's compressed byte size.
+
+    Scale: one round-robin shuffle to fragment, one to compact;
+    ``repartition(n)`` pins exactly n output files (AQE does not
+    override an explicit partition count).
+    """
+    import math
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    frag_path = _scratch("compaction", "orders_fragmented")
+    orders.repartition(_FRAG_FILES).write.mode("overwrite").parquet(frag_path)
+    frag = spark.read.parquet(frag_path)
+    n_rows = frag.count()
+    target = max(1, math.ceil(n_rows / _COMPACT_ROWS_PER_FILE))
+    comp_path = _scratch("compaction", "orders_compacted")
+    frag.repartition(target).write.mode("overwrite").parquet(comp_path)
+
+    def _n_files(p: str) -> int:
+        return len(
+            [f for f in os.listdir(p) if f.startswith("part-")]
+        )
+
+    rows = [
+        ("fragmented", _n_files(frag_path), n_rows),
+        ("compacted", _n_files(comp_path), n_rows),
+    ]
+    out = spark.createDataFrame(
+        rows, "phase string, n_files bigint, n_rows bigint"
+    )
+    return out.select(
+        "phase",
+        "n_files",
+        "n_rows",
+        F.floor(F.col("n_rows") / F.col("n_files")).cast("bigint").alias(
+            "rows_per_file"
+        ),
+    ).orderBy("phase")
+
+
+COMPACT_SMALL_FILES_ORACLE = f"""
+WITH n AS (SELECT COUNT(*) AS n_rows FROM orders)
+SELECT 'compacted' AS phase,
+       CAST(GREATEST(1, CEIL(n_rows / {float(_COMPACT_ROWS_PER_FILE)}))
+         AS BIGINT) AS n_files,
+       n_rows,
+       CAST(FLOOR(n_rows / GREATEST(1, CEIL(n_rows
+         / {float(_COMPACT_ROWS_PER_FILE)}))) AS BIGINT) AS rows_per_file
+FROM n
+UNION ALL
+SELECT 'fragmented',
+       {_FRAG_FILES},
+       n_rows,
+       CAST(FLOOR(n_rows / {_FRAG_FILES}.0) AS BIGINT)
+FROM n
+ORDER BY phase
+"""

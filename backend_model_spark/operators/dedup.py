@@ -1130,9 +1130,14 @@ def chunk_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs work anywhere, no global window. At 100 TB the fp
     shuffle is the classic dedup exchange; a popular boilerplate chunk
     lands millions of rows in one fp group, but the window computes
-    only row_number over it (streaming, no buffering beyond sort), and
-    the alternative min-aggregate+join formulation is available if a
-    single fp group ever exceeds a task's sort budget.
+    only row_number over it (streaming, no buffering beyond sort).
+    Measured (SCALE.md round-3 skew experiment, 70% exact clones →
+    one hot fp group): the window form beats the map-side-combinable
+    min-aggregate+join alternative 1.4× at a 126k-row hot group and
+    2.3× at 1.26M (the join-back's second full shuffle of the chunk
+    table costs more than the single-task sort of the hot group);
+    the min-agg fallback only pays once a single fp group approaches
+    a task's sort budget (~10⁸ rows).
     """
     from pyspark.sql import Window as W
 

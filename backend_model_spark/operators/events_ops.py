@@ -1232,7 +1232,10 @@ def session_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     against per-bin pair fan-out; at 100 TB you'd derive it from the
     session-length histogram (``events_sessionize``) the same way.
     """
-    ev = load_table(spark, "events", sf_dir)
+    # null-ts guard: Spark window ASC sorts nulls FIRST, DuckDB's
+    # ORDER BY puts them LAST — filter on both sides so a regenerated
+    # corpus with null timestamps can't silently diverge
+    ev = load_table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     gap = _us("ts") - F.lag(_us("ts"), 1).over(w)
     sess = (
@@ -1293,7 +1296,8 @@ def session_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SESSION_OVERLAP_ORACLE = f"""
-WITH ordered AS (
+WITH evts AS (SELECT * FROM events WHERE ts IS NOT NULL),
+ordered AS (
   SELECT user_id, event_id, ts,
     CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
            PARTITION BY user_id ORDER BY ts ASC, event_id ASC
@@ -1302,7 +1306,7 @@ WITH ordered AS (
            PARTITION BY user_id ORDER BY ts ASC, event_id ASC
          ) > {SESSION_GAP_US}
          THEN 1 ELSE 0 END AS new_session
-  FROM events
+  FROM evts
 ),
 sessioned AS (
   SELECT user_id, ts,
@@ -1355,7 +1359,8 @@ def pattern_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pattern is metachar-free, so occurrence counting is
     split-length arithmetic, identical on both engines.
     """
-    ev = load_table(spark, "events", sf_dir)
+    # null-ts guard: see session_overlap_join
+    ev = load_table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
     seq = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.concat_ws(
@@ -1390,6 +1395,7 @@ WITH seqs AS (
     COUNT(*) AS n_events,
     string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
   FROM events
+  WHERE ts IS NOT NULL
   GROUP BY user_id
 )
 SELECT

@@ -308,3 +308,63 @@ def test_pattern_sequence_matches_python_reference(spark, data):
         for r in pattern_sequence(spark, sf).collect()
     }
     assert out == _pattern_reference(histories)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),      # user
+            st.integers(min_value=0, max_value=5000),   # offset seconds
+        ),
+        min_size=2,
+        max_size=25,
+    )
+)
+def test_session_overlap_matches_bruteforce(spark, data):
+    """The bin-bucketed interval join must agree with an O(n²)
+    brute-force over the same session set (sessions built with the
+    identical 30-min-gap rule)."""
+    from backend_model_spark.operators.events_ops import session_overlap_join
+
+    sf = os.path.join(SCRATCH, uuid.uuid4().hex[:12])
+    os.makedirs(sf, exist_ok=True)
+    t0 = pd.Timestamp("2024-01-01")
+    rows = [
+        (i, t0 + pd.Timedelta(seconds=off), uid, "c", 0.0, "{}")
+        for i, (uid, off) in enumerate(data)
+    ]
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).to_parquet(os.path.join(sf, "events.parquet"))
+
+    # brute-force reference: sessionize per user, then all-pairs
+    per_user: dict[int, list[int]] = {}
+    for i, (uid, off) in enumerate(data):
+        per_user.setdefault(uid, []).append(off * 1_000_000)
+    sessions = []  # (user, start_us, end_us)
+    for uid, times in per_user.items():
+        times.sort()
+        start = prev = times[0]
+        for t in times[1:]:
+            if t - prev > 30 * 60 * 1_000_000:
+                sessions.append((uid, start, prev))
+                start = t
+            prev = t
+        sessions.append((uid, start, prev))
+    expect: dict[tuple[int, int], tuple[int, int]] = {}
+    for ua, sa, ea in sessions:
+        for ub, sb, eb in sessions:
+            if ua < ub and sa <= eb and sb <= ea:
+                n, tot = expect.get((ua, ub), (0, 0))
+                expect[(ua, ub)] = (n + 1, tot + min(ea, eb) - max(sa, sb))
+
+    got = {
+        (r["user_a"], r["user_b"]): (r["n_overlaps"], r["total_overlap_us"])
+        for r in session_overlap_join(spark, sf).collect()
+    }
+    assert got == expect

@@ -241,3 +241,37 @@ def group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     dialect convergence both engines landed; identical text."""
     register_views(spark, sf_dir)
     return spark.sql(GROUP_BY_ALL_SQL)
+
+
+LATERAL_TOPK_SQL = """
+SELECT
+  c.c_custkey,
+  c.c_mktsegment,
+  t.o_orderkey,
+  t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+WHERE c.c_acctbal > 9000
+ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+"""
+
+
+def lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each high-balance customer's top-2
+    orders by price — the SQL-standard form of per-group top-k, run
+    from identical ANSI text on both engines.
+
+    Scale: Catalyst decorrelates the lateral into a ranked window
+    join (no per-row re-execution); the outer filter prunes customers
+    before the correlation, so the work is bounded by the filtered
+    side. The DataFrame twin is ``window_top_per_customer`` — this
+    entry proves the SQL front-end path for the same shape.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(LATERAL_TOPK_SQL)

@@ -16,7 +16,7 @@ tiers:
   SURVEY.md §2.
 * TIER 2 (remainder): the rest of each family, grouped as before.
 
-210 registered queries; names are stable across rounds — only
+211 registered queries; names are stable across rounds — only
 insertion order (the verified prefix) rotates.
 """
 
@@ -81,8 +81,8 @@ register(
 # sources / sinks (io_csv_roundtrip displaced to tier 2 for the
 # z-order layout probe; io keeps 5 other tier-1 reps)
 register("io_zorder_layout", io_ops.zorder_layout, io_ops.ZORDER_LAYOUT_ORACLE)
-# SQL API
-register("sql_grouping_sets", sql_api.grouping_sets, sql_api.GROUPING_SETS_SQL)
+# SQL API (grouping_sets displaced to tier 2; the round-3 LATERAL
+# entry below is the family's prefix rep)
 # cleaning (junk_filter displaced to tier 2; impute_group_median
 # remains in the prefix)
 # scalar functions
@@ -198,6 +198,7 @@ register(
     io_ops.compact_small_files,
     io_ops.COMPACT_SMALL_FILES_ORACLE,
 )
+register("sql_lateral_topk", sql_api.lateral_topk, sql_api.LATERAL_TOPK_SQL)
 register(
     "window_percent_of_parent", windows.percent_of_parent, windows.PERCENT_OF_PARENT_ORACLE
 )
@@ -599,6 +600,7 @@ register("func_math", scalar_funcs.math_functions, scalar_funcs.MATH_FUNCS_ORACL
 register("func_array", scalar_funcs.array_functions, scalar_funcs.ARRAY_FUNCS_ORACLE)
 
 # --- SQL-API constructs (identical ANSI text on both engines) ------------------
+register("sql_grouping_sets", sql_api.grouping_sets, sql_api.GROUPING_SETS_SQL)
 register(
     "sql_recursive_cte",
     sql_api.recursive_cte_month_spine,

@@ -282,3 +282,79 @@ SELECT
 FROM g JOIN f USING (l_returnflag)
 ORDER BY g.l_returnflag, g.l_linestatus
 """
+
+
+def udtf_runlength_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF over a TABLE argument with
+    ``PARTITION BY user_id ORDER BY ts, event_id`` (the Spark 4
+    table-function API): run-length encode each user's event-type
+    stream — one output row per maximal run of equal consecutive
+    types. The stateful per-partition shape (``eval`` accumulates,
+    ``terminate`` flushes) that a plain lateral UDTF cannot express,
+    because it needs ordered visibility across the partition's rows.
+
+    Scale: the TABLE(... PARTITION BY) contract shuffles once on
+    user_id and streams each partition through the UDTF instance in
+    order — the same exchange the native gaps-and-islands window
+    (the oracle's formulation) pays; state is one (type, count) pair.
+    """
+    from pyspark.sql.functions import udtf
+
+    from backend_model_spark.sources.tables import register_views
+
+    @udtf(returnType="user_id bigint, run_idx int, event_type string, run_len int")
+    class RunLength:
+        def __init__(self) -> None:
+            self._uid = None
+            self._type = None
+            self._len = 0
+            self._idx = 0
+
+        def eval(self, row):
+            if self._type is not None and row.event_type != self._type:
+                yield self._uid, self._idx, self._type, self._len
+                self._idx += 1
+                self._len = 0
+            self._uid = row.user_id
+            self._type = row.event_type
+            self._len += 1
+
+        def terminate(self):
+            if self._type is not None:
+                yield self._uid, self._idx, self._type, self._len
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("run_length", RunLength)
+    return spark.sql(
+        """
+        SELECT user_id, run_idx, event_type, run_len
+        FROM run_length(
+          TABLE(events) PARTITION BY user_id ORDER BY (ts, event_id)
+        )
+        ORDER BY user_id, run_idx
+        """
+    )
+
+
+RUNLENGTH_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+    CASE WHEN LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+runs AS (
+  SELECT user_id, event_type,
+    CAST(SUM(brk) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) - 1 AS INTEGER) AS run_idx
+  FROM ordered
+)
+SELECT user_id, run_idx, event_type,
+       CAST(COUNT(*) AS INTEGER) AS run_len
+FROM runs
+GROUP BY user_id, run_idx, event_type
+ORDER BY user_id, run_idx
+"""

@@ -16,7 +16,7 @@ tiers:
   SURVEY.md §2.
 * TIER 2 (remainder): the rest of each family, grouped as before.
 
-211 registered queries; names are stable across rounds — only
+213 registered queries; names are stable across rounds — only
 insertion order (the verified prefix) rotates.
 """
 
@@ -200,6 +200,16 @@ register(
 )
 register("sql_lateral_topk", sql_api.lateral_topk, sql_api.LATERAL_TOPK_SQL)
 register(
+    "io_python_datasource",
+    io_ops.python_datasource_scan,
+    io_ops.PYTHON_DATASOURCE_ORACLE,
+)
+register(
+    "udtf_runlength_encode",
+    udf_tiers.udtf_runlength_encode,
+    udf_tiers.RUNLENGTH_ORACLE,
+)
+register(
     "window_percent_of_parent", windows.percent_of_parent, windows.PERCENT_OF_PARENT_ORACLE
 )
 register(
@@ -226,14 +236,9 @@ register(
 )
 register("io_scd2_merge", io_ops.scd2_dimension_merge, io_ops.SCD2_ORACLE)
 register("clean_impute_group_median", cleaning.impute_group_median, cleaning.IMPUTE_ORACLE)
-register(
-    "io_incremental_rollup", io_ops.incremental_rollup, io_ops.INCREMENTAL_ROLLUP_ORACLE
-)
-register(
-    "io_permissive_json_scan",
-    io_ops.permissive_json_scan,
-    io_ops.PERMISSIVE_JSON_ORACLE,
-)
+# (io_incremental_rollup / io_permissive_json_scan displaced to
+# tier 2 — r02/r03-stable — for the Python DataSource + table-arg
+# UDTF additions below)
 register("text_winnow_fingerprints", text.winnow_fingerprints, text.WINNOW_ORACLE)
 register(
     "dedup_duplicate_clusters",
@@ -581,6 +586,14 @@ register("sim_ivf_recall", similarity.ivf_recall_vs_exact, None)
 
 # --- sources / sinks / DDL (SURVEY §2.1 S1-S7) ---------------------------------
 register("io_csv_roundtrip", io_ops.csv_roundtrip, io_ops.CSV_ROUNDTRIP_ORACLE)
+register(
+    "io_incremental_rollup", io_ops.incremental_rollup, io_ops.INCREMENTAL_ROLLUP_ORACLE
+)
+register(
+    "io_permissive_json_scan",
+    io_ops.permissive_json_scan,
+    io_ops.PERMISSIVE_JSON_ORACLE,
+)
 register("io_etl_orchestration", io_ops.etl_orchestration, io_ops.ETL_ORACLE)
 register("io_upsert_merge", io_ops.upsert_merge, io_ops.UPSERT_ORACLE)
 register("io_append_sink", io_ops.append_sink, io_ops.APPEND_SINK_ORACLE)

@@ -1069,3 +1069,85 @@ SELECT 'fragmented',
 FROM n
 ORDER BY phase
 """
+
+
+# synthetic python-datasource geometry
+_PYDS_PARTITIONS = 8
+_PYDS_TICKS = 1_000
+_PYDS_MIX = 2_654_435_761
+_PYDS_P = 1_000_003
+
+
+def python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom source via the Spark 4 **Python DataSource API**
+    (``pyspark.sql.datasource``): a deterministic synthetic "sensor"
+    source with 8 input partitions × 1,000 ticks, registered with
+    ``spark.dataSource.register`` and read through the normal
+    ``spark.read.format(...)`` path — the extension point a 100 TB
+    deployment uses for feeds with no built-in connector (internal
+    APIs, message logs, bespoke formats). Per-sensor rollup of the
+    arithmetic tick weights; sums stay in bigint so the oracle (which
+    regenerates the same sequence with ``generate_series``) is exact.
+
+    Scale: ``partitions()`` defines the parallelism contract — one
+    ``read()`` generator per input partition, executor-side, no
+    driver materialization; the aggregate is a standard map-side
+    combinable groupBy on the 8 sensor keys. (``sf_dir`` is unused —
+    the source IS the data — but the signature stays uniform.)
+    """
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class SensorSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_sensor"
+
+        def schema(self) -> str:
+            return "sensor_id int, tick int, w int"
+
+        def reader(self, schema):
+            return SensorReader()
+
+    class SensorReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(i) for i in range(_PYDS_PARTITIONS)]
+
+        def read(self, partition):
+            sensor = partition.value
+            for tick in range(_PYDS_TICKS):
+                k = sensor * _PYDS_TICKS + tick
+                yield (sensor, tick, (k * _PYDS_MIX) % _PYDS_P)
+
+    spark.dataSource.register(SensorSource)
+    df = spark.read.format("synthetic_sensor").load()
+    return (
+        df.groupBy("sensor_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.sum("w").alias("w_sum"),
+            F.min("w").alias("w_min"),
+            F.max("w").alias("w_max"),
+        )
+        .orderBy("sensor_id")
+    )
+
+
+PYTHON_DATASOURCE_ORACLE = f"""
+WITH ticks AS (
+  SELECT s.sensor_id, t.tick,
+         CAST((s.sensor_id * {_PYDS_TICKS} + t.tick) * {_PYDS_MIX}
+              % {_PYDS_P} AS INTEGER) AS w
+  FROM (SELECT unnest(generate_series(0, {_PYDS_PARTITIONS - 1}))
+          AS sensor_id) s,
+       (SELECT unnest(generate_series(0, {_PYDS_TICKS - 1})) AS tick) t
+)
+SELECT
+  CAST(sensor_id AS INTEGER) AS sensor_id,
+  COUNT(*) AS n_ticks,
+  CAST(SUM(w) AS BIGINT) AS w_sum,
+  MIN(w) AS w_min,
+  MAX(w) AS w_max
+FROM ticks
+GROUP BY sensor_id
+ORDER BY sensor_id
+"""

@@ -290,3 +290,64 @@ SELECT
 FROM counts
 ORDER BY d
 """
+
+
+def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight data-quality metrics via ``Observation``
+    (``df.observe``): count, null count, and value bounds collected as
+    accumulator-style metrics DURING a pass-through write of lineitem
+    — zero extra scans, zero extra shuffles — then returned as the
+    result frame. The production pattern for per-job DQ dashboards:
+    metrics ride the job you were already running instead of a second
+    audit query (contrast :func:`dq_audit`, the standalone-audit
+    shape).
+
+    Scale: ``observe`` compiles to an aggregate over accumulators
+    inside the existing plan — the metric cost is a per-row update,
+    no materialization; the observed values arrive on the driver with
+    the action's completion.
+    """
+    from pyspark.sql import Observation
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    obs = Observation("dq")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("bigint")).alias("null_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.floor(F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5)))
+        .cast("bigint")
+        .alias("price_cents_sum"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    row = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(row["n_rows"]),
+                int(row["null_qty"]),
+                float(row["min_qty"]),
+                float(row["max_qty"]),
+                int(row["price_cents_sum"]),
+            )
+        ],
+        "n_rows bigint, null_qty bigint, min_qty double, max_qty double,"
+        " price_cents_sum bigint",
+    )
+
+
+DQ_OBSERVE_ORACLE = """
+SELECT
+  COUNT(*) AS n_rows,
+  CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS null_qty,
+  MIN(l_quantity) AS min_qty,
+  MAX(l_quantity) AS max_qty,
+  CAST(FLOOR(SUM(FLOOR(l_extendedprice * 100 + 0.5))) AS BIGINT)
+    AS price_cents_sum
+FROM lineitem
+"""

@@ -16,7 +16,7 @@ tiers:
   SURVEY.md §2.
 * TIER 2 (remainder): the rest of each family, grouped as before.
 
-213 registered queries; names are stable across rounds — only
+214 registered queries; names are stable across rounds — only
 insertion order (the verified prefix) rotates.
 """
 
@@ -141,9 +141,8 @@ register(
     sampling.importance_resample,
     sampling.IMPORTANCE_RESAMPLE_ORACLE,
 )
-register(
-    "window_revenue_growth", windows.revenue_growth_series, windows.REVENUE_GROWTH_ORACLE
-)
+# (window_revenue_growth displaced to tier 2 for dq_observe; windows
+# family keeps top_per_customer, rfm, percent_of_parent in the prefix)
 # round-3 late additions (driver-unseen → verified prefix; displaced
 # r02-green stable entries: events_funnel, dedup_lsh_verified,
 # sql_recursive_cte → tier 2)
@@ -209,6 +208,7 @@ register(
     udf_tiers.udtf_runlength_encode,
     udf_tiers.RUNLENGTH_ORACLE,
 )
+register("dq_observe", relational.dq_observe_metrics, relational.DQ_OBSERVE_ORACLE)
 register(
     "window_percent_of_parent", windows.percent_of_parent, windows.PERCENT_OF_PARENT_ORACLE
 )
@@ -400,6 +400,9 @@ register(
 )
 
 # --- windows (SURVEY §2.6) ---------------------------------------------------
+register(
+    "window_revenue_growth", windows.revenue_growth_series, windows.REVENUE_GROWTH_ORACLE
+)
 register("window_running_total", windows.running_order_total, windows.RUNNING_TOTAL_ORACLE)
 register("window_rolling_avg", windows.rolling_avg_events, windows.ROLLING_AVG_ORACLE)
 register("window_lag_deltas", windows.event_value_deltas, windows.EVENT_DELTAS_ORACLE)

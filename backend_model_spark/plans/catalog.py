@@ -16,7 +16,7 @@ tiers:
   SURVEY.md §2.
 * TIER 2 (remainder): the rest of each family, grouped as before.
 
-214 registered queries; names are stable across rounds — only
+215 registered queries; names are stable across rounds — only
 insertion order (the verified prefix) rotates.
 """
 
@@ -210,6 +210,11 @@ register(
 )
 register("dq_observe", relational.dq_observe_metrics, relational.DQ_OBSERVE_ORACLE)
 register(
+    "streaming_python_datasource",
+    streaming_jobs.streaming_python_datasource,
+    streaming_jobs.STREAMING_PYDS_ORACLE,
+)
+register(
     "window_percent_of_parent", windows.percent_of_parent, windows.PERCENT_OF_PARENT_ORACLE
 )
 register(
@@ -234,7 +239,8 @@ register(
     dedup.embedding_duplicate_clusters,
     dedup.EMBEDDING_CLUSTERS_ORACLE,
 )
-register("io_scd2_merge", io_ops.scd2_dimension_merge, io_ops.SCD2_ORACLE)
+# (io_scd2_merge displaced to tier 2 for the streaming Python
+# DataSource addition)
 register("clean_impute_group_median", cleaning.impute_group_median, cleaning.IMPUTE_ORACLE)
 # (io_incremental_rollup / io_permissive_json_scan displaced to
 # tier 2 — r02/r03-stable — for the Python DataSource + table-arg
@@ -588,6 +594,7 @@ register("mllib_pca_variance", mllib_ops.mllib_pca_variance, None)
 register("sim_ivf_recall", similarity.ivf_recall_vs_exact, None)
 
 # --- sources / sinks / DDL (SURVEY §2.1 S1-S7) ---------------------------------
+register("io_scd2_merge", io_ops.scd2_dimension_merge, io_ops.SCD2_ORACLE)
 register("io_csv_roundtrip", io_ops.csv_roundtrip, io_ops.CSV_ROUNDTRIP_ORACLE)
 register(
     "io_incremental_rollup", io_ops.incremental_rollup, io_ops.INCREMENTAL_ROLLUP_ORACLE

@@ -627,3 +627,108 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# geometry of the synthetic streaming python data source
+_PYSTREAM_SENSORS = 4
+_PYSTREAM_TICKS = 400          # total ticks per sensor
+_PYSTREAM_MIX = 2_654_435_761
+_PYSTREAM_P = 1_000_003
+
+
+def streaming_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING source via the Spark 4 Python DataSource API
+    (``DataSourceStreamReader``): a deterministic finite sensor feed
+    whose offset is a tick watermark, consumed with ``availableNow``
+    and aggregated per sensor — the Python-connector pattern for
+    feeds with no built-in streaming source. Under ``availableNow``
+    the initial→latest offset range arrives as one micro-batch; the
+    ``initialOffset/latestOffset/partitions(start, end)`` contract is
+    exactly what a rate-limited continuous trigger pages through, and
+    the oracle's exact integer sums prove every tick was admitted
+    exactly once.
+
+    Scale: ``partitions(start, end)`` splits every offset range by
+    sensor, so each micro-batch reads in parallel; offsets are the
+    replay/recovery contract (checkpointed like any source). The
+    aggregate is a standard map-side-combinable groupBy. ``sf_dir``
+    is unused — the source IS the data.
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _Part(InputPartition):
+        def __init__(self, sensor: int, start: int, end: int) -> None:
+            self.sensor = sensor
+            self.start = start
+            self.end = end
+
+    class SensorStreamReader(DataSourceStreamReader):
+        def initialOffset(self):
+            return {"tick": 0}
+
+        def latestOffset(self):
+            return {"tick": _PYSTREAM_TICKS}
+
+        def partitions(self, start, end):
+            return [
+                _Part(s, start["tick"], min(end["tick"], _PYSTREAM_TICKS))
+                for s in range(_PYSTREAM_SENSORS)
+            ]
+
+        def read(self, partition):
+            for tick in range(partition.start, partition.end):
+                k = partition.sensor * _PYSTREAM_TICKS + tick
+                yield (
+                    partition.sensor,
+                    tick,
+                    (k * _PYSTREAM_MIX) % _PYSTREAM_P,
+                )
+
+        def commit(self, end):
+            pass
+
+    class SensorStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "synthetic_sensor_stream"
+
+        def schema(self) -> str:
+            return "sensor_id int, tick int, w int"
+
+        def streamReader(self, schema):
+            return SensorStreamReader()
+
+    spark.dataSource.register(SensorStreamSource)
+    feed = spark.readStream.format("synthetic_sensor_stream").load()
+    agg = feed.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum("w").alias("w_sum"),
+        F.min("w").alias("w_min"),
+        F.max("w").alias("w_max"),
+    )
+    return _run_to_memory(agg, "complete").orderBy("sensor_id")
+
+
+STREAMING_PYDS_ORACLE = f"""
+WITH ticks AS (
+  SELECT s.sensor_id, t.tick,
+         CAST((s.sensor_id * {_PYSTREAM_TICKS} + t.tick) * {_PYSTREAM_MIX}
+              % {_PYSTREAM_P} AS INTEGER) AS w
+  FROM (SELECT unnest(generate_series(0, {_PYSTREAM_SENSORS - 1}))
+          AS sensor_id) s,
+       (SELECT unnest(generate_series(0, {_PYSTREAM_TICKS - 1})) AS tick) t
+)
+SELECT
+  CAST(sensor_id AS INTEGER) AS sensor_id,
+  COUNT(*) AS n_ticks,
+  CAST(SUM(w) AS BIGINT) AS w_sum,
+  MIN(w) AS w_min,
+  MAX(w) AS w_max
+FROM ticks
+GROUP BY sensor_id
+ORDER BY sensor_id
+"""

@@ -479,3 +479,131 @@ def ivf_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_q.orderBy("q_id")
+
+
+# PQ geometry: 64-dim vectors → 8 subspaces × 8 dims; codebook per
+# subspace = per-label mean subvector (deterministic stand-in for a
+# trained k-means codebook — k = |labels|)
+PQ_SUBSPACES = 8
+PQ_SUBDIM = 8
+
+
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (the IVF-PQ building block): split each
+    64-dim embedding into 8 subspaces, quantize every subvector to the
+    nearest codebook centroid, and report the 8-code word plus the
+    total reconstruction error. Codebooks here are the per-label mean
+    subvectors — deterministic, so the whole encode is oracle-exact;
+    swapping in k-means codebooks changes only the centroid input.
+
+    Exactness discipline: embeddings are lifted to micro-units
+    (``floor(x·1e6 + 0.5)`` — float32→double is exact), centroids are
+    rationals rounded once to micro-units via
+    ``floor((2s + n) / 2n)``, and every distance is a BIGINT sum of
+    squared integer differences — no float accumulation anywhere, so
+    argmin ties break identically (then by label id) on both engines.
+
+    Scale: the assignment join is (vectors × k) per subspace — the
+    canonical PQ-encode cost, shuffled on the subspace key with the
+    k·d codebook broadcast; at 10⁹ vectors this is the embarrassingly
+    parallel pass ANN indexes pay once at build time. Encoded codes
+    are 8 small ints per vector — the 64× compression that makes
+    billion-scale ANN RAM-resident.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    cells = (
+        emb.select(
+            "vec_id",
+            "label",
+            F.posexplode("embedding").alias("dim", "x"),
+        )
+        .withColumn(
+            "x_int",
+            F.floor(F.col("x").cast("double") * 1_000_000 + 0.5).cast("bigint"),
+        )
+        .withColumn("sub", (F.col("dim") / PQ_SUBDIM).cast("int"))
+    )
+    centroids = (
+        cells.groupBy(F.col("label").alias("cand_label"), "sub", "dim")
+        .agg(F.sum("x_int").alias("s"), F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "c_int",
+            F.floor((2.0 * F.col("s") + F.col("n")) / (2.0 * F.col("n"))).cast(
+                "bigint"
+            ),
+        )
+        .select("cand_label", "sub", "dim", "c_int")
+    )
+    dists = (
+        cells.join(F.broadcast(centroids), ["sub", "dim"])
+        .groupBy("vec_id", "sub", "cand_label")
+        .agg(
+            F.sum(
+                (F.col("x_int") - F.col("c_int"))
+                * (F.col("x_int") - F.col("c_int"))
+            ).alias("dist")
+        )
+    )
+    assigned = dists.groupBy("vec_id", "sub").agg(
+        F.min(F.struct("dist", "cand_label")).alias("best")
+    )
+    return (
+        assigned.groupBy("vec_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("sub", F.col("best.cand_label").alias("c")))
+                    ),
+                    lambda s: s["c"].cast("string"),
+                ),
+            ).alias("code"),
+            F.sum("best.dist").alias("recon_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+PQ_ENCODE_ORACLE = f"""
+WITH cells AS (
+  SELECT
+    vec_id,
+    label,
+    CAST(d.i - 1 AS INTEGER) AS dim,
+    CAST((d.i - 1) // {PQ_SUBDIM} AS INTEGER) AS sub,
+    CAST(FLOOR(CAST(embedding[d.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+      AS x_int
+  FROM embeddings,
+       (SELECT unnest(generate_series(1, {PQ_SUBSPACES * PQ_SUBDIM})) AS i) d
+),
+centroids AS (
+  SELECT label AS cand_label, sub, dim,
+         CAST(FLOOR((2.0 * SUM(x_int) + COUNT(*)) / (2.0 * COUNT(*)))
+           AS BIGINT) AS c_int
+  FROM cells
+  GROUP BY label, sub, dim
+),
+dists AS (
+  SELECT c.vec_id, c.sub, ct.cand_label,
+         SUM((c.x_int - ct.c_int) * (c.x_int - ct.c_int)) AS dist
+  FROM cells c
+  JOIN centroids ct ON ct.sub = c.sub AND ct.dim = c.dim
+  GROUP BY c.vec_id, c.sub, ct.cand_label
+),
+assigned AS (
+  SELECT vec_id, sub, cand_label, dist,
+         row_number() OVER (
+           PARTITION BY vec_id, sub ORDER BY dist, cand_label
+         ) AS rn
+  FROM dists
+)
+SELECT
+  vec_id,
+  string_agg(CAST(cand_label AS VARCHAR), ',' ORDER BY sub) AS code,
+  CAST(SUM(dist) AS BIGINT) AS recon_err
+FROM assigned
+WHERE rn = 1
+GROUP BY vec_id
+ORDER BY vec_id
+"""

@@ -16,7 +16,7 @@ tiers:
   SURVEY.md §2.
 * TIER 2 (remainder): the rest of each family, grouped as before.
 
-215 registered queries; names are stable across rounds — only
+216 registered queries; names are stable across rounds — only
 insertion order (the verified prefix) rotates.
 """
 
@@ -214,6 +214,7 @@ register(
     streaming_jobs.streaming_python_datasource,
     streaming_jobs.STREAMING_PYDS_ORACLE,
 )
+register("sim_pq_encode", similarity.pq_encode, similarity.PQ_ENCODE_ORACLE)
 register(
     "window_percent_of_parent", windows.percent_of_parent, windows.PERCENT_OF_PARENT_ORACLE
 )
@@ -227,7 +228,8 @@ register(
     sampling.temperature_mix,
     sampling.TEMPERATURE_MIX_ORACLE,
 )
-register("agg_chi2_independence", aggregates.chi2_independence, aggregates.CHI2_ORACLE)
+# (agg_chi2_independence displaced to tier 2 for sim_pq_encode; agg
+# keeps revenue_concentration + normality_probe in the prefix)
 register("dq_benford", relational.benford_first_digit, relational.BENFORD_ORACLE)
 register(
     "dedup_embedding_neardup",
@@ -267,6 +269,7 @@ register("agg_unpivot_rates", relational.unpivot_lineitem_rates, relational.UNPI
 register("dq_audit", relational.dq_audit, relational.DQ_AUDIT_ORACLE)
 
 # --- aggregates (SURVEY §2.5) ----------------------------------------------
+register("agg_chi2_independence", aggregates.chi2_independence, aggregates.CHI2_ORACLE)
 register(
     "agg_grouped_orders",
     aggregates.grouped_agg_orders_by_status,

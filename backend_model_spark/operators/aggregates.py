@@ -863,3 +863,71 @@ SELECT
         * 1000000 + 0.5) / 1000000 AS top10pct_share
 FROM ranked
 """
+
+
+N_BOOTSTRAP = 32
+
+
+def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap standard error + 95% normal-approximation CI for the
+    mean order price, via B=32 content-addressed Bernoulli(50%)
+    subsample replicas — the distributed substitute for classic
+    resampling-with-replacement: membership of row r in replica b is
+    ``md5(b:key) mod 100 < 50``, so the replica set is a pure function
+    of the data (engine-, partitioning-, and RNG-free, same discipline
+    as the sampling family).
+
+    Scale: ONE scan of orders exploded ×B (documented, bounded
+    amplification — each row emits B 0/1 membership trials), then a
+    map-side-combinable groupBy(b) down to B replica means and a
+    single global reduction over the B-row frame. No window, no
+    collect; at 100 TB the explode is embarrassingly parallel and the
+    post-shuffle state is 32 rows.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    replicas = orders.select(
+        F.explode(F.expr(f"sequence(1, {N_BOOTSTRAP})")).alias("b"),
+        F.col("o_orderkey"),
+        F.col("o_totalprice"),
+    ).filter(
+        F.expr(
+            "conv(substring(md5(concat(cast(b as string), ':', "
+            "cast(o_orderkey as string))), 1, 4), 16, 10) % 100"
+        )
+        < 50
+    )
+    means = replicas.groupBy("b").agg(
+        (F.sum("o_totalprice") / F.count(F.lit(1))).alias("m")
+    )
+    return means.agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicas"),
+        F.round(F.sum("m") / F.count(F.lit(1)), 6).alias("boot_mean"),
+        F.round(F.stddev_samp("m"), 6).alias("boot_se"),
+        F.round(
+            F.sum("m") / F.count(F.lit(1)) - 1.96 * F.stddev_samp("m"), 6
+        ).alias("ci_lo"),
+        F.round(
+            F.sum("m") / F.count(F.lit(1)) + 1.96 * F.stddev_samp("m"), 6
+        ).alias("ci_hi"),
+    )
+
+
+BOOTSTRAP_CI_ORACLE = f"""
+WITH replicas AS (
+  SELECT b.b, o.o_totalprice
+  FROM orders o
+  CROSS JOIN (SELECT unnest(generate_series(1, {N_BOOTSTRAP})) AS b) b
+  WHERE CAST('0x' || substr(md5(CAST(b.b AS VARCHAR) || ':' ||
+    CAST(o.o_orderkey AS VARCHAR)), 1, 4) AS BIGINT) % 100 < 50
+),
+means AS (
+  SELECT b, SUM(o_totalprice) / COUNT(*) AS m FROM replicas GROUP BY b
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_replicas,
+  ROUND(SUM(m) / COUNT(*), 6) AS boot_mean,
+  ROUND(stddev_samp(m), 6) AS boot_se,
+  ROUND(SUM(m) / COUNT(*) - 1.96 * stddev_samp(m), 6) AS ci_lo,
+  ROUND(SUM(m) / COUNT(*) + 1.96 * stddev_samp(m), 6) AS ci_hi
+FROM means
+"""

@@ -17,10 +17,16 @@ quadratic.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from backend_model_spark.operators.scale_utils import (
+    broadcast_scalars,
+    with_global_rank,
+)
 from backend_model_spark.sources.tables import load_table
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
@@ -1405,4 +1411,487 @@ SELECT
   CAST(strpos(seq, 'vcp') AS INTEGER) AS first_vcp_pos
 FROM seqs
 ORDER BY user_id
+"""
+
+
+def daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation (k = 1..7) of the daily event-count
+    series — the classic ACF pre-pass for seasonality detection
+    (weekly periodicity shows as a peak at k=7). Reference has no
+    time-series surface; this extends §2.11's temporal family.
+
+    Semantics: calendar-day lags over the observed days (pairs where
+    either endpoint day is absent simply don't contribute), global
+    mean/variance over the full daily series:
+    ``acf(k) = Σ_t (x_t - m)(x_{t+k} - m) / Σ_t (x_t - m)²``.
+
+    Scale: the corpus-width work is ONE map-side-combinable groupBy
+    to the daily rollup (365 rows/year even at 100 TB of events); the
+    lag pairing is an explode(1..7) + self-join on the rollup rows
+    and the mean/denominator ride in as a broadcast one-row scalar —
+    no global window, no driver collect.
+    """
+    ev = load_table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    # persisted: the rollup (365 rows/year, trivially cacheable) feeds
+    # FOUR downstream branches (stats, denom, both join sides) and
+    # Spark does not reuse unpersisted shared subplans — without this
+    # the corpus-width scan+groupBy would run once per branch
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    stats = daily.agg(
+        (F.sum("n") / F.count(F.lit(1))).alias("mean_n"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    centered = daily.crossJoin(F.broadcast(stats)).select(
+        "day", "n", "mean_n", ((F.col("n") - F.col("mean_n")) ** 2).alias("dev2")
+    )
+    denom = centered.agg(F.sum("dev2").alias("ss_total"))
+    lagged = centered.select(
+        F.explode(F.expr("sequence(1, 7)")).alias("lag_k"),
+        F.expr("day + make_interval(0, 0, 0, lag_k)").alias("day"),
+        F.col("n").alias("n_lag"),
+    )
+    paired = centered.join(lagged, ["day"]).select(
+        "lag_k", ((F.col("n") - F.col("mean_n")) * (F.col("n_lag") - F.col("mean_n"))).alias("xy")
+    )
+    return (
+        paired.groupBy("lag_k")
+        .agg(F.sum("xy").alias("cov_sum"), F.count(F.lit(1)).alias("n_pairs"))
+        .crossJoin(F.broadcast(denom))
+        .select(
+            F.col("lag_k").cast("int").alias("lag_k"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            # try_divide: a zero-variance series has ss_total = 0 and
+            # ACF undefined — NULL, matching DuckDB's x/0 semantics
+            # (ANSI Spark would otherwise raise DIVIDE_BY_ZERO)
+            F.round(F.try_divide(F.col("cov_sum"), F.col("ss_total")), 6).alias("acf"),
+        )
+        .orderBy("lag_k")
+    )
+
+
+AUTOCORR_ORACLE = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+stats AS (
+  SELECT SUM(n) / COUNT(*) AS mean_n FROM daily
+),
+centered AS (
+  SELECT day, n, mean_n, (n - mean_n) * (n - mean_n) AS dev2
+  FROM daily CROSS JOIN stats
+),
+denom AS (SELECT SUM(dev2) AS ss_total FROM centered),
+lagged AS (
+  SELECT k.lag_k, c.day + INTERVAL (k.lag_k) DAY AS day, c.n AS n_lag
+  FROM centered c CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS lag_k) k
+)
+SELECT
+  CAST(l.lag_k AS INTEGER) AS lag_k,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  ROUND(SUM((c.n - c.mean_n) * (l.n_lag - c.mean_n)) / ANY_VALUE(d.ss_total), 6) AS acf
+FROM centered c JOIN lagged l USING (day) CROSS JOIN denom d
+GROUP BY l.lag_k
+ORDER BY lag_k
+"""
+
+
+def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample A/B experiment readout: users are deterministically
+    assigned to variants by ``user_id % 2`` (the hash-bucket
+    assignment every experimentation platform uses), the per-user
+    metric is the mean purchase value, and the comparison is Welch's
+    unequal-variance t statistic with the Welch–Satterthwaite degrees
+    of freedom. Extends the reference's scipy.stats usage
+    (``EDA Notebook.ipynb`` cell 22's distributional analysis) to the
+    experiment-analysis shape.
+
+    Scale: one map-side-combinable groupBy(user_id) to per-user
+    metrics, one 2-row groupBy(variant) — sample variance via the
+    Σx/Σx² sufficient-statistics identity so each group is a single
+    aggregation pass; the final t/df arithmetic happens on a 2-row
+    frame pivoted to one row. No window, no collect.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    per_user = (
+        ev.filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg((F.sum("value") / F.count(F.lit(1))).alias("metric"))
+        .select(
+            F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")).alias("variant"),
+            "metric",
+        )
+    )
+    g = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("metric").alias("s1"),
+        F.sum(F.col("metric") * F.col("metric")).alias("s2"),
+    )
+    # sample variance from sufficient stats: (s2 - s1²/n) / (n-1)
+    # try_divide: a 1-user variant has df = 0 and its sample variance
+    # undefined — NULL, matching DuckDB's x/0 semantics (ANSI Spark
+    # would otherwise raise DIVIDE_BY_ZERO)
+    g = g.select(
+        "variant",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        F.try_divide(
+            F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"), F.col("n") - 1
+        ).alias("var"),
+    )
+
+    # pivot the 2-row variant frame to one row by conditional
+    # aggregation — a filter-A × filter-B self-join would re-derive
+    # the whole events lineage twice (no shared-subplan reuse)
+    def _pick(v: str, c: str):
+        return F.max(F.when(F.col("variant") == v, F.col(c)))
+
+    wide = g.agg(
+        _pick("A", "n").alias("n_a"),
+        _pick("B", "n").alias("n_b"),
+        _pick("A", "mean").alias("mean_a"),
+        _pick("B", "mean").alias("mean_b"),
+        _pick("A", "var").alias("var_a"),
+        _pick("B", "var").alias("var_b"),
+    )
+    se_a = F.col("var_a") / F.col("n_a")
+    se_b = F.col("var_b") / F.col("n_b")
+    return (
+        wide
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round("mean_a", 6).alias("mean_a"),
+            F.round("mean_b", 6).alias("mean_b"),
+            # try_divide: identical-constant samples have zero pooled
+            # SE and the t statistic is undefined — NULL on both
+            # engines (DuckDB x/0 is NULL)
+            F.round(
+                F.try_divide(F.col("mean_a") - F.col("mean_b"), F.sqrt(se_a + se_b)),
+                6,
+            ).alias("welch_t"),
+            F.round(
+                F.try_divide(
+                    (se_a + se_b) ** 2,
+                    (se_a ** 2) / (F.col("n_a") - 1)
+                    + (se_b ** 2) / (F.col("n_b") - 1),
+                ),
+                6,
+            ).alias("welch_df"),
+        )
+    )
+
+
+AB_WELCH_ORACLE = """
+WITH per_user AS (
+  SELECT
+    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+    SUM(value) / COUNT(*) AS metric
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY user_id
+),
+g AS (
+  SELECT
+    variant,
+    COUNT(*) AS n,
+    SUM(metric) AS s1,
+    SUM(metric * metric) AS s2
+  FROM per_user GROUP BY variant
+),
+m AS (
+  SELECT variant, n, s1 / n AS mean,
+         (s2 - s1 * s1 / n) / (n - 1) AS var
+  FROM g
+)
+SELECT
+  CAST(a.n AS BIGINT) AS n_a,
+  CAST(b.n AS BIGINT) AS n_b,
+  ROUND(a.mean, 6) AS mean_a,
+  ROUND(b.mean, 6) AS mean_b,
+  ROUND((a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n), 6) AS welch_t,
+  ROUND(
+    POW(a.var / a.n + b.var / b.n, 2) / (
+      POW(a.var / a.n, 2) / (a.n - 1) + POW(b.var / b.n, 2) / (b.n - 1)
+    ), 6) AS welch_df
+FROM (SELECT * FROM m WHERE variant = 'A') a
+CROSS JOIN (SELECT * FROM m WHERE variant = 'B') b
+"""
+
+
+def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of the daily event-count
+    series: trend = centered 7-day moving average (full windows
+    only), weekday seasonal index = mean detrended value per
+    day-of-week. The classic STL-lite pre-pass for weekly-periodic
+    operational series. Weekday is computed as days-since-a-known-
+    Monday mod 7 (0 = Monday) — engine-neutral, unlike the
+    1-vs-0-based DOW builtins.
+
+    Scale: same skeleton as :func:`daily_autocorrelation` — corpus-
+    width work is ONE map-side daily rollup (persisted; 365 rows/
+    year), the moving average is an explode(-3..3) + equi-join on the
+    rollup (never a global running window), and the weekday index is
+    a 7-row aggregate of the joined frame.
+    """
+    ev = load_table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    # each day contributes its count to the 7 windows centred on
+    # day-3 .. day+3; a window is kept only when all 7 members exist
+    neighbors = daily.select(
+        F.explode(F.expr("sequence(-3, 3)")).alias("off"),
+        F.expr("day + make_interval(0, 0, 0, off)").alias("center"),
+        F.col("n").alias("n_member"),
+    )
+    trend = (
+        neighbors.groupBy("center")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (F.sum("n_member") / F.count(F.lit(1))).alias("trend"),
+        )
+        .filter(F.col("n_members") == 7)
+        .select(F.col("center").alias("day"), "trend")
+    )
+    detrended = daily.join(trend, "day").select(
+        F.pmod(
+            F.datediff(F.col("day").cast("date"), F.lit("2024-01-01").cast("date")),
+            F.lit(7),
+        ).alias("weekday"),
+        (F.col("n") - F.col("trend")).alias("dev"),
+    )
+    return (
+        detrended.groupBy("weekday")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.sum("dev") / F.count(F.lit(1)), 6).alias("seasonal_idx"),
+        )
+        .orderBy("weekday")
+    )
+
+
+SEASONAL_DECOMPOSE_ORACLE = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+neighbors AS (
+  SELECT d.day + INTERVAL (o.off) DAY AS center, d.n AS n_member
+  FROM daily d
+  CROSS JOIN (SELECT unnest(generate_series(-3, 3)) AS off) o
+),
+trend AS (
+  SELECT center AS day, SUM(n_member) / COUNT(*) AS trend
+  FROM neighbors GROUP BY center HAVING COUNT(*) = 7
+),
+detrended AS (
+  SELECT
+    ((date_diff('day', DATE '2024-01-01', CAST(d.day AS DATE)) % 7) + 7) % 7
+      AS weekday,
+    d.n - t.trend AS dev
+  FROM daily d JOIN trend t USING (day)
+)
+SELECT
+  weekday,
+  CAST(COUNT(*) AS BIGINT) AS n_days,
+  ROUND(SUM(dev) / COUNT(*), 6) AS seasonal_idx
+FROM detrended
+GROUP BY weekday
+ORDER BY weekday
+"""
+
+
+def changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over the daily event-count
+    series: ``cusum_t = Σ_{i≤t} n_i − t·mean`` (the running sum of
+    deviations from the global mean), reporting the 5 days where
+    |CUSUM| peaks — the classic level-shift locator. The prefix sum
+    uses the integer-exact identity (integer running count minus
+    rank×mean) so both engines produce bit-identical doubles.
+
+    Scale: corpus-width work is ONE map-side daily rollup
+    (persisted); the running sum comes from the two-stage global-rank
+    prefix-sum primitive (per-partition cumsum + broadcast partition
+    offsets — never an unpartitioned window), the mean rides in as a
+    broadcast scalar, and top-5 is a TakeOrderedAndProject.
+    """
+    ev = load_table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    stats = daily.agg((F.sum("n") / F.count(F.lit(1))).alias("mean_n"))
+    ranked = with_global_rank(
+        broadcast_scalars(daily, stats),
+        [F.col("day").asc()],
+        "t",
+        prefix_sum=("n", "cum_n"),
+    )
+    cusum = F.col("cum_n") - F.col("t") * F.col("mean_n")
+    return (
+        ranked.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("t").cast("long").alias("t"),
+            F.col("n").cast("long").alias("n"),
+            F.round(cusum, 6).alias("cusum"),
+        )
+        .orderBy(F.abs("cusum").desc(), F.col("day").asc())
+        .limit(5)
+    )
+
+
+CHANGEPOINT_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+stats AS (SELECT SUM(n) / COUNT(*) AS mean_n FROM daily),
+ranked AS (
+  SELECT day, n,
+    ROW_NUMBER() OVER (ORDER BY day ASC) AS t,
+    SUM(n) OVER (ORDER BY day ASC ROWS UNBOUNDED PRECEDING) AS cum_n
+  FROM daily
+)
+SELECT
+  strftime(r.day, '%Y-%m-%d') AS day,
+  CAST(r.t AS BIGINT) AS t,
+  r.n,
+  ROUND(r.cum_n - r.t * s.mean_n, 6) AS cusum
+FROM ranked r CROSS JOIN stats s
+ORDER BY ABS(r.cum_n - r.t * s.mean_n) DESC, day ASC
+LIMIT 5
+"""
+
+
+def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first half of the month
+    (days 1-15, the 'expected' period) and the rest (the 'actual'
+    period): decile cut points are fit on p1's event values, both
+    periods are bucketed against them, and
+    ``PSI_b = (s2_b − s1_b)·ln(s2_b / s1_b)`` per bucket — the
+    standard production data-drift monitor for model inputs.
+
+    Scale: the classic fit-then-apply two-pass — pass 1 fits the 9
+    decile cuts on p1 (exact ``percentile``; swap
+    ``approx_percentile`` at 100 TB when exactness isn't
+    contractual), pass 2 re-scans events once with the cuts as a
+    broadcast one-row frame and a codegen'd comparison chain
+    (re-scanning columnar storage twice beats caching the corpus);
+    everything after the groupBy is arithmetic on ≤20 count rows
+    (persisted: shares + the period totals re-derive from the same
+    counts).
+    """
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    tagged = ev.select(
+        F.when(F.dayofmonth("ts") <= 15, F.lit("p1")).otherwise(F.lit("p2")).alias(
+            "period"
+        ),
+        "value",
+    )
+    cuts = tagged.filter(F.col("period") == "p1").agg(
+        *[
+            F.percentile("value", F.lit(q / 10.0)).alias(f"c{q}")
+            for q in range(1, 10)
+        ]
+    )
+    bucket = reduce(
+        lambda acc, q: acc + (F.col("value") > F.col(f"c{q}")).cast("int"),
+        range(1, 10),
+        F.lit(0),
+    )
+    counts = (
+        broadcast_scalars(tagged, cuts)
+        .select("period", bucket.alias("bucket"))
+        .groupBy("period", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    totals = counts.groupBy("period").agg(F.sum("cnt").alias("tot"))
+    shares = counts.join(F.broadcast(totals), "period").select(
+        "bucket",
+        "period",
+        F.col("cnt"),
+        (F.col("cnt") / F.col("tot")).alias("share"),
+    )
+    wide = shares.groupBy("bucket").agg(
+        F.coalesce(
+            F.max(F.when(F.col("period") == "p1", F.col("cnt"))), F.lit(0)
+        ).alias("n_p1"),
+        F.coalesce(
+            F.max(F.when(F.col("period") == "p2", F.col("cnt"))), F.lit(0)
+        ).alias("n_p2"),
+        F.max(F.when(F.col("period") == "p1", F.col("share"))).alias("s1"),
+        F.max(F.when(F.col("period") == "p2", F.col("share"))).alias("s2"),
+    )
+    psi = F.when(
+        (F.col("s1") > 0) & (F.col("s2") > 0),
+        (F.col("s2") - F.col("s1")) * F.log(F.col("s2") / F.col("s1")),
+    )
+    return wide.select(
+        "bucket",
+        "n_p1",
+        "n_p2",
+        F.round("s1", 6).alias("s1"),
+        F.round("s2", 6).alias("s2"),
+        F.round(psi, 6).alias("psi_term"),
+    ).orderBy("bucket")
+
+
+VALUE_DRIFT_PSI_ORACLE = """
+WITH tagged AS (
+  SELECT
+    CASE WHEN date_part('day', ts) <= 15 THEN 'p1' ELSE 'p2' END AS period,
+    value
+  FROM events WHERE value IS NOT NULL
+),
+cuts AS (
+  SELECT
+    quantile_cont(value, 0.1) AS c1, quantile_cont(value, 0.2) AS c2,
+    quantile_cont(value, 0.3) AS c3, quantile_cont(value, 0.4) AS c4,
+    quantile_cont(value, 0.5) AS c5, quantile_cont(value, 0.6) AS c6,
+    quantile_cont(value, 0.7) AS c7, quantile_cont(value, 0.8) AS c8,
+    quantile_cont(value, 0.9) AS c9
+  FROM tagged WHERE period = 'p1'
+),
+bucketed AS (
+  SELECT period,
+    CAST(value > c1 AS INTEGER) + CAST(value > c2 AS INTEGER)
+    + CAST(value > c3 AS INTEGER) + CAST(value > c4 AS INTEGER)
+    + CAST(value > c5 AS INTEGER) + CAST(value > c6 AS INTEGER)
+    + CAST(value > c7 AS INTEGER) + CAST(value > c8 AS INTEGER)
+    + CAST(value > c9 AS INTEGER) AS bucket
+  FROM tagged CROSS JOIN cuts
+),
+counts AS (
+  SELECT period, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM bucketed GROUP BY period, bucket
+),
+totals AS (SELECT period, SUM(cnt) AS tot FROM counts GROUP BY period),
+shares AS (
+  SELECT bucket, c.period, cnt, cnt / CAST(tot AS DOUBLE) AS share
+  FROM counts c JOIN totals t ON c.period = t.period
+),
+wide AS (
+  SELECT bucket,
+    COALESCE(MAX(CASE WHEN period = 'p1' THEN cnt END), 0) AS n_p1,
+    COALESCE(MAX(CASE WHEN period = 'p2' THEN cnt END), 0) AS n_p2,
+    MAX(CASE WHEN period = 'p1' THEN share END) AS s1,
+    MAX(CASE WHEN period = 'p2' THEN share END) AS s2
+  FROM shares GROUP BY bucket
+)
+SELECT bucket, n_p1, n_p2,
+  ROUND(s1, 6) AS s1,
+  ROUND(s2, 6) AS s2,
+  ROUND(CASE WHEN s1 > 0 AND s2 > 0
+             THEN (s2 - s1) * ln(s2 / s1) END, 6) AS psi_term
+FROM wide
+ORDER BY bucket
 """

@@ -583,3 +583,67 @@ SELECT
 FROM ranked
 ORDER BY curriculum_pos
 """
+
+
+K_FOLDS = 5
+
+
+def kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation fold assignment (k=5) by the same
+    content-addressed md5 bucketing as the sampling family — fold
+    membership is a pure function of the row key, so every engine,
+    run, and partitioning produces the same folds (the property
+    ``randomSplit`` cannot give). Reports per-fold size, size share,
+    and mean doc length — the balance check run before training.
+
+    Scale: one scan, one map-side-combinable groupBy to k rows; the
+    share denominator re-aggregates the persisted k-row counts, never
+    the corpus.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    fold = F.expr(
+        "conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) "
+        f"% {K_FOLDS}"
+    ).cast("int")
+    counts = (
+        docs.select(fold.alias("fold"), "n_chars")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("n_chars") / F.count(F.lit(1))).alias("avg_chars"),
+        )
+        .persist()
+    )
+    total = counts.agg(F.sum("n_docs").alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "fold",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round(F.col("n_docs") / F.col("n_total"), 6).alias("fold_share"),
+            F.round("avg_chars", 6).alias("avg_chars"),
+        )
+        .orderBy("fold")
+    )
+
+
+KFOLD_ASSIGN_ORACLE = f"""
+WITH folds AS (
+  SELECT
+    CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+      % {K_FOLDS} AS INTEGER) AS fold,
+    n_chars
+  FROM documents
+),
+counts AS (
+  SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         SUM(n_chars) / COUNT(*) AS avg_chars
+  FROM folds GROUP BY fold
+),
+total AS (SELECT SUM(n_docs) AS n_total FROM counts)
+SELECT fold, n_docs,
+  ROUND(n_docs / CAST(n_total AS DOUBLE), 6) AS fold_share,
+  ROUND(avg_chars, 6) AS avg_chars
+FROM counts CROSS JOIN total
+ORDER BY fold
+"""

@@ -1915,3 +1915,107 @@ FROM funnel_gates g
 LEFT JOIN funnel_dedup d ON g.source = d.source
 ORDER BY g.source
 """
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: adjacent token pairs ranked by PMI lift
+    ``p(w1,w2) / (p(w1)·p(w2))`` — the standard statistical test for
+    multi-word expressions ("new york" scores high, "of the" low).
+    Marginals are taken over bigram slots so the contingency table is
+    self-consistent: p(w1=a) = Σ_b n(a,b)/N, p(w2=b) = Σ_a n(a,b)/N.
+    Reported as the lift ratio rather than its log: the ordering is
+    identical (log is monotone) and the ratio is pure correctly-
+    rounded IEEE multiply/divide on exact integer counts, so both
+    engines produce bit-identical doubles — log's last-ulp is
+    libm-dependent and would flake the 6-dp edge. Min support 5,
+    top 40 by lift.
+
+    Scale: the corpus is exploded and counted ONCE (map-side
+    combinable word-count shape); both marginals and the grand total
+    re-aggregate the bigram COUNT table (≤|vocab|² rows, never corpus
+    rows), and ride back in as broadcast joins. Top-40 is a
+    TakeOrderedAndProject, not a global sort.
+    """
+    docs = spread(load_table(spark, "documents", sf_dir))
+    toks = docs.select(F.expr(TOKENS).alias("t"))
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN "
+                "transform(sequence(1, size(t) - 1), "
+                "  i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    # persisted: the count table (≤|vocab|² rows, orders of magnitude
+    # smaller than the corpus) feeds FOUR branches (pairs + both
+    # marginals + grand total) and Spark does not reuse unpersisted
+    # shared subplans — without this the corpus explode runs 4×
+    bg = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .persist()
+    )
+    m1 = bg.groupBy("w1").agg(F.sum("n_pair").alias("n_w1"))
+    m2 = bg.groupBy("w2").agg(F.sum("n_pair").alias("n_w2"))
+    total = bg.agg(F.sum("n_pair").alias("n_total"))
+    return (
+        bg.filter(F.col("n_pair") >= 5)
+        .join(F.broadcast(m1), "w1")
+        .join(F.broadcast(m2), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            F.round(
+                (F.col("n_pair").cast("double") * F.col("n_total"))
+                / (F.col("n_w1").cast("double") * F.col("n_w2")),
+                6,
+            ).alias("pmi_lift"),
+        )
+        .orderBy(F.col("pmi_lift").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(40)
+    )
+
+
+PMI_COLLOCATIONS_ORACLE = r"""
+WITH toks AS (
+  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+idx AS (
+  SELECT t,
+    unnest(generate_series(
+      1, CASE WHEN len(t) >= 2 THEN len(t) - 1 ELSE 0 END
+    )) AS i
+  FROM toks
+),
+bigrams AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2 FROM idx
+),
+bg AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM bigrams GROUP BY w1, w2
+),
+m1 AS (SELECT w1, SUM(n_pair) AS n_w1 FROM bg GROUP BY w1),
+m2 AS (SELECT w2, SUM(n_pair) AS n_w2 FROM bg GROUP BY w2),
+total AS (SELECT SUM(n_pair) AS n_total FROM bg)
+SELECT
+  bg.w1, bg.w2, bg.n_pair,
+  CAST(m1.n_w1 AS BIGINT) AS n_w1,
+  CAST(m2.n_w2 AS BIGINT) AS n_w2,
+  ROUND(
+    (CAST(bg.n_pair AS DOUBLE) * n_total)
+      / (CAST(m1.n_w1 AS DOUBLE) * m2.n_w2),
+    6) AS pmi_lift
+FROM bg
+JOIN m1 USING (w1)
+JOIN m2 USING (w2)
+CROSS JOIN total
+WHERE bg.n_pair >= 5
+ORDER BY pmi_lift DESC, w1 ASC, w2 ASC
+LIMIT 40
+"""

@@ -16,7 +16,7 @@ tiers:
   SURVEY.md §2.
 * TIER 2 (remainder): the rest of each family, grouped as before.
 
-216 registered queries; names are stable across rounds — only
+224 registered queries; names are stable across rounds — only
 insertion order (the verified prefix) rotates.
 """
 
@@ -56,22 +56,22 @@ from backend_model_spark.streaming import jobs as streaming_jobs
 register("q1_pricing_summary", relational.q1_pricing_summary, relational.Q1_ORACLE)
 # joins
 register("join_q3_shipping_priority", joins.q3_shipping_priority, joins.Q3_ORACLE)
-# windows
+# windows (top_per_customer displaced to tier 2 for the session-2
+# CUSUM addition; rfm + percent_of_parent remain in the prefix)
 register(
-    "window_top_per_customer",
-    windows.top_orders_per_customer,
-    windows.TOP_PER_CUSTOMER_ORACLE,
+    "events_changepoint",
+    events_ops.changepoint_cusum,
+    events_ops.CHANGEPOINT_CUSUM_ORACLE,
 )
-# events / time series (sessionize displaced to tier 2; the family
-# keeps asof_join + the three round-3 additions in the prefix)
+# events / time series (sessionize + asof_join displaced to tier 2;
+# the family keeps the round-3 + session-2 additions in the prefix)
 # text analysis (quality_scores displaced to tier 2; the family keeps
 # 5 other reps in the prefix incl. the round-3 classifier)
 # dedup (tier-1 reps are in the rotation block below)
-# similarity
+# similarity (cosine_topk_bruteforce displaced to tier 2 for the
+# session-2 PSI drift addition; sim_pq_encode remains in the prefix)
 register(
-    "sim_cosine_topk_bruteforce",
-    similarity.cosine_topk_bruteforce,
-    similarity.COSINE_TOPK_ORACLE,
+    "dq_drift_psi", events_ops.value_drift_psi, events_ops.VALUE_DRIFT_PSI_ORACLE
 )
 # aggregates (family's tier-1 reps are the round-3 rotation entries
 # below: agg_revenue_concentration, agg_normality_probe, agg_chi2;
@@ -113,12 +113,15 @@ register("tpch_q10_returns", tpch_suite.q10_returned_items, tpch_suite.Q10_ORACL
 # pair stage + its CC decisions, the round-2 io additions, winnowing,
 # and the new normality probe — sit INSIDE the driver-verified prefix;
 # displaced stable entries (driver-green in r02) moved to tier 2.
-register("events_asof_join", events_ops.asof_purchase_to_click, events_ops.ASOF_ORACLE)
+# (events_asof_join and dedup_minhash_lsh_candidates — both r02
+# driver-green — displaced to tier 2 for the session-2 additions
+# below; both families keep several other reps in the prefix)
 register(
-    "dedup_minhash_lsh_candidates",
-    dedup.minhash_lsh_candidates,
-    dedup.MINHASH_LSH_ORACLE,
+    "events_seasonal_decompose",
+    events_ops.seasonal_decompose,
+    events_ops.SEASONAL_DECOMPOSE_ORACLE,
 )
+register("stat_bootstrap_ci", aggregates.bootstrap_ci, aggregates.BOOTSTRAP_CI_ORACLE)
 register("window_rfm_segments", windows.rfm_segmentation, windows.RFM_ORACLE)
 register(
     "agg_revenue_concentration",
@@ -131,10 +134,20 @@ register(
     text.repetition_signals,
     text.REPETITION_SIGNALS_ORACLE,
 )
-register("join_q5_region_revenue", joins.q5_region_revenue, joins.Q5_ORACLE)
+# (join_q5_region_revenue displaced to tier 2 for the session-2
+# k-fold addition; joins keep q3 + order_backlog in the prefix)
+register("sample_kfold_assign", sampling.kfold_assign, sampling.KFOLD_ASSIGN_ORACLE)
 register("io_bucketed_join", io_ops.bucketed_join, io_ops.BUCKETED_JOIN_ORACLE)
-register("io_ddl_create_insert_scan", io_ops.ddl_create_insert_scan, io_ops.DDL_ORACLE)
-register("text_vocab_build", text.vocab_build, text.VOCAB_ORACLE)
+# round-3 session-2 additions (driver-unseen → verified prefix;
+# displaced r02/r03-stable entries: io_ddl_create_insert_scan,
+# text_vocab_build, clean_impute_group_median → tier 2)
+register(
+    "text_pmi_collocations", text.pmi_collocations, text.PMI_COLLOCATIONS_ORACLE
+)
+register(
+    "events_autocorr", events_ops.daily_autocorrelation, events_ops.AUTOCORR_ORACLE
+)
+register("stat_ab_welch", events_ops.ab_welch_ttest, events_ops.AB_WELCH_ORACLE)
 register("join_order_backlog", joins.order_backlog_series, joins.BACKLOG_ORACLE)
 register(
     "sample_importance_resample",
@@ -142,7 +155,7 @@ register(
     sampling.IMPORTANCE_RESAMPLE_ORACLE,
 )
 # (window_revenue_growth displaced to tier 2 for dq_observe; windows
-# family keeps top_per_customer, rfm, percent_of_parent in the prefix)
+# family keeps rfm + percent_of_parent in the prefix)
 # round-3 late additions (driver-unseen → verified prefix; displaced
 # r02-green stable entries: events_funnel, dedup_lsh_verified,
 # sql_recursive_cte → tier 2)
@@ -242,8 +255,8 @@ register(
     dedup.EMBEDDING_CLUSTERS_ORACLE,
 )
 # (io_scd2_merge displaced to tier 2 for the streaming Python
-# DataSource addition)
-register("clean_impute_group_median", cleaning.impute_group_median, cleaning.IMPUTE_ORACLE)
+# DataSource addition; clean_impute_group_median displaced to tier 2
+# for the session-2 additions above)
 # (io_incremental_rollup / io_permissive_json_scan displaced to
 # tier 2 — r02/r03-stable — for the Python DataSource + table-arg
 # UDTF additions below)
@@ -323,6 +336,7 @@ register("set_intersect", sorts_sets.intersect_custkeys, sorts_sets.INTERSECT_OR
 register("set_except_all", sorts_sets.except_custkeys, sorts_sets.EXCEPT_ORACLE)
 
 # --- cleaning / scalar functions (SURVEY §2.2, §2.8) ------------------------
+register("clean_impute_group_median", cleaning.impute_group_median, cleaning.IMPUTE_ORACLE)
 register("clean_junk_filter", cleaning.junk_value_filter, cleaning.JUNK_FILTER_ORACLE)
 register("clean_outlier_iqr", cleaning.outlier_iqr_filter, cleaning.OUTLIER_IQR_ORACLE)
 register(
@@ -350,6 +364,7 @@ register(
 register("func_fuzzy_match", scalar_funcs.fuzzy_name_match, scalar_funcs.FUZZY_MATCH_ORACLE)
 
 # --- joins (SURVEY §2.3) -----------------------------------------------------
+register("join_q5_region_revenue", joins.q5_region_revenue, joins.Q5_ORACLE)
 register("join_semi_recent", joins.customers_with_recent_orders, joins.SEMI_JOIN_ORACLE)
 register(
     "join_supplier_per_region",
@@ -410,6 +425,11 @@ register(
 
 # --- windows (SURVEY §2.6) ---------------------------------------------------
 register(
+    "window_top_per_customer",
+    windows.top_orders_per_customer,
+    windows.TOP_PER_CUSTOMER_ORACLE,
+)
+register(
     "window_revenue_growth", windows.revenue_growth_series, windows.REVENUE_GROWTH_ORACLE
 )
 register("window_running_total", windows.running_order_total, windows.RUNNING_TOTAL_ORACLE)
@@ -429,6 +449,7 @@ register(
 )
 
 # --- events / time series (SURVEY §2.11 batch halves) ------------------------
+register("events_asof_join", events_ops.asof_purchase_to_click, events_ops.ASOF_ORACLE)
 register("events_sessionize", events_ops.sessionize_users, events_ops.SESSIONIZE_ORACLE)
 register("events_funnel", events_ops.funnel_conversion, events_ops.FUNNEL_ORACLE)
 register(
@@ -482,6 +503,7 @@ register(
 register("events_late_audit", events_ops.late_data_audit, events_ops.LATE_DATA_ORACLE)
 
 # --- text analysis (LLM-data-pipeline surface) -------------------------------
+register("text_vocab_build", text.vocab_build, text.VOCAB_ORACLE)
 register("text_quality_scores", text.quality_scores, text.QUALITY_ORACLE)
 register("text_token_stats", text.token_stats_per_lang, text.TOKEN_STATS_ORACLE)
 register("text_bpe_token_count", text.bpe_token_estimate, text.BPE_TOKEN_ORACLE)
@@ -510,6 +532,11 @@ register(
 )
 
 # --- deduplication ------------------------------------------------------------
+register(
+    "dedup_minhash_lsh_candidates",
+    dedup.minhash_lsh_candidates,
+    dedup.MINHASH_LSH_ORACLE,
+)
 register("dedup_exact_groups", dedup.exact_dedup_groups, dedup.EXACT_DEDUP_ORACLE)
 register("dedup_lsh_verified", dedup.lsh_verified_pairs, dedup.LSH_VERIFIED_ORACLE)
 register("dedup_keep_list", dedup.dedup_keep_list, dedup.KEEP_LIST_ORACLE)
@@ -519,6 +546,11 @@ register("dedup_simhash", dedup.simhash_fingerprints, dedup.SIMHASH_ORACLE)
 register("dedup_graph_pagerank", dedup.lsh_graph_pagerank, dedup.PAGERANK_ORACLE)
 
 # --- similarity search ---------------------------------------------------------
+register(
+    "sim_cosine_topk_bruteforce",
+    similarity.cosine_topk_bruteforce,
+    similarity.COSINE_TOPK_ORACLE,
+)
 register(
     "sim_centroid_assign",
     similarity.centroid_assign,
@@ -597,6 +629,7 @@ register("mllib_pca_variance", mllib_ops.mllib_pca_variance, None)
 register("sim_ivf_recall", similarity.ivf_recall_vs_exact, None)
 
 # --- sources / sinks / DDL (SURVEY §2.1 S1-S7) ---------------------------------
+register("io_ddl_create_insert_scan", io_ops.ddl_create_insert_scan, io_ops.DDL_ORACLE)
 register("io_scd2_merge", io_ops.scd2_dimension_merge, io_ops.SCD2_ORACLE)
 register("io_csv_roundtrip", io_ops.csv_roundtrip, io_ops.CSV_ROUNDTRIP_ORACLE)
 register(

@@ -482,3 +482,99 @@ def test_range_frame_windows_are_bucket_grained(spark, sf_dir):
     # only with unboundedpreceding lower bounds
     for frame in re.findall(r"specifiedwindowframe\([^)]*\)", plan.lower()):
         assert "unboundedpreceding" in frame, frame
+
+
+def test_ab_welch_single_scan_no_window(spark, sf_dir):
+    """Welch A/B readout must be ONE pushed-down scan of events (the
+    purchase filter reaches parquet) reduced by sufficient statistics
+    — no window, no self-join re-deriving the events lineage per
+    variant (the 2-row variant frame is pivoted by conditional
+    aggregation)."""
+    plan = plan_of(spark, "stat_ab_welch", sf_dir)
+    assert plan.count("Location: InMemoryFileIndex") == 1, "events must be scanned once"
+    assert "EqualTo(event_type,purchase)" in plan, "purchase filter must push to parquet"
+    assert "Window" not in plan
+    assert "Join" not in plan, "variant pivot must not plan a self-join"
+
+
+def test_autocorr_pairs_on_cached_rollup(spark, sf_dir):
+    """ACF must do its corpus-width work ONCE (a map-side daily
+    rollup, persisted) — the four downstream branches (mean, SS
+    denominator, both lag-join sides) read the cache, the lag pairing
+    is an equi-join on day (never a θ/cartesian pair join), and the
+    scalars ride back in as broadcasts."""
+    plan = plan_of(spark, "events_autocorr", sf_dir)
+    assert plan.count("Location: InMemoryFileIndex") == 1, "events must be scanned once"
+    assert "InMemoryTableScan" in plan, "daily rollup must be persisted for reuse"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, (
+        "day-lag pairing must be an equi-join"
+    )
+
+
+def test_pmi_single_corpus_explode(spark, sf_dir):
+    """PMI collocations must explode the corpus ONCE into a persisted
+    bigram-count table; both marginals and the grand total re-derive
+    from the cached counts (never from the corpus) and join back as
+    broadcasts; top-40 is TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(spark, "text_pmi_collocations", sf_dir)
+    assert plan.count("Location: InMemoryFileIndex") == 1, "corpus must be scanned once"
+    assert "InMemoryTableScan" in plan, "bigram counts must be persisted for reuse"
+    assert "BroadcastHashJoin" in plan, "marginals must broadcast back"
+    assert "TakeOrderedAndProject" in plan, "top-40 must not be a global sort"
+
+
+def test_seasonal_decompose_cached_rollup_single_scan(spark, sf_dir):
+    """Seasonal decomposition must scan events ONCE into the persisted
+    daily rollup; the centered moving average is an explode+equi-join
+    on the rollup (no global running window) and the weekday index a
+    7-row aggregate."""
+    plan = plan_of(spark, "events_seasonal_decompose", sf_dir)
+    assert plan.count("Location: InMemoryFileIndex") == 1, "events must be scanned once"
+    assert "InMemoryTableScan" in plan, "daily rollup must be persisted for reuse"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_bootstrap_ci_single_scan_partial_agg(spark, sf_dir):
+    """The B=32 Bernoulli bootstrap must be ONE scan of orders with
+    the replica explode inline, reduced by map-side partial
+    aggregation to 32 replica means — no window, no join, no
+    driver-side resampling loop."""
+    plan = plan_of(spark, "stat_bootstrap_ci", sf_dir)
+    assert plan.count("Location: InMemoryFileIndex") == 1, "orders must be scanned once"
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("HashAggregate") >= 4, "replica means must partial-aggregate"
+
+
+def test_changepoint_no_global_window_topk_take_ordered(spark, sf_dir):
+    """CUSUM must come from the two-stage prefix-sum primitive — the
+    only Window in the plan is partitioned by the range-partition id,
+    never empty-spec — and the top-5 must be TakeOrderedAndProject."""
+    df = _QUERIES["events_changepoint"](spark, sf_dir)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert not _global_window_nodes(logical)
+    plan = plan_of(spark, "events_changepoint", sf_dir)
+    assert "TakeOrderedAndProject" in plan, "top-5 must not be a global sort"
+
+
+def test_drift_psi_two_pass_fit_apply(spark, sf_dir):
+    """PSI is fit-then-apply: exactly TWO parquet scans of events
+    (decile fit on p1, bucket apply on all), cuts broadcast back, and
+    all post-groupBy arithmetic on the persisted ≤20-row counts."""
+    plan = plan_of(spark, "dq_drift_psi", sf_dir)
+    assert plan.count("Location: InMemoryFileIndex") == 2, (
+        "expected exactly the fit scan + the apply scan"
+    )
+    assert "InMemoryTableScan" in plan, "contingency counts must be persisted"
+    assert "CartesianProduct" not in plan
+
+
+def test_kfold_single_scan_persisted_counts(spark, sf_dir):
+    """K-fold balance report must be ONE scan of documents reduced
+    map-side to k rows; the share denominator re-aggregates the
+    persisted counts, never the corpus."""
+    plan = plan_of(spark, "sample_kfold_assign", sf_dir)
+    assert plan.count("Location: InMemoryFileIndex") == 1, "corpus must be scanned once"
+    assert "InMemoryTableScan" in plan, "fold counts must be persisted"
+    assert "Window" not in plan

@@ -368,3 +368,410 @@ def test_session_overlap_matches_bruteforce(spark, data):
         for r in session_overlap_join(spark, sf).collect()
     }
     assert got == expect
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    day_offsets=st.lists(
+        st.integers(min_value=0, max_value=20), min_size=2, max_size=80
+    )
+)
+def test_autocorr_matches_numpy(spark, day_offsets):
+    """events_autocorr against a direct numpy reference: daily counts,
+    global mean, calendar-day lag pairing over observed days."""
+    import numpy as np
+
+    from backend_model_spark.operators.events_ops import daily_autocorrelation
+
+    sf = os.path.join(SCRATCH, uuid.uuid4().hex[:12])
+    os.makedirs(sf, exist_ok=True)
+    base = pd.Timestamp("2024-01-01")
+    events = pd.DataFrame(
+        {
+            "event_id": range(len(day_offsets)),
+            "ts": [base + pd.Timedelta(days=d, hours=3) for d in day_offsets],
+            "user_id": [d % 5 for d in day_offsets],
+            "event_type": ["click"] * len(day_offsets),
+            "value": [1.0] * len(day_offsets),
+            "props": ["{}"] * len(day_offsets),
+        }
+    )
+    events["ts"] = events["ts"].astype("datetime64[us]")
+    events.to_parquet(os.path.join(sf, "events.parquet"))
+
+    out = daily_autocorrelation(spark, sf).toPandas().set_index("lag_k")
+
+    counts = pd.Series(day_offsets).value_counts().sort_index()
+    days = counts.index.to_numpy()
+    n = counts.to_numpy(dtype=float)
+    mean = n.sum() / len(n)
+    ss = ((n - mean) ** 2).sum()
+    by_day = dict(zip(days, n))
+    for k in range(1, 8):
+        pairs = [
+            (by_day[d] - mean) * (by_day[d + k] - mean)
+            for d in days
+            if d + k in by_day
+        ]
+        if not pairs:
+            assert k not in out.index
+            continue
+        if ss == 0.0:
+            # zero-variance series: Spark/DuckDB produce NULL (0/0)
+            assert k in out.index and (
+                out.loc[k, "acf"] is None or np.isnan(out.loc[k, "acf"])
+            )
+            continue
+        assert k in out.index
+        assert out.loc[k, "n_pairs"] == len(pairs)
+        assert abs(out.loc[k, "acf"] - sum(pairs) / ss) < 2e-6
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.floats(min_value=0.5, max_value=100.0, allow_nan=False),
+        ),
+        min_size=4,
+        max_size=60,
+    )
+)
+def test_ab_welch_matches_numpy(spark, vals):
+    """stat_ab_welch against a direct numpy Welch computation. Skipped
+    inputs: degenerate variants (<2 users on either side) for which
+    the t statistic is undefined on both engines."""
+    import numpy as np
+
+    from backend_model_spark.operators.events_ops import ab_welch_ttest
+
+    users = {u for u, _ in vals}
+    n_a = len([u for u in users if u % 2 == 0])
+    n_b = len([u for u in users if u % 2 == 1])
+    if n_a < 2 or n_b < 2:
+        return
+
+    sf = os.path.join(SCRATCH, uuid.uuid4().hex[:12])
+    os.makedirs(sf, exist_ok=True)
+    base = pd.Timestamp("2024-01-01")
+    events = pd.DataFrame(
+        {
+            "event_id": range(len(vals)),
+            "ts": [base + pd.Timedelta(minutes=i) for i in range(len(vals))],
+            "user_id": [u for u, _ in vals],
+            "event_type": ["purchase"] * len(vals),
+            "value": [v for _, v in vals],
+            "props": ["{}"] * len(vals),
+        }
+    )
+    events["ts"] = events["ts"].astype("datetime64[us]")
+    events.to_parquet(os.path.join(sf, "events.parquet"))
+
+    row = ab_welch_ttest(spark, sf).toPandas().iloc[0]
+
+    per_user = pd.DataFrame(vals, columns=["u", "v"]).groupby("u")["v"].mean()
+    a = per_user[per_user.index % 2 == 0].to_numpy()
+    b = per_user[per_user.index % 2 == 1].to_numpy()
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    assert row["n_a"] == len(a) and row["n_b"] == len(b)
+    assert abs(row["mean_a"] - a.mean()) < 2e-6
+    assert abs(row["mean_b"] - b.mean()) < 2e-6
+    se = va / len(a) + vb / len(b)
+    if se == 0.0:
+        assert row["welch_t"] is None or np.isnan(row["welch_t"])
+        return
+    t_ref = (a.mean() - b.mean()) / np.sqrt(se)
+    df_ref = se**2 / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert abs(row["welch_t"] - t_ref) < max(2e-6, abs(t_ref) * 1e-6)
+    assert abs(row["welch_df"] - df_ref) < max(2e-6, abs(df_ref) * 1e-6)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.lists(st.tuples(doc_text, doc_lang), min_size=1, max_size=15))
+def test_pmi_collocations_matches_python(spark, data):
+    """text_pmi_collocations against a direct Python reference:
+    bigram counts, slot marginals, lift ratio, (lift desc, w1, w2)
+    ordering, min-support 5, top 40."""
+    from backend_model_spark.operators.text import pmi_collocations
+
+    texts = [t for t, _ in data]
+    langs = [l for _, l in data]
+    sf = _write_docs(texts, langs)
+
+    out = pmi_collocations(spark, sf).toPandas()
+
+    bg: dict[tuple[str, str], int] = {}
+    for t in texts:
+        toks = t.strip().split()
+        for w1, w2 in zip(toks, toks[1:]):
+            bg[(w1, w2)] = bg.get((w1, w2), 0) + 1
+    m1: dict[str, int] = {}
+    m2: dict[str, int] = {}
+    for (w1, w2), c in bg.items():
+        m1[w1] = m1.get(w1, 0) + c
+        m2[w2] = m2.get(w2, 0) + c
+    total = sum(bg.values())
+    rows = [
+        (
+            w1,
+            w2,
+            c,
+            m1[w1],
+            m2[w2],
+            round(c * total / (m1[w1] * m2[w2]), 6),
+        )
+        for (w1, w2), c in bg.items()
+        if c >= 5
+    ]
+    rows.sort(key=lambda r: (-r[5], r[0], r[1]))
+    expected = rows[:40]
+
+    got = [tuple(r) for r in out.itertuples(index=False)]
+    assert len(got) == len(expected)
+    for g, e in zip(got, expected):
+        assert g[:5] == e[:5]
+        assert abs(g[5] - e[5]) < 2e-6
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    day_counts=st.lists(
+        st.integers(min_value=1, max_value=50), min_size=7, max_size=30
+    )
+)
+def test_seasonal_decompose_matches_pandas(spark, day_counts):
+    """events_seasonal_decompose against a direct pandas reference:
+    centered 7-day full-window moving average, weekday = days since a
+    Monday mod 7, seasonal index = mean detrended per weekday."""
+    from backend_model_spark.operators.events_ops import seasonal_decompose
+
+    sf = os.path.join(SCRATCH, uuid.uuid4().hex[:12])
+    os.makedirs(sf, exist_ok=True)
+    base = pd.Timestamp("2024-02-05")  # a Monday
+    rows = []
+    eid = 0
+    for d, c in enumerate(day_counts):
+        for _ in range(c):
+            rows.append((eid, base + pd.Timedelta(days=d, hours=1), eid % 3))
+            eid += 1
+    events = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    events["event_type"] = "click"
+    events["value"] = 1.0
+    events["props"] = "{}"
+    events["ts"] = events["ts"].astype("datetime64[us]")
+    events.to_parquet(os.path.join(sf, "events.parquet"))
+
+    out = seasonal_decompose(spark, sf).toPandas().set_index("weekday")
+
+    n = pd.Series(day_counts, dtype=float)
+    trend = n.rolling(7, center=True).mean()  # NaN outside full windows
+    dev = (n - trend).dropna()
+    # day d falls on weekday (days since Monday 2024-02-05) % 7 = d % 7
+    ref = dev.groupby(dev.index.map(lambda d: d % 7)).agg(["count", "mean"])
+    assert len(out) == len(ref)
+    for wd, row in ref.iterrows():
+        assert out.loc[wd, "n_days"] == row["count"]
+        assert abs(out.loc[wd, "seasonal_idx"] - row["mean"]) < 2e-6
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    prices=st.lists(
+        st.floats(min_value=1.0, max_value=1000.0, allow_nan=False),
+        min_size=5,
+        max_size=60,
+    )
+)
+def test_bootstrap_ci_matches_python(spark, prices):
+    """stat_bootstrap_ci against a direct hashlib reference of the
+    content-addressed Bernoulli replica membership."""
+    import hashlib
+
+    import numpy as np
+
+    from backend_model_spark.operators.aggregates import N_BOOTSTRAP, bootstrap_ci
+
+    sf = os.path.join(SCRATCH, uuid.uuid4().hex[:12])
+    os.makedirs(sf, exist_ok=True)
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(1, len(prices) + 1),
+            "o_custkey": [1] * len(prices),
+            "o_orderstatus": ["O"] * len(prices),
+            "o_totalprice": prices,
+            "o_orderdate": [pd.Timestamp("2024-01-01")] * len(prices),
+            "o_orderpriority": ["1-URGENT"] * len(prices),
+        }
+    )
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
+    orders.to_parquet(os.path.join(sf, "orders.parquet"))
+
+    row = bootstrap_ci(spark, sf).toPandas().iloc[0]
+
+    means = []
+    for b in range(1, N_BOOTSTRAP + 1):
+        kept = [
+            p
+            for k, p in zip(orders["o_orderkey"], prices)
+            if int(hashlib.md5(f"{b}:{k}".encode()).hexdigest()[:4], 16) % 100 < 50
+        ]
+        if kept:
+            means.append(sum(kept) / len(kept))
+    assert row["n_replicas"] == len(means)
+    if len(means) >= 2:
+        m = np.array(means)
+        assert abs(row["boot_mean"] - m.mean()) < 2e-6
+        assert abs(row["boot_se"] - m.std(ddof=1)) < 2e-6
+        assert abs(row["ci_lo"] - (m.mean() - 1.96 * m.std(ddof=1))) < 4e-6
+        assert abs(row["ci_hi"] - (m.mean() + 1.96 * m.std(ddof=1))) < 4e-6
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    day_counts=st.lists(
+        st.integers(min_value=1, max_value=40), min_size=2, max_size=25
+    )
+)
+def test_changepoint_cusum_matches_numpy(spark, day_counts):
+    """events_changepoint against a direct numpy CUSUM: running count
+    minus rank×mean, top-5 by |cusum| with day tie-break."""
+    import numpy as np
+
+    from backend_model_spark.operators.events_ops import changepoint_cusum
+
+    sf = os.path.join(SCRATCH, uuid.uuid4().hex[:12])
+    os.makedirs(sf, exist_ok=True)
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    for d, c in enumerate(day_counts):
+        for _ in range(c):
+            rows.append((eid, base + pd.Timedelta(days=d, hours=2), eid % 4))
+            eid += 1
+    events = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    events["event_type"] = "view"
+    events["value"] = 0.5
+    events["props"] = "{}"
+    events["ts"] = events["ts"].astype("datetime64[us]")
+    events.to_parquet(os.path.join(sf, "events.parquet"))
+
+    out = changepoint_cusum(spark, sf).toPandas()
+
+    n = np.array(day_counts, dtype=float)
+    mean = n.sum() / len(n)
+    cusum = np.cumsum(n) - (np.arange(len(n)) + 1) * mean
+    order = sorted(range(len(n)), key=lambda i: (-abs(cusum[i]), i))[:5]
+    assert len(out) == min(5, len(n))
+    for row, i in zip(out.itertuples(index=False), order):
+        assert row.day == (base + pd.Timedelta(days=i)).strftime("%Y-%m-%d")
+        assert row.t == i + 1
+        assert row.n == day_counts[i]
+        assert abs(row.cusum - cusum[i]) < 2e-6
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=28),
+            st.floats(min_value=0.0, max_value=50.0, allow_nan=False),
+        ),
+        min_size=20,
+        max_size=80,
+    )
+)
+def test_drift_psi_conservation(spark, vals):
+    """PSI invariants: bucket ids in 0..9, per-period counts conserve
+    the period row counts, shares sum to 1 per period, and psi_term
+    is non-null exactly when both shares are positive."""
+    from backend_model_spark.operators.events_ops import value_drift_psi
+
+    if not any(d <= 15 for d, _ in vals) or not any(d > 15 for d, _ in vals):
+        return
+    sf = os.path.join(SCRATCH, uuid.uuid4().hex[:12])
+    os.makedirs(sf, exist_ok=True)
+    events = pd.DataFrame(
+        {
+            "event_id": range(len(vals)),
+            "ts": [pd.Timestamp(2024, 1, d, 6) for d, _ in vals],
+            "user_id": [i % 7 for i in range(len(vals))],
+            "event_type": ["view"] * len(vals),
+            "value": [v for _, v in vals],
+            "props": ["{}"] * len(vals),
+        }
+    )
+    events["ts"] = events["ts"].astype("datetime64[us]")
+    events.to_parquet(os.path.join(sf, "events.parquet"))
+
+    out = value_drift_psi(spark, sf).toPandas()
+
+    n1 = len([d for d, _ in vals if d <= 15])
+    n2 = len(vals) - n1
+    assert out["bucket"].between(0, 9).all()
+    assert out["n_p1"].sum() == n1
+    assert out["n_p2"].sum() == n2
+    assert abs(out["s1"].fillna(0).sum() - 1.0) < 1e-4
+    assert abs(out["s2"].fillna(0).sum() - 1.0) < 1e-4
+    both = (out["n_p1"] > 0) & (out["n_p2"] > 0)
+    assert out.loc[both, "psi_term"].notna().all()
+    assert out.loc[~both, "psi_term"].isna().all()
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.lists(st.tuples(doc_text, doc_lang), min_size=1, max_size=20))
+def test_kfold_assign_matches_hashlib(spark, data):
+    """sample_kfold_assign against a direct hashlib fold computation:
+    exact per-fold sizes and the share/total invariant."""
+    import hashlib
+
+    from backend_model_spark.operators.sampling import K_FOLDS, kfold_assign
+
+    texts = [t for t, _ in data]
+    langs = [l for _, l in data]
+    sf = _write_docs(texts, langs)
+
+    out = kfold_assign(spark, sf).toPandas().set_index("fold")
+
+    ref: dict[int, int] = {}
+    for i in range(len(texts)):
+        f = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % K_FOLDS
+        ref[f] = ref.get(f, 0) + 1
+    assert out["n_docs"].sum() == len(texts)
+    for f, n in ref.items():
+        assert out.loc[f, "n_docs"] == n
+        assert abs(out.loc[f, "fold_share"] - n / len(texts)) < 2e-6

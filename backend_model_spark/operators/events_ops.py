@@ -1895,3 +1895,88 @@ SELECT bucket, n_p1, n_p2,
 FROM wide
 ORDER BY bucket
 """
+
+
+ALERT_HI = 80.0
+ALERT_LO = 20.0
+
+
+def alert_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hysteresis alerting over each user's value stream: an alert
+    OPENS when value exceeds 80, CLOSES when it drops below 20, and
+    HOLDS in the dead band between — the debouncing rule every
+    monitoring system uses to avoid flapping. Reports per user the
+    events spent in alert state and the number of distinct alert
+    episodes (open transitions).
+
+    Scale: gaps-and-islands over windows partitioned by ``user_id``
+    (high cardinality — never the 5-value event_type, which would
+    funnel each type's full stream through one task); the hold state
+    is ``last(ignorenulls)`` over the open/close markers (the LOCF
+    pattern of :func:`fill_forward`), episodes are marker-edge sums,
+    and the final rollup is map-side combinable.
+    """
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    marker = (
+        F.when(F.col("value") > ALERT_HI, F.lit(1))
+        .when(F.col("value") < ALERT_LO, F.lit(0))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    run = W.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    ).rowsBetween(W.unboundedPreceding, 0)
+    staged = ev.select("user_id", "ts", "event_id", marker.alias("marker"))
+    staged = staged.withColumn(
+        "state", F.coalesce(F.last("marker", ignorenulls=True).over(run), F.lit(0))
+    ).withColumn(
+        "opens",
+        (
+            (F.col("state") == 1)
+            & (F.coalesce(F.lag("state", 1).over(w), F.lit(0)) == 0)
+        ).cast("long"),
+    )
+    return (
+        staged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("state").cast("long").alias("n_alert_events"),
+            F.sum("opens").cast("long").alias("n_episodes"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ALERT_HYSTERESIS_ORACLE = f"""
+WITH staged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN value > {ALERT_HI} THEN 1
+         WHEN value < {ALERT_LO} THEN 0 END AS marker
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+stated AS (
+  SELECT user_id, ts, event_id,
+    COALESCE(LAST_VALUE(marker IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS UNBOUNDED PRECEDING
+    ), 0) AS state
+  FROM staged
+),
+edged AS (
+  SELECT user_id, state,
+    CASE WHEN state = 1 AND COALESCE(LAG(state) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+    ), 0) = 0 THEN 1 ELSE 0 END AS opens
+  FROM stated
+)
+SELECT user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(state) AS BIGINT) AS n_alert_events,
+  CAST(SUM(opens) AS BIGINT) AS n_episodes
+FROM edged
+GROUP BY user_id
+ORDER BY user_id
+"""

@@ -55,6 +55,7 @@ def with_global_rank(
     total_col: str | None = None,
     prefix_sum: tuple[str, str] | None = None,
     grand_total: tuple[str, str] | None = None,
+    prefix_max: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Add an exact 1-based global ``row_number`` over ``order`` (a list
     of sort-order Columns, e.g. ``[F.col("x").desc(), F.col("k").asc()]``)
@@ -71,6 +72,11 @@ def with_global_rank(
     * ``grand_total=(value_col, out_col)`` — attach ``sum(value_col)
       OVER ()`` as a broadcast scalar (summed from the per-partition
       totals — no second scan of ``df``'s lineage).
+    * ``prefix_max=(value_col, out_col)`` — exact global running MAX
+      of ``value_col`` in rank order (``max(v) OVER (ORDER BY ...
+      ROWS UNBOUNDED PRECEDING)``): per-partition running max
+      ``greatest``-ed with the broadcast max of earlier partitions
+      (``greatest`` skips the NULL offset of the first partition).
     """
     if prefix_sum and grand_total and prefix_sum[0] != grand_total[0]:
         raise ValueError("prefix_sum and grand_total must share a value col")
@@ -83,6 +89,8 @@ def with_global_rank(
     per_part = [F.count(F.lit(1)).alias("__sg_cnt")]
     if vcol is not None:
         per_part.append(F.sum(vcol).alias("__sg_vsum"))
+    if prefix_max is not None:
+        per_part.append(F.max(prefix_max[0]).alias("__sg_vmax"))
     counts = ranged.groupBy("__sg_pid").agg(*per_part)
     a, b = counts.alias("a"), counts.alias("b")
     # Prefix-sum of earlier partitions' totals. |partitions|² pairs —
@@ -93,6 +101,9 @@ def with_global_rank(
         offs.append(
             F.coalesce(F.sum("b.__sg_vsum"), F.lit(0)).alias("__sg_voff")
         )
+    if prefix_max is not None:
+        # NULL for the first partition — greatest() skips it below
+        offs.append(F.max("b.__sg_vmax").alias("__sg_moff"))
     offsets = (
         a.join(b, F.col("b.__sg_pid") < F.col("a.__sg_pid"), "left")
         .groupBy(F.col("a.__sg_pid").alias("__sg_pid"))
@@ -105,6 +116,11 @@ def with_global_rank(
             "__sg_lcum",
             F.sum(prefix_sum[0]).over(w.rowsBetween(W.unboundedPreceding, 0)),
         )
+    if prefix_max is not None:
+        local = local.withColumn(
+            "__sg_lmax",
+            F.max(prefix_max[0]).over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
     out = (
         local.join(F.broadcast(offsets), "__sg_pid")
         .withColumn(
@@ -115,6 +131,10 @@ def with_global_rank(
         out = out.withColumn(
             prefix_sum[1], F.col("__sg_lcum") + F.col("__sg_voff")
         ).drop("__sg_lcum", "__sg_voff")
+    if prefix_max is not None:
+        out = out.withColumn(
+            prefix_max[1], F.greatest(F.col("__sg_lmax"), F.col("__sg_moff"))
+        ).drop("__sg_lmax", "__sg_moff")
     out = out.drop("__sg_pid", "__sg_lrn", "__sg_off")
     if total_col is not None:
         total = counts.agg(F.sum("__sg_cnt").cast("bigint").alias(total_col))

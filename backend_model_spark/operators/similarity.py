@@ -607,3 +607,62 @@ WHERE rn = 1
 GROUP BY vec_id
 ORDER BY vec_id
 """
+
+
+def mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum inner-product search (MIPS) top-k: the retrieval
+    semantics of recommendation scoring (user·item), distinct from
+    cosine — a long vector can win on raw dot product while losing on
+    angle. First N_QUERIES vectors as queries against the corpus.
+
+    Scale: identical skeleton to the cosine sibling (broadcast query
+    side, one corpus scan, per-query window top-k). The approximate
+    path at 100 TB is the published MIPS→cosine reduction: augment
+    each corpus vector with sqrt(M² − ‖x‖²) (M = max corpus norm) and
+    queries with 0 — inner-product order becomes cosine order on the
+    augmented vectors, so the existing hyperplane-LSH bucketing
+    (:func:`lsh_hyperplane_buckets`) serves MIPS unchanged. This
+    exact variant is the oracle-checkable contrast.
+    """
+    emb = _as_double(load_table(spark, "embeddings", sf_dir))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = emb.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("q_id")
+    ).withColumn("dot", F.round(F.expr(DOT.format(a="qv", b="v")), 6))
+    w = W.partitionBy("q_id").orderBy(F.col("dot").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "dot", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+MIPS_TOPK_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (
+  SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT
+    q.q_id,
+    v.vec_id AS neighbor_id,
+    ROUND({DOT_SQL.format(a="q.qv", b="v.v", dim=DIM)}, 6) AS dot
+  FROM q JOIN v ON v.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, neighbor_id, dot,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY q_id ORDER BY dot DESC, neighbor_id ASC
+    ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT q_id, neighbor_id, dot, rank
+FROM ranked
+WHERE rank <= {TOP_K}
+ORDER BY q_id, rank
+"""

@@ -606,3 +606,74 @@ FROM scored
 GROUP BY r, f, m
 ORDER BY r, f, m
 """
+
+
+def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily revenue series: for
+    each day, drawdown = running-peak(cumulative revenue) − cumulative
+    revenue; report the 3 worst days — the risk metric every
+    finance/ops dashboard derives from an equity curve. Entirely in
+    integer cents, so both engines are bit-exact at every step.
+
+    Scale: corpus-width work is ONE map-side daily rollup of orders;
+    the running sum AND the running peak both come from the two-stage
+    global primitive (``with_global_rank``'s prefix_sum, then its new
+    prefix_max over the cumulated frame) — per-partition window +
+    broadcast partition offsets, never an unpartitioned WindowExec.
+    Top-3 is a TakeOrderedAndProject.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")).alias(
+            "rev_cents"
+        )
+    )
+    cum = with_global_rank(
+        daily, [F.col("day").asc()], "t", prefix_sum=("rev_cents", "cum_cents")
+    )
+    peaked = with_global_rank(
+        cum, [F.col("day").asc()], "t2", prefix_max=("cum_cents", "peak_cents")
+    ).drop("t2")
+    return (
+        peaked.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("t").cast("long").alias("t"),
+            (F.col("cum_cents") / 100.0).alias("cum_revenue"),
+            (F.col("peak_cents") / 100.0).alias("peak_revenue"),
+            ((F.col("peak_cents") - F.col("cum_cents")) / 100.0).alias("drawdown"),
+        )
+        .orderBy(F.col("drawdown").desc(), F.col("day").asc())
+        .limit(3)
+    )
+
+
+MAX_DRAWDOWN_ORACLE = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS rev_cents
+  FROM orders GROUP BY 1
+),
+cum AS (
+  SELECT day,
+    ROW_NUMBER() OVER (ORDER BY day ASC) AS t,
+    SUM(rev_cents) OVER (ORDER BY day ASC ROWS UNBOUNDED PRECEDING)
+      AS cum_cents
+  FROM daily
+),
+peaked AS (
+  SELECT *,
+    MAX(cum_cents) OVER (ORDER BY day ASC ROWS UNBOUNDED PRECEDING)
+      AS peak_cents
+  FROM cum
+)
+SELECT
+  strftime(day, '%Y-%m-%d') AS day,
+  CAST(t AS BIGINT) AS t,
+  cum_cents / 100.0 AS cum_revenue,
+  peak_cents / 100.0 AS peak_revenue,
+  (peak_cents - cum_cents) / 100.0 AS drawdown
+FROM peaked
+ORDER BY drawdown DESC, day ASC
+LIMIT 3
+"""

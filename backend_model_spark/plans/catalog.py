@@ -16,7 +16,7 @@ tiers:
   SURVEY.md §2.
 * TIER 2 (remainder): the rest of each family, grouped as before.
 
-224 registered queries; names are stable across rounds — only
+227 registered queries; names are stable across rounds — only
 insertion order (the verified prefix) rotates.
 """
 
@@ -92,10 +92,10 @@ register("func_regex", scalar_funcs.regex_functions, scalar_funcs.REGEX_FUNCS_OR
 register("sort_topk_orders", sorts_sets.topk_orders_by_price, sorts_sets.TOPK_ORDERS_ORACLE)
 # multimodal
 register("media_payload_stats", multimodal.payload_stats, multimodal.PAYLOAD_STATS_ORACLE)
-# UDF tiers
-register(
-    "udf_pandas_normalize", udf_tiers.pandas_udf_normalize, udf_tiers.NORMALIZE_ORACLE
-)
+# UDF tiers (udf_pandas_normalize displaced to tier 2 for the
+# session-2 MIPS addition; udtf_runlength_encode remains in the
+# prefix as the family rep)
+register("sim_mips_topk", similarity.mips_topk, similarity.MIPS_TOPK_ORACLE)
 # ML
 register(
     "ml_linear_fit_closed_form",
@@ -137,7 +137,11 @@ register(
 # (join_q5_region_revenue displaced to tier 2 for the session-2
 # k-fold addition; joins keep q3 + order_backlog in the prefix)
 register("sample_kfold_assign", sampling.kfold_assign, sampling.KFOLD_ASSIGN_ORACLE)
-register("io_bucketed_join", io_ops.bucketed_join, io_ops.BUCKETED_JOIN_ORACLE)
+# (io_bucketed_join — stable since round 2, plan-pinned by
+# tests/test_bucketing.py — displaced to tier 2 for the session-2
+# drawdown addition; io keeps zorder/schema-evolution/compaction/
+# python-datasource in the prefix)
+register("window_max_drawdown", windows.max_drawdown, windows.MAX_DRAWDOWN_ORACLE)
 # round-3 session-2 additions (driver-unseen → verified prefix;
 # displaced r02/r03-stable entries: io_ddl_create_insert_scan,
 # text_vocab_build, clean_impute_group_median → tier 2)
@@ -261,10 +265,13 @@ register(
 # tier 2 — r02/r03-stable — for the Python DataSource + table-arg
 # UDTF additions below)
 register("text_winnow_fingerprints", text.winnow_fingerprints, text.WINNOW_ORACLE)
+# (dedup_duplicate_clusters — r02 driver-green — displaced to tier 2
+# for the session-2 hysteresis addition; dedup keeps chunk_first_wins,
+# triangles, lsh_recall, embedding_neardup/_clusters in the prefix)
 register(
-    "dedup_duplicate_clusters",
-    dedup.duplicate_clusters,
-    dedup.DUPLICATE_CLUSTERS_ORACLE,
+    "events_alert_hysteresis",
+    events_ops.alert_hysteresis,
+    events_ops.ALERT_HYSTERESIS_ORACLE,
 )
 register(
     "streaming_left_join_attribution",
@@ -533,6 +540,11 @@ register(
 
 # --- deduplication ------------------------------------------------------------
 register(
+    "dedup_duplicate_clusters",
+    dedup.duplicate_clusters,
+    dedup.DUPLICATE_CLUSTERS_ORACLE,
+)
+register(
     "dedup_minhash_lsh_candidates",
     dedup.minhash_lsh_candidates,
     dedup.MINHASH_LSH_ORACLE,
@@ -579,6 +591,9 @@ register("media_frame_sample", multimodal.frame_sample, multimodal.FRAME_SAMPLE_
 register("media_resize_stub", multimodal.resize_stub, multimodal.RESIZE_STUB_ORACLE)
 
 # --- UDF tiers (same logic, same oracle: codegen vs Arrow escape hatch) --------
+register(
+    "udf_pandas_normalize", udf_tiers.pandas_udf_normalize, udf_tiers.NORMALIZE_ORACLE
+)
 register(
     "udaf_pandas_weighted_mean",
     udf_tiers.udaf_pandas_weighted_mean,
@@ -629,6 +644,7 @@ register("mllib_pca_variance", mllib_ops.mllib_pca_variance, None)
 register("sim_ivf_recall", similarity.ivf_recall_vs_exact, None)
 
 # --- sources / sinks / DDL (SURVEY §2.1 S1-S7) ---------------------------------
+register("io_bucketed_join", io_ops.bucketed_join, io_ops.BUCKETED_JOIN_ORACLE)
 register("io_ddl_create_insert_scan", io_ops.ddl_create_insert_scan, io_ops.DDL_ORACLE)
 register("io_scd2_merge", io_ops.scd2_dimension_merge, io_ops.SCD2_ORACLE)
 register("io_csv_roundtrip", io_ops.csv_roundtrip, io_ops.CSV_ROUNDTRIP_ORACLE)

@@ -45,6 +45,10 @@ HEADLINE = [
     # round 3 late addition: passage-level first-wins dedup — the
     # corpus-wide fingerprint shuffle shape (CCNet line dedup)
     "dedup_chunk_first_wins",
+    # round-3 session 2: the two-stage prefix-sum + prefix-MAX
+    # primitive (running peak / drawdown) — holds the new global
+    # running-aggregate path in the bench
+    "window_max_drawdown",
 ]
 
 

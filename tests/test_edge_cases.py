@@ -802,3 +802,71 @@ def test_chunk_ops_ignore_null_text(spark, tmp_path):
     assert chunk_ids == [0]
     cls_ids = [r["doc_id"] for r in quality_classifier(spark, sf).collect()]
     assert cls_ids == [0]
+
+
+def test_alert_hysteresis_dead_band_holds_state(spark, tmp_path):
+    """Hand-placed stream crossing the 80/20 thresholds: values in
+    the dead band must HOLD the previous state (not flap), equality
+    at a threshold is a hold, and a re-open after close is a second
+    episode."""
+    import pandas as pd
+
+    from backend_model_spark.operators.events_ops import alert_hysteresis
+
+    t0 = pd.Timestamp("2024-01-01")
+    #        value   state after (open>80, close<20, else hold)
+    stream = [
+        (50.0, 0),  # dead band, never alerted → 0
+        (85.0, 1),  # opens
+        (40.0, 1),  # dead band → holds open (a 20<v<80 must NOT close)
+        (80.0, 1),  # equality is NOT > 80 → hold (still open)
+        (10.0, 0),  # closes
+        (79.9, 0),  # dead band → holds closed
+        (90.0, 1),  # second episode
+    ]
+    ev = pd.DataFrame(
+        {
+            "event_id": range(len(stream)),
+            "ts": [t0 + pd.Timedelta(minutes=i) for i in range(len(stream))],
+            "user_id": [7] * len(stream),
+            "event_type": ["m"] * len(stream),
+            "value": [v for v, _ in stream],
+            "props": ["{}"] * len(stream),
+        }
+    )
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev.to_parquet(f"{tmp_path}/events.parquet")
+    row = alert_hysteresis(spark, str(tmp_path)).collect()[0]
+    assert row["n_events"] == len(stream)
+    assert row["n_alert_events"] == sum(s for _, s in stream)
+    assert row["n_episodes"] == 2
+
+
+def test_max_drawdown_monotone_series_is_zero(spark, tmp_path):
+    """A strictly rising revenue curve has zero drawdown everywhere;
+    a single dip day must be the unique worst drawdown, valued at
+    exactly peak − cumulative in cents."""
+    import pandas as pd
+
+    from backend_model_spark.operators.windows import max_drawdown
+
+    days = pd.date_range("2024-01-01", periods=6, freq="D")
+    # daily revenue: rising, then a refund-heavy day (negative), then recovery
+    revs = [100.0, 200.0, 300.0, -250.0, 50.0, 400.0]
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(len(revs)),
+            "o_custkey": [1] * len(revs),
+            "o_orderstatus": ["O"] * len(revs),
+            "o_totalprice": revs,
+            "o_orderdate": days,
+            "o_orderpriority": ["1-URGENT"] * len(revs),
+        }
+    )
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
+    orders.to_parquet(f"{tmp_path}/orders.parquet")
+    out = max_drawdown(spark, str(tmp_path)).collect()
+    # cum: 100 300 600 350 400 800 ; peak: 100 300 600 600 600 800
+    assert out[0]["day"] == "2024-01-04" and out[0]["drawdown"] == 250.0
+    assert out[1]["day"] == "2024-01-05" and out[1]["drawdown"] == 200.0
+    assert out[2]["drawdown"] == 0.0

@@ -578,3 +578,35 @@ def test_kfold_single_scan_persisted_counts(spark, sf_dir):
     assert plan.count("Location: InMemoryFileIndex") == 1, "corpus must be scanned once"
     assert "InMemoryTableScan" in plan, "fold counts must be persisted"
     assert "Window" not in plan
+
+
+def test_alert_hysteresis_user_partitioned_single_scan(spark, sf_dir):
+    """Hysteresis alerting must window by high-cardinality user_id
+    (never the 5-value event_type) over ONE pushed-down scan."""
+    df = _QUERIES["events_alert_hysteresis"](spark, sf_dir)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert not _global_window_nodes(logical)
+    plan = plan_of(spark, "events_alert_hysteresis", sf_dir)
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "PushedFilters: [IsNotNull(ts), IsNotNull(value)" in plan
+
+
+def test_mips_topk_broadcast_and_group_limit(spark, sf_dir):
+    """MIPS top-k must broadcast the pruned query side (vec_id<N
+    pushed to parquet) and plan the per-query rank filter as a
+    WindowGroupLimit, not a full sort+filter."""
+    plan = plan_of(spark, "sim_mips_topk", sf_dir)
+    assert "LessThan(vec_id,10)" in plan, "query-side prune must reach parquet"
+    assert "WindowGroupLimit" in plan, "top-k must push the rank limit"
+    assert "CartesianProduct" not in plan
+
+
+def test_max_drawdown_two_stage_primitives(spark, sf_dir):
+    """Max drawdown must derive its running sum AND running peak from
+    the two-stage global primitive — no unpartitioned WindowExec —
+    over ONE scan of orders, with top-3 as TakeOrderedAndProject."""
+    df = _QUERIES["window_max_drawdown"](spark, sf_dir)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert not _global_window_nodes(logical)
+    plan = plan_of(spark, "window_max_drawdown", sf_dir)
+    assert "TakeOrderedAndProject" in plan, "top-3 must not be a global sort"

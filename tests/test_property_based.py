@@ -775,3 +775,100 @@ def test_kfold_assign_matches_hashlib(spark, data):
     for f, n in ref.items():
         assert out.loc[f, "n_docs"] == n
         assert abs(out.loc[f, "fold_share"] - n / len(texts)) < 2e-6
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.floats(min_value=0.0, max_value=100.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_alert_hysteresis_matches_python(spark, vals):
+    """events_alert_hysteresis against a direct Python state machine:
+    open >80, close <20, hold in the dead band."""
+    from backend_model_spark.operators.events_ops import (
+        ALERT_HI,
+        ALERT_LO,
+        alert_hysteresis,
+    )
+
+    sf = os.path.join(SCRATCH, uuid.uuid4().hex[:12])
+    os.makedirs(sf, exist_ok=True)
+    base = pd.Timestamp("2024-01-01")
+    events = pd.DataFrame(
+        {
+            "event_id": range(len(vals)),
+            "ts": [base + pd.Timedelta(minutes=i) for i in range(len(vals))],
+            "user_id": [u for u, _ in vals],
+            "event_type": ["metric"] * len(vals),
+            "value": [v for _, v in vals],
+            "props": ["{}"] * len(vals),
+        }
+    )
+    events["ts"] = events["ts"].astype("datetime64[us]")
+    events.to_parquet(os.path.join(sf, "events.parquet"))
+
+    out = alert_hysteresis(spark, sf).toPandas().set_index("user_id")
+
+    streams: dict[int, list[float]] = {}
+    for u, v in vals:
+        streams.setdefault(u, []).append(v)
+    for u, stream in streams.items():
+        state, n_alert, n_episodes = 0, 0, 0
+        for v in stream:
+            prev = state
+            if v > ALERT_HI:
+                state = 1
+            elif v < ALERT_LO:
+                state = 0
+            if state == 1:
+                n_alert += 1
+                if prev == 0:
+                    n_episodes += 1
+        row = out.loc[u]
+        assert row["n_events"] == len(stream)
+        assert row["n_alert_events"] == n_alert
+        assert row["n_episodes"] == n_episodes
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-3, max_value=3), min_size=1, max_size=60
+    )
+)
+def test_prefix_max_matches_window_semantics(spark, vals):
+    """with_global_rank's prefix_max against the single-partition
+    window truth, under a forced multi-partition range layout."""
+    from pyspark.sql import functions as F
+
+    from backend_model_spark.operators.scale_utils import with_global_rank
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, v long"
+    ).repartition(8)
+    out = (
+        with_global_rank(
+            df, [F.col("i").asc()], "rank", prefix_max=("v", "run_max")
+        )
+        .orderBy("i")
+        .collect()
+    )
+    run = None
+    for row, v in zip(out, vals):
+        run = v if run is None else max(run, v)
+        assert row["rank"] == row["i"] + 1
+        assert row["run_max"] == run

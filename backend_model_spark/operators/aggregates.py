@@ -931,3 +931,58 @@ SELECT
   ROUND(SUM(m) / COUNT(*) + 1.96 * stddev_samp(m), 6) AS ci_hi
 FROM means
 """
+
+
+def exact_median_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global median order price WITHOUT the single-reduce
+    ``percentile`` aggregate: two-stage global rank over integer
+    cents, then the order-statistic definition (mean of the ⌈n/2⌉-th
+    and ⌊n/2⌋+1-th values — identical to linear-interpolation
+    ``quantile_cont(0.5)``). At 100 TB the sort-based ``percentile``
+    aggregate funnels every value through one reducer; this
+    formulation is the distributed exact path (the repo's
+    ``approx_percentile`` siblings are the cheap alternative when
+    exactness isn't contractual).
+
+    Scale: one scan; the rank primitive range-partitions the cents
+    column (balanced by construction), and the middle-rank filter +
+    final 1-row aggregate move no data.
+    """
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        "o_orderkey",
+    )
+    ranked = with_global_rank(
+        orders,
+        [F.col("cents").asc(), F.col("o_orderkey").asc()],
+        "r",
+        total_col="n",
+    )
+    middle = ranked.filter(
+        (F.col("r") == F.expr("(n + 1) div 2")) | (F.col("r") == F.expr("n div 2 + 1"))
+    )
+    return middle.agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.round(F.sum("cents") / F.count(F.lit(1)) / 100.0, 6).alias("median_price"),
+    )
+
+
+EXACT_MEDIAN_ORACLE = """
+WITH c AS (
+  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents, o_orderkey
+  FROM orders
+),
+r AS (
+  SELECT cents,
+    ROW_NUMBER() OVER (ORDER BY cents ASC, o_orderkey ASC) AS rn,
+    COUNT(*) OVER () AS n
+  FROM c
+)
+SELECT
+  CAST(MAX(n) AS BIGINT) AS n_orders,
+  ROUND(SUM(cents) / COUNT(*) / 100.0, 6) AS median_price
+FROM r
+WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+"""

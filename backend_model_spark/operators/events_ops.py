@@ -1980,3 +1980,57 @@ FROM edged
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+def path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: counts of consecutive 3-step event-type
+    paths per user timeline (the Sankey/flow-diagram input one level
+    deeper than :func:`event_type_transition_counts`' pairs). Top 20
+    paths.
+
+    Scale: double-lead over the user-partitioned ordered window — no
+    self-joins, adjacency lives in the window; the count shuffle is a
+    word-count shape with map-side combine; top-20 is a
+    TakeOrderedAndProject.
+    """
+    ev = load_table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.select(
+            F.col("event_type").alias("step1"),
+            F.lead("event_type", 1).over(w).alias("step2"),
+            F.lead("event_type", 2).over(w).alias("step3"),
+        )
+        .filter(F.col("step2").isNotNull() & F.col("step3").isNotNull())
+        .groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(
+            F.col("n_paths").desc(),
+            F.col("step1").asc(),
+            F.col("step2").asc(),
+            F.col("step3").asc(),
+        )
+        .limit(20)
+    )
+
+
+PATH_TRIGRAMS_ORACLE = """
+WITH stepped AS (
+  SELECT
+    event_type AS step1,
+    LEAD(event_type, 1) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+    ) AS step2,
+    LEAD(event_type, 2) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+    ) AS step3
+  FROM events
+  WHERE ts IS NOT NULL
+)
+SELECT step1, step2, step3, CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM stepped
+WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+GROUP BY step1, step2, step3
+ORDER BY n_paths DESC, step1 ASC, step2 ASC, step3 ASC
+LIMIT 20
+"""

@@ -666,3 +666,90 @@ FROM ranked
 WHERE rank <= {TOP_K}
 ORDER BY q_id, rank
 """
+
+
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label prediction (k = TOP_K) for the first N_QUERIES
+    vectors: cosine neighbors vote, majority label wins
+    (ties break to the lexicographically smaller label) — the
+    classifier every embedding store exposes as a primitive.
+
+    Scale: the same broadcast-query / single-corpus-scan / windowed
+    top-k skeleton as the cosine search; the vote is a TOP_K-row
+    groupBy per query (map-side combinable) and one more tiny window
+    over ≤k rows per query to pick the winner.
+    """
+    emb = _as_double(load_table(spark, "embeddings", sf_dir)).withColumn(
+        "vn", F.expr(NORM.format(a="v"))
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
+    )
+    cos = F.expr(f"{DOT.format(a='qv', b='v')} / (qn * vn)")
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    neighbors = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        .withColumn("cosine", F.round(cos, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+    votes = neighbors.groupBy("q_id", "q_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = W.partitionBy("q_id").orderBy(F.col("n_votes").desc(), F.col("label").asc())
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "q_id",
+            "q_label",
+            F.col("label").alias("pred_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+            (F.col("label") == F.col("q_label")).alias("correct"),
+        )
+        .orderBy("q_id")
+    )
+
+
+KNN_CLASSIFY_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (
+  SELECT vec_id AS q_id, label AS q_label, v AS qv
+  FROM v WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.q_id, q.q_label, v.vec_id, v.label,
+    ROUND(
+      {DOT_SQL.format(a="q.qv", b="v.v", dim=DIM)}
+      / ({NORM_SQL.format(a="q.qv", dim=DIM)} * {NORM_SQL.format(a="v.v", dim=DIM)}),
+    6) AS cosine
+  FROM q JOIN v ON v.vec_id <> q.q_id
+),
+topk AS (
+  SELECT * FROM (
+    SELECT q_id, q_label, label,
+      ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC
+      ) AS rank
+    FROM scored
+  ) WHERE rank <= {TOP_K}
+),
+votes AS (
+  SELECT q_id, q_label, label, CAST(COUNT(*) AS BIGINT) AS n_votes
+  FROM topk GROUP BY q_id, q_label, label
+)
+SELECT q_id, q_label, label AS pred_label, n_votes,
+  label = q_label AS correct
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY q_id ORDER BY n_votes DESC, label ASC
+  ) AS vr
+  FROM votes
+) WHERE vr = 1
+ORDER BY q_id
+"""

@@ -16,7 +16,7 @@ tiers:
   SURVEY.md §2.
 * TIER 2 (remainder): the rest of each family, grouped as before.
 
-227 registered queries; names are stable across rounds — only
+231 registered queries; names are stable across rounds — only
 insertion order (the verified prefix) rotates.
 """
 
@@ -122,17 +122,23 @@ register(
     events_ops.SEASONAL_DECOMPOSE_ORACLE,
 )
 register("stat_bootstrap_ci", aggregates.bootstrap_ci, aggregates.BOOTSTRAP_CI_ORACLE)
-register("window_rfm_segments", windows.rfm_segmentation, windows.RFM_ORACLE)
+# (window_rfm_segments — bench-held and plan-pinned since its r3
+# rewrite — displaced to tier 2 for the session-2 batch-3 additions)
+register(
+    "io_dynamic_partition_overwrite",
+    io_ops.dynamic_partition_overwrite,
+    io_ops.DYNAMIC_OVERWRITE_ORACLE,
+)
 register(
     "agg_revenue_concentration",
     aggregates.revenue_concentration,
     aggregates.CONCENTRATION_ORACLE,
 )
 register("text_source_kl", text.source_kl_divergence, text.KL_DIVERGENCE_ORACLE)
+# (text_repetition_signals — stable since r3-early — displaced to
+# tier 2 for the path-trigram addition)
 register(
-    "text_repetition_signals",
-    text.repetition_signals,
-    text.REPETITION_SIGNALS_ORACLE,
+    "events_path_trigrams", events_ops.path_trigrams, events_ops.PATH_TRIGRAMS_ORACLE
 )
 # (join_q5_region_revenue displaced to tier 2 for the session-2
 # k-fold addition; joins keep q3 + order_backlog in the prefix)
@@ -152,11 +158,12 @@ register(
     "events_autocorr", events_ops.daily_autocorrelation, events_ops.AUTOCORR_ORACLE
 )
 register("stat_ab_welch", events_ops.ab_welch_ttest, events_ops.AB_WELCH_ORACLE)
-register("join_order_backlog", joins.order_backlog_series, joins.BACKLOG_ORACLE)
+# (join_order_backlog and sample_importance_resample — both stable
+# and plan-pinned — displaced to tier 2 for the kNN classifier and
+# the rank-based exact median)
+register("sim_knn_classify", similarity.knn_classify, similarity.KNN_CLASSIFY_ORACLE)
 register(
-    "sample_importance_resample",
-    sampling.importance_resample,
-    sampling.IMPORTANCE_RESAMPLE_ORACLE,
+    "agg_exact_median_rank", aggregates.exact_median_rank, aggregates.EXACT_MEDIAN_ORACLE
 )
 # (window_revenue_growth displaced to tier 2 for dq_observe; windows
 # family keeps rfm + percent_of_parent in the prefix)
@@ -371,6 +378,7 @@ register(
 register("func_fuzzy_match", scalar_funcs.fuzzy_name_match, scalar_funcs.FUZZY_MATCH_ORACLE)
 
 # --- joins (SURVEY §2.3) -----------------------------------------------------
+register("join_order_backlog", joins.order_backlog_series, joins.BACKLOG_ORACLE)
 register("join_q5_region_revenue", joins.q5_region_revenue, joins.Q5_ORACLE)
 register("join_semi_recent", joins.customers_with_recent_orders, joins.SEMI_JOIN_ORACLE)
 register(
@@ -431,6 +439,7 @@ register(
 )
 
 # --- windows (SURVEY §2.6) ---------------------------------------------------
+register("window_rfm_segments", windows.rfm_segmentation, windows.RFM_ORACLE)
 register(
     "window_top_per_customer",
     windows.top_orders_per_customer,
@@ -510,6 +519,11 @@ register(
 register("events_late_audit", events_ops.late_data_audit, events_ops.LATE_DATA_ORACLE)
 
 # --- text analysis (LLM-data-pipeline surface) -------------------------------
+register(
+    "text_repetition_signals",
+    text.repetition_signals,
+    text.REPETITION_SIGNALS_ORACLE,
+)
 register("text_vocab_build", text.vocab_build, text.VOCAB_ORACLE)
 register("text_quality_scores", text.quality_scores, text.QUALITY_ORACLE)
 register("text_token_stats", text.token_stats_per_lang, text.TOKEN_STATS_ORACLE)
@@ -610,6 +624,11 @@ register(
 )
 
 # --- sampling / dataset mixing (training-data selection layer) -----------------
+register(
+    "sample_importance_resample",
+    sampling.importance_resample,
+    sampling.IMPORTANCE_RESAMPLE_ORACLE,
+)
 register(
     "sample_stratified_hash",
     sampling.stratified_sample,

@@ -1151,3 +1151,74 @@ FROM ticks
 GROUP BY sensor_id
 ORDER BY sensor_id
 """
+
+
+def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite lifecycle (the restatement path of
+    a partitioned lake table): seed orders partitioned by year, then
+    overwrite ONLY the partitions present in a restatement batch
+    (1995 repriced +10%) with
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` — untouched
+    year directories must survive byte-for-byte, which static
+    overwrite mode would delete. Integer-cent arithmetic end to end.
+
+    Scale: the restatement write shuffles only the restated year's
+    rows; the final report is a partition-pruned scan + map-side
+    rollup. This is the engine-level primitive Delta/Iceberg
+    `replaceWhere`/`overwritePartitions` compile to.
+    """
+    path = _scratch("dyn_overwrite", "orders_by_year")
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.year("o_orderdate").alias("order_year"),
+    )
+    orders.write.mode("overwrite").partitionBy("order_year").parquet(path)
+    restated = orders.filter(F.col("order_year") == 1995).withColumn(
+        "cents", F.expr("cents * 11 div 10")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        restated.write.mode("overwrite").partitionBy("order_year").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return (
+        spark.read.parquet(path)
+        .groupBy("order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select(
+            F.col("order_year").cast("int").alias("order_year"),
+            "n_orders",
+            F.col("sum_cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("order_year")
+    )
+
+
+DYNAMIC_OVERWRITE_ORACLE = """
+WITH base AS (
+  SELECT
+    CAST(year(o_orderdate) AS INTEGER) AS order_year,
+    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+merged AS (
+  SELECT order_year,
+    CASE WHEN order_year = 1995
+         THEN CAST(cents * 11 // 10 AS BIGINT) ELSE cents END AS cents
+  FROM base
+)
+SELECT order_year,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM merged
+GROUP BY order_year
+ORDER BY order_year
+"""

@@ -870,3 +870,52 @@ def test_max_drawdown_monotone_series_is_zero(spark, tmp_path):
     assert out[0]["day"] == "2024-01-04" and out[0]["drawdown"] == 250.0
     assert out[1]["day"] == "2024-01-05" and out[1]["drawdown"] == 200.0
     assert out[2]["drawdown"] == 0.0
+
+
+def test_dynamic_partition_overwrite_leaves_other_partitions_untouched(
+    spark, tmp_path
+):
+    """The core dynamic-overwrite contract: overwriting a restated
+    year must replace ONLY that year's directory — files of untouched
+    years survive with identical names (static mode would delete
+    them)."""
+    import os
+
+    import pandas as pd
+
+    path = str(tmp_path / "orders_by_year")
+    seed = pd.DataFrame(
+        {
+            "o_orderkey": range(6),
+            "cents": [100, 200, 300, 400, 500, 600],
+            "order_year": [1994, 1994, 1995, 1995, 1996, 1996],
+        }
+    )
+    sdf = spark.createDataFrame(seed)
+    sdf.write.mode("overwrite").partitionBy("order_year").parquet(path)
+
+    def files_of(year):
+        d = os.path.join(path, f"order_year={year}")
+        return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+    before_94, before_96 = files_of(1994), files_of(1996)
+    restated = spark.createDataFrame(
+        pd.DataFrame(
+            {"o_orderkey": [2, 3], "cents": [330, 440], "order_year": [1995, 1995]}
+        )
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        restated.write.mode("overwrite").partitionBy("order_year").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    assert files_of(1994) == before_94, "1994 files must survive untouched"
+    assert files_of(1996) == before_96, "1996 files must survive untouched"
+    got = {
+        (r["order_year"], r["cents"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(1994, 100), (1994, 200), (1995, 330), (1995, 440),
+                   (1996, 500), (1996, 600)}

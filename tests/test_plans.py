@@ -610,3 +610,35 @@ def test_max_drawdown_two_stage_primitives(spark, sf_dir):
     assert not _global_window_nodes(logical)
     plan = plan_of(spark, "window_max_drawdown", sf_dir)
     assert "TakeOrderedAndProject" in plan, "top-3 must not be a global sort"
+
+
+def test_path_trigrams_take_ordered(spark, sf_dir):
+    """Double-lead path mining must window by user_id and plan top-20
+    as TakeOrderedAndProject."""
+    plan = plan_of(spark, "events_path_trigrams", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_knn_classify_prunes_query_scan(spark, sf_dir):
+    """kNN classification must push the query-side vec_id prune to
+    parquet and plan the per-query rank filter as WindowGroupLimit."""
+    plan = plan_of(spark, "sim_knn_classify", sf_dir)
+    assert "LessThan(vec_id,10)" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_exact_median_rank_matches_percentile(spark, sf_dir):
+    """The rank-based exact median must equal the single-reduce
+    percentile aggregate it replaces (on the same integer cents)."""
+    from pyspark.sql import functions as F
+
+    from backend_model_spark.sources.tables import load_table
+
+    row = _QUERIES["agg_exact_median_rank"](spark, sf_dir).collect()[0]
+    cents = load_table(spark, "orders", sf_dir).select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("c")
+    )
+    ref = cents.agg(F.percentile("c", F.lit(0.5)).alias("m")).collect()[0]["m"]
+    assert abs(row["median_price"] - round(ref / 100.0, 6)) < 1e-9

@@ -1469,3 +1469,80 @@ SELECT
              * 1000000.0 / COUNT(ca)) AS BIGINT) AS precision_ppm
 FROM joined
 """
+
+
+SKETCH_BUCKETS = 65536
+
+
+def bloom_prefilter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup against a reference corpus with a
+    Bloom-style membership pre-filter: even doc_ids are the
+    already-ingested reference, odd doc_ids the incoming batch. The
+    reference collapses to its DISTINCT 16-bit fingerprint buckets —
+    a set that is BOUNDED at 65536 rows no matter the corpus size
+    (Spark 4 exposes no user-space `bloom_filter_agg`; a k=1
+    bucket-set is the same sketch with the bit array stored as a
+    broadcastable relation) — and a broadcast semi-join on the bucket
+    discards the vast non-duplicate majority BEFORE any fingerprint
+    shuffle; survivors are then EXACTLY verified with a semi-join on
+    the full digest. Results are identical to the plain semi-join
+    (the sketch has no false negatives; bucket-collision false
+    positives die in the verify) — which is what the DuckDB oracle
+    computes, so the hash check proves the pruned path preserves
+    semantics. Per-source duplicate counts.
+
+    Scale: this is the 100 TB shape for "dedup today's crawl against
+    the corpus": the reference is reduced to a ≤65536-row broadcast
+    sketch, the probe side never shuffles non-candidates, and the
+    exact join only sees the surviving candidate stream. Pruning
+    power is measured in tests/test_edge_cases.py.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    bucket = F.pmod(F.xxhash64("fp"), F.lit(SKETCH_BUCKETS))
+    with_fp = docs.select(
+        "doc_id", "source", F.md5(normalized.cast("binary")).alias("fp")
+    ).withColumn("bucket", bucket)
+    ref = with_fp.filter(F.col("doc_id") % 2 == 0)
+    probe = with_fp.filter(F.col("doc_id") % 2 == 1)
+    sketch = ref.select("bucket").distinct()
+    candidates = probe.join(F.broadcast(sketch), "bucket", "left_semi")
+    verified = candidates.join(
+        ref.select("fp").distinct(), "fp", "left_semi"
+    )
+    return (
+        probe.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_probe"))
+        .join(
+            verified.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_dup_vs_ref")
+            ),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "n_probe",
+            F.coalesce("n_dup_vs_ref", F.lit(0)).cast("long").alias("n_dup_vs_ref"),
+        )
+        .orderBy("source")
+    )
+
+
+BLOOM_PREFILTER_ORACLE = r"""
+WITH fps AS (
+  SELECT doc_id, source,
+    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+probe AS (SELECT * FROM fps WHERE doc_id % 2 = 1),
+ref AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0)
+SELECT
+  p.source,
+  CAST(COUNT(*) AS BIGINT) AS n_probe,
+  CAST(SUM(CASE WHEN r.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_vs_ref
+FROM probe p LEFT JOIN ref r ON p.fp = r.fp
+GROUP BY p.source
+ORDER BY p.source
+"""

@@ -217,3 +217,71 @@ def gbt_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "feature string, importance double"
     ).orderBy(F.col("importance").desc(), F.col("feature").asc())
+
+
+IRLS_STEPS = 8
+
+
+def logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic regression by IRLS (Newton–Raphson): at
+    each step the executors reduce the 3×3 Hessian ``Xᵀ W X`` and the
+    3-vector gradient as NINE sufficient-statistic aggregates in one
+    map-side pass; the driver solves the tiny system and broadcasts
+    the updated coefficients into the next step's expressions. The
+    driver never sees rows — only the 12 scalars per step — the same
+    contract as the connected-components loop. Model: P(order is
+    high-priority) ~ intercept + scaled price + scaled year.
+
+    Fixed IRLS_STEPS=8 steps (quadratic convergence makes that
+    effectively exact); deterministic given the data, but the nested
+    solve isn't SQL-expressible, so this is a rows-only registry
+    entry verified against a numpy IRLS reference in
+    tests/test_property_based.py.
+    """
+    import numpy as np
+
+    orders = load_table(spark, "orders", sf_dir)
+    feats = orders.select(
+        F.when(F.col("o_orderpriority") < "3", 1.0).otherwise(0.0).alias("y"),
+        (F.col("o_totalprice") / 100000.0).alias("x1"),
+        ((F.year("o_orderdate") - 1995) / 4.0).alias("x2"),
+    )
+    beta = np.zeros(3)
+    for _ in range(IRLS_STEPS):
+        b0, b1, b2 = (float(v) for v in beta)
+        eta = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        w = p * (F.lit(1.0) - p)
+        r = F.col("y") - p
+        x = [F.lit(1.0), F.col("x1"), F.col("x2")]
+        aggs = []
+        for i in range(3):
+            for j in range(i, 3):
+                aggs.append(F.sum(w * x[i] * x[j]).alias(f"h{i}{j}"))
+            aggs.append(F.sum(r * x[i]).alias(f"g{i}"))
+        row = feats.agg(*aggs).collect()[0]
+        H = np.array(
+            [
+                [row["h00"], row["h01"], row["h02"]],
+                [row["h01"], row["h11"], row["h12"]],
+                [row["h02"], row["h12"], row["h22"]],
+            ]
+        )
+        g = np.array([row["g0"], row["g1"], row["g2"]])
+        beta = beta + np.linalg.solve(H + 1e-9 * np.eye(3), g)
+    b0, b1, b2 = (float(v) for v in beta)
+    eta = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+    pred = (F.lit(1.0) / (F.lit(1.0) + F.exp(-eta)) > 0.5).cast("double")
+    metrics = feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg((pred == F.col("y")).cast("double")).alias("accuracy"),
+        F.avg("y").alias("base_rate"),
+    )
+    return metrics.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.lit(b0), 6).alias("beta0"),
+        F.round(F.lit(b1), 6).alias("beta1"),
+        F.round(F.lit(b2), 6).alias("beta2"),
+        F.round("accuracy", 6).alias("accuracy"),
+        F.round("base_rate", 6).alias("base_rate"),
+    )

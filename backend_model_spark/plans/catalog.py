@@ -16,7 +16,7 @@ tiers:
   SURVEY.md §2.
 * TIER 2 (remainder): the rest of each family, grouped as before.
 
-231 registered queries; names are stable across rounds — only
+233 registered queries; names are stable across rounds — only
 insertion order (the verified prefix) rotates.
 """
 
@@ -134,7 +134,11 @@ register(
     aggregates.revenue_concentration,
     aggregates.CONCENTRATION_ORACLE,
 )
-register("text_source_kl", text.source_kl_divergence, text.KL_DIVERGENCE_ORACLE)
+# (text_source_kl — r3-rewritten, locally re-verified every session —
+# displaced to tier 2 for the Bloom-prefilter dedup addition)
+register(
+    "dedup_bloom_prefilter", dedup.bloom_prefilter_dedup, dedup.BLOOM_PREFILTER_ORACLE
+)
 # (text_repetition_signals — stable since r3-early — displaced to
 # tier 2 for the path-trigram addition)
 register(
@@ -519,6 +523,7 @@ register(
 register("events_late_audit", events_ops.late_data_audit, events_ops.LATE_DATA_ORACLE)
 
 # --- text analysis (LLM-data-pipeline surface) -------------------------------
+register("text_source_kl", text.source_kl_divergence, text.KL_DIVERGENCE_ORACLE)
 register(
     "text_repetition_signals",
     text.repetition_signals,
@@ -658,6 +663,7 @@ register(
 # --- MLlib approximate variants (rows-only: no SQL-expressible oracle) --------
 register("mllib_minhash_neardup", mllib_ops.mllib_minhash_neardup, None)
 register("mllib_brp_ann_join", mllib_ops.mllib_brp_ann_join, None)
+register("ml_logistic_irls", ml_queries.logistic_irls, None)
 register("mllib_kmeans_clusters", mllib_ops.mllib_kmeans_clusters, None)
 register("mllib_pca_variance", mllib_ops.mllib_pca_variance, None)
 register("sim_ivf_recall", similarity.ivf_recall_vs_exact, None)

@@ -919,3 +919,54 @@ def test_dynamic_partition_overwrite_leaves_other_partitions_untouched(
     }
     assert got == {(1994, 100), (1994, 200), (1995, 330), (1995, 440),
                    (1996, 500), (1996, 600)}
+
+
+def test_bloom_prefilter_prunes_and_stays_exact(spark, tmp_path):
+    """Hand-built corpus: probe docs that duplicate reference content
+    must ALL be counted (no false negatives through the sketch), and
+    the bucket prefilter must actually prune — candidates strictly
+    fewer than probe rows on disjoint content."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from backend_model_spark.operators.dedup import (
+        SKETCH_BUCKETS,
+        bloom_prefilter_dedup,
+    )
+
+    # even ids = reference, odd ids = probe
+    rows = []
+    for i in range(0, 40, 2):
+        rows.append((i, f"ref doc number {i}", "en", "s0", 10))
+    rows.append((1, "ref doc number 0", "en", "s0", 10))   # exact dup of ref 0
+    rows.append((3, "ref doc number 2", "en", "s1", 10))   # exact dup of ref 2
+    for i in range(5, 25, 2):
+        rows.append((i, f"unique probe {i}", "en", "s1", 10))
+    docs = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    docs.to_parquet(f"{tmp_path}/documents.parquet")
+
+    out = bloom_prefilter_dedup(spark, str(tmp_path)).toPandas().set_index("source")
+    assert out.loc["s0", "n_dup_vs_ref"] == 1
+    assert out.loc["s1", "n_dup_vs_ref"] == 1
+    assert out["n_probe"].sum() == 12
+
+    # pruning power: re-derive the candidate stage and show the
+    # bucket semi-join discards non-duplicate probes (collisions in
+    # 65536 buckets are wildly unlikely for 10 unique probes)
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    with_fp = (
+        spark.read.parquet(f"{tmp_path}/documents.parquet")
+        .select("doc_id", F.md5(normalized.cast("binary")).alias("fp"))
+        .withColumn("bucket", F.pmod(F.xxhash64("fp"), F.lit(SKETCH_BUCKETS)))
+    )
+    ref_b = with_fp.filter(F.col("doc_id") % 2 == 0).select("bucket").distinct()
+    survivors = (
+        with_fp.filter(F.col("doc_id") % 2 == 1)
+        .join(F.broadcast(ref_b), "bucket", "left_semi")
+        .count()
+    )
+    assert survivors <= 4, "bucket prefilter failed to prune unique probes"
+    assert survivors >= 2, "sketch must never drop true duplicates"

@@ -642,3 +642,11 @@ def test_exact_median_rank_matches_percentile(spark, sf_dir):
     )
     ref = cents.agg(F.percentile("c", F.lit(0.5)).alias("m")).collect()[0]["m"]
     assert abs(row["median_price"] - round(ref / 100.0, 6)) < 1e-9
+
+
+def test_bloom_prefilter_broadcast_sketch(spark, sf_dir):
+    """The bucket sketch must reach the probe as a broadcast semi-join
+    (never a shuffle), followed by the exact fingerprint verify."""
+    plan = plan_of(spark, "dedup_bloom_prefilter", sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan

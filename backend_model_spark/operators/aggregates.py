@@ -999,3 +999,69 @@ SELECT
 FROM r
 WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
 """
+
+
+def weighted_median_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median of lineitem extended price: the
+    smallest price whose cumulative quantity weight reaches half the
+    total — the weighted order statistic that plain ``percentile``
+    cannot express. Built on the same two-stage global rank/prefix-sum
+    primitive as :func:`exact_median_rank` (integer cents + integer
+    deci-quantity weights, so the cumulative comparison is exact).
+
+    Scale: one scan; range-partitioned rank with per-partition
+    prefix sums + broadcast offsets; the threshold filter and 1-row
+    readout move no data.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.floor(F.col("l_quantity") * 10 + F.lit(0.5)).cast("long").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = with_global_rank(
+        li,
+        [
+            F.col("cents").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+        "r",
+        prefix_sum=("wt", "cum_wt"),
+        grand_total=("wt", "total_wt"),
+    )
+    # first row where 2*cum_wt >= total_wt (integer-exact half test)
+    hit = ranked.filter(2 * F.col("cum_wt") >= F.col("total_wt"))
+    return hit.agg(
+        F.count(F.lit(1)).cast("long").alias("n_at_or_above"),
+        F.round(F.min(F.col("cents")) / 100.0, 6).alias("weighted_median"),
+        F.max(F.col("total_wt")).cast("long").alias("total_deciqty"),
+    )
+
+
+WEIGHTED_MEDIAN_ORACLE = """
+WITH c AS (
+  SELECT
+    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+    CAST(FLOOR(l_quantity * 10 + 0.5) AS BIGINT) AS wt,
+    l_orderkey, l_linenumber
+  FROM lineitem
+),
+r AS (
+  SELECT cents, wt,
+    SUM(wt) OVER (
+      ORDER BY cents ASC, l_orderkey ASC, l_linenumber ASC
+      ROWS UNBOUNDED PRECEDING
+    ) AS cum_wt,
+    SUM(wt) OVER () AS total_wt
+  FROM c
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_at_or_above,
+  ROUND(MIN(cents) / 100.0, 6) AS weighted_median,
+  CAST(MAX(total_wt) AS BIGINT) AS total_deciqty
+FROM r
+WHERE 2 * cum_wt >= total_wt
+"""

@@ -2034,3 +2034,59 @@ GROUP BY step1, step2, step3
 ORDER BY n_paths DESC, step1 ASC, step2 ASC, step3 ASC
 LIMIT 20
 """
+
+
+def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per event type: the gap in
+    seconds between consecutive events of the same type within each
+    user's timeline — the queueing/alerting statistic behind burst
+    detection and rate-limit sizing. Exact median/p90 over the gap
+    population, plus count and mean.
+
+    Scale: one lag over (user_id, event_type)-partitioned windows
+    (high-cardinality keys), then a 5-row grouped aggregate; the
+    exact percentile runs per-type over grouped gaps — swap
+    ``approx_percentile`` at 100 TB.
+    """
+    ev = load_table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gaps = (
+        ev.withColumn("prev_us", F.lag(_us("ts"), 1).over(w))
+        .filter(F.col("prev_us").isNotNull())
+        .select(
+            "event_type",
+            ((_us("ts") - F.col("prev_us")) / 1_000_000.0).alias("gap_s"),
+        )
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.avg("gap_s"), 6).alias("mean_gap_s"),
+            F.round(F.percentile("gap_s", F.lit(0.5)), 6).alias("median_gap_s"),
+            F.round(F.percentile("gap_s", F.lit(0.9)), 6).alias("p90_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+INTERARRIVAL_ORACLE = """
+WITH gaps AS (
+  SELECT event_type,
+    (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+      PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC
+    )) / 1000000.0 AS gap_s
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_gaps,
+  ROUND(AVG(gap_s), 6) AS mean_gap_s,
+  ROUND(quantile_cont(gap_s, 0.5), 6) AS median_gap_s,
+  ROUND(quantile_cont(gap_s, 0.9), 6) AS p90_gap_s
+FROM gaps
+WHERE gap_s IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -16,7 +16,7 @@ tiers:
   SURVEY.md §2.
 * TIER 2 (remainder): the rest of each family, grouped as before.
 
-233 registered queries; names are stable across rounds — only
+235 registered queries; names are stable across rounds — only
 insertion order (the verified prefix) rotates.
 """
 
@@ -80,7 +80,14 @@ register(
 # importance_resample / temperature_mix / curriculum_order remain)
 # sources / sinks (io_csv_roundtrip displaced to tier 2 for the
 # z-order layout probe; io keeps 5 other tier-1 reps)
-register("io_zorder_layout", io_ops.zorder_layout, io_ops.ZORDER_LAYOUT_ORACLE)
+# (io_zorder_layout — r3-stable, measured in SCALE.md — displaced to
+# tier 2 for the weighted-median addition; io keeps dynamic-overwrite,
+# schema-evolution, compaction, python-datasource in the prefix)
+register(
+    "agg_weighted_median_rank",
+    aggregates.weighted_median_rank,
+    aggregates.WEIGHTED_MEDIAN_ORACLE,
+)
 # SQL API (grouping_sets displaced to tier 2; the round-3 LATERAL
 # entry below is the family's prefix rep)
 # cleaning (junk_filter displaced to tier 2; impute_group_median
@@ -129,10 +136,11 @@ register(
     io_ops.dynamic_partition_overwrite,
     io_ops.DYNAMIC_OVERWRITE_ORACLE,
 )
+# (agg_revenue_concentration — r3-rewrite, plan-pinned and locally
+# re-verified every session — displaced to tier 2 for the
+# inter-arrival addition)
 register(
-    "agg_revenue_concentration",
-    aggregates.revenue_concentration,
-    aggregates.CONCENTRATION_ORACLE,
+    "events_interarrival", events_ops.interarrival_stats, events_ops.INTERARRIVAL_ORACLE
 )
 # (text_source_kl — r3-rewritten, locally re-verified every session —
 # displaced to tier 2 for the Bloom-prefilter dedup addition)
@@ -300,6 +308,11 @@ register("agg_unpivot_rates", relational.unpivot_lineitem_rates, relational.UNPI
 register("dq_audit", relational.dq_audit, relational.DQ_AUDIT_ORACLE)
 
 # --- aggregates (SURVEY §2.5) ----------------------------------------------
+register(
+    "agg_revenue_concentration",
+    aggregates.revenue_concentration,
+    aggregates.CONCENTRATION_ORACLE,
+)
 register("agg_chi2_independence", aggregates.chi2_independence, aggregates.CHI2_ORACLE)
 register(
     "agg_grouped_orders",
@@ -669,6 +682,7 @@ register("mllib_pca_variance", mllib_ops.mllib_pca_variance, None)
 register("sim_ivf_recall", similarity.ivf_recall_vs_exact, None)
 
 # --- sources / sinks / DDL (SURVEY §2.1 S1-S7) ---------------------------------
+register("io_zorder_layout", io_ops.zorder_layout, io_ops.ZORDER_LAYOUT_ORACLE)
 register("io_bucketed_join", io_ops.bucketed_join, io_ops.BUCKETED_JOIN_ORACLE)
 register("io_ddl_create_insert_scan", io_ops.ddl_create_insert_scan, io_ops.DDL_ORACLE)
 register("io_scd2_merge", io_ops.scd2_dimension_merge, io_ops.SCD2_ORACLE)

@@ -650,3 +650,12 @@ def test_bloom_prefilter_broadcast_sketch(spark, sf_dir):
     plan = plan_of(spark, "dedup_bloom_prefilter", sf_dir)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_weighted_median_no_global_window(spark, sf_dir):
+    """The weighted median must route its cumulative weight through
+    the two-stage prefix-sum primitive, never an unpartitioned
+    running-sum window."""
+    df = _QUERIES["agg_weighted_median_rank"](spark, sf_dir)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert not _global_window_nodes(logical)

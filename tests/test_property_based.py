@@ -931,3 +931,60 @@ def test_logistic_irls_matches_numpy(spark, seed):
     assert abs(row["beta1"] - beta[1]) < 1e-4
     assert abs(row["beta2"] - beta[2]) < 1e-4
     assert row["accuracy"] >= max(row["base_rate"], 1 - row["base_rate"]) - 0.05
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.floats(min_value=1.0, max_value=500.0, allow_nan=False),
+            st.integers(min_value=1, max_value=50),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_weighted_median_matches_python(spark, vals):
+    """agg_weighted_median_rank against a direct Python weighted
+    order statistic (smallest value whose cumulative weight reaches
+    half the total)."""
+    from backend_model_spark.operators.aggregates import weighted_median_rank
+
+    sf = os.path.join(SCRATCH, uuid.uuid4().hex[:12])
+    os.makedirs(sf, exist_ok=True)
+    li = pd.DataFrame(
+        {
+            "l_orderkey": range(len(vals)),
+            "l_partkey": [1] * len(vals),
+            "l_suppkey": [1] * len(vals),
+            "l_linenumber": [1] * len(vals),
+            "l_quantity": [float(q) for _, q in vals],
+            "l_extendedprice": [p for p, _ in vals],
+            "l_discount": [0.0] * len(vals),
+            "l_tax": [0.0] * len(vals),
+            "l_returnflag": ["N"] * len(vals),
+            "l_linestatus": ["O"] * len(vals),
+            "l_shipdate": [pd.Timestamp("1995-06-01")] * len(vals),
+        }
+    )
+    li["l_shipdate"] = li["l_shipdate"].astype("datetime64[us]")
+    li.to_parquet(os.path.join(sf, "lineitem.parquet"))
+
+    row = weighted_median_rank(spark, sf).toPandas().iloc[0]
+
+    # direct reference: floor(p*100+0.5) cents, weight q*10
+    pairs = sorted((int(p * 100 + 0.5), q * 10) for p, q in vals)
+    total = sum(w for _, w in pairs)
+    cum = 0
+    med = None
+    for c, w in pairs:
+        cum += w
+        if 2 * cum >= total:
+            med = c
+            break
+    assert abs(row["weighted_median"] - med / 100.0) < 1e-9
+    assert row["total_deciqty"] == total

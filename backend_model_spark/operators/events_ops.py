@@ -2090,3 +2090,174 @@ WHERE gap_s IS NOT NULL
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+FUNNEL_STEP_US = 3600 * 1_000_000  # 1 hour per step
+
+
+def funnel_timed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained conversion funnel: signup → first click
+    within 1 HOUR of the signup → first purchase within 1 hour of
+    that click. The hard version of :func:`funnel_conversion` (which
+    only requires order): each step must land inside the window
+    anchored at the previous step's event, which is what product
+    funnels actually measure.
+
+    Scale: three chained min-conditional windows over ONE
+    user-partitioned sort — signup_ts, then click_ts conditioned on
+    it, then purchase_ts conditioned on that. Same partitioning for
+    all three, so Catalyst plans one exchange + one sort with stacked
+    Window operators; the funnel readout is a 1-row aggregate of the
+    per-user flags. No self-joins, no range join.
+    """
+    ev = load_table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    w = W.partitionBy("user_id")
+    us = _us("ts")
+    staged = ev.select("user_id", "event_type", us.alias("us"))
+    staged = staged.withColumn(
+        "signup_us",
+        F.min(F.when(F.col("event_type") == "signup", F.col("us"))).over(w),
+    )
+    staged = staged.withColumn(
+        "click_us",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("us") > F.col("signup_us"))
+                & (F.col("us") <= F.col("signup_us") + FUNNEL_STEP_US),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    staged = staged.withColumn(
+        "purchase_us",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("us") > F.col("click_us"))
+                & (F.col("us") <= F.col("click_us") + FUNNEL_STEP_US),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("signup_us").alias("s"),
+        F.max("click_us").alias("c"),
+        F.max("purchase_us").alias("p"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.col("s").isNotNull().cast("long")).cast("long").alias("n_signup"),
+        F.sum(F.col("c").isNotNull().cast("long")).cast("long").alias("n_click_1h"),
+        F.sum(F.col("p").isNotNull().cast("long")).cast("long").alias("n_purchase_1h"),
+    )
+
+
+FUNNEL_TIMED_ORACLE = f"""
+WITH staged AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us
+  FROM events WHERE ts IS NOT NULL
+),
+s1 AS (
+  SELECT *,
+    MIN(CASE WHEN event_type = 'signup' THEN us END)
+      OVER (PARTITION BY user_id) AS signup_us
+  FROM staged
+),
+s2 AS (
+  SELECT *,
+    MIN(CASE WHEN event_type = 'click' AND us > signup_us
+              AND us <= signup_us + {FUNNEL_STEP_US} THEN us END)
+      OVER (PARTITION BY user_id) AS click_us
+  FROM s1
+),
+s3 AS (
+  SELECT *,
+    MIN(CASE WHEN event_type = 'purchase' AND us > click_us
+              AND us <= click_us + {FUNNEL_STEP_US} THEN us END)
+      OVER (PARTITION BY user_id) AS purchase_us
+  FROM s2
+),
+per_user AS (
+  SELECT user_id, MAX(signup_us) AS s, MAX(click_us) AS c,
+         MAX(purchase_us) AS p
+  FROM s3 GROUP BY user_id
+)
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(SUM(CASE WHEN s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+  CAST(SUM(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click_1h,
+  CAST(SUM(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_purchase_1h
+FROM per_user
+"""
+
+
+def active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the rolling
+    DISTINCT-actives family (harder than the count-based sliding
+    windows: distinct users cannot be summed across buckets). A user
+    active on day d contributes to the 7 windows ending d..d+6; WAU
+    is the distinct count per window end, reported for observed days.
+
+    Scale: ONE corpus scan reduces events to the distinct
+    (day, user) daily-active frame (persisted — this is the standard
+    materialized intermediate every growth stack maintains
+    incrementally; |Σ daily actives| ≪ |events|). DAU is a count on
+    it; WAU explodes it ×7 (bounded) and re-distincts on
+    (window_end, user) — both shuffles carry active-frame rows, never
+    event rows. Stickiness = DAU/WAU (by construction ≤ 1).
+    """
+    ev = load_table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    active = (
+        ev.select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .distinct()
+        .persist()
+    )
+    dau = active.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        active.select(
+            F.explode(F.expr("sequence(0, 6)")).alias("off"),
+            F.expr("day + make_interval(0, 0, 0, off)").alias("wday"),
+            "user_id",
+        )
+        .select(F.col("wday").alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+ACTIVE_USERS_ORACLE = """
+WITH active AS (
+  SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+  FROM events WHERE ts IS NOT NULL
+),
+dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM active GROUP BY day
+),
+wau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS wau FROM (
+    SELECT DISTINCT a.day + INTERVAL (o.off) DAY AS day, a.user_id
+    FROM active a
+    CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS off) o
+  ) GROUP BY day
+)
+SELECT
+  strftime(d.day, '%Y-%m-%d') AS day,
+  d.dau,
+  w.wau,
+  ROUND(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+FROM dau d JOIN wau w USING (day)
+ORDER BY day
+"""

@@ -647,3 +647,49 @@ SELECT fold, n_docs,
 FROM counts CROSS JOIN total
 ORDER BY fold
 """
+
+
+def group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-integrity train/test split (sklearn GroupShuffleSplit
+    semantics): the md5 bucket of the GROUP key (source) decides the
+    split, so every document of a source lands on the same side —
+    the leakage guarantee a row-level split cannot give when grouped
+    structure (same crawl domain, same author) must not straddle
+    train and eval. ~80/20 by group.
+
+    Scale: pure codegen'd expression on the group column — no
+    shuffle before the 2-row aggregate; group-count distinctness is
+    the only distinct aggregate.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    split = F.when(
+        F.expr(
+            "conv(substring(md5(cast(source as string)), 1, 4), 16, 10) % 100"
+        )
+        < 80,
+        F.lit("train"),
+    ).otherwise(F.lit("test"))
+    return (
+        docs.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.countDistinct("source").alias("n_groups"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+GROUP_SPLIT_ORACLE = """
+SELECT
+  CASE WHEN CAST('0x' || substr(md5(CAST(source AS VARCHAR)), 1, 4) AS BIGINT)
+            % 100 < 80
+       THEN 'train' ELSE 'test' END AS split,
+  COUNT(DISTINCT source) AS n_groups,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1
+ORDER BY split
+"""

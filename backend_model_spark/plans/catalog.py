@@ -16,7 +16,7 @@ tiers:
   SURVEY.md §2.
 * TIER 2 (remainder): the rest of each family, grouped as before.
 
-235 registered queries; names are stable across rounds — only
+239 registered queries; names are stable across rounds — only
 insertion order (the verified prefix) rotates.
 """
 
@@ -251,22 +251,24 @@ register(
     streaming_jobs.STREAMING_PYDS_ORACLE,
 )
 register("sim_pq_encode", similarity.pq_encode, similarity.PQ_ENCODE_ORACLE)
-register(
-    "window_percent_of_parent", windows.percent_of_parent, windows.PERCENT_OF_PARENT_ORACLE
-)
+# (window_percent_of_parent — r3-stable — displaced to tier 2 for the
+# time-constrained funnel; windows keep max_drawdown in the prefix)
+register("events_funnel_timed", events_ops.funnel_timed, events_ops.FUNNEL_TIMED_ORACLE)
 register(
     "agg_normality_probe",
     aggregates.normality_probe,
     aggregates.NORMALITY_PROBE_ORACLE,
 )
-register(
-    "sample_temperature_mix",
-    sampling.temperature_mix,
-    sampling.TEMPERATURE_MIX_ORACLE,
-)
+# (sample_temperature_mix — r3-stable — displaced to tier 2 for the
+# group-integrity split; sampling keeps kfold + curriculum in prefix)
+register("sample_group_split", sampling.group_split, sampling.GROUP_SPLIT_ORACLE)
 # (agg_chi2_independence displaced to tier 2 for sim_pq_encode; agg
 # keeps revenue_concentration + normality_probe in the prefix)
-register("dq_benford", relational.benford_first_digit, relational.BENFORD_ORACLE)
+# (dq_benford — r3-stable — displaced to tier 2 for the SCD2
+# point-in-time join; dq keeps dq_observe + dq_drift_psi in the prefix)
+register(
+    "io_scd2_pit_join", io_ops.scd2_point_in_time_join, io_ops.SCD2_PIT_ORACLE
+)
 register(
     "dedup_embedding_neardup",
     dedup.embedding_neardup_pairs,
@@ -306,6 +308,7 @@ register(
 register("q6_forecast_revenue", relational.q6_forecast_revenue, relational.Q6_ORACLE)
 register("agg_unpivot_rates", relational.unpivot_lineitem_rates, relational.UNPIVOT_ORACLE)
 register("dq_audit", relational.dq_audit, relational.DQ_AUDIT_ORACLE)
+register("dq_benford", relational.benford_first_digit, relational.BENFORD_ORACLE)
 
 # --- aggregates (SURVEY §2.5) ----------------------------------------------
 register(
@@ -456,6 +459,9 @@ register(
 )
 
 # --- windows (SURVEY §2.6) ---------------------------------------------------
+register(
+    "window_percent_of_parent", windows.percent_of_parent, windows.PERCENT_OF_PARENT_ORACLE
+)
 register("window_rfm_segments", windows.rfm_segmentation, windows.RFM_ORACLE)
 register(
     "window_top_per_customer",
@@ -482,6 +488,9 @@ register(
 )
 
 # --- events / time series (SURVEY §2.11 batch halves) ------------------------
+register(
+    "events_active_users", events_ops.active_users_rolling, events_ops.ACTIVE_USERS_ORACLE
+)
 register("events_asof_join", events_ops.asof_purchase_to_click, events_ops.ASOF_ORACLE)
 register("events_sessionize", events_ops.sessionize_users, events_ops.SESSIONIZE_ORACLE)
 register("events_funnel", events_ops.funnel_conversion, events_ops.FUNNEL_ORACLE)
@@ -642,6 +651,11 @@ register(
 )
 
 # --- sampling / dataset mixing (training-data selection layer) -----------------
+register(
+    "sample_temperature_mix",
+    sampling.temperature_mix,
+    sampling.TEMPERATURE_MIX_ORACLE,
+)
 register(
     "sample_importance_resample",
     sampling.importance_resample,

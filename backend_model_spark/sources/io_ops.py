@@ -1222,3 +1222,102 @@ FROM merged
 GROUP BY order_year
 ORDER BY order_year
 """
+
+
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join against a Type-2 dimension: each
+    order joins the customer-dimension VERSION that was valid on its
+    order date (every 7th customer re-versions at ``SCD2_EFF_DATE``:
+    balance +500 from that day). The fact-side companion of
+    :func:`scd2_dimension_merge` — together they are the full SCD2
+    lifecycle (build the history, query as-of the fact timestamp).
+
+    Scale: an equi-join on the dimension KEY plus a validity-window
+    filter — never a range θ-join: versions per key are bounded (2
+    here, a handful in any real dimension), so the per-key fan-out is
+    constant and the join shuffles each side once on c_custkey.
+    Reported per order-year: orders matched to the original vs the
+    restated version and their balance-cents sum.
+    """
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_acctbal"
+    )
+    eff = F.lit(SCD2_EFF_DATE).cast("date")
+    far_future = F.lit("9999-12-31").cast("date")
+    epoch = F.lit("1970-01-01").cast("date")
+    versioned = cust.filter(F.col("c_custkey") % 7 == 0)
+    v1 = versioned.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("bal"),
+        epoch.alias("valid_from"),
+        eff.alias("valid_to"),
+        F.lit(1).alias("version"),
+    )
+    v2 = versioned.select(
+        "c_custkey",
+        (F.col("c_acctbal") + 500.0).alias("bal"),
+        eff.alias("valid_from"),
+        far_future.alias("valid_to"),
+        F.lit(2).alias("version"),
+    )
+    stable = cust.filter(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey",
+        F.col("c_acctbal").alias("bal"),
+        epoch.alias("valid_from"),
+        far_future.alias("valid_to"),
+        F.lit(1).alias("version"),
+    )
+    dim = v1.unionByName(v2).unionByName(stable)
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    pit = orders.join(dim, "c_custkey").filter(
+        (F.col("od") >= F.col("valid_from")) & (F.col("od") < F.col("valid_to"))
+    )
+    cents = F.floor(F.col("bal") * 100 + 0.5).cast("long")
+    return (
+        pit.groupBy(F.year("od").alias("order_year"), "version")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("bal_cents"),
+        )
+        .select(
+            F.col("order_year").cast("int").alias("order_year"),
+            F.col("version").cast("int").alias("version"),
+            "n_orders",
+            F.col("bal_cents").cast("long").alias("bal_cents"),
+        )
+        .orderBy("order_year", "version")
+    )
+
+
+SCD2_PIT_ORACLE = """
+WITH versioned AS (SELECT * FROM customer WHERE c_custkey % 7 = 0),
+dim AS (
+  SELECT c_custkey, c_acctbal AS bal,
+    DATE '1970-01-01' AS valid_from, DATE '{eff}' AS valid_to, 1 AS version
+  FROM versioned
+  UNION ALL
+  SELECT c_custkey, c_acctbal + 500.0 AS bal,
+    DATE '{eff}' AS valid_from, DATE '9999-12-31' AS valid_to, 2 AS version
+  FROM versioned
+  UNION ALL
+  SELECT c_custkey, c_acctbal AS bal,
+    DATE '1970-01-01' AS valid_from, DATE '9999-12-31' AS valid_to, 1 AS version
+  FROM customer WHERE c_custkey % 7 <> 0
+)
+SELECT
+  CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+  CAST(d.version AS INTEGER) AS version,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(FLOOR(d.bal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM orders o
+JOIN dim d ON o.o_custkey = d.c_custkey
+WHERE CAST(o.o_orderdate AS DATE) >= d.valid_from
+  AND CAST(o.o_orderdate AS DATE) < d.valid_to
+GROUP BY 1, 2
+ORDER BY order_year, version
+"""
+SCD2_PIT_ORACLE = SCD2_PIT_ORACLE.format(eff=SCD2_EFF_DATE)

@@ -970,3 +970,42 @@ def test_bloom_prefilter_prunes_and_stays_exact(spark, tmp_path):
     )
     assert survivors <= 4, "bucket prefilter failed to prune unique probes"
     assert survivors >= 2, "sketch must never drop true duplicates"
+
+
+def test_funnel_timed_window_boundaries(spark, tmp_path):
+    """Hand-placed funnels: a click exactly AT +1h counts (<=), one
+    microsecond past does not; the purchase window anchors at the
+    click, not the signup."""
+    import pandas as pd
+
+    from backend_model_spark.operators.events_ops import funnel_timed
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    h = pd.Timedelta(hours=1)
+    us = pd.Timedelta(microseconds=1)
+    rows = [
+        # user 1: click exactly at +1h (counts), purchase at click+1h (counts)
+        (10, t0, 1, "signup"),
+        (11, t0 + h, 1, "click"),
+        (12, t0 + h + h, 1, "purchase"),
+        # user 2: click 1µs past the hour — funnel dies at signup
+        (20, t0, 2, "signup"),
+        (21, t0 + h + us, 2, "click"),
+        (22, t0 + h + us + us, 2, "purchase"),
+        # user 3: click at +59min, purchase at +90min — INSIDE
+        # click+1h (119min) but OUTSIDE signup+1h (60min): counts iff
+        # the purchase window anchors at the click, as specified
+        (30, t0, 3, "signup"),
+        (31, t0 + pd.Timedelta(minutes=59), 3, "click"),
+        (32, t0 + pd.Timedelta(minutes=90), 3, "purchase"),
+    ]
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    ev["value"] = 1.0
+    ev["props"] = "{}"
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev.to_parquet(f"{tmp_path}/events.parquet")
+    row = funnel_timed(spark, str(tmp_path)).collect()[0]
+    assert row["n_users"] == 3
+    assert row["n_signup"] == 3
+    assert row["n_click_1h"] == 2   # users 1 and 3
+    assert row["n_purchase_1h"] == 2  # user 1 (+1h edges) and user 3 (click anchor)

@@ -659,3 +659,33 @@ def test_weighted_median_no_global_window(spark, sf_dir):
     df = _QUERIES["agg_weighted_median_rank"](spark, sf_dir)
     logical = df._jdf.queryExecution().optimizedPlan().toString()
     assert not _global_window_nodes(logical)
+
+
+def test_scd2_pit_join_is_equi_join(spark, sf_dir):
+    """The point-in-time join must plan as an equi-join on the
+    dimension key with the validity window as a post-join filter —
+    never a nested-loop range θ-join."""
+    plan = plan_of(spark, "io_scd2_pit_join", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_funnel_timed_single_user_sort(spark, sf_dir):
+    """The three chained step windows share one (user_id) partitioning
+    — the plan must contain exactly ONE shuffle of events (plus the
+    final 1-row aggregation exchanges), never one per step."""
+    plan = plan_of(spark, "events_funnel_timed", sf_dir)
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1, (
+        "step windows must reuse one user partitioning"
+    )
+
+
+def test_active_users_single_scan_cached_frame(spark, sf_dir):
+    """DAU/WAU must reduce events to the persisted daily-active frame
+    ONCE; both the DAU count and the ×7 window explode re-read the
+    cache, never the events scan."""
+    plan = plan_of(spark, "events_active_users", sf_dir)
+    assert plan.count("Location: InMemoryFileIndex") == 1, "events must be scanned once"
+    assert "InMemoryTableScan" in plan, "daily-active frame must be persisted"

@@ -988,3 +988,57 @@ def test_weighted_median_matches_python(spark, vals):
             break
     assert abs(row["weighted_median"] - med / 100.0) < 1e-9
     assert row["total_deciqty"] == total
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=4),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_active_users_matches_python(spark, pairs):
+    """events_active_users against a direct Python rolling-distinct:
+    DAU = |users on d|, WAU(d) = |users active in (d-6..d)|, reported
+    only for observed days; DAU ≤ WAU always."""
+    from backend_model_spark.operators.events_ops import active_users_rolling
+
+    sf = os.path.join(SCRATCH, uuid.uuid4().hex[:12])
+    os.makedirs(sf, exist_ok=True)
+    base = pd.Timestamp("2024-03-01")
+    events = pd.DataFrame(
+        {
+            "event_id": range(len(pairs)),
+            "ts": [base + pd.Timedelta(days=d, hours=5) for d, _ in pairs],
+            "user_id": [u for _, u in pairs],
+            "event_type": ["view"] * len(pairs),
+            "value": [1.0] * len(pairs),
+            "props": ["{}"] * len(pairs),
+        }
+    )
+    events["ts"] = events["ts"].astype("datetime64[us]")
+    events.to_parquet(os.path.join(sf, "events.parquet"))
+
+    out = active_users_rolling(spark, sf).toPandas().set_index("day")
+
+    by_day: dict[int, set[int]] = {}
+    for d, u in pairs:
+        by_day.setdefault(d, set()).add(u)
+    assert len(out) == len(by_day)
+    for d, users in by_day.items():
+        key = (base + pd.Timedelta(days=d)).strftime("%Y-%m-%d")
+        wau = set().union(
+            *(by_day.get(x, set()) for x in range(d - 6, d + 1))
+        )
+        row = out.loc[key]
+        assert row["dau"] == len(users)
+        assert row["wau"] == len(wau)
+        assert row["dau"] <= row["wau"]

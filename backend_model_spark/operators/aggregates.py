@@ -1065,3 +1065,79 @@ SELECT
 FROM r
 WHERE 2 * cum_wt >= total_wt
 """
+
+
+def moments_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher distributional moments of order price per status —
+    skewness and excess kurtosis computed from EXPLICIT raw power
+    sums (Σx..Σx⁴ → central moments → g1, g2-3) rather than the
+    built-in ``skewness``/``kurtosis`` aggregates, because the two
+    engines disagree on bias-correction conventions while the raw
+    formula is identical algebra on identical sums. Extends A6
+    (describe()) to the shape statistics the notebook's probplot
+    analysis implies.
+
+    Scale: one map-side-combinable pass (five SUMs per group); all
+    downstream arithmetic on the grouped row.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    x = F.col("o_totalprice") / 100000.0  # scale to O(1): power sums stay exact-ish
+    g = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    m1 = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - m1 * m1
+    m3 = F.col("s3") / F.col("n") - 3 * m1 * F.col("s2") / F.col("n") + 2 * m1 ** 3
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * m1 * F.col("s3") / F.col("n")
+        + 6 * m1 * m1 * F.col("s2") / F.col("n")
+        - 3 * m1 ** 4
+    )
+    return g.select(
+        "o_orderstatus",
+        F.col("n").cast("long").alias("n"),
+        F.round(m1, 6).alias("mean_scaled"),
+        F.round(F.sqrt(m2), 6).alias("std_scaled"),
+        F.round(F.try_divide(m3, m2 ** F.lit(1.5)), 6).alias("skewness"),
+        F.round(F.try_divide(m4, m2 * m2) - 3, 6).alias("excess_kurtosis"),
+    ).orderBy("o_orderstatus")
+
+
+MOMENTS_ORACLE = """
+WITH xs AS (
+  SELECT o_orderstatus, o_totalprice / 100000.0 AS x FROM orders
+),
+g AS (
+  -- explicit products, not POW(x, k): POW is exp/log-based and not
+  -- correctly rounded, while chained multiply matches Spark's x*x*x
+  SELECT o_orderstatus,
+    COUNT(*) AS n,
+    SUM(x) AS s1,
+    SUM(x * x) AS s2,
+    SUM(x * x * x) AS s3,
+    SUM(x * x * x * x) AS s4
+  FROM xs GROUP BY o_orderstatus
+),
+m AS (
+  SELECT o_orderstatus, n,
+    s1 / n AS m1,
+    s2 / n - POW(s1 / n, 2) AS m2,
+    s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * POW(s1 / n, 3) AS m3,
+    s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * POW(s1 / n, 2) * (s2 / n)
+      - 3 * POW(s1 / n, 4) AS m4
+  FROM g
+)
+SELECT o_orderstatus,
+  CAST(n AS BIGINT) AS n,
+  ROUND(m1, 6) AS mean_scaled,
+  ROUND(sqrt(m2), 6) AS std_scaled,
+  ROUND(m3 / POW(m2, 1.5), 6) AS skewness,
+  ROUND(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis
+FROM m
+ORDER BY o_orderstatus
+"""

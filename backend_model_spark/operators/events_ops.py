@@ -2261,3 +2261,86 @@ SELECT
 FROM dau d JOIN wau w USING (day)
 ORDER BY day
 """
+
+
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue ("LTV") curve per weekly signup cohort: a
+    user belongs to the week of their FIRST event; each cohort's
+    purchase revenue accumulates over week offsets 0..3 since that
+    first week — the revenue sibling of the retention-cohort matrix.
+
+    Scale: one groupBy(user) for the first-event timestamp, one
+    same-key join back (AQE-coalesced), one (cohort, offset) rollup
+    in integer cents, and the cumulative curve is a window
+    partitioned by cohort over ≤5 offset rows — never unpartitioned.
+    """
+    ev = load_table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    first = ev.groupBy("user_id").agg(F.min(_us("ts")).alias("first_us"))
+    joined = ev.join(first, "user_id").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("date_trunc('week', timestamp_micros(first_us))").alias("cohort_week"),
+        F.floor((_us("ts") - F.col("first_us")) / F.lit(7 * 86400 * 1_000_000))
+        .cast("int")
+        .alias("week_offset"),
+    )
+    rev = (
+        joined.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("value").isNotNull()
+            & (F.col("week_offset") <= 3)
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    w = W.partitionBy("cohort_week").orderBy("week_offset").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return (
+        rev.withColumn("cum_cents", F.sum("rev_cents").over(w))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            F.col("rev_cents").cast("long").alias("rev_cents"),
+            F.col("cum_cents").cast("long").alias("cum_cents"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+COHORT_LTV_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS first_us
+  FROM events WHERE ts IS NOT NULL GROUP BY user_id
+),
+joined AS (
+  SELECT e.user_id, e.event_type, e.value,
+    date_trunc('week', make_timestamp(f.first_us)) AS cohort_week,
+    CAST(FLOOR((epoch_us(e.ts) - f.first_us) / 604800000000.0) AS INTEGER)
+      AS week_offset
+  FROM events e JOIN firsts f USING (user_id)
+  WHERE e.ts IS NOT NULL
+),
+rev AS (
+  SELECT cohort_week, week_offset,
+    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM joined
+  WHERE event_type = 'purchase' AND value IS NOT NULL AND week_offset <= 3
+  GROUP BY cohort_week, week_offset
+)
+SELECT
+  strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+  week_offset,
+  rev_cents,
+  CAST(SUM(rev_cents) OVER (
+    PARTITION BY cohort_week ORDER BY week_offset
+    ROWS UNBOUNDED PRECEDING
+  ) AS BIGINT) AS cum_cents
+FROM rev
+ORDER BY cohort_week, week_offset
+"""

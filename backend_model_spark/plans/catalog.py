@@ -16,7 +16,7 @@ tiers:
   SURVEY.md §2.
 * TIER 2 (remainder): the rest of each family, grouped as before.
 
-239 registered queries; names are stable across rounds — only
+241 registered queries; names are stable across rounds — only
 insertion order (the verified prefix) rotates.
 """
 
@@ -312,6 +312,9 @@ register("dq_benford", relational.benford_first_digit, relational.BENFORD_ORACLE
 
 # --- aggregates (SURVEY §2.5) ----------------------------------------------
 register(
+    "agg_moments_shape", aggregates.moments_skew_kurtosis, aggregates.MOMENTS_ORACLE
+)
+register(
     "agg_revenue_concentration",
     aggregates.revenue_concentration,
     aggregates.CONCENTRATION_ORACLE,
@@ -490,6 +493,9 @@ register(
 # --- events / time series (SURVEY §2.11 batch halves) ------------------------
 register(
     "events_active_users", events_ops.active_users_rolling, events_ops.ACTIVE_USERS_ORACLE
+)
+register(
+    "events_cohort_ltv", events_ops.cohort_ltv_curve, events_ops.COHORT_LTV_ORACLE
 )
 register("events_asof_join", events_ops.asof_purchase_to_click, events_ops.ASOF_ORACLE)
 register("events_sessionize", events_ops.sessionize_users, events_ops.SESSIONIZE_ORACLE)

@@ -1042,3 +1042,54 @@ def test_active_users_matches_python(spark, pairs):
         assert row["dau"] == len(users)
         assert row["wau"] == len(wau)
         assert row["dau"] <= row["wau"]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    prices=st.lists(
+        st.floats(min_value=1.0, max_value=500000.0, allow_nan=False),
+        min_size=3,
+        max_size=60,
+    )
+)
+def test_moments_shape_matches_numpy(spark, prices):
+    """agg_moments_shape against numpy population moments (skew g1,
+    excess kurtosis g2) on a single-status fixture."""
+    import numpy as np
+
+    from backend_model_spark.operators.aggregates import moments_skew_kurtosis
+
+    sf = os.path.join(SCRATCH, uuid.uuid4().hex[:12])
+    os.makedirs(sf, exist_ok=True)
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(len(prices)),
+            "o_custkey": [1] * len(prices),
+            "o_orderstatus": ["O"] * len(prices),
+            "o_totalprice": prices,
+            "o_orderdate": [pd.Timestamp("2024-01-01")] * len(prices),
+            "o_orderpriority": ["1-URGENT"] * len(prices),
+        }
+    )
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
+    orders.to_parquet(os.path.join(sf, "orders.parquet"))
+
+    row = moments_skew_kurtosis(spark, sf).toPandas().iloc[0]
+
+    x = np.array(prices) / 100000.0
+    m1 = x.mean()
+    m2 = ((x - m1) ** 2).mean()
+    if m2 < 1e-12:
+        assert row["skewness"] is None or pd.isna(row["skewness"])
+        return
+    m3 = ((x - m1) ** 3).mean()
+    m4 = ((x - m1) ** 4).mean()
+    assert row["n"] == len(x)
+    assert abs(row["mean_scaled"] - m1) < 2e-6
+    assert abs(row["std_scaled"] - np.sqrt(m2)) < 2e-6
+    assert abs(row["skewness"] - m3 / m2**1.5) < 1e-4
+    assert abs(row["excess_kurtosis"] - (m4 / m2**2 - 3)) < 1e-4

@@ -29,6 +29,7 @@ from backend_model_spark.operators import (
     cleaning,
     dedup,
     events_ops,
+    geo,
     joins,
     ml_queries,
     mllib_ops,
@@ -123,12 +124,11 @@ register("tpch_q10_returns", tpch_suite.q10_returned_items, tpch_suite.Q10_ORACL
 # (events_asof_join and dedup_minhash_lsh_candidates — both r02
 # driver-green — displaced to tier 2 for the session-2 additions
 # below; both families keep several other reps in the prefix)
-register(
-    "events_seasonal_decompose",
-    events_ops.seasonal_decompose,
-    events_ops.SEASONAL_DECOMPOSE_ORACLE,
-)
-register("stat_bootstrap_ci", aggregates.bootstrap_ci, aggregates.BOOTSTRAP_CI_ORACLE)
+# (events_seasonal_decompose and stat_bootstrap_ci — session-2
+# additions, green in every full local sweep since — displaced to
+# tier 2 for the session-3 geo family, which is driver-unseen)
+register("geo_knn_comps", geo.knn_comps, geo.KNN_COMPS_ORACLE)
+register("geo_cell_density", geo.cell_density, geo.CELL_DENSITY_ORACLE)
 # (window_rfm_segments — bench-held and plan-pinned since its r3
 # rewrite — displaced to tier 2 for the session-2 batch-3 additions)
 register(
@@ -166,10 +166,15 @@ register("window_max_drawdown", windows.max_drawdown, windows.MAX_DRAWDOWN_ORACL
 register(
     "text_pmi_collocations", text.pmi_collocations, text.PMI_COLLOCATIONS_ORACLE
 )
+# (events_autocorr and stat_ab_welch — session-2 additions, green in
+# every full local sweep since — displaced to tier 2 for the two
+# session-2-late entries below, which are driver-unseen)
 register(
-    "events_autocorr", events_ops.daily_autocorrelation, events_ops.AUTOCORR_ORACLE
+    "agg_moments_shape", aggregates.moments_skew_kurtosis, aggregates.MOMENTS_ORACLE
 )
-register("stat_ab_welch", events_ops.ab_welch_ttest, events_ops.AB_WELCH_ORACLE)
+register(
+    "events_cohort_ltv", events_ops.cohort_ltv_curve, events_ops.COHORT_LTV_ORACLE
+)
 # (join_order_backlog and sample_importance_resample — both stable
 # and plan-pinned — displaced to tier 2 for the kNN classifier and
 # the rank-based exact median)
@@ -311,9 +316,7 @@ register("dq_audit", relational.dq_audit, relational.DQ_AUDIT_ORACLE)
 register("dq_benford", relational.benford_first_digit, relational.BENFORD_ORACLE)
 
 # --- aggregates (SURVEY §2.5) ----------------------------------------------
-register(
-    "agg_moments_shape", aggregates.moments_skew_kurtosis, aggregates.MOMENTS_ORACLE
-)
+register("stat_bootstrap_ci", aggregates.bootstrap_ci, aggregates.BOOTSTRAP_CI_ORACLE)
 register(
     "agg_revenue_concentration",
     aggregates.revenue_concentration,
@@ -495,8 +498,14 @@ register(
     "events_active_users", events_ops.active_users_rolling, events_ops.ACTIVE_USERS_ORACLE
 )
 register(
-    "events_cohort_ltv", events_ops.cohort_ltv_curve, events_ops.COHORT_LTV_ORACLE
+    "events_seasonal_decompose",
+    events_ops.seasonal_decompose,
+    events_ops.SEASONAL_DECOMPOSE_ORACLE,
 )
+register(
+    "events_autocorr", events_ops.daily_autocorrelation, events_ops.AUTOCORR_ORACLE
+)
+register("stat_ab_welch", events_ops.ab_welch_ttest, events_ops.AB_WELCH_ORACLE)
 register("events_asof_join", events_ops.asof_purchase_to_click, events_ops.ASOF_ORACLE)
 register("events_sessionize", events_ops.sessionize_users, events_ops.SESSIONIZE_ORACLE)
 register("events_funnel", events_ops.funnel_conversion, events_ops.FUNNEL_ORACLE)

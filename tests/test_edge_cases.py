@@ -1009,3 +1009,67 @@ def test_funnel_timed_window_boundaries(spark, tmp_path):
     assert row["n_signup"] == 3
     assert row["n_click_1h"] == 2   # users 1 and 3
     assert row["n_purchase_1h"] == 2  # user 1 (+1h edges) and user 3 (click anchor)
+
+
+def test_geo_knn_matches_python_reference(spark):
+    """knn_comps distances and neighbor ranking recomputed in pure
+    Python from the same md5-derived coordinates: per query point the
+    reported top-3 must equal brute force over the 3x3 cell ring."""
+    import hashlib
+    import math
+
+    from backend_model_spark.operators.geo import CELL_DEG, EARTH_KM, knn_comps
+
+    sf = "/root/testdata/sf0.001"
+    rows = knn_comps(spark, sf).collect()
+    assert rows, "sf0.001 must produce at least one query point"
+
+    # python twin of _coords
+    import pyarrow.parquet as pq
+
+    keys = pq.read_table(sf + "/customer.parquet", columns=["c_custkey"])[
+        "c_custkey"
+    ].to_pylist()
+
+    def u(salt: str, key: int) -> float:
+        h = hashlib.md5(f"{salt}:{key}".encode()).hexdigest()[:8]
+        return int(h, 16) % 100000000 / 1e8
+
+    pts = {
+        k: (40.0 + u("lat", k) * 2.0, -75.0 + u("lon", k) * 2.0) for k in keys
+    }
+    cell = {
+        k: (math.floor(lat / CELL_DEG), math.floor(lon / CELL_DEG))
+        for k, (lat, lon) in pts.items()
+    }
+
+    def hav(a, b):
+        (la1, lo1), (la2, lo2) = pts[a], pts[b]
+        dlat = math.radians(la2 - la1) / 2
+        dlon = math.radians(lo2 - lo1) / 2
+        x = (
+            math.sin(dlat) ** 2
+            + math.cos(math.radians(la1))
+            * math.cos(math.radians(la2))
+            * math.sin(dlon) ** 2
+        )
+        return 2 * EARTH_KM * math.asin(math.sqrt(x))
+
+    got = {}
+    for r in rows:
+        got.setdefault(r.qkey, []).append((r.rk, r.nkey, r.dist_km))
+    for qkey, triples in got.items():
+        qc = cell[qkey]
+        cands = [
+            k
+            for k in keys
+            if k != qkey
+            and abs(cell[k][0] - qc[0]) <= 1
+            and abs(cell[k][1] - qc[1]) <= 1
+        ]
+        want = sorted(
+            (math.floor(hav(qkey, k) * 1e6 + 0.5), k) for k in cands
+        )[:3]
+        assert [(d / 1e6, k) for d, k in want] == [
+            (d, k) for _, k, d in sorted(triples)
+        ], f"qkey {qkey} mismatch"

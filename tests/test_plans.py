@@ -689,3 +689,20 @@ def test_active_users_single_scan_cached_frame(spark, sf_dir):
     plan = plan_of(spark, "events_active_users", sf_dir)
     assert plan.count("Location: InMemoryFileIndex") == 1, "events must be scanned once"
     assert "InMemoryTableScan" in plan, "daily-active frame must be persisted"
+
+
+def test_geo_knn_is_equi_join(spark, sf_dir):
+    """Grid-kNN candidates must come from an equi-join on the cell
+    key (the x9 neighbor-ring explode on the small query side), never
+    a theta-join: no nested-loop / cartesian anywhere in the plan."""
+    plan = plan_of(spark, "geo_knn_comps", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
+    # top-3 window is partitioned by query key, not global
+    logical = _QUERIES["geo_knn_comps"](spark, sf_dir)._jdf.queryExecution()
+    assert not _global_window_nodes(logical.optimizedPlan().toString())

@@ -13,7 +13,7 @@ the oracle-checkable / seeded-deterministic slice of that surface).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from backend_model_spark.sources.tables import load_table
@@ -285,3 +285,264 @@ def logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("accuracy", 6).alias("accuracy"),
         F.round("base_rate", 6).alias("base_rate"),
     )
+
+
+def naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained and
+    scored entirely in SQL algebra — the canonical "ML as
+    aggregation" query: class priors and per-(class, token) counts
+    are one groupBy over the train split; scoring a held-out doc is
+    a join + weighted log-sum; the whole model IS a DataFrame.
+
+    Split is content-addressed (md5 bucket < 80 trains, repo-wide
+    discipline), features are whitespace tokens (the ``text.py``
+    token contract), smoothing is add-one over the train vocabulary,
+    and unseen-vocab test tokens are dropped (standard MNB). Output
+    is the confusion matrix actual x predicted.
+
+    Determinism: per-class scores are ROUND(...,6) on both engines
+    before the argmax, with the class name as tiebreak. (The
+    synthetic corpus draws every lang from one shared vocabulary, so
+    measured accuracy ~= the class prior — the oracle checks the
+    *math*, not a modeling claim; on a real corpus the same query is
+    the fastText-era language-ID baseline.)
+
+    Scale: counts/priors are map-side-combinable aggregates; the
+    class table (|langs| rows + broadcast scalars V, N) cross-joins
+    the test tokens as a broadcast; the count join is an equi-join on
+    (token, lang). The argmax window partitions by doc — never
+    global. Nothing touches the driver.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = F.expr(
+        "conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) % 100"
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.split(F.trim(F.col("text")), r"\s+").alias("toks"),
+        bucket.alias("b"),
+    )
+    train = base.filter(F.col("b") < 80)
+    test = base.filter(F.col("b") >= 80)
+
+    ttok = train.select("lang", F.explode("toks").alias("token"))
+    counts = ttok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    counts = counts.persist()  # reused: vocab, class totals, score join
+    vocab = counts.select("token").distinct()
+
+    # broadcast scalars: vocab size V, train doc count N
+    stats = vocab.agg(F.count(F.lit(1)).alias("v")).crossJoin(
+        train.agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    classes = (
+        counts.groupBy("lang")
+        .agg(F.sum("c").alias("tot"))
+        .join(train.groupBy("lang").agg(F.count(F.lit(1)).alias("nd")), "lang")
+        .crossJoin(F.broadcast(stats))
+        .withColumnRenamed("lang", "cand")
+    )
+
+    tt = (
+        test.select("doc_id", F.col("lang").alias("actual"), F.explode("toks").alias("token"))
+        .join(vocab, "token")
+        .groupBy("doc_id", "actual", "token")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    scored = (
+        tt.crossJoin(F.broadcast(classes))
+        .join(
+            counts.withColumnRenamed("lang", "cand"),
+            ["token", "cand"],
+            "left",
+        )
+        .groupBy("doc_id", "actual", "cand", "nd", "tot", "v", "n_docs")
+        .agg(
+            F.sum(F.col("n_t") * F.log(F.coalesce(F.col("c"), F.lit(0)) + 1)).alias("s1"),
+            F.sum("n_t").alias("nt"),
+        )
+        .select(
+            "doc_id",
+            "actual",
+            "cand",
+            F.round(
+                F.log("nd")
+                - F.log("n_docs")
+                + F.col("s1")
+                - F.col("nt") * F.log(F.col("tot") + F.col("v")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), "cand")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy("actual", F.col("cand").alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("actual", "predicted")
+    )
+
+
+NAIVE_BAYES_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks,
+    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS b
+  FROM documents
+),
+train_tok AS (
+  SELECT lang, unnest(toks) AS token FROM base WHERE b < 80
+),
+counts AS (SELECT lang, token, COUNT(*) AS c FROM train_tok GROUP BY 1, 2),
+vocab AS (SELECT DISTINCT token FROM counts),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM vocab) AS v,
+         (SELECT COUNT(*) FROM base WHERE b < 80) AS n_docs
+),
+classes AS (
+  SELECT lang AS cand, CAST(SUM(c) AS BIGINT) AS tot FROM counts GROUP BY lang
+),
+class_docs AS (
+  SELECT lang AS cand, COUNT(*) AS nd FROM base WHERE b < 80 GROUP BY lang
+),
+tt AS (
+  SELECT doc_id, actual, token, COUNT(*) AS n_t
+  FROM (
+    SELECT doc_id, lang AS actual, unnest(toks) AS token
+    FROM base WHERE b >= 80
+  )
+  WHERE token IN (SELECT token FROM vocab)
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT tt.doc_id, tt.actual, cl.cand,
+    ROUND(
+      ln(cd.nd) - ln(s.n_docs)
+      + SUM(tt.n_t * ln(COALESCE(c.c, 0) + 1))
+      - SUM(tt.n_t) * ln(cl.tot + s.v), 6) AS score
+  FROM tt
+  CROSS JOIN classes cl
+  JOIN class_docs cd ON cd.cand = cl.cand
+  CROSS JOIN stats s
+  LEFT JOIN counts c ON c.token = tt.token AND c.lang = cl.cand
+  GROUP BY tt.doc_id, tt.actual, cl.cand, cd.nd, cl.tot, s.n_docs, s.v
+),
+pred AS (
+  SELECT doc_id, actual, cand,
+    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rk
+  FROM scored
+)
+SELECT actual, cand AS predicted, COUNT(*) AS n_docs
+FROM pred WHERE rk = 1
+GROUP BY 1, 2
+ORDER BY actual, predicted
+"""
+
+
+def ols_cv_sufficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated simple OLS (l_extendedprice ~
+    l_quantity) where the ENTIRE CV is one aggregation pass: per-fold
+    sufficient statistics (n, Σx, Σy, Σx², Σxy, Σy²) are computed
+    once; each fold's TRAIN stats are total − fold (sufficient
+    statistics are subtractable), the fit is closed-form, and the
+    held-out RMSE expands algebraically from the same fold stats:
+    SSE_f = Σy² − 2aΣy − 2bΣxy + 2abΣx + a²n + b²Σx².
+
+    This is the scale-defining trick for linear-model selection at
+    100 TB: k-fold CV costs ONE scan + O(k) driver-free algebra on a
+    k-row frame — not k training scans. Folds are content-addressed
+    (md5 of the lineitem PK), so membership is engine- and
+    partitioning-independent.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    fold = F.expr(
+        "conv(substring(md5(concat(cast(l_orderkey as string), ':', "
+        "cast(l_linenumber as string))), 1, 4), 16, 10) % 5"
+    ).cast("int")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    stats = li.select(fold.alias("fold"), x.alias("x"), y.alias("y")).groupBy(
+        "fold"
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    totals = stats.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxx").alias("tsxx"),
+        F.sum("sxy").alias("tsxy"),
+    )
+    j = stats.crossJoin(F.broadcast(totals))
+    ntr = F.col("tn") - F.col("n")
+    sxtr = F.col("tsx") - F.col("sx")
+    sytr = F.col("tsy") - F.col("sy")
+    sxxtr = F.col("tsxx") - F.col("sxx")
+    sxytr = F.col("tsxy") - F.col("sxy")
+    b = (ntr * sxytr - sxtr * sytr) / (ntr * sxxtr - sxtr * sxtr)
+    a = (sytr - b * sxtr) / ntr
+    sse = (
+        F.col("syy")
+        - 2 * a * F.col("sy")
+        - 2 * b * F.col("sxy")
+        + 2 * a * b * F.col("sx")
+        + a * a * F.col("n")
+        + b * b * F.col("sxx")
+    )
+    return j.select(
+        "fold",
+        ntr.cast("long").alias("n_train"),
+        F.col("n").cast("long").alias("n_test"),
+        F.round(b, 6).alias("slope"),
+        F.round(a, 6).alias("intercept"),
+        F.round(F.sqrt(sse / F.col("n")), 6).alias("test_rmse"),
+    ).orderBy("fold")
+
+
+OLS_CV_ORACLE = """
+WITH s AS (
+  SELECT
+    CAST(CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+      CAST(l_linenumber AS VARCHAR)), 1, 4) AS BIGINT) % 5 AS INTEGER) AS fold,
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    SUM(l_quantity) AS sx,
+    SUM(l_extendedprice) AS sy,
+    SUM(l_quantity * l_quantity) AS sxx,
+    SUM(l_quantity * l_extendedprice) AS sxy,
+    SUM(l_extendedprice * l_extendedprice) AS syy
+  FROM lineitem
+  GROUP BY 1
+),
+t AS (
+  SELECT SUM(n) AS tn, SUM(sx) AS tsx, SUM(sy) AS tsy,
+         SUM(sxx) AS tsxx, SUM(sxy) AS tsxy
+  FROM s
+),
+fit AS (
+  SELECT s.fold, s.n, s.sx, s.sy, s.sxx, s.sxy, s.syy,
+    (t.tn - s.n) AS ntr, (t.tsx - s.sx) AS sxtr, (t.tsy - s.sy) AS sytr,
+    (t.tsxx - s.sxx) AS sxxtr, (t.tsxy - s.sxy) AS sxytr
+  FROM s CROSS JOIN t
+),
+ab AS (
+  SELECT fold, n, sx, sy, sxx, sxy, syy, ntr,
+    (ntr * sxytr - sxtr * sytr) / (ntr * sxxtr - sxtr * sxtr) AS b,
+    (sytr - (ntr * sxytr - sxtr * sytr) / (ntr * sxxtr - sxtr * sxtr) * sxtr)
+      / ntr AS a
+  FROM fit
+)
+SELECT fold,
+  CAST(ntr AS BIGINT) AS n_train,
+  CAST(n AS BIGINT) AS n_test,
+  ROUND(b, 6) AS slope,
+  ROUND(a, 6) AS intercept,
+  ROUND(sqrt((syy - 2 * a * sy - 2 * b * sxy + 2 * a * b * sx
+    + a * a * n + b * b * sxx) / n), 6) AS test_rmse
+FROM ab
+ORDER BY fold
+"""

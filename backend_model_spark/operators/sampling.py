@@ -693,3 +693,62 @@ FROM documents
 GROUP BY 1
 ORDER BY split
 """
+
+
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global shuffle order — the data-order
+    layer of a training loop: each epoch e visits the whole corpus in
+    the order of ``md5(e || ':' || doc_id)``, so epochs are
+    independent permutations that every worker can recompute from
+    content alone (no stored shuffle files, no driver-side RNG, and
+    reshards never change the order). Emits the first 10 positions of
+    epochs 0 and 1 as proof rows.
+
+    Scale: the epoch-position is the two-stage global rank
+    (``scale_utils.with_global_rank``) ordered by (epoch, hash) —
+    range-partitioned sort, never a single-partition window; the
+    per-epoch offset subtracts e*N with N as a broadcast scalar.
+    """
+    from backend_model_spark.operators.scale_utils import with_global_rank
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    epochs = docs.select(
+        "doc_id",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("epoch"),
+    ).withColumn(
+        "shuffle_key",
+        F.expr(
+            "md5(concat(cast(epoch as string), ':', cast(doc_id as string)))"
+        ),
+    )
+    ranked = with_global_rank(
+        epochs,
+        [F.col("epoch").asc(), F.col("shuffle_key").asc(), F.col("doc_id").asc()],
+        "gpos",
+        total_col="n2",
+    )
+    return (
+        ranked.withColumn(
+            "pos", (F.col("gpos") - F.col("epoch") * (F.col("n2") / 2)).cast("long")
+        )
+        .filter(F.col("pos") <= 10)
+        .select("epoch", "pos", "doc_id")
+        .orderBy("epoch", "pos")
+    )
+
+
+EPOCH_SHUFFLE_ORACLE = """
+WITH e AS (
+  SELECT doc_id, epoch,
+    md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS epoch)
+),
+r AS (
+  SELECT epoch, doc_id,
+    ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY k, doc_id) AS pos
+  FROM e
+)
+SELECT epoch, CAST(pos AS BIGINT) AS pos, doc_id
+FROM r WHERE pos <= 10
+ORDER BY epoch, pos
+"""

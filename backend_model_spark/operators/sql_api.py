@@ -275,3 +275,46 @@ def lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(LATERAL_TOPK_SQL)
+
+
+RECURSIVE_HIERARCHY_SQL = """
+WITH RECURSIVE anc AS (
+  SELECT p_partkey AS k, p_partkey AS root, 0 AS depth, p_retailprice AS price
+  FROM part WHERE p_partkey < 10
+  UNION ALL
+  SELECT c.p_partkey, a.root, a.depth + 1, c.p_retailprice
+  FROM part c JOIN anc a
+    ON CAST(FLOOR(c.p_partkey / 10.0) AS BIGINT) = a.k
+   AND c.p_partkey >= 10
+)
+SELECT
+  root,
+  CAST(COUNT(*) AS BIGINT) AS n_parts,
+  CAST(MAX(depth) AS INT) AS max_depth,
+  CAST(FLOOR(SUM(price) * 100 + 0.5) AS BIGINT) AS subtree_price_cents
+FROM anc
+GROUP BY root
+ORDER BY root
+"""
+
+
+def recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-depth hierarchy traversal with a JOIN **inside** the
+    recursive arm — the BOM-explosion / org-chart shape that plain
+    joins can't express because the depth is data-dependent. The part
+    "assembly" tree is the decimal-digit hierarchy (parent(k) =
+    floor(k/10)); the query rolls every subtree up to its single-digit
+    root: descendant count, height, and subtree price. Identical ANSI
+    text runs on both engines (Spark 4 recursive CTE / DuckDB).
+
+    Scale: Spark executes the recursion as an iterative UnionLoop —
+    one *distributed equi-join per level*, so total work is
+    O(edges x height) and each level is shuffle-parallel; the frontier
+    never routes through the driver. Height here is 3 (decimal
+    digits); for deep chains the O(log n) pointer-jumping alternative
+    is implemented in ``operators/dedup.py`` (duplicate_clusters) —
+    this entry pins the declarative front-end, that one the
+    doubling algorithm.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(RECURSIVE_HIERARCHY_SQL)

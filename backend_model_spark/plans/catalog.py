@@ -16,7 +16,7 @@ tiers:
   SURVEY.md §2.
 * TIER 2 (remainder): the rest of each family, grouped as before.
 
-241 registered queries; names are stable across rounds — only
+247 registered queries; names are stable across rounds — only
 insertion order (the verified prefix) rotates.
 """
 
@@ -59,10 +59,13 @@ register("q1_pricing_summary", relational.q1_pricing_summary, relational.Q1_ORAC
 register("join_q3_shipping_priority", joins.q3_shipping_priority, joins.Q3_ORACLE)
 # windows (top_per_customer displaced to tier 2 for the session-2
 # CUSUM addition; rfm + percent_of_parent remain in the prefix)
+# (events_changepoint — session-2 addition, green in every full
+# local sweep since — displaced to tier 2 for the session-3
+# recursive-hierarchy traversal, which is driver-unseen)
 register(
-    "events_changepoint",
-    events_ops.changepoint_cusum,
-    events_ops.CHANGEPOINT_CUSUM_ORACLE,
+    "sql_recursive_hierarchy",
+    sql_api.recursive_hierarchy,
+    sql_api.RECURSIVE_HIERARCHY_SQL,
 )
 # events / time series (sessionize + asof_join displaced to tier 2;
 # the family keeps the round-3 + session-2 additions in the prefix)
@@ -139,8 +142,11 @@ register(
 # (agg_revenue_concentration — r3-rewrite, plan-pinned and locally
 # re-verified every session — displaced to tier 2 for the
 # inter-arrival addition)
+# (events_interarrival — session-2 addition, green in every full
+# local sweep since — displaced to tier 2 for the epoch-shuffle
+# order, which is driver-unseen)
 register(
-    "events_interarrival", events_ops.interarrival_stats, events_ops.INTERARRIVAL_ORACLE
+    "sample_epoch_shuffle", sampling.epoch_shuffle_order, sampling.EPOCH_SHUFFLE_ORACLE
 )
 # (text_source_kl — r3-rewritten, locally re-verified every session —
 # displaced to tier 2 for the Bloom-prefilter dedup addition)
@@ -149,12 +155,16 @@ register(
 )
 # (text_repetition_signals — stable since r3-early — displaced to
 # tier 2 for the path-trigram addition)
-register(
-    "events_path_trigrams", events_ops.path_trigrams, events_ops.PATH_TRIGRAMS_ORACLE
-)
+# (events_path_trigrams — session-2 addition, green in every full
+# local sweep since — displaced to tier 2 for the one-pass k-fold
+# CV, which is driver-unseen)
+register("ml_ols_cv_sufficient", ml_queries.ols_cv_sufficient, ml_queries.OLS_CV_ORACLE)
 # (join_q5_region_revenue displaced to tier 2 for the session-2
 # k-fold addition; joins keep q3 + order_backlog in the prefix)
-register("sample_kfold_assign", sampling.kfold_assign, sampling.KFOLD_ASSIGN_ORACLE)
+# (sample_kfold_assign — session-2 addition, green in every full
+# local sweep since — displaced to tier 2 for the Naive Bayes
+# classifier, which is driver-unseen)
+register("ml_naive_bayes_lang", ml_queries.naive_bayes_lang, ml_queries.NAIVE_BAYES_ORACLE)
 # (io_bucketed_join — stable since round 2, plan-pinned by
 # tests/test_bucketing.py — displaced to tier 2 for the session-2
 # drawdown addition; io keeps zorder/schema-evolution/compaction/
@@ -506,6 +516,17 @@ register(
     "events_autocorr", events_ops.daily_autocorrelation, events_ops.AUTOCORR_ORACLE
 )
 register("stat_ab_welch", events_ops.ab_welch_ttest, events_ops.AB_WELCH_ORACLE)
+register(
+    "events_interarrival", events_ops.interarrival_stats, events_ops.INTERARRIVAL_ORACLE
+)
+register(
+    "events_path_trigrams", events_ops.path_trigrams, events_ops.PATH_TRIGRAMS_ORACLE
+)
+register(
+    "events_changepoint",
+    events_ops.changepoint_cusum,
+    events_ops.CHANGEPOINT_CUSUM_ORACLE,
+)
 register("events_asof_join", events_ops.asof_purchase_to_click, events_ops.ASOF_ORACLE)
 register("events_sessionize", events_ops.sessionize_users, events_ops.SESSIONIZE_ORACLE)
 register("events_funnel", events_ops.funnel_conversion, events_ops.FUNNEL_ORACLE)
@@ -666,6 +687,7 @@ register(
 )
 
 # --- sampling / dataset mixing (training-data selection layer) -----------------
+register("sample_kfold_assign", sampling.kfold_assign, sampling.KFOLD_ASSIGN_ORACLE)
 register(
     "sample_temperature_mix",
     sampling.temperature_mix,

@@ -1073,3 +1073,105 @@ def test_geo_knn_matches_python_reference(spark):
         assert [(d / 1e6, k) for d, k in want] == [
             (d, k) for _, k, d in sorted(triples)
         ], f"qkey {qkey} mismatch"
+
+
+def test_recursive_hierarchy_conserves_parts(spark):
+    """Every part reaches exactly one single-digit root: subtree
+    sizes must sum to the table count, and the digit-tree height at
+    sf0.001 (keys 0..199) is 2."""
+    from backend_model_spark.operators.sql_api import recursive_hierarchy
+
+    sf = "/root/testdata/sf0.001"
+    rows = recursive_hierarchy(spark, sf).collect()
+    from backend_model_spark.sources.tables import load_table
+
+    n_parts = load_table(spark, "part", sf).count()
+    assert sum(r.n_parts for r in rows) == n_parts
+    assert max(r.max_depth for r in rows) == 2
+    assert {r.root for r in rows} <= set(range(10))
+
+
+def test_naive_bayes_confusion_is_complete_and_deterministic(spark):
+    """Confusion-matrix invariants: cells sum to the held-out docs
+    with >=1 in-vocabulary token, predictions only come from train
+    classes, and a re-run is bit-identical (content-addressed split +
+    rounded-score argmax). NOTE: the synthetic corpus draws every
+    lang's text from ONE shared vocabulary, so labels are
+    uncorrelated with tokens and no classifier can beat the prior —
+    accuracy is intentionally not asserted; the DuckDB oracle pins
+    the math engine-vs-engine instead."""
+    from backend_model_spark.operators.ml_queries import naive_bayes_lang
+    from backend_model_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    rows = naive_bayes_lang(spark, sf).collect()
+    total = sum(r.n_docs for r in rows)
+
+    docs = load_table(spark, "documents", sf)
+    bucket = F.expr(
+        "conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) % 100"
+    )
+    n_test = docs.filter(bucket >= 80).count()
+    train_langs = {
+        r.lang for r in docs.filter(bucket < 80).select("lang").distinct().collect()
+    }
+    assert 0 < total <= n_test
+    assert {r.predicted for r in rows} <= train_langs
+    rerun = naive_bayes_lang(spark, sf).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rerun))
+
+
+def test_epoch_shuffle_orders_differ_and_are_valid(spark):
+    """Epoch 0 and epoch 1 must be *different* permutations (the
+    point of reshuffling), each with positions 1..10 over distinct
+    docs."""
+    from backend_model_spark.operators.sampling import epoch_shuffle_order
+
+    rows = epoch_shuffle_order(spark, "/root/testdata/sf0.01").collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append((r.pos, r.doc_id))
+    assert set(by_epoch) == {0, 1}
+    for e, pairs in by_epoch.items():
+        assert sorted(p for p, _ in pairs) == list(range(1, 11))
+        assert len({d for _, d in pairs}) == 10
+    assert [d for _, d in sorted(by_epoch[0])] != [
+        d for _, d in sorted(by_epoch[1])
+    ]
+
+
+def test_ols_cv_folds_agree_with_numpy(spark):
+    """Each fold's closed-form fit and held-out RMSE recomputed with
+    numpy on the same content-addressed membership."""
+    import hashlib
+
+    import numpy as np
+
+    from backend_model_spark.operators.ml_queries import ols_cv_sufficient
+    from backend_model_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r.fold: r for r in ols_cv_sufficient(spark, sf).collect()}
+    pdf = (
+        load_table(spark, "lineitem", sf)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .toPandas()
+    )
+    folds = np.array(
+        [
+            int(hashlib.md5(f"{o}:{l}".encode()).hexdigest()[:4], 16) % 5
+            for o, l in zip(pdf["l_orderkey"], pdf["l_linenumber"])
+        ]
+    )
+    x = pdf["l_quantity"].to_numpy(float)
+    y = pdf["l_extendedprice"].to_numpy(float)
+    for f in range(5):
+        tr, te = folds != f, folds == f
+        b, a = np.polyfit(x[tr], y[tr], 1)
+        rmse = float(np.sqrt(np.mean((y[te] - a - b * x[te]) ** 2)))
+        assert rows[f].n_train == int(tr.sum())
+        assert rows[f].n_test == int(te.sum())
+        assert abs(rows[f].slope - b) < 1e-4
+        assert abs(rows[f].intercept - a) < 1e-3
+        assert abs(rows[f].test_rmse - rmse) < 1e-3

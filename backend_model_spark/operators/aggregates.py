@@ -1141,3 +1141,98 @@ SELECT o_orderstatus,
 FROM m
 ORDER BY o_orderstatus
 """
+
+
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between
+    urgent-priority and normal-priority order totals, computed in
+    INTEGER arithmetic end to end: D = max_v |c1(v)*n2 - c2(v)*n1| /
+    (n1*n2), where the cumulative counts come from ONE global
+    prefix-sum over the distinct-value rollup with both counters
+    bit-packed into a single bigint (c1 in the high 32 bits, c_total
+    in the low 32 — exact while each side is < 2^31 rows, i.e. any
+    sample you'd KS-test). The only ordered pass is the two-stage
+    prefix-sum primitive (``scale_utils``), over distinct values, not
+    rows — never an unpartitioned window.
+
+    Output: one row with n1, n2, the exact D (rounded at the edge)
+    and the alpha=0.05 critical value c(alpha)*sqrt((n1+n2)/(n1*n2)).
+    """
+    from backend_model_spark.operators.scale_utils import with_global_rank
+
+    orders = load_table(spark, "orders", sf_dir)
+    grp1 = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    rollup = (
+        orders.select(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            grp1.cast("long").alias("is1"),
+        )
+        .groupBy("cents")
+        .agg(F.sum("is1").alias("n1v"), F.count(F.lit(1)).alias("ntv"))
+        .withColumn("packed", F.col("n1v") * F.lit(4294967296) + F.col("ntv"))
+    )
+    ranked = with_global_rank(
+        rollup,
+        [F.col("cents").asc()],
+        "rk",
+        prefix_sum=("packed", "cum"),
+        grand_total=("packed", "gt"),
+    )
+    c1 = F.expr("cum DIV 4294967296")
+    ctot = F.col("cum") % F.lit(4294967296)
+    n1 = F.expr("gt DIV 4294967296")
+    ntot = F.col("gt") % F.lit(4294967296)
+    n2 = ntot - n1
+    c2 = ctot - c1
+    num = F.abs(c1 * n2 - c2 * n1)
+    per_v = ranked.select(
+        num.alias("num"), n1.alias("n1"), n2.alias("n2")
+    )
+    out = per_v.groupBy("n1", "n2").agg(F.max("num").alias("max_num"))
+    return out.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(F.col("max_num") / (F.col("n1") * F.col("n2")), 6).alias("d_stat"),
+        F.round(
+            F.lit(1.3581015157406195)
+            * F.sqrt((F.col("n1") + F.col("n2")) / (F.col("n1") * F.col("n2"))),
+            6,
+        ).alias("crit_05"),
+    )
+
+
+KS_TWO_SAMPLE_ORACLE = """
+WITH rollup AS (
+  SELECT
+    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS BIGINT) AS n1v,
+    COUNT(*) AS ntv
+  FROM orders
+  GROUP BY 1
+),
+cum AS (
+  SELECT
+    SUM(n1v) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS c1,
+    SUM(ntv) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS ct
+  FROM rollup
+),
+tot AS (
+  SELECT CAST(SUM(n1v) AS BIGINT) AS n1, CAST(SUM(ntv) AS BIGINT) AS nt
+  FROM rollup
+),
+d AS (
+  SELECT MAX(ABS(CAST(c.c1 AS BIGINT) * (t.nt - t.n1)
+    - (CAST(c.ct AS BIGINT) - CAST(c.c1 AS BIGINT)) * t.n1)) AS max_num
+  FROM cum c CROSS JOIN tot t
+)
+SELECT
+  t.n1 AS n1,
+  t.nt - t.n1 AS n2,
+  ROUND(CAST(d.max_num AS DOUBLE) / (t.n1 * (t.nt - t.n1)), 6) AS d_stat,
+  ROUND(1.3581015157406195
+    * sqrt(CAST(t.nt AS DOUBLE) / (t.n1 * (t.nt - t.n1))), 6) AS crit_05
+FROM tot t CROSS JOIN d
+"""

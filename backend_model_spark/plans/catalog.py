@@ -16,7 +16,7 @@ tiers:
   SURVEY.md §2.
 * TIER 2 (remainder): the rest of each family, grouped as before.
 
-247 registered queries; names are stable across rounds — only
+248 registered queries; names are stable across rounds — only
 insertion order (the verified prefix) rotates.
 """
 
@@ -106,7 +106,10 @@ register("media_payload_stats", multimodal.payload_stats, multimodal.PAYLOAD_STA
 # UDF tiers (udf_pandas_normalize displaced to tier 2 for the
 # session-2 MIPS addition; udtf_runlength_encode remains in the
 # prefix as the family rep)
-register("sim_mips_topk", similarity.mips_topk, similarity.MIPS_TOPK_ORACLE)
+# (sim_mips_topk — session-2 addition, green in every full local
+# sweep since; similarity keeps sim_pq_encode in the prefix —
+# displaced to tier 2 for the exact KS test, which is driver-unseen)
+register("stat_ks_test", aggregates.ks_two_sample, aggregates.KS_TWO_SAMPLE_ORACLE)
 # ML
 register(
     "ml_linear_fit_closed_form",
@@ -516,6 +519,7 @@ register(
     "events_autocorr", events_ops.daily_autocorrelation, events_ops.AUTOCORR_ORACLE
 )
 register("stat_ab_welch", events_ops.ab_welch_ttest, events_ops.AB_WELCH_ORACLE)
+register("sim_mips_topk", similarity.mips_topk, similarity.MIPS_TOPK_ORACLE)
 register(
     "events_interarrival", events_ops.interarrival_stats, events_ops.INTERARRIVAL_ORACLE
 )

@@ -49,6 +49,10 @@ HEADLINE = [
     # primitive (running peak / drawdown) — holds the new global
     # running-aggregate path in the bench
     "window_max_drawdown",
+    # round-3 session 3: grid-bucketed spatial kNN — holds the
+    # cell-ring equi-join candidate shape (no nested-loop) in the
+    # bench
+    "geo_knn_comps",
 ]
 
 

@@ -16,7 +16,7 @@ tiers:
   SURVEY.md §2.
 * TIER 2 (remainder): the rest of each family, grouped as before.
 
-248 registered queries; names are stable across rounds — only
+249 registered queries; names are stable across rounds — only
 insertion order (the verified prefix) rotates.
 """
 
@@ -74,9 +74,9 @@ register(
 # dedup (tier-1 reps are in the rotation block below)
 # similarity (cosine_topk_bruteforce displaced to tier 2 for the
 # session-2 PSI drift addition; sim_pq_encode remains in the prefix)
-register(
-    "dq_drift_psi", events_ops.value_drift_psi, events_ops.VALUE_DRIFT_PSI_ORACLE
-)
+# (dq_drift_psi — session-2 addition, green in every full local
+# sweep since; dq keeps dq_observe in the prefix — displaced to
+# tier 2 for the session-3 blocked fuzzy pairs)
 # aggregates (family's tier-1 reps are the round-3 rotation entries
 # below: agg_revenue_concentration, agg_normality_probe, agg_chi2;
 # agg_grouped_orders displaced to tier 2 for the FPGrowth addition)
@@ -173,6 +173,14 @@ register("ml_naive_bayes_lang", ml_queries.naive_bayes_lang, ml_queries.NAIVE_BA
 # drawdown addition; io keeps zorder/schema-evolution/compaction/
 # python-datasource in the prefix)
 register("window_max_drawdown", windows.max_drawdown, windows.MAX_DRAWDOWN_ORACLE)
+# (func_fuzzy_blocked_pairs — session-3 addition, driver-unseen →
+# verified prefix; the probe-broadcast sibling func_fuzzy_match
+# stays in tier 2)
+register(
+    "func_fuzzy_blocked_pairs",
+    scalar_funcs.fuzzy_blocked_pairs,
+    scalar_funcs.FUZZY_BLOCKED_ORACLE,
+)
 # round-3 session-2 additions (driver-unseen → verified prefix;
 # displaced r02/r03-stable entries: io_ddl_create_insert_scan,
 # text_vocab_build, clean_impute_group_median → tier 2)
@@ -522,6 +530,9 @@ register("stat_ab_welch", events_ops.ab_welch_ttest, events_ops.AB_WELCH_ORACLE)
 register("sim_mips_topk", similarity.mips_topk, similarity.MIPS_TOPK_ORACLE)
 register(
     "events_interarrival", events_ops.interarrival_stats, events_ops.INTERARRIVAL_ORACLE
+)
+register(
+    "dq_drift_psi", events_ops.value_drift_psi, events_ops.VALUE_DRIFT_PSI_ORACLE
 )
 register(
     "events_path_trigrams", events_ops.path_trigrams, events_ops.PATH_TRIGRAMS_ORACLE

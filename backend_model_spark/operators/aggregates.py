@@ -1236,3 +1236,112 @@ SELECT
     * sqrt(CAST(t.nt AS DOUBLE) / (t.n1 * (t.nt - t.n1))), 6) AS crit_05
 FROM tot t CROSS JOIN d
 """
+
+
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected Mann-Whitney U between urgent-priority and
+    normal-priority order totals — the nonparametric sibling of
+    :func:`ks_two_sample`, built on the SAME physical skeleton: a
+    distinct-value rollup, ONE two-stage global prefix-sum with both
+    counters bit-packed into a single bigint, and everything integer
+    until the final z.
+
+    Average ranks stay exact by working in DOUBLED units: a tied
+    group at value v (t_v rows, c_before below it) contributes
+    n1(v) * (2*c_before + t_v + 1) to 2*R1, so 2*U1 = 2*R1 -
+    n1*(n1+1) is an exact bigint. The tie-corrected normal
+    approximation z = (U1 - n1*n2/2) / sqrt(n1*n2/12 * ((N+1) -
+    sum(t³-t)/(N*(N-1)))) is the only float, rounded at the edge.
+
+    Scale: identical to the KS path — the only ordered pass is over
+    distinct values, map-side-combinable everywhere else.
+    """
+    from backend_model_spark.operators.scale_utils import with_global_rank
+
+    orders = load_table(spark, "orders", sf_dir)
+    grp1 = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    rollup = (
+        orders.select(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            grp1.cast("long").alias("is1"),
+        )
+        .groupBy("cents")
+        .agg(F.sum("is1").alias("n1v"), F.count(F.lit(1)).alias("ntv"))
+        .withColumn("packed", F.col("n1v") * F.lit(4294967296) + F.col("ntv"))
+    )
+    ranked = with_global_rank(
+        rollup,
+        [F.col("cents").asc()],
+        "rk",
+        prefix_sum=("packed", "cum"),
+        grand_total=("packed", "gt"),
+    )
+    ctot = F.col("cum") % F.lit(4294967296)
+    c_before = ctot - F.col("ntv")
+    contrib = F.col("n1v") * (2 * c_before + F.col("ntv") + 1)
+    tie = F.col("ntv") * F.col("ntv") * F.col("ntv") - F.col("ntv")
+    n1 = F.expr("gt DIV 4294967296")
+    ntot = F.col("gt") % F.lit(4294967296)
+    agg = ranked.groupBy(
+        n1.alias("n1"), (ntot - n1).alias("n2")
+    ).agg(
+        F.sum(contrib).alias("two_r1"),
+        F.sum(tie).alias("tie_sum"),
+    )
+    N = F.col("n1") + F.col("n2")
+    two_u1 = F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)
+    mean2 = F.col("n1") * F.col("n2")  # 2 * mean(U)
+    var = (
+        F.col("n1").cast("double")
+        * F.col("n2")
+        / 12.0
+        * ((N + 1) - F.col("tie_sum") / (N * (N - 1)))
+    )
+    return agg.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        two_u1.cast("long").alias("u1_x2"),
+        F.round((two_u1 - mean2) / (2.0 * F.sqrt(var)), 6).alias("z"),
+    )
+
+
+MANN_WHITNEY_ORACLE = """
+WITH rollup AS (
+  SELECT
+    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+    CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS BIGINT) AS n1v,
+    COUNT(*) AS ntv
+  FROM orders
+  GROUP BY 1
+),
+cum AS (
+  SELECT n1v, ntv,
+    CAST(SUM(ntv) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS ctot
+  FROM rollup
+),
+tot AS (
+  SELECT CAST(SUM(n1v) AS BIGINT) AS n1,
+         CAST(SUM(ntv) AS BIGINT) - CAST(SUM(n1v) AS BIGINT) AS n2
+  FROM rollup
+),
+s AS (
+  SELECT
+    CAST(SUM(n1v * (2 * (ctot - ntv) + ntv + 1)) AS BIGINT) AS two_r1,
+    CAST(SUM(ntv * ntv * ntv - ntv) AS BIGINT) AS tie_sum
+  FROM cum
+)
+SELECT
+  t.n1, t.n2,
+  two_r1 - t.n1 * (t.n1 + 1) AS u1_x2,
+  ROUND(
+    (two_r1 - t.n1 * (t.n1 + 1) - t.n1 * t.n2)
+    / (2.0 * sqrt(CAST(t.n1 AS DOUBLE) * t.n2 / 12.0
+        * ((t.n1 + t.n2 + 1)
+           - CAST(tie_sum AS DOUBLE) / ((t.n1 + t.n2) * (t.n1 + t.n2 - 1))))),
+    6) AS z
+FROM tot t CROSS JOIN s
+"""

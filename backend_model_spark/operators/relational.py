@@ -351,3 +351,105 @@ SELECT
     AS price_cents_sum
 FROM lineitem
 """
+
+
+def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and hour-of-day — the
+    information-theoretic column-dependence profile (the multivariate
+    sibling of the chi-square independence test): I(X;Y) =
+    sum p_xy * ln(p_xy / (p_x * p_y)) over the joint contingency
+    table, with the marginal entropies H(X), H(Y) and the normalized
+    MI / min(H) alongside.
+
+    Scale: one map-side-combinable groupBy builds the joint table
+    (|types| x 24 cells); marginals RE-AGGREGATE the persisted cell
+    frame (never rescan events); N is a broadcast scalar. The log
+    terms keep integer arguments (n_xy * N) / (n_x * n_y) inside ln
+    — one float op per cell, rounded once at the edge.
+    """
+    ev = load_table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    joint = (
+        ev.select("event_type", F.hour("ts").alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("nxy"))
+    )
+    joint = joint.persist()
+    mx = joint.groupBy("event_type").agg(F.sum("nxy").alias("nx"))
+    my = joint.groupBy("hr").agg(F.sum("nxy").alias("ny"))
+    totals = joint.agg(F.sum("nxy").cast("double").alias("n"))
+    cells = (
+        joint.join(mx, "event_type")
+        .join(my, "hr")
+    )
+    cells = broadcast_scalars(cells, totals)
+    mi_term = (
+        F.col("nxy")
+        / F.col("n")
+        * F.log(
+            F.col("nxy").cast("double")
+            * F.col("n")
+            / (F.col("nx").cast("double") * F.col("ny"))
+        )
+    )
+    mi = cells.agg(F.sum(mi_term).alias("mi"))
+    hx = broadcast_scalars(mx, totals).agg(
+        (
+            F.log(F.first("n"))
+            - F.sum(F.col("nx") * F.log(F.col("nx").cast("double"))) / F.first("n")
+        ).alias("hx")
+    )
+    hy = broadcast_scalars(my, totals).agg(
+        (
+            F.log(F.first("n"))
+            - F.sum(F.col("ny") * F.log(F.col("ny").cast("double"))) / F.first("n")
+        ).alias("hy")
+    )
+    out = (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .crossJoin(F.broadcast(totals))
+    )
+    return out.select(
+        F.col("n").cast("long").alias("n_events"),
+        F.round("hx", 6).alias("h_type"),
+        F.round("hy", 6).alias("h_hour"),
+        F.round("mi", 6).alias("mi_nats"),
+        F.round(F.col("mi") / F.least(F.col("hx"), F.col("hy")), 6).alias(
+            "mi_normalized"
+        ),
+    )
+
+
+MUTUAL_INFO_ORACLE = """
+WITH joint AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hr, COUNT(*) AS nxy
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+),
+mx AS (SELECT event_type, CAST(SUM(nxy) AS BIGINT) AS nx FROM joint GROUP BY 1),
+my AS (SELECT hr, CAST(SUM(nxy) AS BIGINT) AS ny FROM joint GROUP BY 1),
+tot AS (SELECT CAST(SUM(nxy) AS DOUBLE) AS n FROM joint),
+mi AS (
+  SELECT SUM(j.nxy / t.n * ln(j.nxy * t.n / (m.nx * CAST(h.ny AS DOUBLE))))
+    AS mi
+  FROM joint j
+  JOIN mx m USING (event_type)
+  JOIN my h USING (hr)
+  CROSS JOIN tot t
+),
+hx AS (
+  SELECT ln(t.n) - SUM(m.nx * ln(CAST(m.nx AS DOUBLE))) / t.n AS hx
+  FROM mx m CROSS JOIN tot t GROUP BY t.n
+),
+hy AS (
+  SELECT ln(t.n) - SUM(h.ny * ln(CAST(h.ny AS DOUBLE))) / t.n AS hy
+  FROM my h CROSS JOIN tot t GROUP BY t.n
+)
+SELECT
+  CAST(t.n AS BIGINT) AS n_events,
+  ROUND(hx.hx, 6) AS h_type,
+  ROUND(hy.hy, 6) AS h_hour,
+  ROUND(mi.mi, 6) AS mi_nats,
+  ROUND(mi.mi / LEAST(hx.hx, hy.hy), 6) AS mi_normalized
+FROM tot t CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy
+"""

@@ -16,7 +16,7 @@ tiers:
   SURVEY.md §2.
 * TIER 2 (remainder): the rest of each family, grouped as before.
 
-249 registered queries; names are stable across rounds — only
+251 registered queries; names are stable across rounds — only
 insertion order (the verified prefix) rotates.
 """
 
@@ -87,10 +87,11 @@ register(
 # (io_zorder_layout — r3-stable, measured in SCALE.md — displaced to
 # tier 2 for the weighted-median addition; io keeps dynamic-overwrite,
 # schema-evolution, compaction, python-datasource in the prefix)
+# (agg_weighted_median_rank — session-2 addition, green in every
+# full local sweep since — displaced to tier 2 for the tie-corrected
+# Mann-Whitney U, which is driver-unseen)
 register(
-    "agg_weighted_median_rank",
-    aggregates.weighted_median_rank,
-    aggregates.WEIGHTED_MEDIAN_ORACLE,
+    "stat_mann_whitney", aggregates.mann_whitney_u, aggregates.MANN_WHITNEY_ORACLE
 )
 # SQL API (grouping_sets displaced to tier 2; the round-3 LATERAL
 # entry below is the family's prefix rep)
@@ -153,8 +154,11 @@ register(
 )
 # (text_source_kl — r3-rewritten, locally re-verified every session —
 # displaced to tier 2 for the Bloom-prefilter dedup addition)
+# (dedup_bloom_prefilter — session-2 addition, green in every full
+# local sweep since; dedup keeps five other reps in the prefix —
+# displaced to tier 2 for the mutual-information profile)
 register(
-    "dedup_bloom_prefilter", dedup.bloom_prefilter_dedup, dedup.BLOOM_PREFILTER_ORACLE
+    "dq_mutual_info", relational.mutual_information, relational.MUTUAL_INFO_ORACLE
 )
 # (text_repetition_signals — stable since r3-early — displaced to
 # tier 2 for the path-trigram addition)
@@ -337,6 +341,11 @@ register("dq_audit", relational.dq_audit, relational.DQ_AUDIT_ORACLE)
 register("dq_benford", relational.benford_first_digit, relational.BENFORD_ORACLE)
 
 # --- aggregates (SURVEY §2.5) ----------------------------------------------
+register(
+    "agg_weighted_median_rank",
+    aggregates.weighted_median_rank,
+    aggregates.WEIGHTED_MEDIAN_ORACLE,
+)
 register("stat_bootstrap_ci", aggregates.bootstrap_ci, aggregates.BOOTSTRAP_CI_ORACLE)
 register(
     "agg_revenue_concentration",
@@ -631,6 +640,9 @@ register(
 )
 
 # --- deduplication ------------------------------------------------------------
+register(
+    "dedup_bloom_prefilter", dedup.bloom_prefilter_dedup, dedup.BLOOM_PREFILTER_ORACLE
+)
 register(
     "dedup_duplicate_clusters",
     dedup.duplicate_clusters,

@@ -1093,3 +1093,67 @@ def test_moments_shape_matches_numpy(spark, prices):
     assert abs(row["std_scaled"] - np.sqrt(m2)) < 2e-6
     assert abs(row["skewness"] - m3 / m2**1.5) < 1e-4
     assert abs(row["excess_kurtosis"] - (m4 / m2**2 - 3)) < 1e-4
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    prices=st.lists(
+        st.tuples(
+            st.booleans(),
+            st.integers(min_value=1, max_value=30),  # heavy ties on purpose
+        ),
+        min_size=8,
+        max_size=80,
+    ).filter(lambda v: 1 < sum(g for g, _ in v) < len(v) - 1)
+)
+def test_mann_whitney_matches_python(spark, prices):
+    """stat_mann_whitney against a pure-Python tie-corrected
+    Mann-Whitney (average ranks, z with tie correction) on fixture
+    orders with deliberately heavy ties."""
+    sf = os.path.join(SCRATCH, uuid.uuid4().hex[:12])
+    os.makedirs(sf, exist_ok=True)
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(len(prices)),
+            "o_custkey": [1] * len(prices),
+            "o_orderstatus": ["O"] * len(prices),
+            "o_totalprice": [float(p) for _, p in prices],
+            "o_orderdate": [pd.Timestamp("2024-01-01")] * len(prices),
+            "o_orderpriority": [
+                "1-URGENT" if g else "3-MEDIUM" for g, _ in prices
+            ],
+        }
+    )
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
+    orders.to_parquet(os.path.join(sf, "orders.parquet"))
+
+    from backend_model_spark.operators.aggregates import mann_whitney_u
+
+    row = mann_whitney_u(spark, sf).toPandas().iloc[0]
+
+    import math
+
+    vals = sorted(set(p for _, p in prices))
+    ranks = {}
+    below = 0
+    for v in vals:
+        t = sum(1 for _, p in prices if p == v)
+        ranks[v] = below + (t + 1) / 2.0
+        below += t
+    g1 = [p for g, p in prices if g]
+    g2 = [p for g, p in prices if not g]
+    n1, n2, n = len(g1), len(g2), len(prices)
+    r1 = sum(ranks[p] for p in g1)
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    tie_sum = sum(
+        (t := sum(1 for _, p in prices if p == v)) ** 3 - t for v in vals
+    )
+    var = n1 * n2 / 12.0 * ((n + 1) - tie_sum / (n * (n - 1)))
+    z = (u1 - n1 * n2 / 2.0) / math.sqrt(var)
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert row["u1_x2"] == int(2 * u1)
+    assert abs(row["z"] - z) < 1e-5

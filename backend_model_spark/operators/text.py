@@ -2019,3 +2019,107 @@ WHERE bg.n_pair >= 5
 ORDER BY pmi_lift DESC, w1 ASC, w2 ASC
 LIMIT 40
 """
+
+
+BM25_QUERY_TERMS = ("data", "spark", "filter")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranking of the corpus against a fixed 3-term query
+    — the production search-scoring function (term-frequency
+    saturation via k1, doc-length normalization via b) that the
+    TF-IDF entry (`text_tfidf`) is the classroom version of. Uses the
+    Lucene idf form ln(1 + (N - df + 0.5)/(df + 0.5)); top-10 docs by
+    integer-micro score with doc_id tiebreak.
+
+    Scale: ONE explode of the corpus into a persisted token frame
+    feeds both per-doc lengths and per-(doc, term) frequencies; the
+    query side (3 terms -> df counts -> idf) and the scalars (N,
+    avgdl) are broadcast; the final top-10 is TakeOrderedAndProject,
+    never a global sort.
+    """
+    from backend_model_spark.operators.scale_utils import broadcast_scalars
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    )
+    tok = tok.persist()  # reused: doc lengths, tf, df
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    scalars = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+    terms = spark.createDataFrame(
+        [(t,) for t in BM25_QUERY_TERMS], "token string"
+    )
+    qtok = tok.join(F.broadcast(terms), "token")
+    df_counts = qtok.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    tf = qtok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+
+    cells = (
+        tf.join(F.broadcast(df_counts), "token")
+        .join(dl, "doc_id")
+    )
+    cells = broadcast_scalars(cells, scalars)
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * F.col("tf") * (BM25_K1 + 1.0) / denom
+    return (
+        cells.groupBy("doc_id")
+        .agg(
+            F.floor(F.sum(term_score) * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("score_micro")
+        )
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(10)
+        .select("doc_id", (F.col("score_micro") / 1e6).alias("bm25"))
+    )
+
+
+BM25_RANK_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+scalars AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+),
+terms(token) AS (VALUES {", ".join("('" + t + "')" for t in BM25_QUERY_TERMS)}),
+qtok AS (SELECT t.doc_id, t.token FROM tok t JOIN terms USING (token)),
+dfc AS (
+  SELECT token, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM qtok GROUP BY 1
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM qtok GROUP BY 1, 2),
+scored AS (
+  SELECT tf.doc_id,
+    SUM(
+      ln(1.0 + (s.n_docs - dfc.df + 0.5) / (dfc.df + 0.5))
+      * tf.tf * ({BM25_K1} + 1.0)
+      / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
+    ) AS score
+  FROM tf
+  JOIN dfc USING (token)
+  JOIN dl USING (doc_id)
+  CROSS JOIN scalars s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+  CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) / 1e6 AS bm25
+FROM scored
+ORDER BY CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) DESC, doc_id
+LIMIT 10
+"""

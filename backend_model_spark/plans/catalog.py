@@ -16,7 +16,7 @@ tiers:
   SURVEY.md §2.
 * TIER 2 (remainder): the rest of each family, grouped as before.
 
-251 registered queries; names are stable across rounds — only
+252 registered queries; names are stable across rounds — only
 insertion order (the verified prefix) rotates.
 """
 
@@ -97,8 +97,10 @@ register(
 # entry below is the family's prefix rep)
 # cleaning (junk_filter displaced to tier 2; impute_group_median
 # remains in the prefix)
-# scalar functions
-register("func_regex", scalar_funcs.regex_functions, scalar_funcs.REGEX_FUNCS_ORACLE)
+# scalar functions (func_regex — r02-driver-green — displaced to
+# tier 2 for the BM25 ranking; func family keeps the session-3
+# blocked-ER entry in the prefix)
+register("text_bm25_rank", text.bm25_rank, text.BM25_RANK_ORACLE)
 # sorts / sets (set_union_all displaced to tier 2; dedup_exact_groups
 # likewise — both r02-driver-green, families still represented)
 register("sort_topk_orders", sorts_sets.topk_orders_by_price, sorts_sets.TOPK_ORDERS_ORACLE)
@@ -431,6 +433,7 @@ register("clean_hcc_detection", cleaning.hcc_column_cardinalities, cleaning.HCC_
 register(
     "func_null_semantics", scalar_funcs.null_semantics, scalar_funcs.NULL_SEMANTICS_ORACLE
 )
+register("func_regex", scalar_funcs.regex_functions, scalar_funcs.REGEX_FUNCS_ORACLE)
 register("func_fuzzy_match", scalar_funcs.fuzzy_name_match, scalar_funcs.FUZZY_MATCH_ORACLE)
 
 # --- joins (SURVEY §2.3) -----------------------------------------------------

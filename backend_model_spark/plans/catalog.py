@@ -16,7 +16,7 @@ tiers:
   SURVEY.md §2.
 * TIER 2 (remainder): the rest of each family, grouped as before.
 
-252 registered queries; names are stable across rounds — only
+253 registered queries; names are stable across rounds — only
 insertion order (the verified prefix) rotates.
 """
 
@@ -277,10 +277,13 @@ register(
     udf_tiers.RUNLENGTH_ORACLE,
 )
 register("dq_observe", relational.dq_observe_metrics, relational.DQ_OBSERVE_ORACLE)
+# (streaming_python_datasource — r3-stable, green in every full
+# local sweep since — displaced to tier 2 for the bounded-state
+# watermark dedup, which is driver-unseen)
 register(
-    "streaming_python_datasource",
-    streaming_jobs.streaming_python_datasource,
-    streaming_jobs.STREAMING_PYDS_ORACLE,
+    "streaming_dedup_within_watermark",
+    streaming_jobs.streaming_dedup_within_watermark,
+    streaming_jobs.STREAMING_DEDUP_WWM_ORACLE,
 )
 register("sim_pq_encode", similarity.pq_encode, similarity.PQ_ENCODE_ORACLE)
 # (window_percent_of_parent — r3-stable — displaced to tier 2 for the
@@ -819,6 +822,11 @@ register(
 register("ml_gbt_feature_importance", ml_queries.gbt_feature_importance, None)
 
 # --- structured streaming (availableNow batch-equivalence) --------------------
+register(
+    "streaming_python_datasource",
+    streaming_jobs.streaming_python_datasource,
+    streaming_jobs.STREAMING_PYDS_ORACLE,
+)
 register(
     "streaming_hourly_counts",
     streaming_jobs.streaming_hourly_counts,

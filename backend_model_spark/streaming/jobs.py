@@ -732,3 +732,40 @@ FROM ticks
 GROUP BY sensor_id
 ORDER BY sensor_id
 """
+
+
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup via
+    ``dropDuplicatesWithinWatermark`` — the production at-least-once →
+    effectively-once repair stage: duplicates are dropped only while
+    their key is inside the watermark horizon, so dedup state is
+    EVICTED as event time advances (plain streaming
+    ``dropDuplicates`` keeps every key forever — unbounded state).
+
+    The duplicate source is constructed honestly: the event stream
+    unioned with itself, so every event_id arrives exactly twice
+    within the same horizon. The per-type counts after dedup must
+    equal the batch per-type counts (each event once) — which is the
+    oracle.
+
+    Scale: state is bounded by (keys arriving within one watermark
+    window), not by stream history — the difference between a dedup
+    that survives a month-long run and one that OOMs.
+    """
+    ev1 = read_events_stream(spark, sf_dir)
+    ev2 = read_events_stream(spark, sf_dir)
+    doubled = ev1.unionByName(ev2).withWatermark("ts", "1 hour")
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
+    counts = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    out = _run_to_memory(counts, "complete")
+    return out.orderBy("event_type")
+
+
+STREAMING_DEDUP_WWM_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

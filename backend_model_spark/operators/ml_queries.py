@@ -546,3 +546,94 @@ SELECT fold,
 FROM ab
 ORDER BY fold
 """
+
+
+def decision_stump_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn a depth-1 decision tree (best Gini split of
+    l_quantity predicting returnflag == 'R') as pure relational
+    algebra — the third "ML as aggregation" entry after Naive Bayes
+    and the sufficient-statistic CV: class counts per distinct
+    feature value, cumulative (left-of-split) counts via ONE
+    two-stage prefix-sum with both counters bit-packed into a single
+    bigint (the KS/Mann-Whitney skeleton), weighted Gini per
+    candidate threshold, argmin by rounded impurity with threshold
+    tiebreak.
+
+    This is one boosting-round / tree-node inner loop of every
+    GBDT library, shown as a single scan + value-level rollup: at
+    100 TB the candidate evaluation never touches rows again.
+    """
+    from backend_model_spark.operators.scale_utils import with_global_rank
+
+    li = load_table(spark, "lineitem", sf_dir)
+    rollup = (
+        li.select(
+            F.col("l_quantity").cast("long").alias("x"),
+            (F.col("l_returnflag") == "R").cast("long").alias("is1"),
+        )
+        .groupBy("x")
+        .agg(F.sum("is1").alias("n1v"), F.count(F.lit(1)).alias("ntv"))
+        .withColumn("packed", F.col("n1v") * F.lit(4294967296) + F.col("ntv"))
+    )
+    ranked = with_global_rank(
+        rollup,
+        [F.col("x").asc()],
+        "rk",
+        prefix_sum=("packed", "cum"),
+        grand_total=("packed", "gt"),
+    )
+    cl = F.expr("cum DIV 4294967296").cast("double")   # class-1 left of split
+    ct = (F.col("cum") % F.lit(4294967296)).cast("double")  # total left
+    N1 = F.expr("gt DIV 4294967296").cast("double")
+    N = (F.col("gt") % F.lit(4294967296)).cast("double")
+    cr, tr = N1 - cl, N - ct
+    gini_l = 1.0 - (cl / ct) * (cl / ct) - ((ct - cl) / ct) * ((ct - cl) / ct)
+    gini_r = 1.0 - (cr / tr) * (cr / tr) - ((tr - cr) / tr) * ((tr - cr) / tr)
+    weighted = ct / N * gini_l + tr / N * gini_r
+    base = 1.0 - (N1 / N) * (N1 / N) - ((N - N1) / N) * ((N - N1) / N)
+    cands = ranked.filter(F.col("cum") != F.col("gt")).select(  # split keeps both sides non-empty
+        F.col("x").alias("threshold"),
+        F.round(weighted, 9).alias("gini_split"),
+        F.round(base, 9).alias("gini_base"),
+        N.cast("long").alias("n_rows"),
+    )
+    return cands.orderBy("gini_split", "threshold").limit(1)
+
+
+DECISION_STUMP_ORACLE = """
+WITH rollup AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n1v,
+    COUNT(*) AS ntv
+  FROM lineitem
+  GROUP BY 1
+),
+cum AS (
+  SELECT x,
+    CAST(SUM(n1v) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cl,
+    CAST(SUM(ntv) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS ct
+  FROM rollup
+),
+tot AS (
+  SELECT CAST(SUM(n1v) AS DOUBLE) AS n1, CAST(SUM(ntv) AS DOUBLE) AS n
+  FROM rollup
+),
+cands AS (
+  SELECT c.x AS threshold,
+    ROUND(
+      c.ct / t.n * (1.0 - (c.cl / c.ct) * (c.cl / c.ct)
+        - ((c.ct - c.cl) / c.ct) * ((c.ct - c.cl) / c.ct))
+      + (t.n - c.ct) / t.n * (1.0 - ((t.n1 - c.cl) / (t.n - c.ct)) * ((t.n1 - c.cl) / (t.n - c.ct))
+        - (((t.n - c.ct) - (t.n1 - c.cl)) / (t.n - c.ct)) * (((t.n - c.ct) - (t.n1 - c.cl)) / (t.n - c.ct))),
+      9) AS gini_split,
+    ROUND(1.0 - (t.n1 / t.n) * (t.n1 / t.n)
+      - ((t.n - t.n1) / t.n) * ((t.n - t.n1) / t.n), 9) AS gini_base,
+    CAST(t.n AS BIGINT) AS n_rows
+  FROM cum c CROSS JOIN tot t
+  WHERE c.ct <> t.n
+)
+SELECT threshold, gini_split, gini_base, n_rows
+FROM cands
+ORDER BY gini_split, threshold
+LIMIT 1
+"""

@@ -16,7 +16,7 @@ tiers:
   SURVEY.md §2.
 * TIER 2 (remainder): the rest of each family, grouped as before.
 
-253 registered queries; names are stable across rounds — only
+254 registered queries; names are stable across rounds — only
 insertion order (the verified prefix) rotates.
 """
 
@@ -113,11 +113,10 @@ register("media_payload_stats", multimodal.payload_stats, multimodal.PAYLOAD_STA
 # sweep since; similarity keeps sim_pq_encode in the prefix —
 # displaced to tier 2 for the exact KS test, which is driver-unseen)
 register("stat_ks_test", aggregates.ks_two_sample, aggregates.KS_TWO_SAMPLE_ORACLE)
-# ML
+# ML (ml_linear_fit_closed_form — r02-driver-green — displaced to
+# tier 2 for the Gini decision stump; ML keeps NB + CV in the prefix)
 register(
-    "ml_linear_fit_closed_form",
-    ml_queries.linear_fit_closed_form,
-    ml_queries.LINEAR_FIT_ORACLE,
+    "ml_decision_stump", ml_queries.decision_stump_gini, ml_queries.DECISION_STUMP_ORACLE
 )
 # streaming (hourly-counts displaced to tier 2 for the pattern-match
 # addition; streaming keeps left_join_attribution in the prefix)
@@ -816,6 +815,11 @@ register("sql_q14_promo_share", sql_api.q14_promo_share, sql_api.Q14_PROMO_SHARE
 
 # --- ML (SURVEY §2.10) ---------------------------------------------------------
 register("ml_gbt_train_eval", ml_queries.gbt_train_eval, None)
+register(
+    "ml_linear_fit_closed_form",
+    ml_queries.linear_fit_closed_form,
+    ml_queries.LINEAR_FIT_ORACLE,
+)
 register(
     "ml_group_ols_pandas", ml_queries.group_ols_pandas, ml_queries.GROUP_OLS_ORACLE
 )

@@ -706,3 +706,30 @@ def test_geo_knn_is_equi_join(spark, sf_dir):
     # top-3 window is partitioned by query key, not global
     logical = _QUERIES["geo_knn_comps"](spark, sf_dir)._jdf.queryExecution()
     assert not _global_window_nodes(logical.optimizedPlan().toString())
+
+
+def test_stat_rank_skeleton_no_global_window(spark, sf_dir):
+    """KS, Mann-Whitney, and the decision stump all ride the packed
+    two-stage prefix-sum — none may plan an unpartitioned window."""
+    for name in ("stat_ks_test", "stat_mann_whitney", "ml_decision_stump"):
+        logical = (
+            _QUERIES[name](spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert not _global_window_nodes(logical), name
+
+
+def test_bm25_single_corpus_scan(spark, sf_dir):
+    """BM25 must explode the corpus ONCE into the persisted token
+    frame; lengths, tf, and df re-read the cache."""
+    plan = plan_of(spark, "text_bm25_rank", sf_dir)
+    assert plan.count("Location: InMemoryFileIndex") == 1, "documents scanned once"
+    assert "InMemoryTableScan" in plan, "token frame must be persisted"
+    assert "TakeOrderedAndProject" in plan, "top-10 must not be a global sort"
+
+
+def test_fuzzy_blocked_no_cartesian(spark, sf_dir):
+    """Blocked ER must join on the (brand, size, slot, token) equi-key
+    — never a nested-loop pair enumeration."""
+    plan = plan_of(spark, "func_fuzzy_blocked_pairs", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

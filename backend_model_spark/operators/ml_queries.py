@@ -637,3 +637,89 @@ FROM cands
 ORDER BY gini_split, threshold
 LIMIT 1
 """
+
+
+FEATURE_CUTOFF = "1996-01-01"
+
+
+def feature_store_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature-store materialization — the engine-side
+    twin of the reference's feature-matrix construction (its pandas
+    pipeline engineers per-listing features before modeling;
+    `Reordered - Feature Matrix.csv`): per-customer behavioral
+    features computed strictly from orders BEFORE the cutoff date (no
+    label leakage — the property that makes a feature store
+    trustworthy), left-joined onto the full customer dimension so
+    cold-start customers appear with empty history, reported as
+    per-segment feature means.
+
+    Scale: one pushed-down date-filtered scan of orders, one
+    map-side-combinable per-customer rollup, one shuffle join onto
+    customers (AQE-planned), one segment rollup. The cutoff filter
+    reaches the parquet scan (PushedFilters), so a 100 TB history
+    prunes to the training horizon before anything else runs.
+    """
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit(FEATURE_CUTOFF).cast("date")
+    )
+    hist = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("spend_cents"),
+        F.datediff(
+            F.lit(FEATURE_CUTOFF).cast("date"), F.max("o_orderdate")
+        ).alias("recency_days"),
+    )
+    feats = cust.join(
+        hist, cust.c_custkey == hist.o_custkey, "left"
+    ).select(
+        "c_mktsegment",
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.coalesce(F.col("spend_cents"), F.lit(0)).alias("spend_cents"),
+        "recency_days",
+    )
+    return (
+        feats.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum((F.col("n_orders") > 0).cast("long")).alias("n_with_history"),
+            F.round(F.avg("n_orders"), 6).alias("mean_orders"),
+            F.round(F.avg("spend_cents"), 6).alias("mean_spend_cents"),
+            F.round(F.avg("recency_days"), 6).alias("mean_recency_days"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+FEATURE_STORE_ORACLE = f"""
+WITH hist AS (
+  SELECT o_custkey,
+    COUNT(*) AS n_orders,
+    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS spend_cents,
+    date_diff('day', MAX(o_orderdate), DATE '{FEATURE_CUTOFF}')
+      AS recency_days
+  FROM orders
+  WHERE o_orderdate < DATE '{FEATURE_CUTOFF}'
+  GROUP BY o_custkey
+),
+feats AS (
+  SELECT c.c_mktsegment,
+    COALESCE(h.n_orders, 0) AS n_orders,
+    COALESCE(h.spend_cents, 0) AS spend_cents,
+    h.recency_days
+  FROM customer c LEFT JOIN hist h ON c.c_custkey = h.o_custkey
+)
+SELECT c_mktsegment,
+  COUNT(*) AS n_customers,
+  CAST(SUM(CASE WHEN n_orders > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_with_history,
+  ROUND(AVG(n_orders), 6) AS mean_orders,
+  ROUND(AVG(spend_cents), 6) AS mean_spend_cents,
+  ROUND(AVG(recency_days), 6) AS mean_recency_days
+FROM feats
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""

@@ -16,7 +16,7 @@ tiers:
   SURVEY.md §2.
 * TIER 2 (remainder): the rest of each family, grouped as before.
 
-254 registered queries; names are stable across rounds — only
+255 registered queries; names are stable across rounds — only
 insertion order (the verified prefix) rotates.
 """
 
@@ -323,10 +323,12 @@ register("text_winnow_fingerprints", text.winnow_fingerprints, text.WINNOW_ORACL
 # (dedup_duplicate_clusters — r02 driver-green — displaced to tier 2
 # for the session-2 hysteresis addition; dedup keeps chunk_first_wins,
 # triangles, lsh_recall, embedding_neardup/_clusters in the prefix)
+# (events_alert_hysteresis — session-2 addition, green in every
+# full local sweep since; events keeps 4+ reps in the prefix —
+# displaced to tier 2 for the PIT feature store, which is
+# driver-unseen)
 register(
-    "events_alert_hysteresis",
-    events_ops.alert_hysteresis,
-    events_ops.ALERT_HYSTERESIS_ORACLE,
+    "pipeline_feature_store", ml_queries.feature_store_pit, ml_queries.FEATURE_STORE_ORACLE
 )
 register(
     "streaming_left_join_attribution",
@@ -541,6 +543,11 @@ register(
     "events_autocorr", events_ops.daily_autocorrelation, events_ops.AUTOCORR_ORACLE
 )
 register("stat_ab_welch", events_ops.ab_welch_ttest, events_ops.AB_WELCH_ORACLE)
+register(
+    "events_alert_hysteresis",
+    events_ops.alert_hysteresis,
+    events_ops.ALERT_HYSTERESIS_ORACLE,
+)
 register("sim_mips_topk", similarity.mips_topk, similarity.MIPS_TOPK_ORACLE)
 register(
     "events_interarrival", events_ops.interarrival_stats, events_ops.INTERARRIVAL_ORACLE

@@ -733,3 +733,16 @@ def test_fuzzy_blocked_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, "func_fuzzy_blocked_pairs", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_feature_store_cutoff_pushdown(spark, sf_dir):
+    """The PIT cutoff must reach the orders parquet scan — a 100 TB
+    history prunes to the training horizon before any other work."""
+    plan = plan_of(spark, "pipeline_feature_store", sf_dir)
+    pushed = [
+        seg.split("]")[0]
+        for seg in plan.split("PushedFilters: [")[1:]
+    ]
+    assert any("o_orderdate" in p for p in pushed), (
+        "cutoff predicate must be pushed to the scan"
+    )

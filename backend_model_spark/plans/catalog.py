@@ -16,7 +16,7 @@ tiers:
   SURVEY.md §2.
 * TIER 2 (remainder): the rest of each family, grouped as before.
 
-255 registered queries; names are stable across rounds — only
+256 registered queries; names are stable across rounds — only
 insertion order (the verified prefix) rotates.
 """
 
@@ -330,10 +330,13 @@ register("text_winnow_fingerprints", text.winnow_fingerprints, text.WINNOW_ORACL
 register(
     "pipeline_feature_store", ml_queries.feature_store_pit, ml_queries.FEATURE_STORE_ORACLE
 )
+# (streaming_left_join_attribution — r3-stable, green in every
+# full local sweep since — displaced to tier 2 for the stream-static
+# enrichment, which is driver-unseen)
 register(
-    "streaming_left_join_attribution",
-    streaming_jobs.streaming_left_join_attribution,
-    streaming_jobs.STREAMING_LEFT_JOIN_ORACLE,
+    "streaming_static_enrich",
+    streaming_jobs.streaming_static_enrich,
+    streaming_jobs.STREAMING_STATIC_ENRICH_ORACLE,
 )
 
 # ======================================================================
@@ -833,6 +836,11 @@ register(
 register("ml_gbt_feature_importance", ml_queries.gbt_feature_importance, None)
 
 # --- structured streaming (availableNow batch-equivalence) --------------------
+register(
+    "streaming_left_join_attribution",
+    streaming_jobs.streaming_left_join_attribution,
+    streaming_jobs.STREAMING_LEFT_JOIN_ORACLE,
+)
 register(
     "streaming_python_datasource",
     streaming_jobs.streaming_python_datasource,

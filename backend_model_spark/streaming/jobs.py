@@ -769,3 +769,46 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment — the production pattern
+    the other streaming entries don't cover: the event STREAM joins
+    the static customer dimension (broadcast per micro-batch; the
+    static side is re-planned each batch, so a dimension refresh is
+    picked up without restarting the query), then aggregates purchase
+    value per market segment.
+
+    Scale: the static side is a broadcast hash join inside each
+    micro-batch — no stream-side shuffle for the join, state only in
+    the final aggregation (|segments| rows).
+    """
+    from backend_model_spark.sources.tables import load_table
+
+    ev = read_events_stream(spark, sf_dir).filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    dim = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = ev.join(F.broadcast(dim), "user_id")
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("revenue_cents"),
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.orderBy("c_mktsegment")
+
+
+STREAMING_STATIC_ENRICH_ORACLE = """
+SELECT c.c_mktsegment,
+  COUNT(*) AS n_purchases,
+  CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS revenue_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""

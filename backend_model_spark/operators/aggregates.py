@@ -1345,3 +1345,95 @@ SELECT
     6) AS z
 FROM tot t CROSS JOIN s
 """
+
+
+def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price
+    — the robust sibling of the Pearson `agg_correlation` entry —
+    computed EXACTLY: tie-averaged ranks in doubled integer units
+    from the packed two-stage prefix-sum (one pass per variable's
+    distinct-value rollup), then the correlation's sufficient
+    statistics as DECIMAL(38,0) sums (Spark decimal / DuckDB HUGEINT
+    — both exact), so both engines produce bit-identical numerators
+    and denominators; doubles appear only at the final sqrt/divide.
+
+    Scale: two value-level rollups + prefix-sums (the KS skeleton),
+    one broadcast join (50 quantity ranks), one shuffle join on the
+    price map, one map-side-combinable aggregate. The doubled-rank
+    decimal products stay within 38 digits beyond 10^9 rows.
+    """
+    from backend_model_spark.operators.scale_utils import with_global_rank
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+
+    def rank_map(col):
+        rollup = li.groupBy(col).agg(F.count(F.lit(1)).alias("t"))
+        ranked = with_global_rank(
+            rollup, [F.col(col).asc()], "rk", prefix_sum=("t", "cum")
+        )
+        # doubled tie-averaged rank: 2*c_before + t + 1
+        return ranked.select(
+            col,
+            (2 * (F.col("cum") - F.col("t")) + F.col("t") + 1).alias(f"r_{col}"),
+        )
+
+    rows = li.join(F.broadcast(rank_map("x")), "x").join(rank_map("y"), "y")
+    d = lambda c: c.cast("decimal(38,0)")
+    s = rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d(F.col("r_x"))).alias("sx"),
+        F.sum(d(F.col("r_y"))).alias("sy"),
+        F.sum(d(F.col("r_x")) * d(F.col("r_y"))).alias("sxy"),
+        F.sum(d(F.col("r_x")) * d(F.col("r_x"))).alias("sxx"),
+        F.sum(d(F.col("r_y")) * d(F.col("r_y"))).alias("syy"),
+    )
+    n = d(F.col("n"))
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) * F.sqrt(
+        (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(num / den, 6).alias("spearman_rho"),
+    )
+
+
+SPEARMAN_ORACLE = """
+WITH li AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+  FROM lineitem
+),
+xr AS (
+  SELECT x, 2 * (CAST(SUM(t) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+    AS BIGINT) - t) + t + 1 AS r_x
+  FROM (SELECT x, COUNT(*) AS t FROM li GROUP BY x)
+),
+yr AS (
+  SELECT y, 2 * (CAST(SUM(t) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING)
+    AS BIGINT) - t) + t + 1 AS r_y
+  FROM (SELECT y, COUNT(*) AS t FROM li GROUP BY y)
+),
+rows_r AS (
+  SELECT CAST(r_x AS HUGEINT) AS rx, CAST(r_y AS HUGEINT) AS ry
+  FROM li JOIN xr USING (x) JOIN yr USING (y)
+),
+s AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+    SUM(rx) AS sx, SUM(ry) AS sy,
+    SUM(rx * ry) AS sxy, SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+  FROM rows_r
+)
+SELECT CAST(n AS BIGINT) AS n,
+  ROUND(
+    CAST(n * sxy - sx * sy AS DOUBLE)
+    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))),
+    6) AS spearman_rho
+FROM s
+"""

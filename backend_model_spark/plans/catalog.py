@@ -16,7 +16,7 @@ tiers:
   SURVEY.md §2.
 * TIER 2 (remainder): the rest of each family, grouped as before.
 
-256 registered queries; names are stable across rounds — only
+257 registered queries; names are stable across rounds — only
 insertion order (the verified prefix) rotates.
 """
 
@@ -139,10 +139,11 @@ register("geo_knn_comps", geo.knn_comps, geo.KNN_COMPS_ORACLE)
 register("geo_cell_density", geo.cell_density, geo.CELL_DENSITY_ORACLE)
 # (window_rfm_segments — bench-held and plan-pinned since its r3
 # rewrite — displaced to tier 2 for the session-2 batch-3 additions)
+# (io_dynamic_partition_overwrite — session-2 addition, green in
+# every full local sweep since; io keeps 4 other reps in the prefix
+# — displaced to tier 2 for the exact-decimal Spearman)
 register(
-    "io_dynamic_partition_overwrite",
-    io_ops.dynamic_partition_overwrite,
-    io_ops.DYNAMIC_OVERWRITE_ORACLE,
+    "agg_spearman_corr", aggregates.spearman_corr, aggregates.SPEARMAN_ORACLE
 )
 # (agg_revenue_concentration — r3-rewrite, plan-pinned and locally
 # re-verified every session — displaced to tier 2 for the
@@ -775,6 +776,11 @@ register("mllib_pca_variance", mllib_ops.mllib_pca_variance, None)
 register("sim_ivf_recall", similarity.ivf_recall_vs_exact, None)
 
 # --- sources / sinks / DDL (SURVEY §2.1 S1-S7) ---------------------------------
+register(
+    "io_dynamic_partition_overwrite",
+    io_ops.dynamic_partition_overwrite,
+    io_ops.DYNAMIC_OVERWRITE_ORACLE,
+)
 register("io_zorder_layout", io_ops.zorder_layout, io_ops.ZORDER_LAYOUT_ORACLE)
 register("io_bucketed_join", io_ops.bucketed_join, io_ops.BUCKETED_JOIN_ORACLE)
 register("io_ddl_create_insert_scan", io_ops.ddl_create_insert_scan, io_ops.DDL_ORACLE)

@@ -2344,3 +2344,99 @@ SELECT
 FROM rev
 ORDER BY cohort_week, week_offset
 """
+
+
+def rolling_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day rolling regression slope of daily purchase revenue —
+    trend detection one step past the moving average
+    (:func:`seasonal_decompose`): for each day with a full 14-day
+    trailing window, fit revenue ~ day-index by OLS. With fixed
+    design x = 0..13 the slope reduces to an INTEGER numerator
+    (14*sum(x*y) - 91*sum(y), y in cents) over the constant 3185 —
+    exact on both engines until one final division. Reports the 5
+    steepest-rising and 5 steepest-falling days.
+
+    Scale: the corpus-width work is ONE map-side daily rollup
+    (persisted, 365 rows/year/stream); windows come from a bounded
+    x14 offset explode + equi-join on the rollup — never an
+    unpartitioned running window — and top-5s are
+    TakeOrderedAndProject.
+    """
+    ev = load_table(spark, "events", sf_dir).filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("cents")
+        )
+        .persist()
+    )
+    contrib = daily.select(
+        "day",
+        "cents",
+        F.explode(F.array(*[F.lit(k) for k in range(14)])).alias("k"),
+    ).select(
+        F.date_add(F.col("day"), F.col("k")).alias("target"),
+        (13 - F.col("k")).alias("x"),
+        "cents",
+    )
+    wins = (
+        contrib.join(daily.select(F.col("day").alias("target")), "target")
+        .groupBy("target")
+        .agg(
+            F.count(F.lit(1)).alias("nwin"),
+            F.sum(F.col("x") * F.col("cents")).alias("sxy"),
+            F.sum("cents").alias("sy"),
+        )
+        .filter(F.col("nwin") == 14)
+        .select(
+            "target",
+            (14 * F.col("sxy") - 91 * F.col("sy")).alias("num"),
+        )
+    )
+    rising = wins.orderBy(F.desc("num"), "target").limit(5)
+    falling = wins.orderBy(F.asc("num"), "target").limit(5)
+    return (
+        rising.unionByName(falling)
+        .select(
+            F.date_format("target", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("num") / 3185.0, 6).alias("slope_cents_per_day"),
+        )
+        .orderBy(F.desc("slope_cents_per_day"), "day")
+    )
+
+
+ROLLING_TREND_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1
+),
+contrib AS (
+  SELECT day + CAST(k.k AS INTEGER) AS target,
+         13 - k.k AS x, cents
+  FROM daily CROSS JOIN (SELECT unnest(range(14)) AS k) k
+),
+wins AS (
+  SELECT c.target,
+    COUNT(*) AS nwin,
+    CAST(14 * SUM(c.x * c.cents) - 91 * SUM(c.cents) AS BIGINT) AS num
+  FROM contrib c JOIN daily d ON d.day = c.target
+  GROUP BY c.target
+  HAVING COUNT(*) = 14
+),
+picked AS (
+  (SELECT target, num FROM wins ORDER BY num DESC, target LIMIT 5)
+  UNION ALL
+  (SELECT target, num FROM wins ORDER BY num ASC, target LIMIT 5)
+)
+SELECT strftime(target, '%Y-%m-%d') AS day,
+  ROUND(num / 3185.0, 6) AS slope_cents_per_day
+FROM picked
+ORDER BY slope_cents_per_day DESC, day
+"""

@@ -16,7 +16,7 @@ tiers:
   SURVEY.md §2.
 * TIER 2 (remainder): the rest of each family, grouped as before.
 
-257 registered queries; names are stable across rounds — only
+258 registered queries; names are stable across rounds — only
 insertion order (the verified prefix) rotates.
 """
 
@@ -239,10 +239,10 @@ register(
     dedup.graph_triangles,
     dedup.GRAPH_TRIANGLES_ORACLE,
 )
+# (events_overlap_join — r3-stable, green in every full local sweep
+# since — displaced to tier 2 for the rolling-trend detector)
 register(
-    "events_overlap_join",
-    events_ops.session_overlap_join,
-    events_ops.SESSION_OVERLAP_ORACLE,
+    "events_rolling_trend", events_ops.rolling_trend, events_ops.ROLLING_TREND_ORACLE
 )
 register(
     "events_pattern_sequence",
@@ -553,6 +553,11 @@ register(
     events_ops.ALERT_HYSTERESIS_ORACLE,
 )
 register("sim_mips_topk", similarity.mips_topk, similarity.MIPS_TOPK_ORACLE)
+register(
+    "events_overlap_join",
+    events_ops.session_overlap_join,
+    events_ops.SESSION_OVERLAP_ORACLE,
+)
 register(
     "events_interarrival", events_ops.interarrival_stats, events_ops.INTERARRIVAL_ORACLE
 )

@@ -753,3 +753,104 @@ FROM (
 ) WHERE vr = 1
 ORDER BY q_id
 """
+
+
+MRL_DIM = 16
+
+
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation evaluation: does the FIRST 16 of 64
+    embedding dimensions preserve the cosine top-5? (The MRL
+    deployment question — truncated prefixes buy 4x memory/compute
+    at some recall cost; this measures that cost exactly.) Per
+    query: overlap between the full-dim top-5 and the truncated-dim
+    top-5, as recall@5.
+
+    Scale: ONE broadcast-join pass over the corpus computes BOTH
+    cosines (full and prefix) per candidate; two windows partitioned
+    by query rank the two lists from the same candidate frame —
+    never a second corpus scan. Integer-micro rounded cosines give
+    deterministic cross-engine ranking.
+    """
+    emb = _as_double(load_table(spark, "embeddings", sf_dir)).withColumn(
+        "vn", F.expr(NORM.format(a="v"))
+    ).withColumn("vt", F.slice("v", 1, MRL_DIM)).withColumn(
+        "vtn", F.expr(NORM.format(a="vt"))
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
+        F.col("vt").alias("qt"),
+        F.col("vtn").alias("qtn"),
+    )
+    cos_full = F.round(F.expr(f"{DOT.format(a='qv', b='v')} / (qn * vn)"), 6)
+    cos_trunc = F.round(F.expr(f"{DOT.format(a='qt', b='vt')} / (qtn * vtn)"), 6)
+    scored = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cos_full.alias("cf"),
+            cos_trunc.alias("ct"),
+        )
+    )
+    wf = W.partitionBy("q_id").orderBy(F.col("cf").desc(), F.col("vec_id").asc())
+    wt = W.partitionBy("q_id").orderBy(F.col("ct").desc(), F.col("vec_id").asc())
+    flagged = scored.select(
+        "q_id",
+        (F.row_number().over(wf) <= TOP_K).cast("long").alias("in_full"),
+        (F.row_number().over(wt) <= TOP_K).cast("long").alias("in_trunc"),
+    )
+    return (
+        flagged.groupBy("q_id")
+        .agg(
+            F.sum(F.col("in_full") * F.col("in_trunc"))
+            .cast("int")
+            .alias("n_overlap")
+        )
+        .select(
+            "q_id",
+            "n_overlap",
+            F.round(F.col("n_overlap") / float(TOP_K), 6).alias("recall_at_5"),
+        )
+        .orderBy("q_id")
+    )
+
+
+MATRYOSHKA_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (
+  SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.q_id, v.vec_id,
+    ROUND(
+      {DOT_SQL.format(a="q.qv", b="v.v", dim=DIM)}
+      / ({NORM_SQL.format(a="q.qv", dim=DIM)} * {NORM_SQL.format(a="v.v", dim=DIM)}),
+    6) AS cf,
+    ROUND(
+      {DOT_SQL.format(a="q.qv", b="v.v", dim=MRL_DIM)}
+      / ({NORM_SQL.format(a="q.qv", dim=MRL_DIM)} * {NORM_SQL.format(a="v.v", dim=MRL_DIM)}),
+    6) AS ct
+  FROM q JOIN v ON v.vec_id <> q.q_id
+),
+flagged AS (
+  SELECT q_id,
+    CASE WHEN ROW_NUMBER() OVER (
+      PARTITION BY q_id ORDER BY cf DESC, vec_id ASC) <= {TOP_K}
+      THEN 1 ELSE 0 END AS in_full,
+    CASE WHEN ROW_NUMBER() OVER (
+      PARTITION BY q_id ORDER BY ct DESC, vec_id ASC) <= {TOP_K}
+      THEN 1 ELSE 0 END AS in_trunc
+  FROM scored
+)
+SELECT q_id,
+  CAST(SUM(in_full * in_trunc) AS INTEGER) AS n_overlap,
+  ROUND(CAST(SUM(in_full * in_trunc) AS DOUBLE) / {TOP_K}, 6) AS recall_at_5
+FROM flagged
+GROUP BY q_id
+ORDER BY q_id
+"""

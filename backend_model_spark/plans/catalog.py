@@ -16,7 +16,7 @@ tiers:
   SURVEY.md §2.
 * TIER 2 (remainder): the rest of each family, grouped as before.
 
-258 registered queries; names are stable across rounds — only
+259 registered queries; names are stable across rounds — only
 insertion order (the verified prefix) rotates.
 """
 
@@ -199,8 +199,11 @@ register(
 register(
     "agg_moments_shape", aggregates.moments_skew_kurtosis, aggregates.MOMENTS_ORACLE
 )
+# (events_cohort_ltv — verified in multiple full sweeps this
+# session; events keeps several reps — displaced to tier 2 for the
+# Matryoshka-truncation recall, which is driver-unseen)
 register(
-    "events_cohort_ltv", events_ops.cohort_ltv_curve, events_ops.COHORT_LTV_ORACLE
+    "sim_matryoshka_recall", similarity.matryoshka_recall, similarity.MATRYOSHKA_ORACLE
 )
 # (join_order_backlog and sample_importance_resample — both stable
 # and plan-pinned — displaced to tier 2 for the kNN classifier and
@@ -557,6 +560,9 @@ register(
     "events_overlap_join",
     events_ops.session_overlap_join,
     events_ops.SESSION_OVERLAP_ORACLE,
+)
+register(
+    "events_cohort_ltv", events_ops.cohort_ltv_curve, events_ops.COHORT_LTV_ORACLE
 )
 register(
     "events_interarrival", events_ops.interarrival_stats, events_ops.INTERARRIVAL_ORACLE

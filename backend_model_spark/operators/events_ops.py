@@ -2440,3 +2440,118 @@ SELECT strftime(target, '%Y-%m-%d') AS day,
 FROM picked
 ORDER BY slope_cents_per_day DESC, day
 """
+
+
+def anomaly_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-residual anomaly detection — the composition the separate
+    pieces exist for (:func:`seasonal_decompose` removes trend +
+    weekday seasonality; :func:`anomaly_zscore` thresholds): daily
+    counts minus the centered 7-day trend minus the weekday index,
+    z-scored, top-5 most anomalous days.
+
+    Exactness discipline: counts are integers, so every intermediate
+    stays an INTEGER NUMERATOR over a known denominator — dev7 =
+    7n - sum(window), residual = (cnt*dev7 - sum(dev7 by weekday)) /
+    (7*cnt) — making the residual doubles bit-identical across
+    engines before the final (rounded) z.
+
+    Scale: one map-side daily rollup (persisted), a bounded x7
+    explode + equi-join for the trend, 7-row weekday aggregate,
+    broadcast mean/std, TakeOrderedAndProject top-5.
+    """
+    ev = load_table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    neighbors = daily.select(
+        F.explode(F.expr("sequence(-3, 3)")).alias("off"),
+        F.expr("day + make_interval(0, 0, 0, off)").alias("center"),
+        F.col("n").alias("n_member"),
+    )
+    win = (
+        neighbors.groupBy("center")
+        .agg(F.count(F.lit(1)).alias("m"), F.sum("n_member").alias("s"))
+        .filter(F.col("m") == 7)
+        .select(F.col("center").alias("day"), "s")
+    )
+    dev = daily.join(win, "day").select(
+        "day",
+        "n",
+        F.pmod(
+            F.datediff(F.col("day").cast("date"), F.lit("2024-01-01").cast("date")),
+            F.lit(7),
+        ).alias("wd"),
+        (7 * F.col("n") - F.col("s")).alias("dev7"),
+    )
+    wd_stats = dev.groupBy("wd").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("dev7").alias("sdev7")
+    )
+    resid = dev.join(F.broadcast(wd_stats), "wd").select(
+        "day",
+        "n",
+        (
+            (F.col("cnt") * F.col("dev7") - F.col("sdev7"))
+            / (7.0 * F.col("cnt"))
+        ).alias("r"),
+    )
+    stats = resid.agg(
+        F.avg("r").alias("mu"), F.stddev_pop("r").alias("sigma")
+    )
+    scored = resid.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "n",
+        F.round("r", 6).alias("residual"),
+        F.round((F.col("r") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+    )
+    return (
+        scored.orderBy(F.abs(F.col("z")).desc(), "day")
+        .limit(5)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("long").alias("n_events"),
+            "residual",
+            "z",
+        )
+    )
+
+
+ANOMALY_SEASONAL_ORACLE = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+win AS (
+  SELECT d.day, COUNT(*) AS m, CAST(SUM(x.n) AS BIGINT) AS s
+  FROM daily d
+  JOIN daily x ON x.day BETWEEN d.day - INTERVAL 3 DAY
+                            AND d.day + INTERVAL 3 DAY
+  GROUP BY d.day
+  HAVING COUNT(*) = 7
+),
+dev AS (
+  SELECT d.day, d.n,
+    CAST((epoch(d.day) / 86400 - epoch(DATE '2024-01-01') / 86400) AS BIGINT)
+      % 7 AS wd,
+    CAST(7 * d.n - w.s AS BIGINT) AS dev7
+  FROM daily d JOIN win w ON w.day = d.day
+),
+wd_stats AS (
+  SELECT wd, COUNT(*) AS cnt, CAST(SUM(dev7) AS BIGINT) AS sdev7
+  FROM dev GROUP BY wd
+),
+resid AS (
+  SELECT d.day, d.n,
+    (s.cnt * d.dev7 - s.sdev7) / (7.0 * s.cnt) AS r
+  FROM dev d JOIN wd_stats s USING (wd)
+),
+st AS (SELECT AVG(r) AS mu, stddev_pop(r) AS sigma FROM resid)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+  CAST(n AS BIGINT) AS n_events,
+  ROUND(r, 6) AS residual,
+  ROUND((r - st.mu) / st.sigma, 6) AS z
+FROM resid CROSS JOIN st
+ORDER BY ABS(ROUND((r - st.mu) / st.sigma, 6)) DESC, day
+LIMIT 5
+"""

@@ -16,7 +16,7 @@ tiers:
   SURVEY.md §2.
 * TIER 2 (remainder): the rest of each family, grouped as before.
 
-259 registered queries; names are stable across rounds — only
+260 registered queries; names are stable across rounds — only
 insertion order (the verified prefix) rotates.
 """
 
@@ -247,10 +247,13 @@ register(
 register(
     "events_rolling_trend", events_ops.rolling_trend, events_ops.ROLLING_TREND_ORACLE
 )
+# (events_pattern_sequence — r3-stable, green in every full local
+# sweep since — displaced to tier 2 for the STL-residual anomaly
+# composite, which is driver-unseen)
 register(
-    "events_pattern_sequence",
-    events_ops.pattern_sequence,
-    events_ops.PATTERN_SEQUENCE_ORACLE,
+    "events_anomaly_seasonal",
+    events_ops.anomaly_seasonal_residual,
+    events_ops.ANOMALY_SEASONAL_ORACLE,
 )
 register(
     "io_schema_evolution",
@@ -563,6 +566,11 @@ register(
 )
 register(
     "events_cohort_ltv", events_ops.cohort_ltv_curve, events_ops.COHORT_LTV_ORACLE
+)
+register(
+    "events_pattern_sequence",
+    events_ops.pattern_sequence,
+    events_ops.PATTERN_SEQUENCE_ORACLE,
 )
 register(
     "events_interarrival", events_ops.interarrival_stats, events_ops.INTERARRIVAL_ORACLE

@@ -746,3 +746,20 @@ def test_feature_store_cutoff_pushdown(spark, sf_dir):
     assert any("o_orderdate" in p for p in pushed), (
         "cutoff predicate must be pushed to the scan"
     )
+
+
+def test_spearman_and_trend_scale_shapes(spark, sf_dir):
+    """Spearman rides the two-stage prefix-sum (no global window);
+    the rolling trend and STL anomaly scan events exactly once into
+    a persisted daily rollup."""
+    logical = (
+        _QUERIES["agg_spearman_corr"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert not _global_window_nodes(logical)
+    for name in ("events_rolling_trend", "events_anomaly_seasonal"):
+        plan = plan_of(spark, name, sf_dir)
+        assert plan.count("Location: InMemoryFileIndex") == 1, name
+        assert "InMemoryTableScan" in plan, f"{name}: daily rollup must persist"

@@ -1157,3 +1157,57 @@ def test_mann_whitney_matches_python(spark, prices):
     assert row["n1"] == n1 and row["n2"] == n2
     assert row["u1_x2"] == int(2 * u1)
     assert abs(row["z"] - z) < 1e-5
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    prices=st.lists(
+        st.tuples(
+            st.booleans(),
+            st.integers(min_value=1, max_value=25),  # heavy ties
+        ),
+        min_size=8,
+        max_size=80,
+    ).filter(lambda v: 0 < sum(g for g, _ in v) < len(v))
+)
+def test_ks_two_sample_matches_python(spark, prices):
+    """stat_ks_test against a pure-Python exact D on fixture orders
+    with heavy ties (D over the pooled distinct values)."""
+    sf = os.path.join(SCRATCH, uuid.uuid4().hex[:12])
+    os.makedirs(sf, exist_ok=True)
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(len(prices)),
+            "o_custkey": [1] * len(prices),
+            "o_orderstatus": ["O"] * len(prices),
+            "o_totalprice": [float(p) for _, p in prices],
+            "o_orderdate": [pd.Timestamp("2024-01-01")] * len(prices),
+            "o_orderpriority": [
+                "1-URGENT" if g else "3-MEDIUM" for g, _ in prices
+            ],
+        }
+    )
+    orders["o_orderdate"] = orders["o_orderdate"].astype("datetime64[us]")
+    orders.to_parquet(os.path.join(sf, "orders.parquet"))
+
+    from backend_model_spark.operators.aggregates import ks_two_sample
+
+    row = ks_two_sample(spark, sf).toPandas().iloc[0]
+
+    g1 = sorted(p for g, p in prices if g)
+    g2 = sorted(p for g, p in prices if not g)
+    n1, n2 = len(g1), len(g2)
+    import bisect
+
+    d = max(
+        abs(
+            bisect.bisect_right(g1, v) * n2 - bisect.bisect_right(g2, v) * n1
+        )
+        for v in sorted(set(g1 + g2))
+    ) / (n1 * n2)
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert abs(row["d_stat"] - d) < 1e-6

@@ -1084,7 +1084,14 @@ def test_moments_shape_matches_numpy(spark, prices):
     m1 = x.mean()
     m2 = ((x - m1) ** 2).mean()
     if m2 < 1e-12:
-        assert row["skewness"] is None or pd.isna(row["skewness"])
+        # near-degenerate variance: the raw-power-sum formulation loses
+        # all relative precision here (catastrophic cancellation), so a
+        # numpy comparison is meaningless — the DuckDB oracle (identical
+        # algebra, identical cancellation) is the contract in this
+        # regime. Exactly-zero variance must still yield NULL via
+        # try_divide.
+        if m2 == 0.0:
+            assert row["skewness"] is None or pd.isna(row["skewness"])
         return
     m3 = ((x - m1) ** 3).mean()
     m4 = ((x - m1) ** 4).mean()

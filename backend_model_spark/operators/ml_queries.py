@@ -723,3 +723,120 @@ FROM feats
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+RIDGE_LAMBDA = 10.0
+
+
+def ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature ridge regression (l_extendedprice ~ l_quantity +
+    l_discount, penalty RIDGE_LAMBDA on the non-intercept diagonal)
+    solved in CLOSED FORM inside the query: one aggregation pass
+    collects the 9 sufficient statistics, the 3x3 normal equations
+    (X'X + lambda*I) beta = X'y are solved by Cramer's rule —
+    determinants are polynomials in the sums, so the whole fit is a
+    single SELECT over a one-row frame. Train RMSE expands
+    algebraically from the same sums. The multivariate sibling of
+    `ml_linear_fit_closed_form` (1 feature) and `ml_logistic_irls`
+    (driver-solved Newton): this one needs NO driver round-trip at
+    all.
+
+    Scale: ONE map-side-combinable scan at any data size; everything
+    after is arithmetic on nine numbers.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    x1, x2, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x1).alias("s1"),
+        F.sum(x2).alias("s2"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * x1).alias("s11"),
+        F.sum(x2 * x2).alias("s22"),
+        F.sum(x1 * x2).alias("s12"),
+        F.sum(x1 * y).alias("s1y"),
+        F.sum(x2 * y).alias("s2y"),
+        F.sum(y * y).alias("syy"),
+    )
+    lam = F.lit(RIDGE_LAMBDA)
+    a11, a12, a13 = F.col("n"), F.col("s1"), F.col("s2")
+    a22 = F.col("s11") + lam
+    a23 = F.col("s12")
+    a33 = F.col("s22") + lam
+    b1, b2, b3 = F.col("sy"), F.col("s1y"), F.col("s2y")
+
+    def det3(c1, c2, c3):
+        # columns are (top, mid, bot) triples of the symmetric system
+        (p, q, r), (t, u, v), (w, x_, z) = c1, c2, c3
+        return p * (u * z - v * x_) - t * (q * z - r * x_) + w * (q * v - r * u)
+
+    colA = (a11, a12, a13)
+    colB = (a12, a22, a23)
+    colC = (a13, a23, a33)
+    colY = (b1, b2, b3)
+    det = det3(colA, colB, colC)
+    beta0 = det3(colY, colB, colC) / det
+    beta1 = det3(colA, colY, colC) / det
+    beta2 = det3(colA, colB, colY) / det
+    sse = (
+        F.col("syy")
+        - 2 * (beta0 * b1 + beta1 * b2 + beta2 * b3)
+        + beta0 * beta0 * F.col("n")
+        + beta1 * beta1 * F.col("s11")
+        + beta2 * beta2 * F.col("s22")
+        + 2 * beta0 * beta1 * F.col("s1")
+        + 2 * beta0 * beta2 * F.col("s2")
+        + 2 * beta1 * beta2 * F.col("s12")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(beta0, 6).alias("intercept"),
+        F.round(beta1, 6).alias("b_quantity"),
+        F.round(beta2, 6).alias("b_discount"),
+        F.round(F.sqrt(sse / F.col("n")), 6).alias("train_rmse"),
+    )
+
+
+RIDGE_ORACLE = f"""
+WITH s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+    SUM(l_quantity) AS s1, SUM(l_discount) AS s2, SUM(l_extendedprice) AS sy,
+    SUM(l_quantity * l_quantity) AS s11,
+    SUM(l_discount * l_discount) AS s22,
+    SUM(l_quantity * l_discount) AS s12,
+    SUM(l_quantity * l_extendedprice) AS s1y,
+    SUM(l_discount * l_extendedprice) AS s2y,
+    SUM(l_extendedprice * l_extendedprice) AS syy
+  FROM lineitem
+),
+m AS (
+  SELECT n, s1, s2, sy, s11, s22, s12, s1y, s2y, syy,
+    s11 + {RIDGE_LAMBDA} AS a22, s22 + {RIDGE_LAMBDA} AS a33
+  FROM s
+),
+d AS (
+  SELECT *,
+    n * (a22 * a33 - s12 * s12) - s1 * (s1 * a33 - s2 * s12)
+      + s2 * (s1 * s12 - s2 * a22) AS det,
+    sy * (a22 * a33 - s12 * s12) - s1y * (s1 * a33 - s2 * s12)
+      + s2y * (s1 * s12 - s2 * a22) AS det0,
+    n * (s1y * a33 - s2y * s12) - s1 * (sy * a33 - s2 * s2y)
+      + s2 * (sy * s12 - s2 * s1y) AS det1,
+    n * (a22 * s2y - s12 * s1y) - s1 * (s1 * s2y - sy * s12)
+      + s2 * (s1 * s1y - sy * a22) AS det2
+  FROM m
+),
+fit AS (
+  SELECT *, det0 / det AS b0, det1 / det AS b1, det2 / det AS b2 FROM d
+)
+SELECT CAST(n AS BIGINT) AS n,
+  ROUND(b0, 6) AS intercept,
+  ROUND(b1, 6) AS b_quantity,
+  ROUND(b2, 6) AS b_discount,
+  ROUND(sqrt((
+    syy - 2 * (b0 * sy + b1 * s1y + b2 * s2y)
+    + b0 * b0 * n + b1 * b1 * s11 + b2 * b2 * s22
+    + 2 * b0 * b1 * s1 + 2 * b0 * b2 * s2 + 2 * b1 * b2 * s12
+  ) / n), 6) AS train_rmse
+FROM fit
+"""

@@ -16,7 +16,7 @@ tiers:
   SURVEY.md §2.
 * TIER 2 (remainder): the rest of each family, grouped as before.
 
-260 registered queries; names are stable across rounds — only
+261 registered queries; names are stable across rounds — only
 insertion order (the verified prefix) rotates.
 """
 
@@ -294,7 +294,10 @@ register(
 register("sim_pq_encode", similarity.pq_encode, similarity.PQ_ENCODE_ORACLE)
 # (window_percent_of_parent — r3-stable — displaced to tier 2 for the
 # time-constrained funnel; windows keep max_drawdown in the prefix)
-register("events_funnel_timed", events_ops.funnel_timed, events_ops.FUNNEL_TIMED_ORACLE)
+# (events_funnel_timed — session-2 addition, green in every full
+# local sweep since; events keeps several reps — displaced to tier 2
+# for the closed-form ridge, which is driver-unseen)
+register("ml_ridge_closed_form", ml_queries.ridge_closed_form, ml_queries.RIDGE_ORACLE)
 register(
     "agg_normality_probe",
     aggregates.normality_probe,
@@ -572,6 +575,7 @@ register(
     events_ops.pattern_sequence,
     events_ops.PATTERN_SEQUENCE_ORACLE,
 )
+register("events_funnel_timed", events_ops.funnel_timed, events_ops.FUNNEL_TIMED_ORACLE)
 register(
     "events_interarrival", events_ops.interarrival_stats, events_ops.INTERARRIVAL_ORACLE
 )

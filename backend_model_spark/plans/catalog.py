@@ -209,9 +209,10 @@ register(
 # and plan-pinned — displaced to tier 2 for the kNN classifier and
 # the rank-based exact median)
 register("sim_knn_classify", similarity.knn_classify, similarity.KNN_CLASSIFY_ORACLE)
-register(
-    "agg_exact_median_rank", aggregates.exact_median_rank, aggregates.EXACT_MEDIAN_ORACLE
-)
+# (agg_exact_median_rank — session-2 addition, green in every full
+# local sweep since; agg keeps 3 other reps — displaced to tier 2 so
+# the cleaning family regains its prefix representative)
+register("clean_impute_group_median", cleaning.impute_group_median, cleaning.IMPUTE_ORACLE)
 # (window_revenue_growth displaced to tier 2 for dq_observe; windows
 # family keeps rfm + percent_of_parent in the prefix)
 # round-3 late additions (driver-unseen → verified prefix; displaced
@@ -425,7 +426,9 @@ register("set_intersect", sorts_sets.intersect_custkeys, sorts_sets.INTERSECT_OR
 register("set_except_all", sorts_sets.except_custkeys, sorts_sets.EXCEPT_ORACLE)
 
 # --- cleaning / scalar functions (SURVEY §2.2, §2.8) ------------------------
-register("clean_impute_group_median", cleaning.impute_group_median, cleaning.IMPUTE_ORACLE)
+register(
+    "agg_exact_median_rank", aggregates.exact_median_rank, aggregates.EXACT_MEDIAN_ORACLE
+)
 register("clean_junk_filter", cleaning.junk_value_filter, cleaning.JUNK_FILTER_ORACLE)
 register("clean_outlier_iqr", cleaning.outlier_iqr_filter, cleaning.OUTLIER_IQR_ORACLE)
 register(

@@ -1437,3 +1437,50 @@ SELECT CAST(n AS BIGINT) AS n,
     6) AS spearman_rho
 FROM s
 """
+
+
+def mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact MODE of l_quantity per return flag — the
+    aggregate Spark's built-in ``F.mode`` cannot pin down (its tie
+    choice is arbitrary): the mode here is the most frequent value
+    with the SMALLEST value as tiebreak, expressed as a value-level
+    count rollup + a group-partitioned rank — the formulation that
+    is deterministic on any engine and any partitioning.
+
+    Scale: the rollup is map-side combinable and its cardinality is
+    |groups| x |distinct values|; the rank window partitions on the
+    group key — never global.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    counts = li.groupBy("l_returnflag", F.col("l_quantity").cast("long").alias("qty")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = W.partitionBy("l_returnflag").orderBy(F.desc("c"), F.asc("qty"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("qty").alias("mode_quantity"),
+            F.col("c").cast("long").alias("mode_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+MODE_EXACT_ORACLE = """
+WITH counts AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+  SELECT l_returnflag, qty, c,
+    ROW_NUMBER() OVER (
+      PARTITION BY l_returnflag ORDER BY c DESC, qty ASC
+    ) AS rk
+  FROM counts
+)
+SELECT l_returnflag, qty AS mode_quantity, CAST(c AS BIGINT) AS mode_count
+FROM ranked WHERE rk = 1
+ORDER BY l_returnflag
+"""

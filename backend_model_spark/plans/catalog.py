@@ -16,7 +16,7 @@ tiers:
   SURVEY.md §2.
 * TIER 2 (remainder): the rest of each family, grouped as before.
 
-261 registered queries; names are stable across rounds — only
+262 registered queries; names are stable across rounds — only
 insertion order (the verified prefix) rotates.
 """
 
@@ -218,11 +218,10 @@ register("clean_impute_group_median", cleaning.impute_group_median, cleaning.IMP
 # round-3 late additions (driver-unseen → verified prefix; displaced
 # r02-green stable entries: events_funnel, dedup_lsh_verified,
 # sql_recursive_cte → tier 2)
-register(
-    "dedup_chunk_first_wins",
-    dedup.chunk_first_wins,
-    dedup.CHUNK_FIRST_WINS_ORACLE,
-)
+# (dedup_chunk_first_wins — r3-stable, bench-held; dedup keeps four
+# other reps in the prefix — displaced to tier 2 for the
+# deterministic exact mode, which is driver-unseen)
+register("agg_mode_exact", aggregates.mode_exact, aggregates.MODE_EXACT_ORACLE)
 register(
     "text_quality_classifier",
     text.quality_classifier,
@@ -682,6 +681,11 @@ register(
 )
 
 # --- deduplication ------------------------------------------------------------
+register(
+    "dedup_chunk_first_wins",
+    dedup.chunk_first_wins,
+    dedup.CHUNK_FIRST_WINS_ORACLE,
+)
 register(
     "dedup_bloom_prefilter", dedup.bloom_prefilter_dedup, dedup.BLOOM_PREFILTER_ORACLE
 )

@@ -121,19 +121,51 @@ FROM customer
 """
 
 
+CORR_BLOCK = 64  # columns per aggregation tile (wide-schema guard)
+
+
+def corr_with_target_blocked(
+    df: DataFrame, target: str, cols: list[str], block: int = CORR_BLOCK
+) -> DataFrame:
+    """|Pearson r| of each column against ``target``, one output row,
+    computed in COLUMN TILES of ≤ ``block`` correlations per
+    aggregation pass.
+
+    Why tiles: each ``F.corr`` is cheap distributive state (6 doubles),
+    but a single agg carrying hundreds of corr expressions explodes
+    the generated code (whole-stage codegen falls out past ~100s of
+    aggregate expressions and the single stage serializes one giant
+    expression tree). A tile is one scan that column-prunes to its
+    own ``block``+1 columns — so a 1000-column frame costs
+    ceil(1000/64) scans each reading only 65 columns: total I/O ≈ one
+    read of every column (+ target per tile), every pass map-side
+    combinable and codegen-eligible. The one-row tile results combine
+    with broadcast cross-joins (no shuffle).
+    """
+    out: DataFrame | None = None
+    for i in range(0, len(cols), block):
+        tile = df.select(target, *cols[i : i + block]).agg(
+            *[
+                F.round(F.abs(F.corr(c, target)), 6).alias(f"corr_{c}")
+                for c in cols[i : i + block]
+            ]
+        )
+        out = tile if out is None else out.crossJoin(F.broadcast(tile))
+    assert out is not None, "no columns to correlate"
+    return out
+
+
 def correlation_with_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference A7 (``abs(df.corr()['price'])``): Pearson correlation
     of each numeric lineitem column with l_extendedprice, |r|, one row.
 
-    Pearson corr is a single-pass distributive aggregate — Spark
-    computes all four in one stage over the fact table.
+    Pearson corr is a single-pass distributive aggregate; the blocked
+    driver (:func:`corr_with_target_blocked`) keeps the same plan here
+    (3 columns = one tile) while surviving wide schemas.
     """
     li = load_table(spark, "lineitem", sf_dir)
-    return li.agg(
-        *[
-            F.round(F.abs(F.corr(c, "l_extendedprice")), 6).alias(f"corr_{c}")
-            for c in ["l_quantity", "l_discount", "l_tax"]
-        ]
+    return corr_with_target_blocked(
+        li, "l_extendedprice", ["l_quantity", "l_discount", "l_tax"]
     )
 
 
@@ -1254,7 +1286,9 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum(t³-t)/(N*(N-1)))) is the only float, rounded at the edge.
 
     Scale: identical to the KS path — the only ordered pass is over
-    distinct values, map-side-combinable everywhere else.
+    distinct values, map-side-combinable everywhere else. Inherits
+    KS's packed-counter range contract (total rows < 2^32, group-1
+    rows < 2^31); beyond that, unpack into two prefix-sum columns.
     """
     from backend_model_spark.operators.scale_utils import with_global_rank
 
@@ -1365,7 +1399,8 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from backend_model_spark.operators.scale_utils import with_global_rank
 
     li = load_table(spark, "lineitem", sf_dir).select(
-        F.col("l_quantity").cast("long").alias("x"),
+        # FLOOR(x + 0.5): truncate-vs-round cast parity with DuckDB
+        F.floor(F.col("l_quantity") + F.lit(0.5)).alias("x"),
         F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
         .cast("long")
         .alias("y"),
@@ -1405,7 +1440,7 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPEARMAN_ORACLE = """
 WITH li AS (
-  SELECT CAST(l_quantity AS BIGINT) AS x,
+  SELECT CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x,
          CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
   FROM lineitem
 ),
@@ -1452,7 +1487,10 @@ def mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     group key — never global.
     """
     li = load_table(spark, "lineitem", sf_dir)
-    counts = li.groupBy("l_returnflag", F.col("l_quantity").cast("long").alias("qty")).agg(
+    counts = li.groupBy(
+        # FLOOR(x + 0.5): truncate-vs-round cast parity with DuckDB
+        "l_returnflag", F.floor(F.col("l_quantity") + F.lit(0.5)).alias("qty")
+    ).agg(
         F.count(F.lit(1)).alias("c")
     )
     w = W.partitionBy("l_returnflag").orderBy(F.desc("c"), F.asc("qty"))
@@ -1470,7 +1508,7 @@ def mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MODE_EXACT_ORACLE = """
 WITH counts AS (
-  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS c
+  SELECT l_returnflag, CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty, COUNT(*) AS c
   FROM lineitem GROUP BY 1, 2
 ),
 ranked AS (

@@ -1562,6 +1562,11 @@ def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     se_b = F.col("var_b") / F.col("n_b")
     return (
         wide
+        # degenerate experiment (one variant has zero purchasing users):
+        # the conditional-aggregation pivot would emit one all-NULL-side
+        # row while the oracle's CROSS JOIN of an empty side emits zero
+        # rows — filter so both engines agree on "no readout"
+        .filter(F.col("n_a").isNotNull() & F.col("n_b").isNotNull())
         .select(
             F.col("n_a").cast("long").alias("n_a"),
             F.col("n_b").cast("long").alias("n_b"),

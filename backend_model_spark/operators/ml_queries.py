@@ -496,8 +496,11 @@ def ols_cv_sufficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.select(
         "fold",
-        ntr.cast("long").alias("n_train"),
-        F.col("n").cast("long").alias("n_test"),
+        # FLOOR(x + 0.5) on both engines: Spark's cast-to-long truncates
+        # while DuckDB's CAST(double AS BIGINT) rounds to nearest — bare
+        # casts only agree on exactly-integral doubles
+        F.floor(ntr + F.lit(0.5)).alias("n_train"),
+        F.floor(F.col("n") + F.lit(0.5)).alias("n_test"),
         F.round(b, 6).alias("slope"),
         F.round(a, 6).alias("intercept"),
         F.round(F.sqrt(sse / F.col("n")), 6).alias("test_rmse"),
@@ -537,8 +540,8 @@ ab AS (
   FROM fit
 )
 SELECT fold,
-  CAST(ntr AS BIGINT) AS n_train,
-  CAST(n AS BIGINT) AS n_test,
+  CAST(FLOOR(ntr + 0.5) AS BIGINT) AS n_train,
+  CAST(FLOOR(n + 0.5) AS BIGINT) AS n_test,
   ROUND(b, 6) AS slope,
   ROUND(a, 6) AS intercept,
   ROUND(sqrt((syy - 2 * a * sy - 2 * b * sxy + 2 * a * b * sx
@@ -560,15 +563,25 @@ def decision_stump_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak.
 
     This is one boosting-round / tree-node inner loop of every
-    GBDT library, shown as a single scan + value-level rollup: at
-    100 TB the candidate evaluation never touches rows again.
+    GBDT library, shown as a single scan + value-level rollup: the
+    candidate evaluation never touches rows again — it runs over the
+    ~50-row distinct-value frame.
+
+    Range contract (same as :func:`ks_two_sample`): the bit-packed
+    counter is exact while the TOTAL row count is < 2^32 and the
+    class-1 count is < 2^31 (the low field would otherwise carry into
+    the high field silently). Beyond that — a full 100 TB fact table
+    can exceed 4B rows — run the same skeleton with two separate
+    prefix-sum columns (2 shuffles of the same tiny rollup) instead
+    of the packed single column.
     """
     from backend_model_spark.operators.scale_utils import with_global_rank
 
     li = load_table(spark, "lineitem", sf_dir)
     rollup = (
         li.select(
-            F.col("l_quantity").cast("long").alias("x"),
+            # FLOOR(x + 0.5): truncate-vs-round cast parity (see ols_cv)
+            F.floor(F.col("l_quantity") + F.lit(0.5)).alias("x"),
             (F.col("l_returnflag") == "R").cast("long").alias("is1"),
         )
         .groupBy("x")
@@ -602,7 +615,7 @@ def decision_stump_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DECISION_STUMP_ORACLE = """
 WITH rollup AS (
-  SELECT CAST(l_quantity AS BIGINT) AS x,
+  SELECT CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x,
     CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n1v,
     COUNT(*) AS ntv
   FROM lineitem

@@ -46,10 +46,26 @@ def _as_double(df: DataFrame) -> DataFrame:
     )
 
 
+SALT_BUCKETS = 32  # stage-1 fan-out knob: ≈ shuffle parallelism / |queries|
+
+
 def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: first N_QUERIES vectors as queries against
     the full corpus. The query side is tiny → broadcast join; the
-    corpus is scanned once, top-k per query via window."""
+    corpus is scanned once; top-k per query via TWO-STAGE salted
+    ranking.
+
+    A single window partitioned by q_id would funnel the whole scored
+    corpus through |queries| tasks (10 here) — parallelism pinned to
+    the QUERY count, not the corpus. Instead stage 1 ranks within
+    (q_id, salt) where salt = md5(vec_id) % SALT_BUCKETS — a
+    content-derived, partitioning-independent bucket — keeping only
+    TOP_K per bucket: parallelism |queries|·SALT_BUCKETS, each task
+    seeing ~1/SALT_BUCKETS of the corpus (raise SALT_BUCKETS with the
+    cluster; any salting yields the same global top-k, so the knob is
+    pure parallelism). Stage 2 re-ranks the surviving
+    |queries|·SALT_BUCKETS·TOP_K rows — trivially small at any SF.
+    """
     # norms are per-vector, not per-pair: compute once on each side
     # before the join (the corpus norm would otherwise be re-folded
     # N_QUERIES times, the query norm once per corpus row). Same fold
@@ -66,10 +82,22 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         emb.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
         .withColumn("cosine", F.round(cos, 6))
+        .withColumn(
+            "salt",
+            F.expr(f"conv(substring(md5(cast(vec_id as string)), 1, 4), 16, 10) % {SALT_BUCKETS}"),
+        )
     )
-    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    w1 = W.partitionBy("q_id", "salt").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    survivors = (
+        scored.withColumn("lrank", F.row_number().over(w1))
+        .filter(F.col("lrank") <= TOP_K)
+        .select("q_id", "vec_id", "cosine")
+    )
+    w2 = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= TOP_K)
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "cosine", "rank")
         .orderBy("q_id", "rank")

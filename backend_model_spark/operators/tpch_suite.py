@@ -10,9 +10,14 @@ per query).
 
 Scale notes (100 TB stance), per shape:
 
-* Every dimension join (nation/region/part/supplier/customer against a
-  fact) is explicitly ``F.broadcast`` — the fact table never shuffles
-  for a dimension lookup.
+* BOUNDED dims (nation/region — fixed cardinality at any SF) carry an
+  explicit ``F.broadcast`` hint: always correct, never a budget risk.
+  SF-GROWING sides (part, supplier, filtered aggregates) carry NO hint
+  — a hard hint overrides AQE's size check and becomes an executor-OOM
+  at 100× scale; AQE promotes them to broadcast at runtime when their
+  ACTUAL size fits ``spark.sql.autoBroadcastJoinThreshold``, and falls
+  back to shuffled join when it doesn't. The runtime bloom filter
+  (pinned by tests/test_plans.py) carries the selectivity either way.
 * Fact⨝fact (orders⨝lineitem) is a sort-merge on the join key; AQE
   picks shuffled-hash / handles skew at runtime.
 * Correlated EXISTS / scalar subqueries are re-expressed as aggregate-
@@ -43,7 +48,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic "argmin per group" without a correlated subquery. The
     per-(part,supplier) aggregate shuffles lineitem once on
     (partkey, suppkey); the per-part min is a cheap second partial
-    agg; the join-back of best (tiny) is broadcast.
+    agg; the join-back of best is unhinted — AQE broadcasts it when
+    its runtime size fits (it grows with |part|, so no hard hint).
     """
     li = load_table(spark, "lineitem", sf_dir)
     part = load_table(spark, "part", sf_dir)
@@ -65,13 +71,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cost.join(
-            F.broadcast(best),
+            best,
             (F.col("l_partkey") == F.col("best_partkey"))
             & (F.col("unit_cost") == F.col("min_cost")),
         )
         .drop("best_partkey")
-        .join(F.broadcast(wanted), F.col("l_partkey") == wanted.p_partkey)
-        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .join(wanted, F.col("l_partkey") == wanted.p_partkey)
+        .join(sup, F.col("l_suppkey") == sup.s_suppkey)
         .select(
             "p_partkey",
             "p_brand",
@@ -111,10 +117,11 @@ LIMIT 100
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bilateral trade volume NATION_1 ↔ NATION_2 per ship year.
 
-    supplier→nation and customer→nation are both broadcast lookups;
-    the only real shuffles are lineitem⨝orders and the final tiny
+    supplier→nation and customer→nation are broadcast lookups
+    (bounded dims); supplier itself is unhinted (AQE sizes it). The
+    only real shuffles are lineitem⨝orders and the final tiny
     groupBy. The nation-pair disjunction is applied after both
-    lookups, on broadcast-joined columns.
+    lookups.
     """
     li = load_table(spark, "lineitem", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
@@ -135,7 +142,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), sup.s_nationkey == F.col("supp_nationkey"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("cust_nationkey"))
@@ -212,12 +219,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(
-            F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+            part.filter(F.col("p_type") == "ECONOMY"),
             li.l_partkey == part.p_partkey,
         )
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(n_supp), sup.s_nationkey == F.col("supp_nationkey"))
         .join(F.broadcast(n_cust), cust.c_nationkey == F.col("cust_nationkey"))
         .join(
@@ -269,9 +276,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profit (revenue minus a retail-price-derived cost proxy) for
     parts whose name contains 'red', by supplier nation and year.
 
-    The part filter broadcasts (selective name LIKE), supplier/nation
-    broadcast, orders joins on orderkey for the year. One shuffle for
-    the fact join, one for the final small groupBy.
+    nation broadcasts (bounded dim); the filtered part and supplier
+    sides are unhinted — AQE promotes them to broadcast at runtime
+    while their actual size fits, and degrades gracefully at 100×.
+    Orders joins on orderkey for the year. One shuffle for the fact
+    join, one for the final small groupBy.
     """
     li = load_table(spark, "lineitem", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
@@ -283,11 +292,11 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * F.col("p_retailprice") * F.col("l_quantity")
     return (
         li.join(
-            F.broadcast(part.filter(F.col("p_name").like("%red%"))),
+            part.filter(F.col("p_name").like("%red%")),
             li.l_partkey == part.p_partkey,
         )
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -410,7 +419,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(max_rev),
             revenue.total_revenue == max_rev.max_revenue,
         )
-        .join(F.broadcast(sup), revenue.l_suppkey == sup.s_suppkey)
+        .join(sup, revenue.l_suppkey == sup.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -450,7 +459,7 @@ def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34, 39, 49))
     )
     return (
-        li.join(F.broadcast(wanted), li.l_partkey == part.p_partkey)
+        li.join(wanted, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(
@@ -479,21 +488,22 @@ LIMIT 50
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly-ized revenue from Brand#3 lineitems whose quantity is
     below 20% of that part's average. The correlated AVG becomes a
-    per-part aggregate broadcast back onto the (part-filtered) fact —
-    two passes over a pruned scan, zero correlated execution.
+    per-part aggregate joined back onto the (part-filtered) fact
+    (AQE-sized, no hard hint — it grows with |brand parts|) — two
+    passes over a pruned scan, zero correlated execution.
     """
     li = load_table(spark, "lineitem", sf_dir)
     part = load_table(spark, "part", sf_dir)
     brand_parts = part.filter(F.col("p_brand") == "Brand#3").select("p_partkey")
     brand_li = li.join(
-        F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey")
+        brand_parts, li.l_partkey == F.col("p_partkey")
     )
     per_part_avg = brand_li.groupBy("l_partkey").agg(
         F.avg("l_quantity").alias("avg_qty")
     )
     return (
         brand_li.join(
-            F.broadcast(per_part_avg.withColumnRenamed("l_partkey", "ap_key")),
+            per_part_avg.withColumnRenamed("l_partkey", "ap_key"),
             F.col("l_partkey") == F.col("ap_key"),
         )
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
@@ -522,8 +532,9 @@ WHERE p_brand = 'Brand#3'
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders whose total quantity exceeds 300, with customer detail.
     The HAVING aggregate runs first (one shuffle on orderkey, partial
-    sums map-side); the survivors are few, so both join-backs
-    broadcast the filtered aggregate, never re-shuffling the facts.
+    sums map-side); the survivors are few, so AQE broadcasts the
+    filtered aggregate at runtime (unhinted — survivor count is
+    data-dependent), never re-shuffling the facts.
     """
     li = load_table(spark, "lineitem", sf_dir)
     orders = load_table(spark, "orders", sf_dir)
@@ -534,7 +545,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_qty") > 300)
     )
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
@@ -575,7 +586,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, "lineitem", sf_dir)
     part = load_table(spark, "part", sf_dir)
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         (
             (F.col("p_brand") == "Brand#1")
@@ -633,7 +644,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey"
     )
     heavy = (
-        li.join(F.broadcast(small_parts), li.l_partkey == F.col("p_partkey"))
+        li.join(small_parts, li.l_partkey == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("sum_qty"))
         .filter(F.col("sum_qty") > 80)
@@ -709,7 +720,7 @@ def q21_last_shipping_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("supp_max") == F.col("order_max"))
             & (F.col("n_at_max") == 1)
         )
-        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .join(sup, F.col("l_suppkey") == sup.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

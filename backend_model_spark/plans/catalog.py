@@ -4,20 +4,23 @@ Naming convention: ``<family>_<operator>`` so CORRECTNESS reports read
 as an inventory of SURVEY.md §2.
 
 Ordering contract: the round driver verifies queries in registry
-(insertion) order and has a finite budget — round 1 recorded exactly
-the first 50 entries. The registry is therefore laid out in two
-tiers:
+order and has a finite budget — each round records exactly the first
+50 entries. Since round 4 the verified prefix is the EXPLICIT
+``TIER1`` list at the bottom of this file (``registry.promote``
+reorders the registry; physical ``register()`` calls stay grouped by
+operator family for readers):
 
-* TIER 1 (first 50): one-to-few representatives of EVERY operator
-  family — flagship, joins, windows, events, text, dedup, similarity,
-  aggregates, sampling, io, SQL API, cleaning, scalar funcs,
-  sorts/sets, multimodal, UDF tiers, ML, streaming, TPC-H — so a
-  prefix-capped verification still certifies the full breadth of
-  SURVEY.md §2.
-* TIER 2 (remainder): the rest of each family, grouped as before.
+* TIER 1 (the 50 ``TIER1`` names): one-to-few representatives of
+  EVERY operator family — flagship, joins, windows, events, text,
+  dedup, similarity, aggregates, sampling, io, SQL API, cleaning,
+  scalar funcs, sorts/sets, multimodal, UDF tiers, ML, streaming,
+  TPC-H — so a prefix-capped verification still certifies the full
+  breadth of SURVEY.md §2. Rotated each round: new/changed entries
+  and never-yet-driver-checked ones surface, long-stable ones yield.
+* TIER 2 (remainder): the rest of each family, insertion order.
 
-262 registered queries; names are stable across rounds — only
-insertion order (the verified prefix) rotates.
+263 registered queries; names are stable across rounds — only the
+``TIER1`` list (the verified prefix) rotates.
 """
 
 from __future__ import annotations
@@ -912,6 +915,14 @@ register(
     streaming_jobs.streaming_foreach_batch_sink,
     streaming_jobs.FOREACH_BATCH_ORACLE,
 )
+# round-4: fixed-weights FCFF batch inference (the reference's model-
+# serving path) — broadcast dyadic-quantized weights + one mapInPandas
+# stage, full DuckDB oracle (layer-by-layer SQL from the same weights)
+from backend_model_spark.ml import mlp as ml_mlp  # noqa: E402
+
+register(
+    "ml_mlp_batch_inference", ml_mlp.mlp_batch_inference, ml_mlp.MLP_ORACLE
+)
 # transformWithStateInPandas speaks protobuf on its JVM<->Python state
 # channel; only register where the dependency exists (import-try gate,
 # per the no-new-installs environment contract)
@@ -925,3 +936,79 @@ if HAS_PROTOBUF:
         streaming_jobs.streaming_transform_with_state,
         streaming_jobs.STREAMING_TWS_ORACLE,
     )
+
+# ======================================================================
+# TIER-1 ROTATION (round 4) — the driver-verified 50-entry prefix.
+#
+# registry.promote() reorders the registry so these 50 run first; the
+# physical register() blocks above stay grouped by family for readers.
+# Rotation policy (one list edit per round): surface (a) entries NEW
+# or CHANGED this round, (b) entries with zero CORRECTNESS_r* rows in
+# any round so far, and keep ≥1 representative of every operator
+# family. Round 4 brings in 14 never-driver-checked entries
+# (streaming sinks/joins/state, the io merge/overwrite/bucketed
+# lifecycle, two-stage windows, the func batteries, tpch_q9,
+# stat_ab_welch, the new ml_mlp_batch_inference) plus the round-4-
+# rewritten sim_cosine_topk_bruteforce; 15 multi-round-green entries
+# yield their slots to tier 2 (still swept locally + judge-sampled).
+# ======================================================================
+TIER1 = [
+    # flagship + round-4 new/changed (driver must see these first)
+    "q1_pricing_summary",
+    "ml_mlp_batch_inference",
+    "tpch_q9_profit",
+    "sim_cosine_topk_bruteforce",
+    "stat_ab_welch",
+    "dedup_embedding_clusters",
+    "agg_spearman_corr",
+    "agg_mode_exact",
+    "ml_ols_cv_sufficient",
+    "ml_decision_stump",
+    # never-driver-checked rotation (streaming / io lifecycle /
+    # two-stage windows / func batteries)
+    "streaming_left_join_attribution",
+    "streaming_stateful_user_stats",
+    "streaming_foreach_batch_sink",
+    "io_scd2_merge",
+    "io_dynamic_partition_overwrite",
+    "io_bucketed_join",
+    "window_rfm_segments",
+    "window_percent_of_parent",
+    "func_string",
+    "func_math",
+    "func_array",
+    # stable family representatives
+    "join_q3_shipping_priority",
+    "sql_recursive_hierarchy",
+    "stat_mann_whitney",
+    "text_bm25_rank",
+    "sort_topk_orders",
+    "media_payload_stats",
+    "stat_ks_test",
+    "tpch_q10_returns",
+    "geo_knn_comps",
+    "sample_epoch_shuffle",
+    "window_max_drawdown",
+    "func_fuzzy_blocked_pairs",
+    "clean_impute_group_median",
+    "text_quality_classifier",
+    "mllib_fpgrowth_pairs",
+    "dedup_graph_triangles",
+    "events_rolling_trend",
+    "dedup_lsh_recall",
+    "sql_lateral_topk",
+    "io_python_datasource",
+    "udtf_runlength_encode",
+    "dq_observe",
+    "streaming_dedup_within_watermark",
+    "sim_pq_encode",
+    "sample_group_split",
+    "io_scd2_pit_join",
+    "text_winnow_fingerprints",
+    "pipeline_feature_store",
+    "streaming_static_enrich",
+]
+
+from backend_model_spark.plans.registry import promote  # noqa: E402
+
+promote(TIER1)

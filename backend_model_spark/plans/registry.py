@@ -31,6 +31,26 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
     _REGISTRY[name] = RegisteredQuery(fn=fn, oracle=oracle)
 
 
+def promote(names: list[str]) -> None:
+    """Reorder the registry so ``names`` come first, in list order.
+
+    The round driver verifies a finite PREFIX of the registry, so the
+    verified set is an ordering decision, not a code-location one.
+    ``catalog.TIER1`` rotates per round (never-yet-driver-checked and
+    just-changed entries surface; long-stable ones yield their slot)
+    while registration stays grouped by operator family for readers.
+    Names must all be registered; the remainder keeps insertion order.
+    """
+    missing = [n for n in names if n not in _REGISTRY]
+    if missing:
+        raise ValueError(f"promote of unregistered queries: {missing}")
+    rest = {n: rq for n, rq in _REGISTRY.items() if n not in set(names)}
+    reordered = {n: _REGISTRY[n] for n in names}
+    reordered.update(rest)
+    _REGISTRY.clear()
+    _REGISTRY.update(reordered)
+
+
 def queries() -> dict[str, QueryFn]:
     _ensure_loaded()
     return {name: rq.fn for name, rq in _REGISTRY.items()}

@@ -68,14 +68,19 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    load_before = os.getloadavg()
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = qs[name]
-        best = float("inf")
         # two independent cold runs, report the min (JMH-style): the
         # host VM shows ±20% run-to-run noise, and min-of-2 of a
         # cold-cache measurement keeps the semantics (every timed run
-        # starts with caches dropped) while halving the noise
+        # starts with caches dropped) while halving the noise. Both
+        # raw runs are recorded ("runs") so a co-tenant-noise artifact
+        # is self-diagnosing: a large run1/run2 spread (or a high
+        # load_avg line) means the machine, not the code, regressed.
+        runs[name] = []
         for _ in range(2):
             # quiesce between measurements: drop cached frames, then
             # force both GCs so the ContextCleaner's deferred shuffle/
@@ -88,8 +93,9 @@ def main() -> None:
             time.sleep(2.0)
             t0 = time.monotonic()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
+            runs[name].append(round(time.monotonic() - t0, 3))
+        timings[name] = min(runs[name])
+    load_after = os.getloadavg()
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -104,6 +110,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                # co-tenancy sanity: 1-min load average sampled before
+                # and after the timed section (32-core host; >~34 while
+                # this process is the only load means noisy neighbors —
+                # expect min-of-2 totals inflated accordingly)
+                "load_avg_1m": [round(load_before[0], 2), round(load_after[0], 2)],
+                "runs": runs,
             }
         )
     )

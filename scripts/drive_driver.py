@@ -50,6 +50,10 @@ def main():
     assert len(rows) > 0
 
     qs, osql = e.queries(), e.oracle_sql()
+    only = os.environ.get("ONLY")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        qs = {n: f for n, f in qs.items() if n in keep}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

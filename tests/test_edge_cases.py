@@ -1175,3 +1175,49 @@ def test_ols_cv_folds_agree_with_numpy(spark):
         assert abs(rows[f].slope - b) < 1e-4
         assert abs(rows[f].intercept - a) < 1e-3
         assert abs(rows[f].test_rmse - rmse) < 1e-3
+
+
+def test_blocked_correlation_matches_pandas_on_300_columns(spark):
+    """corr_with_target_blocked must tile a 300-column frame into
+    ceil(300/64)=5 codegen-sized aggregation passes and agree with
+    pandas' corr on every column; the 3-column testdata path (one
+    tile) keeps its oracle unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    from backend_model_spark.operators.aggregates import (
+        CORR_BLOCK,
+        corr_with_target_blocked,
+    )
+
+    rng = np.random.default_rng(7)
+    n, w = 2000, 300
+    base = rng.normal(size=n)
+    data = {"target": base}
+    for j in range(w):
+        # mix of correlated and independent columns
+        data[f"c{j}"] = base * ((j % 5) / 4.0) + rng.normal(size=n)
+    pdf = pd.DataFrame(data)
+    sdf = spark.createDataFrame(pdf)
+
+    cols = [f"c{j}" for j in range(w)]
+    out = corr_with_target_blocked(sdf, "target", cols).toPandas()
+    assert list(out.columns) == [f"corr_c{j}" for j in range(w)]
+
+    expect = pdf[cols].corrwith(pdf["target"]).abs()
+    for j in range(w):
+        assert abs(out[f"corr_c{j}"].iloc[0] - round(expect[f"c{j}"], 6)) < 2e-6
+
+    # plan shape: one scan per tile, each pruned to its own block
+    df = corr_with_target_blocked(sdf, "target", cols)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    n_tiles = -(-w // CORR_BLOCK)
+    # formatted plans print each node twice (tree + numbered detail)
+    joins = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.MULTILINE)
+    assert len(joins) == n_tiles - 1, (
+        f"tiles must combine via broadcast one-row joins, got {len(joins)}"
+    )

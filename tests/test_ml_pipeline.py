@@ -123,3 +123,137 @@ def test_bayesian_loop_deterministic_and_improving(splits):
     assert r1.best_mae == pytest.approx(r2.best_mae)
     assert len(r1.trials) == 4
     assert r1.best_mae == min(t.mae for t in r1.trials)
+
+
+# ---------------------------------------------------------------------------
+# Batch MLP inference (ml/mlp.py): numpy parity, accuracy, plan shape
+# ---------------------------------------------------------------------------
+
+
+def test_mlp_spark_matches_numpy_exactly(spark, sf_dir):
+    """The mapInPandas scoring path must equal the pure-numpy forward
+    pass BIT-FOR-BIT (the dyadic-grid exactness contract), row by row."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from backend_model_spark.ml import mlp
+
+    out = (
+        mlp.mlp_batch_inference(spark, sf_dir)
+        .toPandas()
+        .sort_values(["l_orderkey", "l_linenumber"])
+        .reset_index(drop=True)
+    )
+
+    t = (
+        pq.read_table(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+                     "l_tax", "l_extendedprice"],
+        )
+        .to_pandas()
+        .sort_values(["l_orderkey", "l_linenumber"])
+        .reset_index(drop=True)
+    )
+    X = np.stack(
+        [
+            np.floor(t["l_extendedprice"].to_numpy() / 1000.0),
+            np.floor(t["l_discount"].to_numpy() * 100 + 0.5),
+            np.floor(t["l_tax"].to_numpy() * 100 + 0.5),
+            np.floor(t["l_quantity"].to_numpy() + 0.5),
+        ],
+        axis=1,
+    )
+    expect = mlp.predict_cents(X)
+    assert (out["pred_price_cents"].to_numpy() == expect).all()
+
+
+def test_mlp_requantization_keeps_values_exact():
+    """Adversarial inputs at the feature-range extremes: every
+    intermediate must stay an exact binary fraction (magnitude * 2^16
+    below 2^53), so forward_numpy run twice — once via BLAS matmul,
+    once via explicit per-unit python sums in REVERSED order — must
+    agree exactly. Catches any future weight/architecture change that
+    silently leaves the exact regime."""
+    import itertools
+
+    import numpy as np
+
+    from backend_model_spark.ml import mlp
+
+    corners = np.array(
+        [p for p in itertools.product([0, 105], [0, 10], [0, 8], [1, 50])],
+        dtype=np.float64,
+    )
+    blas = mlp.forward_numpy(corners)
+
+    w = mlp.weight_arrays()
+
+    def slow_forward(x):
+        def layer(a, W, B):
+            out = []
+            for j in range(W.shape[1]):
+                s = 0.0
+                for i in reversed(range(W.shape[0])):  # reversed sum order
+                    s += a[i] * W[i, j]
+                out.append((s + B[j]) / 256.0)
+            return np.array(out)
+
+        def act(z):
+            a = np.where(z >= 0, z, 0.25 * z)
+            return np.floor(a * 256.0) / 256.0
+
+        a1 = act(layer(x, w["W1"], w["B1"]))
+        a2 = act(layer(a1, w["W2"], w["B2"]))
+        return layer(a2, w["W3"], w["B3"])[0]
+
+    slow = np.array([slow_forward(x) for x in corners])
+    assert (blas == slow).all(), "summation order changed the result: not exact"
+
+
+def test_mlp_beats_mean_baseline(sf_dir):
+    """Deployed (quantized) accuracy: the model must explain most of
+    the charge variance — RMSE well under the predict-the-mean
+    baseline, or the serving path is shipping a broken model.
+    Computed row-aligned in numpy (the Spark path is proven
+    bit-identical by test_mlp_spark_matches_numpy_exactly; a key join
+    would mispair rows — (l_orderkey, l_linenumber) is NOT unique in
+    the synthetic data)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from backend_model_spark.ml import mlp
+
+    t = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_discount", "l_tax", "l_extendedprice"],
+    ).to_pandas()
+    price = t["l_extendedprice"].to_numpy()
+    X = np.stack(
+        [
+            np.floor(price / 1000.0),
+            np.floor(t["l_discount"].to_numpy() * 100 + 0.5),
+            np.floor(t["l_tax"].to_numpy() * 100 + 0.5),
+            np.floor(t["l_quantity"].to_numpy() + 0.5),
+        ],
+        axis=1,
+    )
+    y = price * (1 - t["l_discount"].to_numpy()) * (1 + t["l_tax"].to_numpy())
+    pred = mlp.predict_cents(X) / 100.0
+    rmse = np.sqrt(((pred - y) ** 2).mean())
+    base = y.std()
+    assert rmse < 0.2 * base, f"deployed RMSE {rmse:.1f} vs baseline {base:.1f}"
+
+
+def test_mlp_plan_is_shuffle_free_arrow_stage(spark, sf_dir):
+    """Serving must be a narrow map pipeline: one Arrow-batched python
+    stage, ZERO exchanges — at 100 TB the scoring cost is a linear
+    scan, never a shuffle."""
+    from backend_model_spark.ml import mlp
+
+    df = mlp.mlp_batch_inference(spark, sf_dir)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "Exchange" not in plan, "batch inference must not shuffle"

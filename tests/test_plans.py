@@ -134,6 +134,42 @@ def test_q9_dimension_joins_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_cosine_topk_two_stage_salted(spark, sf_dir):
+    """Exact top-k must NOT funnel the scored corpus through
+    |queries| window tasks: stage 1 ranks within (q_id, salt) —
+    parallelism follows the corpus — and both window stages must plan
+    WindowGroupLimit (bounded per-group state, no full sort buffers)."""
+    import re
+
+    plan = plan_of(spark, "sim_cosine_topk_bruteforce", sf_dir)
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    salted = [p for p in parts if "salt" in p]
+    assert salted, f"no salted exchange in plan partitionings: {parts}"
+    assert plan.count("WindowGroupLimit") >= 2, (
+        "rank<=k filter not pushed into WindowGroupLimit on both stages"
+    )
+
+
+def test_q9_broadcasts_via_aqe_not_hint(spark, sf_dir):
+    """part/supplier must carry NO hard broadcast hint (a hint
+    overrides AQE's size check → executor OOM when they outgrow the
+    budget at 100×); the bounded nation dim keeps its hint. The
+    broadcast must still HAPPEN here — chosen by size, not forced."""
+    df = _QUERIES["tpch_q9_profit"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") <= 1, (
+        "only the bounded nation dim may carry a hard broadcast hint"
+    )
+    df.collect()
+    final = df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "isFinalPlan=true" in final
+    assert final.count("BroadcastHashJoin") >= 3, (
+        "AQE should still size part/supplier into broadcasts at test SF"
+    )
+
+
 def test_q10_topk_is_take_ordered(spark, sf_dir):
     plan = plan_of(spark, "tpch_q10_returns", sf_dir)
     assert "TakeOrderedAndProject" in plan, "top-20 must not global-sort"

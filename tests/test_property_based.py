@@ -447,9 +447,11 @@ def test_autocorr_matches_numpy(spark, day_offsets):
     )
 )
 def test_ab_welch_matches_numpy(spark, vals):
-    """stat_ab_welch against a direct numpy Welch computation. Skipped
-    inputs: degenerate variants (<2 users on either side) for which
-    the t statistic is undefined on both engines."""
+    """stat_ab_welch against a direct numpy Welch computation,
+    including the degenerate shapes: an empty variant yields ZERO
+    rows (matching the oracle's CROSS JOIN of an empty side), and a
+    1-user variant yields a row with NULL t/df (undefined sample
+    variance on both engines)."""
     import numpy as np
 
     from backend_model_spark.operators.events_ops import ab_welch_ttest
@@ -457,8 +459,6 @@ def test_ab_welch_matches_numpy(spark, vals):
     users = {u for u, _ in vals}
     n_a = len([u for u in users if u % 2 == 0])
     n_b = len([u for u in users if u % 2 == 1])
-    if n_a < 2 or n_b < 2:
-        return
 
     sf = os.path.join(SCRATCH, uuid.uuid4().hex[:12])
     os.makedirs(sf, exist_ok=True)
@@ -476,15 +476,24 @@ def test_ab_welch_matches_numpy(spark, vals):
     events["ts"] = events["ts"].astype("datetime64[us]")
     events.to_parquet(os.path.join(sf, "events.parquet"))
 
-    row = ab_welch_ttest(spark, sf).toPandas().iloc[0]
+    out = ab_welch_ttest(spark, sf).toPandas()
+    if n_a == 0 or n_b == 0:
+        assert len(out) == 0
+        return
+    row = out.iloc[0]
 
     per_user = pd.DataFrame(vals, columns=["u", "v"]).groupby("u")["v"].mean()
     a = per_user[per_user.index % 2 == 0].to_numpy()
     b = per_user[per_user.index % 2 == 1].to_numpy()
-    va, vb = a.var(ddof=1), b.var(ddof=1)
     assert row["n_a"] == len(a) and row["n_b"] == len(b)
     assert abs(row["mean_a"] - a.mean()) < 2e-6
     assert abs(row["mean_b"] - b.mean()) < 2e-6
+    if n_a < 2 or n_b < 2:
+        # 1-user variant: sample variance undefined (df = 0), t/df NULL
+        assert row["welch_t"] is None or np.isnan(row["welch_t"])
+        assert row["welch_df"] is None or np.isnan(row["welch_df"])
+        return
+    va, vb = a.var(ddof=1), b.var(ddof=1)
     se = va / len(a) + vb / len(b)
     if se == 0.0:
         assert row["welch_t"] is None or np.isnan(row["welch_t"])

@@ -1419,13 +1419,19 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rows = li.join(F.broadcast(rank_map("x")), "x").join(rank_map("y"), "y")
     d = lambda c: c.cast("decimal(38,0)")
+    # products multiply in BIGINT (exact while doubled ranks satisfy
+    # (2N+1)^2 < 2^63, i.e. N < 1.5e9 rows; ANSI mode fails loudly at
+    # the boundary instead of corrupting) and only the ACCUMULATION
+    # runs in decimal(38,0) — one 64-bit multiply + a decimal add per
+    # row instead of two operand widenings + an int128 multiply.
+    # Beyond 1.5e9 rows, widen the operands first (d(rx) * d(ry)).
     s = rows.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(d(F.col("r_x"))).alias("sx"),
         F.sum(d(F.col("r_y"))).alias("sy"),
-        F.sum(d(F.col("r_x")) * d(F.col("r_y"))).alias("sxy"),
-        F.sum(d(F.col("r_x")) * d(F.col("r_x"))).alias("sxx"),
-        F.sum(d(F.col("r_y")) * d(F.col("r_y"))).alias("syy"),
+        F.sum(d(F.col("r_x") * F.col("r_y"))).alias("sxy"),
+        F.sum(d(F.col("r_x") * F.col("r_x"))).alias("sxx"),
+        F.sum(d(F.col("r_y") * F.col("r_y"))).alias("syy"),
     )
     n = d(F.col("n"))
     num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")

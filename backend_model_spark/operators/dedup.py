@@ -521,8 +521,9 @@ def _partition_local_cc_arrow(batches) -> "Iterator":
     Arrow-batched (``mapInArrow``): edges arrive as columnar int64
     buffers and labels leave the same way, so the only Python-side
     cost is the union-find loop itself; there is no per-row pickling
-    of Row objects in either direction (measured ≥1.5× on the 10×
-    stress graph vs the round-3 ``rdd.mapPartitions`` form).
+    of Row objects in either direction (measured 3.4× vs the round-3
+    ``rdd.mapPartitions`` form on a 5M-edge contraction: min-of-3
+    0.66 s vs 2.53 s, local[32]).
 
     Runs entirely inside a task (never on the driver): the classic
     first phase of scalable connected components — contract

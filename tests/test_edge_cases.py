@@ -1143,9 +1143,7 @@ def test_epoch_shuffle_orders_differ_and_are_valid(spark):
 
 def test_ols_cv_folds_agree_with_numpy(spark):
     """Each fold's closed-form fit and held-out RMSE recomputed with
-    numpy on the same content-addressed membership."""
-    import hashlib
-
+    numpy on the same PK-keyed (Lehmer-hash) membership."""
     import numpy as np
 
     from backend_model_spark.operators.ml_queries import ols_cv_sufficient
@@ -1160,7 +1158,7 @@ def test_ols_cv_folds_agree_with_numpy(spark):
     )
     folds = np.array(
         [
-            int(hashlib.md5(f"{o}:{l}".encode()).hexdigest()[:4], 16) % 5
+            ((int(o) % 2147483647) * 48271 % 2147483647 + int(l)) % 5
             for o, l in zip(pdf["l_orderkey"], pdf["l_linenumber"])
         ]
     )

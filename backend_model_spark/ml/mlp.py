@@ -98,6 +98,65 @@ QW3 = [
 ]
 QB3 = [13027103]
 
+# ---------------------------------------------------------------------------
+# Model B ("bayes"): the second deployed regressor, mirroring the
+# reference's bayesian_optimization_model SavedModel — same task,
+# different searched hyperparameters (scripts/train_mlp.py CONFIGS:
+# 4 -> 24 -> 12 -> 1, LeakyReLU(0.5), seed 20260815). Deployed
+# RMSE ~ 1499 $ vs model A's ~1712 $ — the pair feeds the
+# champion-challenger operator ml_mlp_model_compare.
+# ---------------------------------------------------------------------------
+LEAKY_B = 0.5  # 1 fractional bit: exact under the dyadic scheme
+QW1_B = [
+    [1, 4, 0, -1, -1, -9, -4, -16, -1, 6, 7, 5, 1, 2, -5, 1, 5, 3, 4, -2, -5, 10, -4, -11],
+    [-36, -27, 11, 88, 84, 33, 133, 33, -11, -14, 44, 10, 107, 24, -49, -85, 128, 103, -88, -41, 4, -3, 4, 103],
+    [-59, 73, -13, 24, -72, -79, -25, -140, -37, 21, 63, 13, -33, -1, 122, -164, -77, -43, -76, 5, -105, -71, 35, -11],
+    [5, -6, 10, -20, -11, 11, 3, -6, 5, -4, -26, -13, -12, 11, 9, 11, 10, -8, -5, -1, 1, 23, 22, 8],
+]
+QB1_B = [267, -199, -252, 21, 219, 365, -452, 1361, 111, -191, -180, -45, -168, -517, -216, 736, -847, -287, 649, 327, 647, -790, -481, -123]
+QW2_B = [
+    [-1, -46, 122, 35, 85, -58, 36, 50, -3, -46, -38, 43],
+    [108, 27, -37, 86, -87, 2, -21, 28, -72, 87, -12, -14],
+    [116, 12, 45, 40, -108, -140, -4, 36, 1, 137, 61, 7],
+    [-38, 93, 15, 40, 28, 220, -107, 136, 39, 6, -22, -80],
+    [31, 78, 80, 21, 52, -20, 22, -14, 7, -24, 139, 81],
+    [-20, 23, 14, 21, -46, -57, -23, 3, 46, -84, 26, 75],
+    [-3, 8, 73, -49, 63, 92, 71, -55, 3, -63, 3, 77],
+    [-22, 9, 81, 43, 122, 114, -68, -10, -21, -180, 37, -106],
+    [-26, -39, 43, 12, 115, -5, -49, -96, -102, -120, 35, 74],
+    [-48, -39, 129, -36, -126, 4, 102, 45, 19, -23, -78, 60],
+    [92, 115, 7, 43, -75, 2, 67, -111, 41, -75, 50, -29],
+    [154, 100, -40, -94, -7, -170, -62, -44, 38, 106, -6, -35],
+    [-168, -5, -4, -8, 28, 75, -36, 58, 69, -2, 99, -111],
+    [-78, 109, 135, -113, -24, 41, 32, 58, -25, -61, -45, 3],
+    [-53, 72, 40, 94, 36, -70, 5, -40, -60, 25, 17, 3],
+    [24, -28, 37, -105, -46, -2, -27, -29, -56, 117, 51, 18],
+    [64, -11, -34, -44, 0, -42, -122, 59, -67, -1, 71, -105],
+    [7, -63, 25, 92, -3, 38, 119, -38, -46, 49, -31, -24],
+    [12, 4, -60, -58, 2, 16, -28, -34, -31, -53, -64, -3],
+    [-100, -60, 0, 30, 126, 124, 43, 25, -53, -108, 11, 77],
+    [47, 74, 78, -31, -51, 57, -77, 0, -25, 37, -38, 152],
+    [63, 143, 93, -12, -29, 65, 10, 13, -58, -13, -57, 23],
+    [51, -6, -108, 17, -228, -35, -52, 42, 95, -20, -98, 138],
+    [69, 94, -126, -37, 217, 18, -27, 33, 4, -24, -114, -206],
+]
+QB2_B = [3, -2, -2, 5, 4, -5, 3, 3, 0, 6, 1, 3]
+QW3_B = [
+    [458306],
+    [-579713],
+    [794862],
+    [-2900993],
+    [-1047761],
+    [1005227],
+    [1437204],
+    [1267116],
+    [614285],
+    [4921644],
+    [812363],
+    [-1151114],
+]
+QB3_B = [13180537]
+
 
 def weight_arrays() -> dict[str, np.ndarray]:
     """Float64 weight matrices on the exact 1/256 dyadic grid."""
@@ -111,11 +170,28 @@ def weight_arrays() -> dict[str, np.ndarray]:
     }
 
 
-def forward_numpy(X: np.ndarray, w: dict[str, np.ndarray] | None = None) -> np.ndarray:
+def weight_arrays_b() -> dict[str, np.ndarray]:
+    """Model B ("bayes") float64 weight matrices, same dyadic grid."""
+    return {
+        "W1": np.asarray(QW1_B, dtype=np.float64),
+        "B1": np.asarray(QB1_B, dtype=np.float64),
+        "W2": np.asarray(QW2_B, dtype=np.float64),
+        "B2": np.asarray(QB2_B, dtype=np.float64),
+        "W3": np.asarray(QW3_B, dtype=np.float64),
+        "B3": np.asarray(QB3_B, dtype=np.float64),
+    }
+
+
+def forward_numpy(
+    X: np.ndarray,
+    w: dict[str, np.ndarray] | None = None,
+    leaky: float = LEAKY,
+) -> np.ndarray:
     """Exact forward pass (dollars). ``X`` is (n, 4) float64 holding
     the INTEGER feature values; ``w`` holds float64 matrices that are
     256× the dyadic weights (i.e. the integer numerators), as returned
-    by :func:`weight_arrays`."""
+    by :func:`weight_arrays`. ``leaky`` must itself be dyadic (the two
+    deployed models use 0.25 and 0.5) to stay in the exact regime."""
     if w is None:
         w = weight_arrays()
 
@@ -125,7 +201,7 @@ def forward_numpy(X: np.ndarray, w: dict[str, np.ndarray] | None = None) -> np.n
         return (a @ w[wk] + w[bk]) / QSCALE
 
     def act(z: np.ndarray) -> np.ndarray:
-        a = np.where(z >= 0.0, z, LEAKY * z)
+        a = np.where(z >= 0.0, z, leaky * z)
         # re-quantize to the 1/256 grid: caps fractional bits so every
         # later product stays exactly representable
         return np.floor(a * QSCALE) / QSCALE
@@ -135,9 +211,13 @@ def forward_numpy(X: np.ndarray, w: dict[str, np.ndarray] | None = None) -> np.n
     return layer(a2, "W3", "B3").ravel()
 
 
-def predict_cents(X: np.ndarray, w: dict[str, np.ndarray] | None = None) -> np.ndarray:
+def predict_cents(
+    X: np.ndarray,
+    w: dict[str, np.ndarray] | None = None,
+    leaky: float = LEAKY,
+) -> np.ndarray:
     """Edge-rounded integer-cents predictions (the oracle contract)."""
-    return np.floor(forward_numpy(X, w) * 100.0 + 0.5).astype(np.int64)
+    return np.floor(forward_numpy(X, w, leaky) * 100.0 + 0.5).astype(np.int64)
 
 
 def mlp_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,67 +260,196 @@ def mlp_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_forward() -> str:
-    """Generate the layer-by-layer oracle SQL from the SAME integer
-    numerators the Spark path broadcasts — one CTE per affine layer,
-    one per activation, sum-of-products per hidden unit."""
-    d_in, h1 = len(QW1), len(QW1[0])
-    h2 = len(QW2[0])
-
-    def affine(prev_cols: list[str], W: list[list[int]], B: list[int], out: str, j: int) -> str:
-        terms = " + ".join(
-            f"{prev_cols[i]}*({W[i][j]})" for i in range(len(prev_cols))
-        )
-        return f"({terms} + ({B[j]})) / 256.0 AS {out}{j}"
-
-    act = (
-        lambda col: f"FLOOR((CASE WHEN {col} >= 0 THEN {col} "
-        f"ELSE 0.25*{col} END) * 256.0) / 256.0 AS a{col[1:]}"
-    )
-    xs = [f"x{i + 1}" for i in range(d_in)]
-    z1 = ",\n    ".join(affine(xs, QW1, QB1, "z1_", j) for j in range(h1))
-    a1 = ",\n    ".join(act(f"z1_{j}") for j in range(h1))
-    a1c = [f"a1_{j}" for j in range(h1)]
-    z2 = ",\n    ".join(affine(a1c, QW2, QB2, "z2_", j) for j in range(h2))
-    a2 = ",\n    ".join(act(f"z2_{j}") for j in range(h2))
-    a2c = [f"a2_{j}" for j in range(h2)]
-    y = affine(a2c, QW3, QB3, "y", 0)
-    return f"""
-WITH feat AS (
+FEAT_SQL = """
   SELECT l_orderkey, CAST(l_linenumber AS INTEGER) AS l_linenumber,
     CAST(FLOOR(l_extendedprice / 1000.0) AS DOUBLE) AS x1,
     CAST(FLOOR(l_discount * 100 + 0.5) AS DOUBLE) AS x2,
     CAST(FLOOR(l_tax * 100 + 0.5) AS DOUBLE) AS x3,
     CAST(FLOOR(l_quantity + 0.5) AS DOUBLE) AS x4
   FROM lineitem
-),
-zl1 AS (
-  SELECT l_orderkey, l_linenumber,
-    {z1}
-  FROM feat
-),
-al1 AS (
-  SELECT l_orderkey, l_linenumber,
-    {a1}
-  FROM zl1
-),
-zl2 AS (
-  SELECT l_orderkey, l_linenumber,
-    {z2}
-  FROM al1
-),
-al2 AS (
-  SELECT l_orderkey, l_linenumber,
-    {a2}
-  FROM zl2
-)
+"""
+
+
+def _sql_net_ctes(
+    p: str,
+    W1, B1, W2, B2, W3, B3,
+    slope: str,
+    feat: str = "feat",
+    keep: str = "l_orderkey, l_linenumber",
+) -> tuple[str, str]:
+    """Layer-by-layer CTE chain for ONE net from the SAME integer
+    numerators the Spark path broadcasts — one CTE per affine layer,
+    one per activation, sum-of-products per hidden unit. Returns
+    (cte_sql, final_cte_name); the final CTE exposes ``keep`` plus a
+    ``y0`` dollars column. ``p`` prefixes every CTE/column so two
+    nets can coexist in one query; ``slope`` is the (dyadic) leaky
+    slope as a SQL literal."""
+    h1, h2 = len(W1[0]), len(W2[0])
+
+    def affine(prev_cols, W, B, out, j):
+        terms = " + ".join(f"{prev_cols[i]}*({W[i][j]})" for i in range(len(prev_cols)))
+        return f"({terms} + ({B[j]})) / 256.0 AS {out}{j}"
+
+    def act(col, out):
+        return (
+            f"FLOOR((CASE WHEN {col} >= 0 THEN {col} "
+            f"ELSE {slope}*{col} END) * 256.0) / 256.0 AS {out}"
+        )
+
+    xs = [f"x{i + 1}" for i in range(len(W1))]
+    z1 = ",\n    ".join(affine(xs, W1, B1, f"{p}z1_", j) for j in range(h1))
+    a1 = ",\n    ".join(act(f"{p}z1_{j}", f"{p}a1_{j}") for j in range(h1))
+    a1c = [f"{p}a1_{j}" for j in range(h1)]
+    z2 = ",\n    ".join(affine(a1c, W2, B2, f"{p}z2_", j) for j in range(h2))
+    a2 = ",\n    ".join(act(f"{p}z2_{j}", f"{p}a2_{j}") for j in range(h2))
+    a2c = [f"{p}a2_{j}" for j in range(h2)]
+    y = affine(a2c, W3, B3, f"{p}y", 0)
+    ctes = f"""
+{p}zl1 AS (SELECT {keep}, {z1} FROM {feat}),
+{p}al1 AS (SELECT {keep}, {a1} FROM {p}zl1),
+{p}zl2 AS (SELECT {keep}, {z2} FROM {p}al1),
+{p}al2 AS (SELECT {keep}, {a2} FROM {p}zl2),
+{p}out AS (SELECT {keep}, {y.replace(f'AS {p}y0', f'AS y0')} FROM {p}al2)"""
+    return ctes, f"{p}out"
+
+
+def _sql_forward() -> str:
+    ctes, final = _sql_net_ctes("", QW1, QB1, QW2, QB2, QW3, QB3, "0.25")
+    return f"""
+WITH feat AS ({FEAT_SQL}),{ctes}
 SELECT l_orderkey, l_linenumber,
   CAST(FLOOR(y0 * 100.0 + 0.5) AS BIGINT) AS pred_price_cents
-FROM (
-  SELECT l_orderkey, l_linenumber, {y}
-  FROM al2
-)
+FROM {final}
 """
 
 
 MLP_ORACLE = _sql_forward()
+
+
+def mlp_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Champion-challenger evaluation of BOTH deployed regressors
+    (grid-search-tuned vs Bayesian-opt-tuned — the reference ships
+    exactly this pair of SavedModels) in ONE scan: each lineitem is
+    scored by both nets inside the same ``mapInPandas`` batch, the
+    actual invoice charge rides along as an exact integer, and the
+    per-model error rollup (n, RMSE, MAE, signed bias) comes out of
+    one map-side-combinable aggregate over a 2-value key.
+
+    Exactness: the actual charge price*(1-disc)*(1+tax) is computed
+    as price_cents*(100-disc_pct)*(100+tax_pct) — pure int64 products
+    of integerized columns (≤ ~1.2e11), so "actual" is bit-identical
+    cross-engine with no float parsing involved; diffs are integers
+    in 1e-4-cent units; SSE/SAE accumulate in decimal(38,0) (DuckDB
+    HUGEINT) and doubles appear only in the final rounded divide.
+    Scale: identical to :func:`mlp_batch_inference` — narrow pipeline,
+    zero shuffles before the 2-row aggregate; scoring two nets costs
+    two matmul stacks over the same Arrow batch, not two scans.
+    """
+    bc = spark.sparkContext.broadcast(
+        {
+            "grid": {k: v.tolist() for k, v in weight_arrays().items()},
+            "bayes": {k: v.tolist() for k, v in weight_arrays_b().items()},
+        }
+    )
+
+    charge_e4 = (
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        * (F.lit(100) - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long"))
+        * (F.lit(100) + F.floor(F.col("l_tax") * 100 + F.lit(0.5)).cast("long"))
+    )
+    feats = load_table(spark, "lineitem", sf_dir).select(
+        charge_e4.alias("charge_e4"),
+        F.floor(F.col("l_extendedprice") / 1000.0).cast("double").alias("x1"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("double").alias("x2"),
+        F.floor(F.col("l_tax") * 100 + F.lit(0.5)).cast("double").alias("x3"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("double").alias("x4"),
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = {
+            m: {k: np.asarray(v, dtype=np.float64) for k, v in ws.items()}
+            for m, ws in bc.value.items()
+        }
+        for pdf in batches:
+            X = pdf[["x1", "x2", "x3", "x4"]].to_numpy(dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "charge_e4": pdf["charge_e4"],
+                    "pred_grid": predict_cents(X, w["grid"], LEAKY),
+                    "pred_bayes": predict_cents(X, w["bayes"], LEAKY_B),
+                }
+            )
+
+    scored = feats.mapInPandas(
+        score, "charge_e4 long, pred_grid long, pred_bayes long"
+    )
+    diff = scored.select(
+        F.expr(
+            "stack(2, 'bayes', pred_bayes, 'grid', pred_grid) AS (model, pred_cents)"
+        ),
+        "charge_e4",
+    ).select(
+        "model", (F.col("pred_cents") * 10000 - F.col("charge_e4")).alias("d_e4")
+    )
+    dd = F.col("d_e4").cast("decimal(38,0)")
+    agg = diff.groupBy("model").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dd * dd).alias("sse"),
+        F.sum(F.abs(dd)).alias("sae"),
+        F.sum(dd).alias("sd"),
+    )
+    to_cents = lambda c: c.cast("double") / F.col("n") / 10000.0
+    return agg.select(
+        "model",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.sqrt(F.col("sse").cast("double") / F.col("n")) / 10000.0, 2).alias(
+            "rmse_cents"
+        ),
+        F.round(to_cents(F.col("sae")), 2).alias("mae_cents"),
+        F.round(to_cents(F.col("sd")), 2).alias("bias_cents"),
+    ).orderBy("model")
+
+
+def _sql_compare() -> str:
+    a_ctes, a_final = _sql_net_ctes(
+        "g_", QW1, QB1, QW2, QB2, QW3, QB3, "0.25", keep="rid, charge_e4"
+    )
+    b_ctes, b_final = _sql_net_ctes(
+        "b_", QW1_B, QB1_B, QW2_B, QB2_B, QW3_B, QB3_B, "0.5", keep="rid, charge_e4"
+    )
+    return f"""
+WITH feat AS (
+  SELECT
+    ROW_NUMBER() OVER () AS rid,
+    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+      * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+      * (100 + CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT)) AS charge_e4,
+    CAST(FLOOR(l_extendedprice / 1000.0) AS DOUBLE) AS x1,
+    CAST(FLOOR(l_discount * 100 + 0.5) AS DOUBLE) AS x2,
+    CAST(FLOOR(l_tax * 100 + 0.5) AS DOUBLE) AS x3,
+    CAST(FLOOR(l_quantity + 0.5) AS DOUBLE) AS x4
+  FROM lineitem
+),{a_ctes},{b_ctes},
+diffs AS (
+  SELECT 'grid' AS model,
+    CAST(FLOOR(y0 * 100.0 + 0.5) AS BIGINT) * 10000 - charge_e4 AS d_e4
+  FROM {a_final}
+  UNION ALL
+  SELECT 'bayes' AS model,
+    CAST(FLOOR(y0 * 100.0 + 0.5) AS BIGINT) * 10000 - charge_e4 AS d_e4
+  FROM {b_final}
+)
+SELECT model,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  ROUND(sqrt(CAST(SUM(CAST(d_e4 AS HUGEINT) * d_e4) AS DOUBLE) / COUNT(*))
+    / 10000.0, 2) AS rmse_cents,
+  ROUND(CAST(SUM(ABS(CAST(d_e4 AS HUGEINT))) AS DOUBLE) / COUNT(*) / 10000.0, 2)
+    AS mae_cents,
+  ROUND(CAST(SUM(CAST(d_e4 AS HUGEINT)) AS DOUBLE) / COUNT(*) / 10000.0, 2)
+    AS bias_cents
+FROM diffs
+GROUP BY model
+ORDER BY model
+"""
+
+MLP_COMPARE_ORACLE = _sql_compare()

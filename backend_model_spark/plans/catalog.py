@@ -923,6 +923,12 @@ from backend_model_spark.ml import mlp as ml_mlp  # noqa: E402
 register(
     "ml_mlp_batch_inference", ml_mlp.mlp_batch_inference, ml_mlp.MLP_ORACLE
 )
+# champion-challenger: both deployed nets (grid- vs bayes-tuned, the
+# reference's SavedModel pair) scored in ONE scan, per-model error
+# rollup (n/RMSE/MAE/bias) in exact integer units, full DuckDB oracle
+register(
+    "ml_mlp_model_compare", ml_mlp.mlp_model_compare, ml_mlp.MLP_COMPARE_ORACLE
+)
 # transformWithStateInPandas speaks protobuf on its JVM<->Python state
 # channel; only register where the dependency exists (import-try gate,
 # per the no-new-installs environment contract)
@@ -945,17 +951,19 @@ if HAS_PROTOBUF:
 # Rotation policy (one list edit per round): surface (a) entries NEW
 # or CHANGED this round, (b) entries with zero CORRECTNESS_r* rows in
 # any round so far, and keep ≥1 representative of every operator
-# family. Round 4 brings in 14 never-driver-checked entries
+# family. Round 4 brings in 15 never-driver-checked entries
 # (streaming sinks/joins/state, the io merge/overwrite/bucketed
 # lifecycle, two-stage windows, the func batteries, tpch_q9,
-# stat_ab_welch, the new ml_mlp_batch_inference) plus the round-4-
-# rewritten sim_cosine_topk_bruteforce; 15 multi-round-green entries
-# yield their slots to tier 2 (still swept locally + judge-sampled).
+# stat_ab_welch, the new ml_mlp_batch_inference + model_compare) plus
+# the round-4-rewritten sim_cosine_topk_bruteforce; 16 multi-round-
+# green entries yield their slots to tier 2 (still swept locally +
+# judge-sampled).
 # ======================================================================
 TIER1 = [
     # flagship + round-4 new/changed (driver must see these first)
     "q1_pricing_summary",
     "ml_mlp_batch_inference",
+    "ml_mlp_model_compare",
     "tpch_q9_profit",
     "sim_cosine_topk_bruteforce",
     "stat_ab_welch",
@@ -1006,7 +1014,8 @@ TIER1 = [
     "io_scd2_pit_join",
     "text_winnow_fingerprints",
     "pipeline_feature_store",
-    "streaming_static_enrich",
+    # (streaming_static_enrich displaced to tier 2 for the round-4
+    # ml_mlp_model_compare addition; streaming keeps 4 prefix reps)
 ]
 
 from backend_model_spark.plans.registry import promote  # noqa: E402

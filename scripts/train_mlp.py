@@ -24,12 +24,17 @@ from __future__ import annotations
 import numpy as np
 import pyarrow.parquet as pq
 
-SEED = 20260814
-H1, H2 = 16, 8
-LEAKY = 0.25  # 2 fractional bits — exact in the dyadic scheme
-EPOCHS = 4000
-LR = 0.03
 TRAIN_SF = "/root/testdata/sf0.01"
+
+# Two tuning strategies -> two deployed models, mirroring the
+# reference's pair of SavedModels (brute_force_grid_search_model /
+# bayesian_optimization_model): same task, different searched
+# hyperparameters. Both leaky slopes are dyadic (2 resp. 1 fractional
+# bits) so both nets stay in the exact cross-engine regime.
+CONFIGS = {
+    "grid": dict(seed=20260814, h1=16, h2=8, leaky=0.25, epochs=4000, lr=0.03),
+    "bayes": dict(seed=20260815, h1=24, h2=12, leaky=0.5, epochs=3000, lr=0.02),
+}
 
 
 def load_xy(sf_dir: str = TRAIN_SF) -> tuple[np.ndarray, np.ndarray]:
@@ -68,10 +73,13 @@ def load_xy(sf_dir: str = TRAIN_SF) -> tuple[np.ndarray, np.ndarray]:
     return X, y
 
 
-def train() -> dict[str, np.ndarray]:
-    rng = np.random.default_rng(SEED)
+def train(
+    seed: int, h1: int, h2: int, leaky_slope: float, epochs: int, lr: float
+) -> dict[str, np.ndarray]:
+    rng = np.random.default_rng(seed)
     X, y = load_xy()
     n, d = X.shape
+    H1, H2, LEAKY, EPOCHS, LR = h1, h2, leaky_slope, epochs, lr
 
     # standardize features and CENTER+SCALE the target for conditioning;
     # both affine maps are folded back into the weights afterwards
@@ -138,7 +146,9 @@ def train() -> dict[str, np.ndarray]:
     from backend_model_spark.ml.mlp import forward_numpy
 
     # forward_numpy expects the integer NUMERATORS (256x the weights)
-    pred = forward_numpy(X, {k: v.astype(np.float64) for k, v in qs.items()})
+    pred = forward_numpy(
+        X, {k: v.astype(np.float64) for k, v in qs.items()}, leaky=LEAKY
+    )
     rmse = np.sqrt(((pred - y) ** 2).mean())
     base = np.sqrt(((y.mean() - y) ** 2).mean())
     print(f"deployed RMSE = {rmse:.2f}  (predict-the-mean baseline {base:.2f})")
@@ -157,7 +167,12 @@ if __name__ == "__main__":
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    qs = train()
-    print("\n# ---- paste into backend_model_spark/ml/mlp.py ----")
+    which = sys.argv[1] if len(sys.argv) > 1 else "grid"
+    cfg = CONFIGS[which]
+    qs = train(
+        cfg["seed"], cfg["h1"], cfg["h2"], cfg["leaky"], cfg["epochs"], cfg["lr"]
+    )
+    suffix = "" if which == "grid" else "_B"
+    print(f"\n# ---- paste into backend_model_spark/ml/mlp.py ({which}) ----")
     for k in ["W1", "B1", "W2", "B2", "W3", "B3"]:
-        print(fmt(f"Q{k}", qs[k]))
+        print(fmt(f"Q{k}{suffix}", qs[k]))

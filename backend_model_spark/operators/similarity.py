@@ -516,6 +516,41 @@ PQ_SUBSPACES = 8
 PQ_SUBDIM = 8
 
 
+def _pq_cells(emb: DataFrame) -> DataFrame:
+    """(vec_id, label, dim, sub, x_int): embeddings exploded to
+    micro-unit integers with their subspace key — the shared first
+    step of PQ encode and ADC search."""
+    return (
+        emb.select(
+            "vec_id",
+            "label",
+            F.posexplode("embedding").alias("dim", "x"),
+        )
+        .withColumn(
+            "x_int",
+            F.floor(F.col("x").cast("double") * 1_000_000 + 0.5).cast("bigint"),
+        )
+        .withColumn("sub", (F.col("dim") / PQ_SUBDIM).cast("int"))
+    )
+
+
+def _pq_centroids(cells: DataFrame) -> DataFrame:
+    """(cand_label, sub, dim, c_int): per-label mean subvectors as
+    once-rounded micro-unit integers (floor((2s+n)/2n)) — the
+    deterministic codebook shared by encode and search."""
+    return (
+        cells.groupBy(F.col("label").alias("cand_label"), "sub", "dim")
+        .agg(F.sum("x_int").alias("s"), F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "c_int",
+            F.floor((2.0 * F.col("s") + F.col("n")) / (2.0 * F.col("n"))).cast(
+                "bigint"
+            ),
+        )
+        .select("cand_label", "sub", "dim", "c_int")
+    )
+
+
 def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (the IVF-PQ building block): split each
     64-dim embedding into 8 subspaces, quantize every subvector to the
@@ -539,29 +574,8 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     billion-scale ANN RAM-resident.
     """
     emb = load_table(spark, "embeddings", sf_dir)
-    cells = (
-        emb.select(
-            "vec_id",
-            "label",
-            F.posexplode("embedding").alias("dim", "x"),
-        )
-        .withColumn(
-            "x_int",
-            F.floor(F.col("x").cast("double") * 1_000_000 + 0.5).cast("bigint"),
-        )
-        .withColumn("sub", (F.col("dim") / PQ_SUBDIM).cast("int"))
-    )
-    centroids = (
-        cells.groupBy(F.col("label").alias("cand_label"), "sub", "dim")
-        .agg(F.sum("x_int").alias("s"), F.count(F.lit(1)).alias("n"))
-        .withColumn(
-            "c_int",
-            F.floor((2.0 * F.col("s") + F.col("n")) / (2.0 * F.col("n"))).cast(
-                "bigint"
-            ),
-        )
-        .select("cand_label", "sub", "dim", "c_int")
-    )
+    cells = _pq_cells(emb)
+    centroids = _pq_centroids(cells)
     dists = (
         cells.join(F.broadcast(centroids), ["sub", "dim"])
         .groupBy("vec_id", "sub", "cand_label")
@@ -634,6 +648,147 @@ FROM assigned
 WHERE rn = 1
 GROUP BY vec_id
 ORDER BY vec_id
+"""
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: the SEARCH half of product
+    quantization (:func:`pq_encode` is the build half) — the scan
+    shape behind every billion-vector ANN index (IVF-PQ / FAISS): the
+    corpus is touched only through its 8-code words; raw query-to-
+    centroid distances live in a tiny per-query lookup table.
+
+    Shape: corpus codes (vec_id, sub, code) join the BROADCAST LUT
+    (q_id, sub, code, qdist — |queries|·subspaces·k rows of index
+    metadata), partial-sum map-side, one shuffle of pre-combined
+    (q_id, vec_id) rows, then the same salted two-stage rank as
+    :func:`cosine_topk_bruteforce` so top-k parallelism follows the
+    corpus. Compare: exact search moves |corpus|·d floats; ADC moves
+    |corpus| code words and |queries|·k·d LUT integers. At >>1000
+    queries the LUT stops being a join side and becomes a
+    register-resident array inside a vectorized (Arrow) UDF — same
+    algebra, documented as the batch-serving variant.
+
+    Exactness: identical micro-unit integer discipline as pq_encode —
+    every distance is a BIGINT sum of squared integer differences;
+    ties break by (dist, code) at assignment and (dist, vec_id) at
+    ranking on both engines. No floats anywhere.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    cells = _pq_cells(emb)
+    centroids = _pq_centroids(cells)
+
+    sq = lambda a, b: (a - b) * (a - b)
+    # corpus side: nearest-centroid code per (vec_id, sub) — exactly
+    # pq_encode's assignment (the index build this search runs against)
+    codes = (
+        cells.join(F.broadcast(centroids), ["sub", "dim"])
+        .groupBy("vec_id", "sub", "cand_label")
+        .agg(F.sum(sq(F.col("x_int"), F.col("c_int"))).alias("dist"))
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("dist", "cand_label")).alias("best"))
+        .select("vec_id", "sub", F.col("best.cand_label").alias("code"))
+    )
+    # query side: RAW subvector distance to EVERY centroid (that is
+    # the "asymmetric" in ADC — queries are never quantized)
+    lut = (
+        cells.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), "sub", "dim", F.col("x_int").alias("q_int"))
+        .join(F.broadcast(centroids), ["sub", "dim"])
+        .groupBy("q_id", "sub", F.col("cand_label").alias("code"))
+        .agg(F.sum(sq(F.col("q_int"), F.col("c_int"))).alias("qdist"))
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("qdist").alias("adc_dist"))
+        .withColumn(
+            "salt",
+            F.expr(
+                f"conv(substring(md5(cast(vec_id as string)), 1, 4), 16, 10) % {SALT_BUCKETS}"
+            ),
+        )
+    )
+    w1 = W.partitionBy("q_id", "salt").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    survivors = (
+        scored.withColumn("lrank", F.row_number().over(w1))
+        .filter(F.col("lrank") <= TOP_K)
+        .select("q_id", "vec_id", "adc_dist")
+    )
+    w2 = W.partitionBy("q_id").orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "adc_dist", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+PQ_ADC_TOPK_ORACLE = f"""
+WITH cells AS (
+  SELECT
+    vec_id,
+    label,
+    CAST(d.i - 1 AS INTEGER) AS dim,
+    CAST((d.i - 1) // {PQ_SUBDIM} AS INTEGER) AS sub,
+    CAST(FLOOR(CAST(embedding[d.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+      AS x_int
+  FROM embeddings,
+       (SELECT unnest(generate_series(1, {PQ_SUBSPACES * PQ_SUBDIM})) AS i) d
+),
+centroids AS (
+  SELECT label AS cand_label, sub, dim,
+         CAST(FLOOR((2.0 * SUM(x_int) + COUNT(*)) / (2.0 * COUNT(*)))
+           AS BIGINT) AS c_int
+  FROM cells
+  GROUP BY label, sub, dim
+),
+cdists AS (
+  SELECT c.vec_id, c.sub, ct.cand_label,
+         SUM((c.x_int - ct.c_int) * (c.x_int - ct.c_int)) AS dist
+  FROM cells c
+  JOIN centroids ct ON ct.sub = c.sub AND ct.dim = c.dim
+  GROUP BY c.vec_id, c.sub, ct.cand_label
+),
+codes AS (
+  SELECT vec_id, sub, cand_label AS code
+  FROM (
+    SELECT vec_id, sub, cand_label,
+           row_number() OVER (
+             PARTITION BY vec_id, sub ORDER BY dist, cand_label
+           ) AS rn
+    FROM cdists
+  )
+  WHERE rn = 1
+),
+lut AS (
+  SELECT c.vec_id AS q_id, c.sub, ct.cand_label AS code,
+         SUM((c.x_int - ct.c_int) * (c.x_int - ct.c_int)) AS qdist
+  FROM cells c
+  JOIN centroids ct ON ct.sub = c.sub AND ct.dim = c.dim
+  WHERE c.vec_id < {N_QUERIES}
+  GROUP BY c.vec_id, c.sub, ct.cand_label
+),
+scored AS (
+  SELECT l.q_id, k.vec_id, CAST(SUM(l.qdist) AS BIGINT) AS adc_dist
+  FROM codes k
+  JOIN lut l ON l.sub = k.sub AND l.code = k.code
+  WHERE k.vec_id <> l.q_id
+  GROUP BY l.q_id, k.vec_id
+)
+SELECT q_id, vec_id AS neighbor_id, adc_dist, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT q_id, vec_id, adc_dist,
+         row_number() OVER (
+           PARTITION BY q_id ORDER BY adc_dist, vec_id
+         ) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+ORDER BY q_id, rank
 """
 
 

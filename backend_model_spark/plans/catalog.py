@@ -295,6 +295,9 @@ register(
     streaming_jobs.STREAMING_DEDUP_WWM_ORACLE,
 )
 register("sim_pq_encode", similarity.pq_encode, similarity.PQ_ENCODE_ORACLE)
+# round-4: the SEARCH half of PQ — asymmetric-distance top-k over the
+# 8-code words with a broadcast per-query LUT, salted two-stage rank
+register("sim_pq_adc_topk", similarity.pq_adc_topk, similarity.PQ_ADC_TOPK_ORACLE)
 # (window_percent_of_parent — r3-stable — displaced to tier 2 for the
 # time-constrained funnel; windows keep max_drawdown in the prefix)
 # (events_funnel_timed — session-2 addition, green in every full
@@ -1009,7 +1012,8 @@ TIER1 = [
     "udtf_runlength_encode",
     "dq_observe",
     "streaming_dedup_within_watermark",
-    "sim_pq_encode",
+    # (sim_pq_encode displaced to tier 2 for its round-4 search half:)
+    "sim_pq_adc_topk",
     "sample_group_split",
     "io_scd2_pit_join",
     "text_winnow_fingerprints",

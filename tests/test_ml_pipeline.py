@@ -347,3 +347,24 @@ def test_mlp_model_compare_matches_numpy(spark, sf_dir):
     # if a retrain flips this, the comparison op is still correct — the
     # assertion documents the shipped pair)
     assert rows["bayes"].rmse_cents < rows["grid"].rmse_cents
+
+
+def test_mlp_compare_plan_single_small_aggregate_exchange(spark, sf_dir):
+    """Champion-challenger must stay a narrow map pipeline: one
+    MapInPandas stage scoring BOTH nets, partial aggregation below the
+    single exchange (which moves 2 keys x |mappers| pre-aggregated
+    rows, never scored rows), and no join anywhere."""
+    from backend_model_spark.ml import mlp
+
+    df = mlp.mlp_model_compare(spark, sf_dir)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # formatted plans print each node twice (tree + numbered detail)
+    assert plan.count("MapInPandas") == 2, "both nets must share ONE python stage"
+    assert "Join" not in plan, "actual-charge must ride along, not join back"
+    import re
+
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)
+    assert len(exchanges) <= 2, f"only the 2-row aggregate (+sort) may shuffle: {exchanges}"
+    assert "partial_" in plan, "error rollup must combine map-side"

@@ -799,3 +799,20 @@ def test_spearman_and_trend_scale_shapes(spark, sf_dir):
         plan = plan_of(spark, name, sf_dir)
         assert plan.count("Location: InMemoryFileIndex") == 1, name
         assert "InMemoryTableScan" in plan, f"{name}: daily rollup must persist"
+
+
+def test_pq_adc_topk_salted_and_broadcast_lut(spark, sf_dir):
+    """ADC search must (a) never shuffle the corpus for the LUT join —
+    the per-query table is index metadata, always broadcast; (b) rank
+    via the same salted two-stage WindowGroupLimit shape as the exact
+    cosine path, so top-k parallelism follows the corpus."""
+    import re
+
+    plan = plan_of(spark, "sim_pq_adc_topk", sf_dir)
+    assert "BroadcastHashJoin" in plan, "LUT/centroid joins must broadcast"
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    salted = [p for p in parts if "salt" in p]
+    assert salted, f"no salted exchange in plan partitionings: {parts}"
+    assert plan.count("WindowGroupLimit") >= 2, (
+        "rank<=k filter not pushed into WindowGroupLimit on both stages"
+    )

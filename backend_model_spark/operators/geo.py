@@ -60,6 +60,34 @@ _U_SQL = (
 CELL_DEG = 0.1
 EARTH_KM = 6371.0088
 
+# kNN adaptive grid calibration: at N_REF points the 0.1-deg grid's
+# 3x3 ring holds the measured-comfortable candidate population; every
+# 4x growth beyond it HALVES the cell side (area /4), holding ring
+# population inside [1x, 4x] of the calibration level — candidate
+# work then scales linearly with the corpus instead of quadratically
+# with density. The ladder is integer-threshold quantized (never
+# log/ceil on floats, whose ulp could flip a level cross-engine) and
+# mirrored verbatim in the oracle SQL. Contract: the comp radius
+# SHRINKS as density grows — exactly what "nearest comparables" means
+# in a denser market; N_REF is the knob.
+KNN_GRID_N_REF = 20_000
+KNN_GRID_MAX_HALVINGS = 8
+
+
+def _grid_halvings(n: int) -> int:
+    """Largest k ≤ MAX with n ≥ N_REF·4^k (pure integer compares)."""
+    k = 0
+    while k < KNN_GRID_MAX_HALVINGS and n >= KNN_GRID_N_REF * 4 ** (k + 1):
+        k += 1
+    return k
+
+
+# SQL twin of _grid_halvings: descending integer-threshold CASE
+_HALVINGS_SQL = "CASE " + " ".join(
+    f"WHEN n >= {KNN_GRID_N_REF * 4 ** k} THEN {2 ** k}"
+    for k in range(KNN_GRID_MAX_HALVINGS, 0, -1)
+) + " ELSE 1 END"
+
 
 def _coords(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, "customer", sf_dir)
@@ -101,16 +129,29 @@ def _haversine_km(lat1, lon1, lat2, lon2):
 
 def knn_comps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3 nearest comparable listings per query point (every 50th
-    customer), candidates restricted to the 3x3 grid-cell ring.
+    customer), candidates restricted to the 3x3 ring of an
+    ADAPTIVE grid (round 4): cell side halves every 4x growth past
+    ``KNN_GRID_N_REF`` points, so ring population — and with it
+    per-query candidate work — stays within a constant factor of the
+    calibration level at any density (the round-3 fixed grid grew
+    candidates O(density): measured 8x at 10x). The count that picks
+    the level is one cheap metadata-only job; the level ladder is
+    integer-quantized and mirrored in the oracle, so both engines
+    always agree on the grid.
 
     Plan shape: query side (n/50 rows) explodes x9 to neighbor cells,
     equi-joins the cell-keyed full table on (cx, cy), haversine is
     codegen'd arithmetic, and top-3 is a window over the *candidate*
-    set (bounded ~x36 per query point), partitioned by query key —
+    set (bounded per query point), partitioned by query key —
     never a global sort. Ranking compares integer micro-km (repo
     integer-micro discipline) with the neighbor key as tiebreak.
     """
-    pts = _coords(spark, sf_dir)
+    base = _coords(spark, sf_dir)
+    step = CELL_DEG / (2 ** _grid_halvings(base.count()))
+    cell = lambda c: F.floor(c / F.lit(step)).cast("int")
+    pts = base.select(
+        "key", "lat", "lon", cell(F.col("lat")).alias("cx"), cell(F.col("lon")).alias("cy")
+    )
     queries = pts.filter(F.col("key") % 50 == 0).select(
         F.col("key").alias("qkey"),
         F.col("lat").alias("qlat"),
@@ -150,7 +191,17 @@ def knn_comps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KNN_COMPS_ORACLE = f"""
-WITH pts AS ({_COORDS_SQL}),
+WITH pts0 AS ({_COORDS_SQL}),
+grid AS (
+  SELECT {CELL_DEG} / CAST({_HALVINGS_SQL} AS DOUBLE) AS step
+  FROM (SELECT COUNT(*) AS n FROM customer)
+),
+pts AS (
+  SELECT key, lat, lon,
+    CAST(FLOOR(lat / step) AS INTEGER) AS cx,
+    CAST(FLOOR(lon / step) AS INTEGER) AS cy
+  FROM pts0, grid
+),
 q AS (
   SELECT key AS qkey, lat AS qlat, lon AS qlon, cx, cy
   FROM pts WHERE key % 50 = 0

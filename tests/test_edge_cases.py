@@ -1219,3 +1219,29 @@ def test_blocked_correlation_matches_pandas_on_300_columns(spark):
     assert len(joins) == n_tiles - 1, (
         f"tiles must combine via broadcast one-row joins, got {len(joins)}"
     )
+
+
+def test_knn_grid_ladder_matches_sql_twin():
+    """The adaptive-grid level ladder must agree between the python
+    picker (Spark side) and the CASE twin (oracle side) at every
+    threshold boundary ±1 — a level disagreement would silently
+    diverge the candidate sets."""
+    import duckdb
+
+    from backend_model_spark.operators.geo import (
+        KNN_GRID_MAX_HALVINGS,
+        KNN_GRID_N_REF,
+        _HALVINGS_SQL,
+        _grid_halvings,
+    )
+
+    con = duckdb.connect()
+    probes = [1, KNN_GRID_N_REF - 1, KNN_GRID_N_REF, KNN_GRID_N_REF + 1]
+    for k in range(1, KNN_GRID_MAX_HALVINGS + 2):
+        t = KNN_GRID_N_REF * 4**k
+        probes += [t - 1, t, t + 1]
+    for n in probes:
+        (sql_pow2,) = con.execute(
+            f"SELECT {_HALVINGS_SQL} FROM (SELECT {n}::BIGINT AS n)"
+        ).fetchone()
+        assert sql_pow2 == 2 ** _grid_halvings(n), f"ladder split at n={n}"

@@ -662,6 +662,12 @@ register("text_vocab_build", text.vocab_build, text.VOCAB_ORACLE)
 register("text_quality_scores", text.quality_scores, text.QUALITY_ORACLE)
 register("text_token_stats", text.token_stats_per_lang, text.TOKEN_STATS_ORACLE)
 register("text_bpe_token_count", text.bpe_token_estimate, text.BPE_TOKEN_ORACLE)
+# round-4: BPE merge LEARNING (tokenizer training) — one corpus scan
+# for the word vocab, then N tiny distributed rounds; greedy
+# left-to-right application via run-parity windows; unrolled oracle
+from backend_model_spark.operators import bpe as bpe_ops  # noqa: E402
+
+register("text_bpe_learn_merges", bpe_ops.bpe_learn_merges, bpe_ops.BPE_MERGES_ORACLE)
 register("text_language_id", text.language_id, text.LANG_ID_ORACLE)
 register("text_fingerprints", text.fingerprints, text.FINGERPRINT_ORACLE)
 register("text_top_tokens", text.top_tokens, text.TOP_TOKENS_ORACLE)
@@ -1016,7 +1022,9 @@ TIER1 = [
     "sim_pq_adc_topk",
     "sample_group_split",
     "io_scd2_pit_join",
-    "text_winnow_fingerprints",
+    # (text_winnow_fingerprints displaced to tier 2 for the round-4
+    # BPE merge learner — tokenizer training, driver-unseen)
+    "text_bpe_learn_merges",
     "pipeline_feature_store",
     # (streaming_static_enrich displaced to tier 2 for the round-4
     # ml_mlp_model_compare addition; streaming keeps 4 prefix reps)

@@ -1245,3 +1245,61 @@ def test_knn_grid_ladder_matches_sql_twin():
             f"SELECT {_HALVINGS_SQL} FROM (SELECT {n}::BIGINT AS n)"
         ).fetchone()
         assert sql_pow2 == 2 ** _grid_halvings(n), f"ladder split at n={n}"
+
+
+def test_bpe_merges_match_python_reference_with_overlaps(spark, tmp_path):
+    """The distributed merge learner must equal a straightforward
+    sequential BPE implementation — same pair counts (overlapping
+    occurrences included), same (count desc, pair asc) tie-break,
+    same GREEDY left-to-right application. 'aaaa' exercises the
+    run-parity rule: matches at positions 1,2,3 must merge as
+    [aa][aa], never the overlapping middle."""
+    import pandas as pd
+
+    from backend_model_spark.operators.bpe import N_MERGES, bpe_learn_merges
+
+    text = "aaaa aaaa aaaa banana banana bandana apple apples grape "
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [text, text + " aaaa banana"],
+            "lang": ["en", "en"],
+            "source": ["s0", "s0"],
+            "n_chars": [len(text), len(text) + 12],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+
+    out = [
+        (r.lhs, r.rhs, r.pair_count)
+        for r in bpe_learn_merges(spark, str(tmp_path)).collect()
+    ]
+
+    # sequential reference
+    words: dict[str, int] = {}
+    for t in docs["text"]:
+        for w in t.split():
+            words[w] = words.get(w, 0) + 1
+    seqs = {w: list(w) for w in words}
+    expect = []
+    for _ in range(N_MERGES):
+        counts: dict[tuple[str, str], int] = {}
+        for w, c in words.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + c
+        (a, b), c = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expect.append((a, b, c))
+        for w in seqs:
+            s, res, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(s[i])
+                    i += 1
+            seqs[w] = res
+    assert out == expect, f"{out} != {expect}"
+    # and the overlap case really engaged: first merge is (a, a)
+    assert out[0][0] == "a" and out[0][1] == "a"

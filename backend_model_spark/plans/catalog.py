@@ -668,6 +668,9 @@ register("text_bpe_token_count", text.bpe_token_estimate, text.BPE_TOKEN_ORACLE)
 from backend_model_spark.operators import bpe as bpe_ops  # noqa: E402
 
 register("text_bpe_learn_merges", bpe_ops.bpe_learn_merges, bpe_ops.BPE_MERGES_ORACLE)
+register(
+    "text_bpe_segment_corpus", bpe_ops.bpe_segment_corpus, bpe_ops.BPE_SEGMENT_ORACLE
+)
 register("text_language_id", text.language_id, text.LANG_ID_ORACLE)
 register("text_fingerprints", text.fingerprints, text.FINGERPRINT_ORACLE)
 register("text_top_tokens", text.top_tokens, text.TOP_TOKENS_ORACLE)

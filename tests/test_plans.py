@@ -816,3 +816,19 @@ def test_pq_adc_topk_salted_and_broadcast_lut(spark, sf_dir):
     assert plan.count("WindowGroupLimit") >= 2, (
         "rank<=k filter not pushed into WindowGroupLimit on both stages"
     )
+
+
+def test_bpe_learner_rounds_are_materialized(spark, sf_dir):
+    """The merge learner's output plan must read ONLY checkpointed
+    round results — no parquet rescans, no window stages: the corpus
+    is touched once (inside the first checkpoint) and each round's
+    vocab rewrite is materialized before the next consumes it, so
+    collecting the merges can never re-derive N rounds of lineage."""
+    from backend_model_spark.operators.bpe import bpe_learn_merges
+
+    df = bpe_learn_merges(spark, sf_dir)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Scan parquet" not in plan, "output must not re-scan the corpus"
+    assert "Window" not in plan, "round lineage must be checkpointed away"

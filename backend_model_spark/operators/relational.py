@@ -453,3 +453,78 @@ SELECT
   ROUND(mi.mi / LEAST(hx.hx, hy.hy), 6) AS mi_normalized
 FROM tot t CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy
 """
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk audit over customer quasi-identifiers
+    (nation × market segment) — the re-identification gate a
+    training-data release runs before shipping: for each k threshold,
+    how many equivalence classes fall below it and what fraction of
+    ROWS they expose. Output: one row per k in (2, 5, 10, 25) with
+    (k, n_classes_below, n_rows_below, pct_rows_below_micro,
+    min_class_size) — min_class_size is the corpus's actual
+    k-anonymity level, repeated per row.
+
+    Scale: ONE groupBy on the quasi-identifier tuple (map-side
+    combinable — class count ≤ |nations|·|segments|, tiny), then every
+    threshold evaluates on the class-size frame: conditional
+    aggregation over ~125 rows, a broadcast-scalar total, no second
+    scan. At 100 TB this is a single shuffle of pre-aggregated class
+    counts. Integer-micro pct keeps the oracle exact.
+    """
+    cust = load_table(spark, "customer", sf_dir)
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cls")
+    )
+    from backend_model_spark.operators.scale_utils import broadcast_scalars
+
+    totals = classes.agg(
+        F.sum("cls").alias("n_rows"), F.min("cls").alias("min_cls")
+    )
+    j = broadcast_scalars(classes, totals)
+    rows = []
+    for k in (2, 5, 10, 25):
+        rows.append(
+            j.agg(
+                F.lit(k).alias("k"),
+                F.sum((F.col("cls") < k).cast("long")).alias("n_classes_below"),
+                F.sum(F.when(F.col("cls") < k, F.col("cls")).otherwise(0))
+                .cast("long")
+                .alias("n_rows_below"),
+                F.floor(
+                    F.sum(F.when(F.col("cls") < k, F.col("cls")).otherwise(0))
+                    / F.first("n_rows")
+                    * 1000000
+                    + F.lit(0.5)
+                ).alias("pct_rows_below_micro"),
+                F.first("min_cls").cast("long").alias("min_class_size"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("k")
+
+
+K_ANONYMITY_ORACLE = """
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS cls
+  FROM customer GROUP BY 1, 2
+),
+tot AS (
+  SELECT CAST(SUM(cls) AS BIGINT) AS n_rows, CAST(MIN(cls) AS BIGINT) AS min_cls
+  FROM classes
+),
+ks AS (SELECT unnest([2, 5, 10, 25]) AS k)
+SELECT ks.k,
+  CAST(SUM(CASE WHEN c.cls < ks.k THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_classes_below,
+  CAST(SUM(CASE WHEN c.cls < ks.k THEN c.cls ELSE 0 END) AS BIGINT)
+    AS n_rows_below,
+  CAST(FLOOR(CAST(SUM(CASE WHEN c.cls < ks.k THEN c.cls ELSE 0 END) AS DOUBLE)
+    / t.n_rows * 1000000 + 0.5) AS BIGINT) AS pct_rows_below_micro,
+  t.min_cls AS min_class_size
+FROM classes c CROSS JOIN tot t CROSS JOIN ks
+GROUP BY ks.k, t.n_rows, t.min_cls
+ORDER BY k
+"""

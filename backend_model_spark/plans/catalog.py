@@ -364,6 +364,10 @@ register("q6_forecast_revenue", relational.q6_forecast_revenue, relational.Q6_OR
 register("agg_unpivot_rates", relational.unpivot_lineitem_rates, relational.UNPIVOT_ORACLE)
 register("dq_audit", relational.dq_audit, relational.DQ_AUDIT_ORACLE)
 register("dq_benford", relational.benford_first_digit, relational.BENFORD_ORACLE)
+# round-4: k-anonymity release gate (quasi-identifier class sizes)
+register(
+    "dq_k_anonymity", relational.k_anonymity_audit, relational.K_ANONYMITY_ORACLE
+)
 
 # --- aggregates (SURVEY §2.5) ----------------------------------------------
 register(

@@ -792,6 +792,168 @@ ORDER BY q_id, rank
 """
 
 
+def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of PQ asymmetric-distance search against EXACT
+    integer L2 — the accuracy side of the 64x code compression, per
+    query: overlap between the ADC top-``TOP_K`` and the exact
+    top-``TOP_K`` (identical (dist, vec_id) tie-breaks), as
+    (q_id, n_overlap, recall_micro). The companion evaluator to
+    :func:`pq_adc_topk`, same role as ``sim_ivf_recall`` /
+    ``sim_matryoshka_recall``: the approximation is deployed WITH its
+    measured cost, never on faith. (On the driver's random synthetic
+    embeddings, 8-code ADC recalls 0-2 of the exact top-5 — random
+    vectors are the worst case for coarse codes, and queries with
+    zero overlap produce no row on either engine; the measurement
+    being honest IS the product, as with matryoshka.)
+
+    Scale: the exact side is the expensive one (query-broadcast
+    corpus scan) — at 100 TB this evaluator runs on an eval SLICE
+    (first N_QUERIES here), exactly how production ANN recall is
+    monitored; the ADC side reuses the code+LUT chain. Both sides are
+    BIGINT sums of squared micro-int differences — no floats, so the
+    rankings are bit-deterministic cross-engine.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    cells = _pq_cells(emb)
+    centroids = _pq_centroids(cells)
+    sq = lambda a, b: (a - b) * (a - b)
+
+    qcells = cells.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "sub", "dim", F.col("x_int").alias("q_int")
+    )
+    # exact integer L2^2 per (query, corpus vector)
+    exact = (
+        cells.join(F.broadcast(qcells), ["sub", "dim"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum(sq(F.col("x_int"), F.col("q_int"))).alias("ed"))
+    )
+    we = W.partitionBy("q_id").orderBy(F.col("ed").asc(), F.col("vec_id").asc())
+    exact_top = (
+        exact.withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "vec_id")
+    )
+
+    # ADC side: same chain as pq_adc_topk (codes + broadcast LUT)
+    codes = (
+        cells.join(F.broadcast(centroids), ["sub", "dim"])
+        .groupBy("vec_id", "sub", "cand_label")
+        .agg(F.sum(sq(F.col("x_int"), F.col("c_int"))).alias("dist"))
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("dist", "cand_label")).alias("best"))
+        .select("vec_id", "sub", F.col("best.cand_label").alias("code"))
+    )
+    lut = (
+        qcells.join(F.broadcast(centroids), ["sub", "dim"])
+        .groupBy("q_id", "sub", F.col("cand_label").alias("code"))
+        .agg(F.sum(sq(F.col("q_int"), F.col("c_int"))).alias("qdist"))
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("qdist").alias("ad"))
+    )
+    wa = W.partitionBy("q_id").orderBy(F.col("ad").asc(), F.col("vec_id").asc())
+    adc_top = (
+        adc.withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "vec_id")
+    )
+
+    return (
+        exact_top.join(adc_top, ["q_id", "vec_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+        .withColumn(
+            "recall_micro",
+            F.floor(F.col("n_overlap") * 1000000 / TOP_K + F.lit(0.5)).cast("long"),
+        )
+        .orderBy("q_id")
+    )
+
+
+PQ_ADC_RECALL_ORACLE = f"""
+WITH cells AS (
+  SELECT
+    vec_id,
+    label,
+    CAST(d.i - 1 AS INTEGER) AS dim,
+    CAST((d.i - 1) // {PQ_SUBDIM} AS INTEGER) AS sub,
+    CAST(FLOOR(CAST(embedding[d.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+      AS x_int
+  FROM embeddings,
+       (SELECT unnest(generate_series(1, {PQ_SUBSPACES * PQ_SUBDIM})) AS i) d
+),
+centroids AS (
+  SELECT label AS cand_label, sub, dim,
+         CAST(FLOOR((2.0 * SUM(x_int) + COUNT(*)) / (2.0 * COUNT(*)))
+           AS BIGINT) AS c_int
+  FROM cells
+  GROUP BY label, sub, dim
+),
+qcells AS (
+  SELECT vec_id AS q_id, sub, dim, x_int AS q_int
+  FROM cells WHERE vec_id < {N_QUERIES}
+),
+exact AS (
+  SELECT q.q_id, c.vec_id, SUM((c.x_int - q.q_int) * (c.x_int - q.q_int)) AS ed
+  FROM cells c JOIN qcells q ON q.sub = c.sub AND q.dim = c.dim
+  WHERE c.vec_id <> q.q_id
+  GROUP BY q.q_id, c.vec_id
+),
+exact_top AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+      row_number() OVER (PARTITION BY q_id ORDER BY ed, vec_id) AS rk
+    FROM exact
+  ) WHERE rk <= {TOP_K}
+),
+cdists AS (
+  SELECT c.vec_id, c.sub, ct.cand_label,
+         SUM((c.x_int - ct.c_int) * (c.x_int - ct.c_int)) AS dist
+  FROM cells c JOIN centroids ct ON ct.sub = c.sub AND ct.dim = c.dim
+  GROUP BY c.vec_id, c.sub, ct.cand_label
+),
+codes AS (
+  SELECT vec_id, sub, cand_label AS code
+  FROM (
+    SELECT vec_id, sub, cand_label,
+           row_number() OVER (
+             PARTITION BY vec_id, sub ORDER BY dist, cand_label
+           ) AS rn
+    FROM cdists
+  )
+  WHERE rn = 1
+),
+lut AS (
+  SELECT q.q_id, q.sub, ct.cand_label AS code,
+         SUM((q.q_int - ct.c_int) * (q.q_int - ct.c_int)) AS qdist
+  FROM qcells q JOIN centroids ct ON ct.sub = q.sub AND ct.dim = q.dim
+  GROUP BY q.q_id, q.sub, ct.cand_label
+),
+adc AS (
+  SELECT l.q_id, k.vec_id, SUM(l.qdist) AS ad
+  FROM codes k JOIN lut l ON l.sub = k.sub AND l.code = k.code
+  WHERE k.vec_id <> l.q_id
+  GROUP BY l.q_id, k.vec_id
+),
+adc_top AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+      row_number() OVER (PARTITION BY q_id ORDER BY ad, vec_id) AS rk
+    FROM adc
+  ) WHERE rk <= {TOP_K}
+)
+SELECT e.q_id, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+  CAST(FLOOR(COUNT(*) * 1000000 / {TOP_K} + 0.5) AS BIGINT) AS recall_micro
+FROM exact_top e JOIN adc_top a ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+GROUP BY e.q_id
+ORDER BY e.q_id
+"""
+
+
 def mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximum inner-product search (MIPS) top-k: the retrieval
     semantics of recommendation scoring (user·item), distinct from

@@ -298,6 +298,7 @@ register("sim_pq_encode", similarity.pq_encode, similarity.PQ_ENCODE_ORACLE)
 # round-4: the SEARCH half of PQ — asymmetric-distance top-k over the
 # 8-code words with a broadcast per-query LUT, salted two-stage rank
 register("sim_pq_adc_topk", similarity.pq_adc_topk, similarity.PQ_ADC_TOPK_ORACLE)
+register("sim_pq_adc_recall", similarity.pq_adc_recall, similarity.PQ_ADC_RECALL_ORACLE)
 # (window_percent_of_parent — r3-stable — displaced to tier 2 for the
 # time-constrained funnel; windows keep max_drawdown in the prefix)
 # (events_funnel_timed — session-2 addition, green in every full

@@ -1303,3 +1303,42 @@ def test_bpe_merges_match_python_reference_with_overlaps(spark, tmp_path):
     assert out == expect, f"{out} != {expect}"
     # and the overlap case really engaged: first merge is (a, a)
     assert out[0][0] == "a" and out[0][1] == "a"
+
+
+def test_k_anonymity_audit_hand_computed(spark, tmp_path):
+    """Hand-built customer table with known equivalence classes:
+    classes of size 1, 2, and 30 — every threshold row must match the
+    by-hand counts, and min_class_size must report the true anonymity
+    level (1)."""
+    import pandas as pd
+
+    from backend_model_spark.operators.relational import k_anonymity_audit
+
+    rows = []
+    # class A: (nation 0, 'SEG_X') x 1   -> below k for all thresholds
+    rows += [(0, "SEG_X")] * 1
+    # class B: (nation 1, 'SEG_Y') x 2   -> below 5/10/25, not below 2
+    rows += [(1, "SEG_Y")] * 2
+    # class C: (nation 2, 'SEG_Z') x 30  -> never below
+    rows += [(2, "SEG_Z")] * 30
+    pd.DataFrame(
+        {
+            "c_custkey": range(len(rows)),
+            "c_nationkey": [n for n, _ in rows],
+            "c_mktsegment": [s for _, s in rows],
+            "c_acctbal": [100.0] * len(rows),
+            "c_name": ["x"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "customer.parquet")
+
+    got = {
+        r.k: (r.n_classes_below, r.n_rows_below, r.pct_rows_below_micro,
+              r.min_class_size)
+        for r in k_anonymity_audit(spark, str(tmp_path)).collect()
+    }
+    n = 33
+    pct = lambda x: int(x * 1000000 / n + 0.5)
+    assert got[2] == (1, 1, pct(1), 1)
+    assert got[5] == (2, 3, pct(3), 1)
+    assert got[10] == (2, 3, pct(3), 1)
+    assert got[25] == (2, 3, pct(3), 1)

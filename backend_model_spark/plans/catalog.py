@@ -606,6 +606,16 @@ register(
 register("events_asof_join", events_ops.asof_purchase_to_click, events_ops.ASOF_ORACLE)
 register("events_sessionize", events_ops.sessionize_users, events_ops.SESSIONIZE_ORACLE)
 register("events_funnel", events_ops.funnel_conversion, events_ops.FUNNEL_ORACLE)
+# round-4: Markov removal-effect attribution — one journey scan into a
+# 21-counter row, absorption via in-query Cramer (ridge precedent),
+# formula text literally shared between F.expr and the oracle SQL
+from backend_model_spark.operators import markov as markov_ops  # noqa: E402
+
+register(
+    "events_markov_attribution",
+    markov_ops.markov_removal_attribution,
+    markov_ops.MARKOV_ATTRIBUTION_ORACLE,
+)
 register(
     "events_retention_cohorts",
     events_ops.retention_cohorts,

@@ -1342,3 +1342,83 @@ def test_k_anonymity_audit_hand_computed(spark, tmp_path):
     assert got[5] == (2, 3, pct(3), 1)
     assert got[10] == (2, 3, pct(3), 1)
     assert got[25] == (2, 3, pct(3), 1)
+
+
+def test_markov_attribution_matches_numpy_solver(spark, tmp_path):
+    """The in-query Cramer solve must equal numpy's linalg.solve on
+    the absorbing-chain system built from the same journeys — both
+    the absorption probabilities and every removal effect (2x2
+    re-solve with the channel's row/column deleted)."""
+    import numpy as np
+    import pandas as pd
+
+    from backend_model_spark.operators.markov import (
+        markov_removal_attribution,
+    )
+
+    # deterministic journeys with asymmetric transition structure
+    journeys = [
+        ["view", "click", "purchase"],
+        ["view", "click", "click", "error"],
+        ["click", "signup", "purchase"],
+        ["view", "signup", "click", "purchase"],
+        ["signup", "view", "error"],
+        ["view", "purchase"],
+        ["click", "error"],
+        ["signup", "signup", "purchase"],
+    ]
+    rows, eid = [], 0
+    base = pd.Timestamp("2024-01-01")
+    for u, j in enumerate(journeys):
+        for i, et in enumerate(j):
+            rows.append(
+                {
+                    "event_id": eid,
+                    "ts": base + pd.Timedelta(minutes=i),
+                    "user_id": u,
+                    "event_type": et,
+                    "value": 1.0,
+                    "props": "{}",
+                }
+            )
+            eid += 1
+    ev = pd.DataFrame(rows)
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev.to_parquet(tmp_path / "events.parquet")
+
+    got = {
+        r.channel: (r.absorption_prob, r.removal_effect)
+        for r in markov_removal_attribution(spark, str(tmp_path)).collect()
+    }
+
+    # numpy reference
+    T = ["view", "click", "signup"]
+    n = {(a, b): 0 for a in T for b in T + ["conv", "drop"]}
+    firsts = {a: 0 for a in T}
+    for j in journeys:
+        if j[0] in T:
+            firsts[j[0]] += 1
+        for i, s in enumerate(j):
+            if s not in T:
+                continue
+            nxt = j[i + 1] if i + 1 < len(j) else None
+            if nxt in T:
+                n[(s, nxt)] += 1
+            elif nxt == "purchase":
+                n[(s, "conv")] += 1
+            else:
+                n[(s, "drop")] += 1
+    tot = {a: sum(n[(a, b)] for b in T + ["conv", "drop"]) for a in T}
+    Q = np.array([[n[(a, b)] / tot[a] for b in T] for a in T])
+    r = np.array([n[(a, "conv")] / tot[a] for a in T])
+    a_full = np.linalg.solve(np.eye(3) - Q, r)
+    f = np.array([firsts[a] for a in T], dtype=float)
+    p_full = f @ a_full / f.sum()
+    for i, ch in enumerate(T):
+        assert abs(got[ch][0] - round(a_full[i], 6)) < 2e-6
+        keep = [j for j in range(3) if j != i]
+        a2 = np.linalg.solve(
+            np.eye(2) - Q[np.ix_(keep, keep)], r[keep]
+        )
+        p_rm = f[keep] @ a2 / f.sum()
+        assert abs(got[ch][1] - round(1 - p_rm / p_full, 6)) < 2e-6

@@ -2560,3 +2560,133 @@ FROM resid CROSS JOIN st
 ORDER BY ABS(ROUND((r - st.mu) / st.sigma, 6)) DESC, day
 LIMIT 5
 """
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (round 4). The theta / adjusted-mean /
+# variance-reduction algebra is defined ONCE as expression text and
+# evaluated by BOTH engines (F.expr / verbatim oracle SQL) over
+# identically named sufficient-statistic columns — the
+# events_markov_attribution parity pattern.
+# ---------------------------------------------------------------------------
+CUPED_CUTOFF = "2024-01-16"
+_CUPED_THETA = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+_CUPED_VARY = "(n * syy - sy * sy)"
+# sum of squared adjusted metrics: Σ(y − θ(x − x̄))², expanded so it
+# reads off the pooled sufficient statistics only
+_CUPED_SYYADJ = (
+    f"(syy - 2 * {_CUPED_THETA} * (sxy - (sx / n) * sy)"
+    f" + {_CUPED_THETA} * {_CUPED_THETA}"
+    f" * (sxx - 2 * (sx / n) * sx + n * (sx / n) * (sx / n)))"
+)
+_CUPED_REDUCTION = f"(1 - (n * {_CUPED_SYYADJ} - sy * sy) / {_CUPED_VARY})"
+
+
+def _cuped_mean_adj(v: str) -> str:
+    """Per-variant CUPED-adjusted mean: (Σy_v − θ(Σx_v − n_v·x̄))/n_v."""
+    return (
+        f"((sy_{v} - {_CUPED_THETA} * (sx_{v} - n_{v} * (sx / n))) / n_{v})"
+    )
+
+
+def ab_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B readout (Deng et al.
+    2013, the industry-standard experiment sensitivity boost): the
+    PRE-period per-user metric is the covariate, θ = cov(X,Y)/var(X)
+    is fit POOLED across both variants (unbiased under randomized
+    assignment), and each variant's adjusted mean
+    ȳ_v − θ(x̄_v − x̄) plus the achieved variance-reduction factor
+    (theoretically ρ²) come straight off the sufficient statistics.
+
+    One scan builds the per-user (pre, experiment) metric pair
+    (conditional sums around ``CUPED_CUTOFF``); ONE aggregation row
+    carries pooled + per-variant sufficient statistics; all algebra
+    is driver-free closed form. Contract: var(X) > 0 (the pre-period
+    must have signal — true by construction here).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    cut = F.lit(CUPED_CUTOFF).cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0)).alias("x"),
+        F.sum(F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0)).alias("y"),
+    )
+    pu = per_user.withColumn(
+        "variant", F.when(F.col("user_id") % 2 == 0, "a").otherwise("b")
+    )
+    stats = pu.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        *[
+            agg
+            for v in ("a", "b")
+            for agg in (
+                F.sum((F.col("variant") == v).cast("double")).alias(f"n_{v}"),
+                F.sum(
+                    F.when(F.col("variant") == v, F.col("x")).otherwise(0.0)
+                ).alias(f"sx_{v}"),
+                F.sum(
+                    F.when(F.col("variant") == v, F.col("y")).otherwise(0.0)
+                ).alias(f"sy_{v}"),
+            )
+        ],
+    )
+    rows = []
+    for v in ("a", "b"):
+        rows.append(
+            stats.select(
+                F.lit(v).alias("variant"),
+                F.expr(f"cast(n_{v} as bigint)").alias("n_users"),
+                F.expr(f"round(sy_{v} / n_{v}, 6)").alias("mean_metric"),
+                F.expr(f"round({_cuped_mean_adj(v)}, 6)").alias(
+                    "mean_metric_cuped"
+                ),
+                F.expr(f"round({_CUPED_THETA}, 6)").alias("theta"),
+                F.expr(f"round({_CUPED_REDUCTION}, 6)").alias("var_reduction"),
+            )
+        )
+    return rows[0].unionAll(rows[1]).orderBy("variant")
+
+
+AB_CUPED_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+    SUM(CASE WHEN ts < TIMESTAMP '{CUPED_CUTOFF}' THEN value ELSE 0.0 END) AS x,
+    SUM(CASE WHEN ts >= TIMESTAMP '{CUPED_CUTOFF}' THEN value ELSE 0.0 END) AS y
+  FROM events GROUP BY user_id
+),
+pu AS (
+  SELECT *, CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS variant
+  FROM per_user
+),
+stats AS (
+  SELECT
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    SUM(x) AS sx, SUM(y) AS sy,
+    SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy,
+    CAST(SUM(CASE WHEN variant = 'a' THEN 1 ELSE 0 END) AS DOUBLE) AS n_a,
+    SUM(CASE WHEN variant = 'a' THEN x ELSE 0.0 END) AS sx_a,
+    SUM(CASE WHEN variant = 'a' THEN y ELSE 0.0 END) AS sy_a,
+    CAST(SUM(CASE WHEN variant = 'b' THEN 1 ELSE 0 END) AS DOUBLE) AS n_b,
+    SUM(CASE WHEN variant = 'b' THEN x ELSE 0.0 END) AS sx_b,
+    SUM(CASE WHEN variant = 'b' THEN y ELSE 0.0 END) AS sy_b
+  FROM pu
+)
+SELECT 'a' AS variant, CAST(n_a AS BIGINT) AS n_users,
+  ROUND(sy_a / n_a, 6) AS mean_metric,
+  ROUND({_cuped_mean_adj('a')}, 6) AS mean_metric_cuped,
+  ROUND({_CUPED_THETA}, 6) AS theta,
+  ROUND({_CUPED_REDUCTION}, 6) AS var_reduction
+FROM stats
+UNION ALL
+SELECT 'b' AS variant, CAST(n_b AS BIGINT) AS n_users,
+  ROUND(sy_b / n_b, 6) AS mean_metric,
+  ROUND({_cuped_mean_adj('b')}, 6) AS mean_metric_cuped,
+  ROUND({_CUPED_THETA}, 6) AS theta,
+  ROUND({_CUPED_REDUCTION}, 6) AS var_reduction
+FROM stats
+ORDER BY variant
+"""

@@ -569,6 +569,8 @@ register(
     "events_autocorr", events_ops.daily_autocorrelation, events_ops.AUTOCORR_ORACLE
 )
 register("stat_ab_welch", events_ops.ab_welch_ttest, events_ops.AB_WELCH_ORACLE)
+# round-4: CUPED variance reduction (pre-period covariate adjustment)
+register("stat_ab_cuped", events_ops.ab_cuped_adjust, events_ops.AB_CUPED_ORACLE)
 register(
     "events_alert_hysteresis",
     events_ops.alert_hysteresis,

@@ -752,3 +752,77 @@ SELECT epoch, CAST(pos AS BIGINT) AS pos, doc_id
 FROM r WHERE pos <= 10
 ORDER BY epoch, pos
 """
+
+
+NEYMAN_BUDGET = 1000
+
+
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation — the sampling
+    DESIGN step (the execution siblings are ``sample_stratified_hash``
+    etc.): split a fixed budget of ``NEYMAN_BUDGET`` labeled examples
+    across document sources proportional to N_h·σ_h (Neyman 1934 —
+    minimizes the variance of the stratified mean estimator at fixed
+    budget), with per-document length as the measured variable. The
+    training-data reading: spend human-annotation budget where a
+    source is BOTH big and heterogeneous, not merely big.
+
+    One map-side-combinable pass builds per-stratum sufficient
+    statistics (n, Σy, Σy²); population σ_h, the weight N_h·σ_h, and
+    the rounded allocation all derive in-query with a broadcast-scalar
+    total — no driver math, no second scan. Proportional allocation is
+    reported alongside so the Neyman-vs-proportional delta (the value
+    of the design) is visible per stratum. Rounding is half-up per
+    stratum; the sum may differ from the budget by ±(#strata)/2 —
+    largest-remainder reconciliation is presentation-layer.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n_h"),
+        F.sum(F.col("n_chars").cast("double")).alias("sy"),
+        F.sum(F.col("n_chars").cast("double") * F.col("n_chars")).alias("syy"),
+    )
+    w = per.withColumn(
+        "sigma_h", F.expr("sqrt((syy - sy * sy / n_h) / n_h)")
+    ).withColumn("w_h", F.expr("n_h * sigma_h"))
+    from backend_model_spark.operators.scale_utils import broadcast_scalars
+
+    totals = w.agg(F.sum("w_h").alias("w_tot"), F.sum("n_h").alias("n_tot"))
+    j = broadcast_scalars(w, totals)
+    B = NEYMAN_BUDGET
+    return j.select(
+        "source",
+        F.expr("cast(n_h as bigint)").alias("stratum_size"),
+        F.expr("round(sigma_h, 6)").alias("sigma"),
+        F.expr(f"cast(floor({B} * w_h / w_tot + 0.5) as bigint)").alias(
+            "neyman_alloc"
+        ),
+        F.expr(f"cast(floor({B} * n_h / n_tot + 0.5) as bigint)").alias(
+            "proportional_alloc"
+        ),
+    ).orderBy("source")
+
+
+NEYMAN_ORACLE = f"""
+WITH per AS (
+  SELECT source,
+    CAST(COUNT(*) AS DOUBLE) AS n_h,
+    SUM(CAST(n_chars AS DOUBLE)) AS sy,
+    SUM(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)) AS syy
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT *, sqrt((syy - sy * sy / n_h) / n_h) AS sigma_h,
+    n_h * sqrt((syy - sy * sy / n_h) / n_h) AS w_h
+  FROM per
+),
+tot AS (SELECT SUM(w_h) AS w_tot, SUM(n_h) AS n_tot FROM w)
+SELECT source,
+  CAST(n_h AS BIGINT) AS stratum_size,
+  ROUND(sigma_h, 6) AS sigma,
+  CAST(FLOOR({NEYMAN_BUDGET} * w_h / w_tot + 0.5) AS BIGINT) AS neyman_alloc,
+  CAST(FLOOR({NEYMAN_BUDGET} * n_h / n_tot + 0.5) AS BIGINT)
+    AS proportional_alloc
+FROM w CROSS JOIN tot
+ORDER BY source
+"""

@@ -793,6 +793,10 @@ register(
 
 # --- sampling / dataset mixing (training-data selection layer) -----------------
 register("sample_kfold_assign", sampling.kfold_assign, sampling.KFOLD_ASSIGN_ORACLE)
+# round-4: Neyman-optimal stratified allocation (sampling DESIGN)
+register(
+    "sample_neyman_allocation", sampling.neyman_allocation, sampling.NEYMAN_ORACLE
+)
 register(
     "sample_temperature_mix",
     sampling.temperature_mix,

@@ -2690,3 +2690,106 @@ SELECT 'b' AS variant, CAST(n_b AS BIGINT) AS n_users,
 FROM stats
 ORDER BY variant
 """
+
+
+def ab_quantile_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effect — the distributional A/B readout
+    means hide: exact P25/P50/P75 of per-user purchase spend for each
+    variant, and the per-quantile difference. Detects effects that
+    shift the tails without moving the mean (heavy-user behavior,
+    price-mix changes).
+
+    Exactness: per-user spend is SUM of integer cents (bigint —
+    addition-order-independent, so cross-engine identical BEFORE any
+    ranking; float metrics would risk ulp-level rank flips at the
+    quantile boundary). Quantiles use the lower-value definition:
+    smallest spend whose within-variant cumulative user count reaches
+    ceil(q·n_v), computed with pure integer arithmetic
+    ((n·k + 3) div 4).
+
+    Scale: one scan → per-user rollup (one shuffle on user) →
+    value-level rollup per variant (tiny) → PARTITIONED (per-variant)
+    prefix window over the distinct-value frame, never a global
+    window; the quantile pick is a filter + min over that frame.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "spend_cents"
+            )
+        )
+        .withColumn(
+            "variant", F.when(F.col("user_id") % 2 == 0, "a").otherwise("b")
+        )
+    )
+    vals = per_user.groupBy("variant", "spend_cents").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wv = W.partitionBy("variant").orderBy("spend_cents")
+    cum = vals.withColumn("cum", F.sum("c").over(wv))
+    totals = per_user.groupBy("variant").agg(F.count(F.lit(1)).alias("n_v"))
+    j = cum.join(totals, "variant")
+    ks = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    picked = (
+        j.join(F.broadcast(ks))
+        .filter(F.col("cum") >= F.expr("(n_v * k + 3) div 4"))
+        .groupBy("k", "variant")
+        .agg(F.min("spend_cents").alias("v"))
+    )
+    return (
+        picked.groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("variant") == "a", F.col("v"))).alias("spend_a"),
+            F.sum(F.when(F.col("variant") == "b", F.col("v"))).alias("spend_b"),
+        )
+        .select(
+            (F.col("k") * 25).cast("int").alias("percentile"),
+            F.col("spend_a").cast("long").alias("spend_a_cents"),
+            F.col("spend_b").cast("long").alias("spend_b_cents"),
+            (F.col("spend_a") - F.col("spend_b")).cast("long").alias(
+                "effect_cents"
+            ),
+        )
+        .orderBy("percentile")
+    )
+
+
+AB_QUANTILE_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS spend_cents,
+    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS variant
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+),
+vals AS (
+  SELECT variant, spend_cents, COUNT(*) AS c
+  FROM per_user GROUP BY variant, spend_cents
+),
+cum AS (
+  SELECT *, SUM(c) OVER (
+    PARTITION BY variant ORDER BY spend_cents ROWS UNBOUNDED PRECEDING
+  ) AS cum
+  FROM vals
+),
+totals AS (SELECT variant, COUNT(*) AS n_v FROM per_user GROUP BY variant),
+ks AS (SELECT unnest([1, 2, 3]) AS k),
+picked AS (
+  SELECT ks.k, c.variant, MIN(c.spend_cents) AS v
+  FROM cum c JOIN totals t ON t.variant = c.variant CROSS JOIN ks
+  WHERE c.cum >= (t.n_v * ks.k + 3) // 4
+  GROUP BY ks.k, c.variant
+)
+SELECT CAST(k * 25 AS INTEGER) AS percentile,
+  CAST(SUM(CASE WHEN variant = 'a' THEN v END) AS BIGINT) AS spend_a_cents,
+  CAST(SUM(CASE WHEN variant = 'b' THEN v END) AS BIGINT) AS spend_b_cents,
+  CAST(SUM(CASE WHEN variant = 'a' THEN v END)
+    - SUM(CASE WHEN variant = 'b' THEN v END) AS BIGINT) AS effect_cents
+FROM picked
+GROUP BY k
+ORDER BY percentile
+"""

@@ -571,6 +571,10 @@ register(
 register("stat_ab_welch", events_ops.ab_welch_ttest, events_ops.AB_WELCH_ORACLE)
 # round-4: CUPED variance reduction (pre-period covariate adjustment)
 register("stat_ab_cuped", events_ops.ab_cuped_adjust, events_ops.AB_CUPED_ORACLE)
+# round-4: distributional A/B readout (exact per-variant quartiles)
+register(
+    "stat_ab_quantile_effect", events_ops.ab_quantile_effect, events_ops.AB_QUANTILE_ORACLE
+)
 register(
     "events_alert_hysteresis",
     events_ops.alert_hysteresis,

@@ -2793,3 +2793,135 @@ FROM picked
 GROUP BY k
 ORDER BY percentile
 """
+
+
+def ab_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of time-to-first-purchase per variant —
+    the churn/conversion-latency readout: S(t) = Π_{t_i<=t}
+    (1 - d_i/n_i) over event-day granularity, with users who never
+    purchase right-censored at their last observed day.
+
+    Construction is the classic value-level KM table, all relational:
+    per user ONE row (t_days from first event to first purchase, or
+    to last event with status=censored); per (variant, day): d =
+    purchases, c = censorings; the at-risk count is a SUFFIX count
+    (total minus the prefix of earlier exits) from a per-variant
+    prefix window over the ~60-row day frame — never a global window,
+    never a self-join. The survival product runs in log space
+    (cumulative sum of ln terms, one exp at the edge): each ln is
+    libm-rounded identically enough that a 6-decimal edge round
+    absorbs the ulp drift (repo-established ln discipline).
+
+    Scale: one scan -> per-user min/max rollup (one shuffle on user)
+    -> day-level frame; the KM algebra runs on rows = observed days x
+    variants regardless of SF.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    first_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        first_purchase.alias("tp"),
+        F.max("ts").alias("tl"),
+    )
+    pu = per_user.select(
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("variant"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("status"),
+        F.datediff(
+            F.coalesce(F.col("tp"), F.col("tl")).cast("date"),
+            F.col("t0").cast("date"),
+        ).alias("t_days"),
+    )
+    days = pu.groupBy("variant", "t_days").agg(
+        F.sum("status").alias("d"),
+        F.sum(1 - F.col("status")).alias("c"),
+    )
+    wv = W.partitionBy("variant").orderBy("t_days")
+    totals = pu.groupBy("variant").agg(F.count(F.lit(1)).alias("n_tot"))
+    km = (
+        days.join(totals, "variant")
+        .withColumn("exited_cum", F.sum(F.col("d") + F.col("c")).over(wv))
+        .withColumn(
+            "n_risk", F.col("n_tot") - F.col("exited_cum") + F.col("d") + F.col("c")
+        )
+        # a step where EVERYONE at risk purchases drives survival to
+        # exactly 0 (ln(0) would error on DuckDB / NULL on Spark):
+        # track it as a cumulative flag and pin survival to 0.0 from
+        # that step on; ln terms only accumulate for d < n_risk
+        .withColumn(
+            "ln_term",
+            F.when(
+                F.col("d") < F.col("n_risk"),
+                F.log(1.0 - F.col("d").cast("double") / F.col("n_risk")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "hit_zero",
+            F.max((F.col("d") == F.col("n_risk")).cast("int")).over(wv),
+        )
+        .withColumn("ln_surv", F.sum("ln_term").over(wv))
+    )
+    return km.select(
+        "variant",
+        F.col("t_days").cast("int").alias("t_days"),
+        F.col("n_risk").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("n_purchases"),
+        F.col("c").cast("long").alias("n_censored"),
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("ln_surv"), 6))
+        .alias("survival"),
+    ).orderBy("variant", "t_days")
+
+
+AB_SURVIVAL_KM_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+    MIN(ts) AS t0,
+    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+    MAX(ts) AS tl
+  FROM events GROUP BY user_id
+),
+pu AS (
+  SELECT
+    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS variant,
+    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS status,
+    date_diff('day', CAST(t0 AS DATE), CAST(COALESCE(tp, tl) AS DATE))
+      AS t_days
+  FROM per_user
+),
+days AS (
+  SELECT variant, t_days,
+    CAST(SUM(status) AS BIGINT) AS d,
+    CAST(SUM(1 - status) AS BIGINT) AS c
+  FROM pu GROUP BY variant, t_days
+),
+totals AS (SELECT variant, COUNT(*) AS n_tot FROM pu GROUP BY variant),
+km AS (
+  SELECT dy.variant, dy.t_days, dy.d, dy.c,
+    t.n_tot
+      - SUM(dy.d + dy.c) OVER (
+          PARTITION BY dy.variant ORDER BY dy.t_days ROWS UNBOUNDED PRECEDING
+        ) + dy.d + dy.c AS n_risk
+  FROM days dy JOIN totals t ON t.variant = dy.variant
+),
+surv AS (
+  SELECT *,
+    SUM(CASE WHEN d < n_risk
+         THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk) ELSE 0.0 END) OVER (
+      PARTITION BY variant ORDER BY t_days ROWS UNBOUNDED PRECEDING
+    ) AS ln_surv,
+    MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (
+      PARTITION BY variant ORDER BY t_days ROWS UNBOUNDED PRECEDING
+    ) AS hit_zero
+  FROM km
+)
+SELECT variant,
+  CAST(t_days AS INTEGER) AS t_days,
+  CAST(n_risk AS BIGINT) AS n_at_risk,
+  d AS n_purchases,
+  c AS n_censored,
+  CASE WHEN hit_zero = 1 THEN 0.0 ELSE ROUND(exp(ln_surv), 6) END AS survival
+FROM surv
+ORDER BY variant, t_days
+"""

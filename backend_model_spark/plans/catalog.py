@@ -575,6 +575,10 @@ register("stat_ab_cuped", events_ops.ab_cuped_adjust, events_ops.AB_CUPED_ORACLE
 register(
     "stat_ab_quantile_effect", events_ops.ab_quantile_effect, events_ops.AB_QUANTILE_ORACLE
 )
+# round-4: Kaplan-Meier time-to-purchase survival with censoring
+register(
+    "stat_ab_survival_km", events_ops.ab_survival_km, events_ops.AB_SURVIVAL_KM_ORACLE
+)
 register(
     "events_alert_hysteresis",
     events_ops.alert_hysteresis,

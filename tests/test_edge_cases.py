@@ -1422,3 +1422,56 @@ def test_markov_attribution_matches_numpy_solver(spark, tmp_path):
         )
         p_rm = f[keep] @ a2 / f.sum()
         assert abs(got[ch][1] - round(1 - p_rm / p_full, 6)) < 2e-6
+
+
+def test_km_survival_matches_sequential_reference(spark):
+    """The relational KM table must equal the textbook sequential
+    estimator (sorted event days, risk-set shrink by exits, product
+    of (1 - d/n)) computed in plain python on the same per-user
+    (time, status) data — including censoring semantics and the
+    everyone-purchases absorption step."""
+    import math
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from backend_model_spark.operators.events_ops import ab_survival_km
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.variant, r.t_days): (r.n_at_risk, r.n_purchases, r.survival)
+        for r in ab_survival_km(spark, sf).collect()
+    }
+
+    ev = pq.read_table(
+        f"{sf}/events.parquet", columns=["user_id", "ts", "event_type"]
+    ).to_pandas()
+    per = []
+    for uid, g in ev.groupby("user_id"):
+        t0 = g.ts.min()
+        p = g.loc[g.event_type == "purchase", "ts"]
+        tp = p.min() if len(p) else None
+        end = tp if tp is not None else g.ts.max()
+        per.append(
+            {
+                "variant": "a" if uid % 2 == 0 else "b",
+                "status": 1 if tp is not None else 0,
+                "t": (end.normalize() - t0.normalize()).days,
+            }
+        )
+    per = pd.DataFrame(per)
+    for v, g in per.groupby("variant"):
+        n = len(g)
+        s = 1.0
+        for t in sorted(g.t.unique()):
+            d = int(((g.t == t) & (g.status == 1)).sum())
+            c = int(((g.t == t) & (g.status == 0)).sum())
+            assert got[(v, t)][0] == n, (v, t)
+            assert got[(v, t)][1] == d
+            if d == n:
+                s = 0.0
+            else:
+                s *= 1.0 - d / n
+            expect = 0.0 if s == 0.0 else round(s, 6)
+            assert math.isclose(got[(v, t)][2], expect, abs_tol=2e-6), (v, t)
+            n -= d + c

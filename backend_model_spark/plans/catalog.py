@@ -800,6 +800,8 @@ register(
 )
 
 # --- sampling / dataset mixing (training-data selection layer) -----------------
+# round-4: Write-Audit-Publish lifecycle (atomic staged landing)
+register("io_wap_lifecycle", io_ops.wap_write_audit_publish, io_ops.WAP_ORACLE)
 register("sample_kfold_assign", sampling.kfold_assign, sampling.KFOLD_ASSIGN_ORACLE)
 # round-4: Neyman-optimal stratified allocation (sampling DESIGN)
 register(

@@ -1321,3 +1321,112 @@ GROUP BY 1, 2
 ORDER BY order_year, version
 """
 SCD2_PIT_ORACLE = SCD2_PIT_ORACLE.format(eff=SCD2_EFF_DATE)
+
+
+def wap_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish — the production pattern for landing a new
+    batch without ever exposing bad data: the batch is WRITTEN to an
+    isolated staging location, AUDITED there (constraint checks run
+    against the staged files, not the in-memory frame — what a
+    separate audit job would see), and only a fully-green audit
+    PUBLISHES it with one atomic directory rename; a red audit leaves
+    the staging quarantined and the published location untouched.
+
+    The batch here is one order-date month enriched with a derived
+    charge column; audits: primary-key uniqueness, null/domain checks
+    on the derived column, and a non-empty gate. Output: one row per
+    audit (check, n_checked, n_violations) plus a ``published`` row
+    whose n_checked is the row count that went live and n_violations
+    is 0 — the shape a pipeline's run-ledger records.
+
+    Scale: the stage write is the batch's natural parallel write; the
+    audits are column-pruned scans of the staged files (at 100 TB the
+    audit cost is one pass over the BATCH, never the table); publish
+    is a metadata-only rename — the same mechanism table formats
+    implement as atomic snapshot commit, shown here at the
+    filesystem level.
+    """
+    import shutil
+
+    staging = _scratch("wap", "staging")
+    published = _scratch("wap", "published")
+    for p in (staging, published):
+        shutil.rmtree(p, ignore_errors=True)
+
+    orders = load_table(spark, "orders", sf_dir)
+    batch = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-02-01").cast("timestamp"))
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents"),
+    )
+    batch.write.mode("overwrite").parquet(staging)
+
+    staged = spark.read.parquet(staging)
+    audits = staged.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("pk_dups"),
+        F.sum(F.col("price_cents").isNull().cast("long")).alias("null_price"),
+        F.sum((F.col("price_cents") <= 0).cast("long")).alias("bad_domain"),
+    ).collect()[0]
+    all_green = (
+        audits["n"] > 0
+        and audits["pk_dups"] == 0
+        and audits["null_price"] == 0
+        and audits["bad_domain"] == 0
+    )
+    if all_green:
+        os.rename(staging, published)  # atomic publish
+    n_live = (
+        spark.read.parquet(published).count() if all_green else 0
+    )
+
+    rows = [
+        ("batch_nonempty", int(audits["n"]), int(audits["n"] == 0)),
+        ("pk_unique_orderkey", int(audits["n"]), int(audits["pk_dups"])),
+        ("price_cents_not_null", int(audits["n"]), int(audits["null_price"])),
+        ("price_cents_positive", int(audits["n"]), int(audits["bad_domain"])),
+        ("published", int(n_live), 0 if all_green else 1),
+    ]
+    return spark.createDataFrame(
+        rows, "check string, n_checked long, n_violations long"
+    ).orderBy("check")
+
+
+WAP_ORACLE = """
+WITH batch AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1995-02-01'
+),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS pk_dups,
+    CAST(SUM(CASE WHEN price_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS null_price,
+    CAST(SUM(CASE WHEN price_cents <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS bad_domain
+  FROM batch
+)
+SELECT 'batch_nonempty' AS check, n AS n_checked,
+  CAST(CASE WHEN n = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_violations FROM a
+UNION ALL
+SELECT 'pk_unique_orderkey', n, pk_dups FROM a
+UNION ALL
+SELECT 'price_cents_not_null', n, null_price FROM a
+UNION ALL
+SELECT 'price_cents_positive', n, bad_domain FROM a
+UNION ALL
+SELECT 'published', CASE WHEN pk_dups = 0 AND null_price = 0
+    AND bad_domain = 0 AND n > 0 THEN n ELSE 0 END,
+  CAST(CASE WHEN pk_dups = 0 AND null_price = 0 AND bad_domain = 0
+    AND n > 0 THEN 0 ELSE 1 END AS BIGINT) FROM a
+ORDER BY 1
+"""

@@ -1475,3 +1475,41 @@ def test_km_survival_matches_sequential_reference(spark):
             expect = 0.0 if s == 0.0 else round(s, 6)
             assert math.isclose(got[(v, t)][2], expect, abs_tol=2e-6), (v, t)
             n -= d + c
+
+
+def test_wap_red_audit_quarantines_instead_of_publishing(spark, tmp_path):
+    """A batch with a duplicate primary key must FAIL the audit: the
+    published row reports 0 live rows + 1 violation, the staging
+    directory survives for forensics, and the published location is
+    never created — the whole point of write-audit-publish."""
+    import os
+
+    import pandas as pd
+
+    from backend_model_spark.sources.io_ops import (
+        _scratch,
+        wap_write_audit_publish,
+    )
+
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": [1, 1, 2],  # duplicate PK inside the batch window
+            "o_custkey": [10, 11, 12],
+            "o_orderdate": pd.to_datetime(
+                ["1995-01-05", "1995-01-06", "1995-01-07"]
+            ).astype("datetime64[us]"),
+            "o_totalprice": [10.0, 20.0, 30.0],
+            "o_orderstatus": ["O"] * 3,
+            "o_orderpriority": ["1-URGENT"] * 3,
+        }
+    )
+    orders.to_parquet(tmp_path / "orders.parquet")
+
+    rows = {
+        r.check: (r.n_checked, r.n_violations)
+        for r in wap_write_audit_publish(spark, str(tmp_path)).collect()
+    }
+    assert rows["pk_unique_orderkey"] == (3, 1)
+    assert rows["published"] == (0, 1), "red audit must not publish"
+    assert os.path.isdir(_scratch("wap", "staging")), "staging kept for forensics"
+    assert not os.path.isdir(_scratch("wap", "published"))

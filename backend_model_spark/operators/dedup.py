@@ -202,6 +202,83 @@ ORDER BY doc_a, doc_b
 """
 
 
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT similarity C(A→B) = |A∩B| / |A| over
+    the shingle inverted index — the normalization Jaccard cannot
+    see: a short document quoted verbatim inside a long one scores
+    near-1 containment while its Jaccard stays tiny (|A∪B| is
+    dominated by the long doc). The sub-document-duplication signal
+    CCNet-style corpus cleaning keys quote/nesting decisions on.
+
+    Same inverted-index equi-join skeleton as
+    :func:`ngram_jaccard_pairs` (shingle join, never cross); both
+    directions report from ONE intersection computation. Gate:
+    max-direction containment ≥ 0.5 (a real subset relation), in
+    integer micro units.
+    """
+    shingled = shingled_docs(spark, sf_dir).persist()
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    micro = lambda num, den: F.floor(num * 1000000 / den + F.lit(0.5)).cast("long")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("c_a_in_b_micro", micro(F.col("n_common"), F.col("n_a")))
+        .withColumn("c_b_in_a_micro", micro(F.col("n_common"), F.col("n_b")))
+        .filter(
+            F.greatest("c_a_in_b_micro", "c_b_in_a_micro") >= 500000
+        )
+        .select(
+            "doc_a", "doc_b", "n_common", "c_a_in_b_micro", "c_b_in_a_micro"
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+CONTAINMENT_ORACLE = f"""
+WITH shingled AS (
+  SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS shingle
+  FROM documents
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM shingled GROUP BY doc_id
+),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shingled a
+  JOIN shingled b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_a, doc_b, n_common,
+    CAST(FLOOR(n_common * 1000000 / CAST(sa.n_shingles AS DOUBLE) + 0.5)
+      AS BIGINT) AS c_a_in_b_micro,
+    CAST(FLOOR(n_common * 1000000 / CAST(sb.n_shingles AS DOUBLE) + 0.5)
+      AS BIGINT) AS c_b_in_a_micro
+  FROM common
+  JOIN sizes sa ON sa.doc_id = common.doc_a
+  JOIN sizes sb ON sb.doc_id = common.doc_b
+)
+SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+  c_a_in_b_micro, c_b_in_a_micro
+FROM scored
+WHERE GREATEST(c_a_in_b_micro, c_b_in_a_micro) >= 500000
+ORDER BY doc_a, doc_b
+"""
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic MinHash signatures (8 affine remixes of one md5
     digest — see ``MINHASH_A``) per document — the

@@ -364,6 +364,10 @@ register(
 register("q6_forecast_revenue", relational.q6_forecast_revenue, relational.Q6_ORACLE)
 register("agg_unpivot_rates", relational.unpivot_lineitem_rates, relational.UNPIVOT_ORACLE)
 register("dq_audit", relational.dq_audit, relational.DQ_AUDIT_ORACLE)
+# round-4: asymmetric containment (quote/nesting detection)
+register(
+    "dedup_containment_pairs", dedup.containment_pairs, dedup.CONTAINMENT_ORACLE
+)
 register("dq_benford", relational.benford_first_digit, relational.BENFORD_ORACLE)
 # round-4: k-anonymity release gate (quasi-identifier class sizes)
 register(

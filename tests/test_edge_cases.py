@@ -1513,3 +1513,36 @@ def test_wap_red_audit_quarantines_instead_of_publishing(spark, tmp_path):
     assert rows["published"] == (0, 1), "red audit must not publish"
     assert os.path.isdir(_scratch("wap", "staging")), "staging kept for forensics"
     assert not os.path.isdir(_scratch("wap", "published"))
+
+
+def test_containment_detects_subset_where_jaccard_cannot(spark, tmp_path):
+    """A short document quoted verbatim inside a much longer one must
+    score containment 1.0 in the short→long direction while its
+    Jaccard stays far below any dedup threshold — the asymmetric
+    signal is the operator's reason to exist."""
+    import pandas as pd
+
+    from backend_model_spark.operators.dedup import containment_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [quote, filler + " " + quote + " " + filler, "unrelated words only here"],
+            "lang": ["en"] * 3,
+            "source": ["s0"] * 3,
+            "n_chars": [len(quote), len(filler) * 2 + len(quote) + 2, 25],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+
+    rows = {
+        (r.doc_a, r.doc_b): (r.c_a_in_b_micro, r.c_b_in_a_micro)
+        for r in containment_pairs(spark, str(tmp_path)).collect()
+    }
+    assert (0, 1) in rows, "the quoted pair must survive the gate"
+    c_short, c_long = rows[(0, 1)]
+    assert c_short == 1000000, "every shingle of the short doc is contained"
+    assert c_long < 100000, "the long doc is NOT contained in the short one"
+    assert (0, 2) not in rows and (1, 2) not in rows

@@ -19,7 +19,7 @@ operator family for readers):
   and never-yet-driver-checked ones surface, long-stable ones yield.
 * TIER 2 (remainder): the rest of each family, insertion order.
 
-274 registered queries; names are stable across rounds — only the
+276 registered queries; names are stable across rounds — only the
 ``TIER1`` list (the verified prefix) rotates.
 """
 

@@ -2570,7 +2570,10 @@ LIMIT 5
 # events_markov_attribution parity pattern.
 # ---------------------------------------------------------------------------
 CUPED_CUTOFF = "2024-01-16"
-_CUPED_THETA = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+# NULLIF: a degenerate pre-period (every user's x identical, e.g. no
+# events before the cutoff) makes var(X) exactly 0 — both engines must
+# yield NULL theta rows rather than Spark's ANSI DIVIDE_BY_ZERO raise
+_CUPED_THETA = "((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0))"
 _CUPED_VARY = "(n * syy - sy * sy)"
 # sum of squared adjusted metrics: Σ(y − θ(x − x̄))², expanded so it
 # reads off the pooled sufficient statistics only
@@ -2579,7 +2582,9 @@ _CUPED_SYYADJ = (
     f" + {_CUPED_THETA} * {_CUPED_THETA}"
     f" * (sxx - 2 * (sx / n) * sx + n * (sx / n) * (sx / n)))"
 )
-_CUPED_REDUCTION = f"(1 - (n * {_CUPED_SYYADJ} - sy * sy) / {_CUPED_VARY})"
+_CUPED_REDUCTION = (
+    f"(1 - (n * {_CUPED_SYYADJ} - sy * sy) / NULLIF({_CUPED_VARY}, 0))"
+)
 
 
 def _cuped_mean_adj(v: str) -> str:
@@ -2601,8 +2606,9 @@ def ab_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     One scan builds the per-user (pre, experiment) metric pair
     (conditional sums around ``CUPED_CUTOFF``); ONE aggregation row
     carries pooled + per-variant sufficient statistics; all algebra
-    is driver-free closed form. Contract: var(X) > 0 (the pre-period
-    must have signal — true by construction here).
+    is driver-free closed form. A degenerate pre-period (var(X)=0)
+    yields NULL theta/adjusted rows on BOTH engines via the NULLIF
+    guards in the shared expression text, never an ANSI crash.
     """
     ev = load_table(spark, "events", sf_dir)
     cut = F.lit(CUPED_CUTOFF).cast("timestamp")

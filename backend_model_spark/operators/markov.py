@@ -23,10 +23,12 @@ from ONE shared arithmetic-expression string evaluated by BOTH
 engines (`F.expr` on Spark, verbatim SQL on DuckDB) over identically
 named count columns — the formula text being literally shared makes
 structural divergence impossible; doubles then round once at the
-edge. Contract: each transient state must have ≥1 outgoing
-transition (guaranteed by the synthetic generator; at 100 TB a
-channel with zero traffic should be dropped from the state set
-upstream).
+edge. Degenerate inputs (a channel with zero outgoing transitions,
+zero transient first-touches, or zero conversions overall) are
+NULLIF-guarded in the shared text, so BOTH engines yield NULL
+probabilities/effects instead of Spark's ANSI DIVIDE_BY_ZERO raising
+where DuckDB returns rows. At 100 TB a channel with zero traffic
+should still be dropped from the state set upstream.
 
 Scale: the journey scan is one shuffle (user window); everything
 after runs on a ONE-ROW frame of 21 counters. At any SF the model
@@ -51,7 +53,7 @@ _S = tuple(CH)  # ("v", "k", "g")
 # p_ab = P(a -> b) for transient a, b; p_ac = P(a -> conversion).
 # ---------------------------------------------------------------------------
 P_EXPRS = {
-    f"p_{a}{b}": f"n_{a}{b} / t_{a}" for a in _S for b in (*_S, "c")
+    f"p_{a}{b}": f"n_{a}{b} / NULLIF(t_{a}, 0)" for a in _S for b in (*_S, "c")
 }
 
 # det(I - Q) for the 3x3 transient matrix, rows/cols in (v, k, g)
@@ -103,14 +105,14 @@ def _cramer2(removed: str) -> dict[str, str]:
 
 
 P_FULL = (
-    "((f_v * a_v + f_k * a_k + f_g * a_g) / f_tot)"
+    "((f_v * a_v + f_k * a_k + f_g * a_g) / NULLIF(f_tot, 0))"
 )
 
 
 def _p_removed(removed: str) -> str:
     a2 = _cramer2(removed)
     (x, y) = tuple(s for s in _S if s != removed)
-    return f"((f_{x} * {a2[x]} + f_{y} * {a2[y]}) / f_tot)"
+    return f"((f_{x} * {a2[x]} + f_{y} * {a2[y]}) / NULLIF(f_tot, 0))"
 
 
 def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,11 +173,11 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             one.select(
                 F.lit(s_t).alias("channel"),
-                F.expr(f"floor(f_{s} / f_tot * 1000000 + 0.5)")
+                F.expr(f"floor(f_{s} / NULLIF(f_tot, 0) * 1000000 + 0.5)")
                 .cast("long")
                 .alias("first_touch_micro"),
                 F.expr(f"round(a_{s}, 6)").alias("absorption_prob"),
-                F.expr(f"round(1 - {_p_removed(s)} / {P_FULL}, 6)").alias(
+                F.expr(f"round(1 - {_p_removed(s)} / NULLIF({P_FULL}, 0), 6)").alias(
                     "removal_effect"
                 ),
             )
@@ -209,9 +211,9 @@ def _oracle() -> str:
     for s, s_t in CH.items():
         selects.append(
             f"""SELECT '{s_t}' AS channel,
-  CAST(FLOOR(f_{s} / f_tot * 1000000 + 0.5) AS BIGINT) AS first_touch_micro,
+  CAST(FLOOR(f_{s} / NULLIF(f_tot, 0) * 1000000 + 0.5) AS BIGINT) AS first_touch_micro,
   ROUND(a_{s}, 6) AS absorption_prob,
-  ROUND(1 - {_p_removed(s)} / {P_FULL}, 6) AS removal_effect
+  ROUND(1 - {_p_removed(s)} / NULLIF({P_FULL}, 0), 6) AS removal_effect
 FROM one"""
         )
     transient_sql = ", ".join(f"'{t}'" for t in CH.values())

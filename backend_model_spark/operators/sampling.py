@@ -782,8 +782,10 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_chars").cast("double")).alias("sy"),
         F.sum(F.col("n_chars").cast("double") * F.col("n_chars")).alias("syy"),
     )
+    # greatest(0, ...) absorbs tiny negative float cancellation on
+    # near-constant strata (sqrt(-eps) = NaN on both engines otherwise)
     w = per.withColumn(
-        "sigma_h", F.expr("sqrt((syy - sy * sy / n_h) / n_h)")
+        "sigma_h", F.expr("sqrt(greatest(0.0, (syy - sy * sy / n_h) / n_h))")
     ).withColumn("w_h", F.expr("n_h * sigma_h"))
     from backend_model_spark.operators.scale_utils import broadcast_scalars
 
@@ -794,7 +796,9 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.expr("cast(n_h as bigint)").alias("stratum_size"),
         F.expr("round(sigma_h, 6)").alias("sigma"),
-        F.expr(f"cast(floor({B} * w_h / w_tot + 0.5) as bigint)").alias(
+        # NULLIF: all-constant strata make every sigma_h (hence w_tot)
+        # exactly 0 — ANSI Spark would raise where DuckDB divides
+        F.expr(f"cast(floor({B} * w_h / NULLIF(w_tot, 0) + 0.5) as bigint)").alias(
             "neyman_alloc"
         ),
         F.expr(f"cast(floor({B} * n_h / n_tot + 0.5) as bigint)").alias(
@@ -812,15 +816,15 @@ WITH per AS (
   FROM documents GROUP BY source
 ),
 w AS (
-  SELECT *, sqrt((syy - sy * sy / n_h) / n_h) AS sigma_h,
-    n_h * sqrt((syy - sy * sy / n_h) / n_h) AS w_h
+  SELECT *, sqrt(greatest(0.0, (syy - sy * sy / n_h) / n_h)) AS sigma_h,
+    n_h * sqrt(greatest(0.0, (syy - sy * sy / n_h) / n_h)) AS w_h
   FROM per
 ),
 tot AS (SELECT SUM(w_h) AS w_tot, SUM(n_h) AS n_tot FROM w)
 SELECT source,
   CAST(n_h AS BIGINT) AS stratum_size,
   ROUND(sigma_h, 6) AS sigma,
-  CAST(FLOOR({NEYMAN_BUDGET} * w_h / w_tot + 0.5) AS BIGINT) AS neyman_alloc,
+  CAST(FLOOR({NEYMAN_BUDGET} * w_h / NULLIF(w_tot, 0) + 0.5) AS BIGINT) AS neyman_alloc,
   CAST(FLOOR({NEYMAN_BUDGET} * n_h / n_tot + 0.5) AS BIGINT)
     AS proportional_alloc
 FROM w CROSS JOIN tot

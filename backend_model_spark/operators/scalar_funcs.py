@@ -97,16 +97,30 @@ ORDER BY yr, qtr
 
 
 def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """sqrt/pow/log/ceil/floor/mod/sign/greatest/least on lineitem."""
+    """sqrt/square/ceil/floor/mod/sign/greatest/least on lineitem,
+    plus a digit-count log10 proxy.
+
+    Every hashed column is IEEE-exact across engines: sqrt is
+    correctly rounded by IEEE-754; the square is a plain multiply
+    (NOT libm ``pow``); the log10 proxy is the decimal digit count of
+    the cent-scaled price (``floor(x*100+0.5)`` — the repo's cent
+    discipline), which equals ``floor(log10(cents))+1`` without ever
+    calling a non-correctly-rounded libm function. ``ln``/``log10``
+    doubles are deliberately excluded from hash-compared output:
+    libm last-ulp differences across JVM/DuckDB builds flip the 6th
+    rounded decimal on boundary values (round-4 driver hash-fail).
+    """
     li = load_table(spark, "lineitem", sf_dir)
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
     return (
         li.select(
             "l_orderkey",
             "l_linenumber",
             F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
-            F.round(F.pow(F.col("l_discount") + 1.0, 2), 6).alias("disc_sq"),
-            F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
-            F.round(F.log10(F.col("l_extendedprice")), 6).alias("price_log10"),
+            F.round(
+                (F.col("l_discount") + 1.0) * (F.col("l_discount") + 1.0), 6
+            ).alias("disc_sq"),
+            F.length(cents.cast("string")).cast("bigint").alias("price_digits"),
             F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
             F.floor(F.col("l_quantity") / 7).cast("bigint").alias("qty_div7"),
             (F.col("l_orderkey") % 97).alias("key_mod97"),
@@ -124,9 +138,9 @@ SELECT
   l_orderkey,
   l_linenumber,
   ROUND(SQRT(l_extendedprice), 6)      AS price_sqrt,
-  ROUND(POW(l_discount + 1.0, 2), 6)   AS disc_sq,
-  ROUND(LN(l_extendedprice), 6)        AS price_ln,
-  ROUND(LOG10(l_extendedprice), 6)     AS price_log10,
+  ROUND((l_discount + 1.0) * (l_discount + 1.0), 6) AS disc_sq,
+  CAST(LENGTH(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS VARCHAR)) AS BIGINT)
+                                       AS price_digits,
   CAST(FLOOR(CEIL(l_quantity)) AS BIGINT)      AS qty_ceil,
   CAST(FLOOR(FLOOR(l_quantity / 7)) AS BIGINT) AS qty_div7,
   l_orderkey % 97                      AS key_mod97,

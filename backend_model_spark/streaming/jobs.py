@@ -199,17 +199,24 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     def fold(key, pdfs, state: GroupState):
+        import math
+
         import numpy as np
         import pandas as pd
 
         n, mx, upd = state.get if state.exists else (0, float("-inf"), 0)
-        for pdf in pdfs:
+        # One group may arrive as SEVERAL Arrow chunks (chunk size is
+        # session config, not semantics): concatenate FIRST, sort the
+        # whole group ONCE, fold once.  Sorting each chunk
+        # independently makes n_max_updates depend on chunk
+        # boundaries — the round-4 environment-nondeterminism bug.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            allpdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
             vals = (
-                pdf.sort_values(["ts", "event_id"])["value"]
+                allpdf.sort_values(["ts", "event_id"])["value"]
                 .to_numpy(dtype="float64")
             )
-            if len(vals) == 0:
-                continue
             n += len(vals)
             # prev_max[i] = max of state mx and all vals[:i]; an update
             # happens exactly where vals[i] strictly beats it
@@ -219,11 +226,14 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             upd += int((vals > prev_max).sum())
             mx = float(max(mx, vals.max()))
         state.update((n, mx, upd))
+        # cent discipline (floor(x*100+0.5)/100), NOT Python round():
+        # round() is banker's (half-even) and diverges from the
+        # oracle's identical floor formula on .xx5 boundaries
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "max_value": [round(mx, 2)],
+                "max_value": [math.floor(mx * 100 + 0.5) / 100.0],
                 "n_max_updates": [upd],
             }
         )
@@ -255,7 +265,7 @@ WITH ordered AS (
 SELECT
   user_id,
   COUNT(*) AS n_events,
-  ROUND(MAX(value), 2) AS max_value,
+  FLOOR(MAX(value) * 100 + 0.5) / 100.0 AS max_value,
   SUM(CASE WHEN prev_max IS NULL OR value > prev_max THEN 1 ELSE 0 END)
     AS n_max_updates
 FROM ordered

@@ -124,6 +124,48 @@ def test_stateful_streaming_on_edge_events(spark, edge_sf_dir):
     assert rows[1][0] == 3 and rows[2][0] == 3 and rows[3][0] == 1
 
 
+def test_stateful_fold_chunk_order_invariant(spark, sf_dir):
+    """Force MULTI-CHUNK groups (arrow.maxRecordsPerBatch=8) through
+    the applyInPandasWithState fold and check n_max_updates against a
+    pandas reference on the same parquet.  Regression for the round-4
+    driver hash-fail: a fold that sorts each Arrow chunk independently
+    makes n_max_updates depend on chunk boundaries/order."""
+    import pandas as pd
+
+    from backend_model_spark.streaming.jobs import streaming_stateful_user_stats
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "8")
+    try:
+        rows = {
+            r["user_id"]: (r["n_events"], r["n_max_updates"])
+            for r in streaming_stateful_user_stats(spark, sf_dir).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+    ev = pd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    ref = {}
+    for uid, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        vals = g["value"].to_numpy(dtype="float64")
+        mx, upd = float("-inf"), 0
+        for v in vals:
+            if v > mx:
+                mx, upd = v, upd + 1
+        ref[int(uid)] = (len(vals), upd)
+    checked = 0
+    for uid, expect in sorted(ref.items())[:500]:
+        assert rows[uid] == expect, f"user {uid}: {rows[uid]} != {expect}"
+        checked += 1
+    assert checked > 0
+    # at least one user must genuinely straddle chunks for the test to bite
+    assert max(n for n, _ in ref.values()) > 8
+
+
 def test_transform_with_state_gated(spark, sf_dir):
     """transformWithStateInPandas runs (and matches its oracle) wherever
     google.protobuf is available; in containers without it the operator

@@ -1121,21 +1121,28 @@ def moments_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(x * x * x).alias("s3"),
         F.sum(x * x * x * x).alias("s4"),
     )
+    # explicit multiplies (and m2*sqrt(m2) for the 1.5 power), never
+    # libm pow: IEEE multiply/sqrt are correctly rounded, so both
+    # engines compute bit-identical doubles
     m1 = F.col("s1") / F.col("n")
     m2 = F.col("s2") / F.col("n") - m1 * m1
-    m3 = F.col("s3") / F.col("n") - 3 * m1 * F.col("s2") / F.col("n") + 2 * m1 ** 3
+    m3 = (
+        F.col("s3") / F.col("n")
+        - 3 * m1 * (F.col("s2") / F.col("n"))
+        + 2 * m1 * m1 * m1
+    )
     m4 = (
         F.col("s4") / F.col("n")
-        - 4 * m1 * F.col("s3") / F.col("n")
-        + 6 * m1 * m1 * F.col("s2") / F.col("n")
-        - 3 * m1 ** 4
+        - 4 * m1 * (F.col("s3") / F.col("n"))
+        + 6 * m1 * m1 * (F.col("s2") / F.col("n"))
+        - 3 * m1 * m1 * m1 * m1
     )
     return g.select(
         "o_orderstatus",
         F.col("n").cast("long").alias("n"),
         F.round(m1, 6).alias("mean_scaled"),
         F.round(F.sqrt(m2), 6).alias("std_scaled"),
-        F.round(F.try_divide(m3, m2 ** F.lit(1.5)), 6).alias("skewness"),
+        F.round(F.try_divide(m3, m2 * F.sqrt(m2)), 6).alias("skewness"),
         F.round(F.try_divide(m4, m2 * m2) - 3, 6).alias("excess_kurtosis"),
     ).orderBy("o_orderstatus")
 
@@ -1156,19 +1163,24 @@ g AS (
   FROM xs GROUP BY o_orderstatus
 ),
 m AS (
+  -- association mirrors the Spark expressions exactly (left-assoc
+  -- chained multiplies; m2 * sqrt(m2) for the 1.5 power) so both
+  -- engines round the same doubles
   SELECT o_orderstatus, n,
     s1 / n AS m1,
-    s2 / n - POW(s1 / n, 2) AS m2,
-    s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * POW(s1 / n, 3) AS m3,
-    s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * POW(s1 / n, 2) * (s2 / n)
-      - 3 * POW(s1 / n, 4) AS m4
+    s2 / n - (s1 / n) * (s1 / n) AS m2,
+    s3 / n - 3 * (s1 / n) * (s2 / n)
+      + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+    s4 / n - 4 * (s1 / n) * (s3 / n)
+      + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+      - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
   FROM g
 )
 SELECT o_orderstatus,
   CAST(n AS BIGINT) AS n,
   ROUND(m1, 6) AS mean_scaled,
   ROUND(sqrt(m2), 6) AS std_scaled,
-  ROUND(m3 / POW(m2, 1.5), 6) AS skewness,
+  ROUND(m3 / (m2 * sqrt(m2)), 6) AS skewness,
   ROUND(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis
 FROM m
 ORDER BY o_orderstatus

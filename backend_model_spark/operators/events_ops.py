@@ -870,6 +870,13 @@ def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EWMA_ALPHA_MICRO = 300_000  # α = 0.3 in micro-units
 EWMA_SPAN = 10  # bounded lookback
+# decay weights (1-α)^k precomputed ONCE as shortest-round-trip decimal
+# literals shared by both engine texts: IEEE decimal parse is correctly
+# rounded, so Spark and DuckDB get bit-identical doubles — no runtime
+# pow() (libm, not correctly rounded) anywhere in the hashed lineage
+_EWMA_W_LITS = ", ".join(
+    repr((1.0 - EWMA_ALPHA_MICRO / 1e6) ** k) for k in range(EWMA_SPAN)
+)
 
 
 def ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -900,15 +907,18 @@ def ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-(EWMA_SPAN - 1), 0)
     )
     vals = F.collect_list("cents").over(w)  # frame order = window order
-    decay = 1.0 - EWMA_ALPHA_MICRO / 1e6
-    # weights applied by position from the frame END (most recent = 1)
+    # weights applied by position from the frame END (most recent = 1),
+    # looked up from the shared literal table — see _EWMA_W_LITS
     ewma = F.expr(
         f"""
         aggregate(
           zip_with(
             vals,
             sequence(size(vals) - 1, 0),
-            (x, k) -> struct(x * pow({decay}, k) AS num, pow({decay}, k) AS den)
+            (x, k) -> struct(
+              x * element_at(array({_EWMA_W_LITS}), k + 1) AS num,
+              element_at(array({_EWMA_W_LITS}), k + 1) AS den
+            )
           ),
           struct(cast(0.0 as double) AS num, cast(0.0 as double) AS den),
           (acc, e) -> struct(acc.num + e.num AS num, acc.den + e.den AS den),
@@ -953,8 +963,8 @@ folded AS (
   SELECT
     user_id,
     COUNT(*) AS n_window,
-    SUM(cents * POW({1.0 - EWMA_ALPHA_MICRO / 1e6}, rn_desc - 1))
-      / SUM(POW({1.0 - EWMA_ALPHA_MICRO / 1e6}, rn_desc - 1)) / 100.0
+    SUM(cents * ([{_EWMA_W_LITS}])[rn_desc])
+      / SUM(([{_EWMA_W_LITS}])[rn_desc]) / 100.0
       AS ewma_raw
   FROM last_k
   GROUP BY user_id
@@ -1446,7 +1456,9 @@ def daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_days"),
     )
     centered = daily.crossJoin(F.broadcast(stats)).select(
-        "day", "n", "mean_n", ((F.col("n") - F.col("mean_n")) ** 2).alias("dev2")
+        "day", "n", "mean_n",
+        # plain multiply (oracle: (n-mean)*(n-mean)), never libm pow
+        ((F.col("n") - F.col("mean_n")) * (F.col("n") - F.col("mean_n"))).alias("dev2"),
     )
     denom = centered.agg(F.sum("dev2").alias("ss_total"))
     lagged = centered.select(
@@ -1579,11 +1591,14 @@ def ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.try_divide(F.col("mean_a") - F.col("mean_b"), F.sqrt(se_a + se_b)),
                 6,
             ).alias("welch_t"),
+            # plain multiplies, not pow(x,2): libm pow is exp/log-based
+            # and not correctly rounded — last-ulp divergence across
+            # engines is the func_math failure class
             F.round(
                 F.try_divide(
-                    (se_a + se_b) ** 2,
-                    (se_a ** 2) / (F.col("n_a") - 1)
-                    + (se_b ** 2) / (F.col("n_b") - 1),
+                    (se_a + se_b) * (se_a + se_b),
+                    (se_a * se_a) / (F.col("n_a") - 1)
+                    + (se_b * se_b) / (F.col("n_b") - 1),
                 ),
                 6,
             ).alias("welch_df"),
@@ -1620,8 +1635,9 @@ SELECT
   ROUND(b.mean, 6) AS mean_b,
   ROUND((a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n), 6) AS welch_t,
   ROUND(
-    POW(a.var / a.n + b.var / b.n, 2) / (
-      POW(a.var / a.n, 2) / (a.n - 1) + POW(b.var / b.n, 2) / (b.n - 1)
+    (a.var / a.n + b.var / b.n) * (a.var / a.n + b.var / b.n) / (
+      (a.var / a.n) * (a.var / a.n) / (a.n - 1)
+      + (b.var / b.n) * (b.var / b.n) / (b.n - 1)
     ), 6) AS welch_df
 FROM (SELECT * FROM m WHERE variant = 'A') a
 CROSS JOIN (SELECT * FROM m WHERE variant = 'B') b

@@ -142,6 +142,10 @@ def group_ols_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ols(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic order before float summation: shuffle arrival
+        # order varies run-to-run and numpy's pairwise sums are
+        # order-sensitive in the last ulp — the edge-round then flips
+        pdf = pdf.sort_values(["l_quantity", "l_extendedprice"])
         x = pdf["l_quantity"].to_numpy(dtype="float64")
         y = pdf["l_extendedprice"].to_numpy(dtype="float64")
         mx = x.mean()

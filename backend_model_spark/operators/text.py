@@ -1661,13 +1661,18 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bias = float(CLS_BIAS_NUM) / CLS_BIAS_DEN
     mean_w = F.col("w_sum") / (F.col("n_tokens") * float(CLS_P)) - bias
+    # NOTE: the logistic score itself is NOT in the hashed projection —
+    # exp() is libm (not correctly rounded) and per-row rounded libm is
+    # the func_math cross-build flip class.  mean_w is the exact
+    # monotone equivalent (sigmoid is strictly increasing), and the
+    # keep decision is pure-integer; a caller wanting the calibrated
+    # probability applies the sigmoid to mean_w at the edge.
     return (
         scored.select(
             "doc_id",
             "n_tokens",
             "w_sum",
             _round6(mean_w).alias("mean_w"),
-            _round6(1.0 / (1.0 + F.exp(-4.0 * mean_w))).alias("score"),
             (
                 CLS_BIAS_DEN * F.col("w_sum")
                 >= F.col("n_tokens").cast("bigint")
@@ -1703,10 +1708,6 @@ SELECT
   FLOOR((w_sum / (n_tokens * {float(CLS_P)})
          - {CLS_BIAS_NUM / CLS_BIAS_DEN}) * 1000000 + 0.5)
     / 1000000 AS mean_w,
-  FLOOR(
-    1.0 / (1.0 + exp(-4.0 * (w_sum / (n_tokens * {float(CLS_P)})
-                             - {CLS_BIAS_NUM / CLS_BIAS_DEN})))
-    * 1000000 + 0.5) / 1000000 AS score,
   CAST(CASE WHEN {CLS_BIAS_DEN} * w_sum >= n_tokens * {CLS_BIAS_NUM * CLS_P}
        THEN 1 ELSE 0 END AS INTEGER) AS keep
 FROM scored

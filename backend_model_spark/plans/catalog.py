@@ -991,81 +991,82 @@ if HAS_PROTOBUF:
     )
 
 # ======================================================================
-# TIER-1 ROTATION (round 4) — the driver-verified 50-entry prefix.
+# TIER-1 ROTATION (round 5) — the driver-verified 50-entry prefix.
 #
 # registry.promote() reorders the registry so these 50 run first; the
 # physical register() blocks above stay grouped by family for readers.
 # Rotation policy (one list edit per round): surface (a) entries NEW
 # or CHANGED this round, (b) entries with zero CORRECTNESS_r* rows in
 # any round so far, and keep ≥1 representative of every operator
-# family. Round 4 brings in 15 never-driver-checked entries
-# (streaming sinks/joins/state, the io merge/overwrite/bucketed
-# lifecycle, two-stage windows, the func batteries, tpch_q9,
-# stat_ab_welch, the new ml_mlp_batch_inference + model_compare) plus
-# the round-4-rewritten sim_cosine_topk_bruteforce; 16 multi-round-
-# green entries yield their slots to tier 2 (still swept locally +
-# judge-sampled).
+# family. Round 5: 44 of the 50 have never had a driver row (the
+# round-4 verdict's priority families — tpch_q* tail, the sql_*
+# battery, events_* stats, stat_ab_* suite, winnowing/BPE-segment,
+# io_wap_lifecycle, dedup_containment_pairs); the 6 repeats are the
+# flagship plus the five entries whose expressions CHANGED this round
+# (libm-determinism hardening), which must re-prove at the driver.
 # ======================================================================
 TIER1 = [
-    # flagship + round-4 new/changed (driver must see these first)
+    # flagship + the round-5 determinism fixes (re-prove at driver)
     "q1_pricing_summary",
-    "ml_mlp_batch_inference",
-    "ml_mlp_model_compare",
-    "tpch_q9_profit",
-    "sim_cosine_topk_bruteforce",
-    "stat_ab_welch",
-    "dedup_embedding_clusters",
-    "agg_spearman_corr",
-    "agg_mode_exact",
-    "ml_ols_cv_sufficient",
-    "ml_decision_stump",
-    # never-driver-checked rotation (streaming / io lifecycle /
-    # two-stage windows / func batteries)
-    "streaming_left_join_attribution",
-    "streaming_stateful_user_stats",
-    "streaming_foreach_batch_sink",
-    "io_scd2_merge",
-    "io_dynamic_partition_overwrite",
-    "io_bucketed_join",
-    "window_rfm_segments",
-    "window_percent_of_parent",
-    "func_string",
     "func_math",
-    "func_array",
-    # stable family representatives
-    "join_q3_shipping_priority",
-    "sql_recursive_hierarchy",
-    "stat_mann_whitney",
-    "text_bm25_rank",
-    "sort_topk_orders",
-    "media_payload_stats",
-    "stat_ks_test",
-    "tpch_q10_returns",
-    "geo_knn_comps",
-    "sample_epoch_shuffle",
-    "window_max_drawdown",
-    "func_fuzzy_blocked_pairs",
-    "clean_impute_group_median",
+    "streaming_stateful_user_stats",
+    "stat_ab_welch",
+    "agg_moments_shape",
     "text_quality_classifier",
-    "mllib_fpgrowth_pairs",
-    "dedup_graph_triangles",
-    "events_rolling_trend",
-    "dedup_lsh_recall",
-    "sql_lateral_topk",
-    "io_python_datasource",
-    "udtf_runlength_encode",
-    "dq_observe",
-    "streaming_dedup_within_watermark",
-    # (sim_pq_encode displaced to tier 2 for its round-4 search half:)
-    "sim_pq_adc_topk",
-    "sample_group_split",
-    "io_scd2_pit_join",
-    # (text_winnow_fingerprints displaced to tier 2 for the round-4
-    # BPE merge learner — tokenizer training, driver-unseen)
-    "text_bpe_learn_merges",
-    "pipeline_feature_store",
-    # (streaming_static_enrich displaced to tier 2 for the round-4
-    # ml_mlp_model_compare addition; streaming keeps 4 prefix reps)
+    # changed this round AND never driver-checked
+    "events_ewma",
+    "events_autocorr",
+    "stat_ab_cuped",
+    "events_markov_attribution",
+    "sample_neyman_allocation",
+    "ml_group_ols_pandas",
+    # tpch tail (no driver row ever)
+    "tpch_q7_volume",
+    "tpch_q8_mkt_share",
+    "tpch_q17_small_qty",
+    "tpch_q18_big_orders",
+    "tpch_q19_disjunctive",
+    "tpch_q21_last_shipper",
+    # sql_* battery (identical-text entries, no driver row ever)
+    "sql_having",
+    "sql_filtered_aggs",
+    "sql_subqueries",
+    "sql_case_buckets",
+    "sql_named_window",
+    "sql_group_by_all",
+    "sql_q12_conditional",
+    "sql_q14_promo_share",
+    # events stats family (no driver row ever)
+    "events_changepoint",
+    "events_seasonal_decompose",
+    "events_anomaly_mad",
+    "events_interarrival",
+    "events_cohort_ltv",
+    "events_funnel_timed",
+    # stat_ab_* suite (no driver row ever)
+    "stat_ab_quantile_effect",
+    "stat_ab_survival_km",
+    "stat_bootstrap_ci",
+    # text family (no driver row ever)
+    "text_winnow_overlap",
+    "text_bpe_segment_corpus",
+    "text_fingerprints",
+    "text_decontaminate",
+    # io lifecycle (no driver row ever)
+    "io_wap_lifecycle",
+    "io_jdbc_roundtrip",
+    "io_zorder_layout",
+    # dedup (no driver row ever)
+    "dedup_containment_pairs",
+    "dedup_chunk_first_wins",
+    # windows (no driver row ever)
+    "window_dense_rank",
+    "window_range_frame",
+    # family representatives with no driver row ever
+    "sim_mips_topk",
+    "udtf_sentence_split",
+    "media_decode_features",
+    "streaming_click_purchase_join",
 ]
 
 from backend_model_spark.plans.registry import promote  # noqa: E402

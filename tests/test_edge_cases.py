@@ -650,8 +650,10 @@ def test_chunk_first_wins_dedups_shared_passage(spark, tmp_path):
 def test_quality_classifier_decision_is_integer_exact(spark, sf_dir):
     """keep must equal the integer-space biased decision
     DEN·Σw ≥ NUM·n·P for every document (never a rounded-float
-    comparison), and the score must be on the correct side of 0.5
-    accordingly."""
+    comparison), and mean_w — the monotone stand-in for the logistic
+    score, which stays OUT of the hashed projection because per-row
+    rounded exp() is the func_math libm flip class — must sit on the
+    matching side of 0."""
     from backend_model_spark.operators.text import (
         CLS_BIAS_DEN,
         CLS_BIAS_NUM,
@@ -661,6 +663,7 @@ def test_quality_classifier_decision_is_integer_exact(spark, sf_dir):
 
     rows = quality_classifier(spark, sf_dir).collect()
     assert rows
+    assert "score" not in rows[0].asDict(), "libm score must stay unhashed"
     keeps = sum(r["keep"] for r in rows)
     assert 0 < keeps < len(rows), "biased decision should split the corpus"
     for r in rows:
@@ -671,9 +674,9 @@ def test_quality_classifier_decision_is_integer_exact(spark, sf_dir):
         )
         assert r["keep"] == expect
         if r["keep"]:
-            assert r["score"] >= 0.5
+            assert r["mean_w"] >= -1e-6  # rounded mean_w, σ(4·mean_w) ≥ 0.5
         else:
-            assert r["score"] < 0.5
+            assert r["mean_w"] < 1e-6
 
 
 def test_curriculum_order_interleaves_sources(spark, sf_dir):

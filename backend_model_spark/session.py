@@ -15,6 +15,13 @@ import os
 
 from pyspark.sql import SparkSession
 
+from backend_model_spark.protobuf_compat import ensure_protobuf
+
+# must run BEFORE the JVM starts: local-mode Python workers inherit the
+# driver environment, so the vendored google.protobuf (used by the
+# transformWithStateInPandas state channel) has to be on PYTHONPATH now
+HAS_PROTOBUF = ensure_protobuf()
+
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
@@ -54,6 +61,12 @@ def get_spark(
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
         builder = builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    if HAS_PROTOBUF and os.environ.get("PYTHONPATH"):
+        # propagate the (possibly vendored) protobuf path to executors
+        # on real clusters; local mode already inherits the driver env
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"]
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -464,9 +464,12 @@ def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFram
     shape a 100 TB/day clickstream fold needs.
 
     Environment gate: the transformWithState protocol talks protobuf
-    between the JVM and the Python state server; registration is
-    skipped (see ``HAS_PROTOBUF`` in ``plans/catalog.py``) when
-    ``google.protobuf`` is absent, as in this test container.
+    between the JVM and the Python state server. Containers without the
+    protobuf distribution use the vendored minimal runtime
+    (``backend_model_spark/vendor``, pushed to workers via
+    ``protobuf_compat.ensure_protobuf_on_workers``); registration is
+    skipped (``HAS_PROTOBUF`` in ``plans/catalog.py``) only when
+    neither a real nor the vendored runtime is available.
     """
     import numpy as np
     import pandas as pd
@@ -474,6 +477,13 @@ def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFram
         StatefulProcessor,
         StatefulProcessorHandle,
     )
+
+    from backend_model_spark.protobuf_compat import ensure_protobuf_on_workers
+
+    # the driver creates its SparkSession before importing this package,
+    # so the vendored google.protobuf must be pushed to workers of the
+    # live session (sc.environment), not just the pre-JVM PYTHONPATH
+    ensure_protobuf_on_workers(spark)
 
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",

@@ -78,6 +78,10 @@ def _scan():
     hits = []
     for f in sorted(ROOT.rglob("*.py")):
         rel = f.relative_to(ROOT).as_posix()
+        if rel.startswith("vendor/"):
+            # vendored protobuf runtime: integer-only wire format, never
+            # in any hashed query lineage
+            continue
         lines = f.read_text().splitlines()
         for i, raw in enumerate(lines):
             line = _strip_comments(raw)

@@ -880,6 +880,17 @@ register("io_append_sink", io_ops.append_sink, io_ops.APPEND_SINK_ORACLE)
 register("io_json_roundtrip", io_ops.json_roundtrip, io_ops.JSON_ROUNDTRIP_ORACLE)
 register("io_orc_roundtrip", io_ops.orc_roundtrip, io_ops.ORC_ROUNDTRIP_ORACLE)
 register("io_jdbc_roundtrip", io_ops.jdbc_roundtrip, io_ops.JDBC_ROUNDTRIP_ORACLE)
+# real-Postgres sink (clean-room wire client; server binaries + runuser
+# are present in this container — gate keeps import safe elsewhere)
+from backend_model_spark.sources.pg_server import postgres_available  # noqa: E402
+
+HAS_POSTGRES = postgres_available()
+if HAS_POSTGRES:
+    register(
+        "io_postgres_roundtrip",
+        io_ops.postgres_roundtrip,
+        io_ops.POSTGRES_ROUNDTRIP_ORACLE,
+    )
 
 # --- scalar function batteries (SURVEY §2.8) -----------------------------------
 register("func_date", scalar_funcs.date_functions, scalar_funcs.DATE_FUNCS_ORACLE)
@@ -1058,7 +1069,7 @@ TIER1 = [
     "text_decontaminate",
     # io lifecycle (no driver row ever)
     "io_wap_lifecycle",
-    "io_jdbc_roundtrip",
+    "io_postgres_roundtrip",
     "io_zorder_layout",
     # dedup (no driver row ever)
     "dedup_containment_pairs",
@@ -1076,7 +1087,9 @@ TIER1 = [
 from backend_model_spark.plans.registry import promote  # noqa: E402
 
 # vendor ships in-repo so HAS_PROTOBUF is normally always True; the
-# filter keeps import working if the vendored runtime is ever removed
-promote(
-    [n for n in TIER1 if HAS_PROTOBUF or n != "streaming_transform_with_state"]
-)
+# filters keep import working in environments missing a dependency
+_GATED = {
+    "streaming_transform_with_state": HAS_PROTOBUF,
+    "io_postgres_roundtrip": HAS_POSTGRES,
+}
+promote([n for n in TIER1 if _GATED.get(n, True)])

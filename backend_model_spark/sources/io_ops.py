@@ -1430,3 +1430,126 @@ SELECT 'published', CASE WHEN pk_dups = 0 AND null_price = 0
     AND n > 0 THEN 0 ELSE 1 END AS BIGINT) FROM a
 ORDER BY 1
 """
+
+
+def postgres_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Postgres sink + readback — the reference's actual warehouse
+    path (reference ``pipeline.py:18-22`` opens psycopg2→Postgres;
+    ``pipeline.py:48-74`` row-loops INSERTs). Re-expressed distributed:
+
+    1. Spark computes the per-customer order rollup (one shuffle,
+       integer cents).
+    2. Each partition opens its OWN connection to Postgres (the
+       clean-room wire-protocol client in ``sources/pg_wire.py`` —
+       this container has the server binaries but no driver/JDBC jar)
+       and lands its rows as multi-row batched INSERTs: the
+       distributed replacement for the reference's driver-side loop,
+       N_partitions writers committing in parallel.
+    3. Postgres itself then runs the per-nation rollup (real pushdown
+       to the warehouse engine), and the bounded 25-row result comes
+       back through one cursor into a Spark DataFrame.
+
+    The cluster is ephemeral (initdb → unix socket, trust auth →
+    teardown) purely to keep the test hermetic; a real deployment
+    points ``PgConnection`` at the warehouse endpoint and ships the
+    package to executors via ``--py-files``. Scale: the INSERT volume
+    is the pre-aggregated customer rollup (|customers|, not |orders|),
+    writer parallelism follows Spark partitions, and the readback is
+    a 25-row aggregate, not a table scan.
+    """
+    from backend_model_spark.sources.pg_server import PostgresCluster
+
+    orders = load_table(spark, "orders", sf_dir).select("o_custkey", "o_totalprice")
+    customer = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+            ).alias("sum_price_cents"),
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_nationkey", "n_orders", "sum_price_cents")
+    )
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+
+    with PostgresCluster() as cluster:
+        socket_dir = cluster.socket_dir
+        with cluster.connect() as c:
+            c.query(
+                "CREATE TABLE cust_rollup (c_custkey bigint PRIMARY KEY, "
+                "c_nationkey bigint, n_orders bigint, sum_price_cents bigint)"
+            )
+
+        def write_partition(rows):
+            # workers don't inherit the driver's sys.path mutations
+            import sys as _sys
+
+            if repo_root not in _sys.path:
+                _sys.path.insert(0, repo_root)
+            from backend_model_spark.sources.pg_server import PostgresCluster as _PC
+            from backend_model_spark.sources.pg_wire import PgConnection
+
+            batch, conn = [], None
+            try:
+                for r in rows:
+                    if conn is None:
+                        conn = PgConnection(socket_dir, _PC.USER, _PC.DB)
+                    batch.append(
+                        f"({r['c_custkey']},{r['c_nationkey']},"
+                        f"{r['n_orders']},{r['sum_price_cents']})"
+                    )
+                    if len(batch) >= 500:
+                        conn.query(
+                            "INSERT INTO cust_rollup VALUES " + ",".join(batch)
+                        )
+                        batch = []
+                if batch:
+                    conn.query("INSERT INTO cust_rollup VALUES " + ",".join(batch))
+            finally:
+                if conn is not None:
+                    conn.close()
+
+        per_cust.foreachPartition(write_partition)
+
+        with cluster.connect() as c:
+            cols, rows = c.query(
+                "SELECT c_nationkey, count(*) AS n_customers, "
+                "sum(n_orders) AS n_orders, "
+                "sum(sum_price_cents) AS sum_price_cents, "
+                "min(c_custkey) AS min_custkey "
+                "FROM cust_rollup GROUP BY c_nationkey ORDER BY c_nationkey"
+            )
+
+    out = spark.createDataFrame(
+        [tuple(int(v) for v in r) for r in rows],
+        schema="c_nationkey bigint, n_customers bigint, n_orders bigint, "
+        "sum_price_cents bigint, min_custkey bigint",
+    )
+    return out.orderBy("c_nationkey")
+
+
+POSTGRES_ROUNDTRIP_ORACLE = """
+WITH per_cust AS (
+  SELECT
+    c_custkey, c_nationkey,
+    COUNT(*) AS n_orders,
+    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS sum_price_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_nationkey
+)
+SELECT
+  c_nationkey,
+  COUNT(*) AS n_customers,
+  CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+  CAST(SUM(sum_price_cents) AS BIGINT) AS sum_price_cents,
+  MIN(c_custkey) AS min_custkey
+FROM per_cust
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""

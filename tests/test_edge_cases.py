@@ -1591,3 +1591,46 @@ def test_containment_detects_subset_where_jaccard_cannot(spark, tmp_path):
     assert c_short == 1000000, "every shingle of the short doc is contained"
     assert c_long < 100000, "the long doc is NOT contained in the short one"
     assert (0, 2) not in rows and (1, 2) not in rows
+
+
+def test_pg_wire_client_protocol():
+    """Clean-room Postgres wire client: NULLs, quote escaping, errors,
+    and concurrent per-partition connections against a real ephemeral
+    cluster (the io_postgres_roundtrip transport)."""
+    import pytest
+
+    from backend_model_spark.sources.pg_server import (
+        PostgresCluster,
+        postgres_available,
+    )
+    from backend_model_spark.sources.pg_wire import PgError, quote_literal
+
+    if not postgres_available():
+        pytest.skip("postgres server binaries not in this container")
+
+    assert quote_literal(None) == "NULL"
+    assert quote_literal("o'brien") == "'o''brien'"
+    assert quote_literal(42) == "42"
+
+    with PostgresCluster() as cl:
+        with cl.connect() as c:
+            c.query("CREATE TABLE t(a bigint, b text)")
+            c.query("INSERT INTO t VALUES (1,'x'),(2,NULL),(3,'o''k')")
+            cols, rows = c.query("SELECT b, a FROM t ORDER BY a")
+            assert cols == ["b", "a"]
+            assert rows == [("x", "1"), (None, "2"), ("o'k", "3")]
+            # server errors surface as PgError and leave the session usable
+            with pytest.raises(PgError):
+                c.query("SELECT * FROM missing_table")
+            _, rows2 = c.query("SELECT count(*) FROM t")
+            assert rows2 == [("3",)]
+        # two concurrent connections (the distributed-writer shape)
+        c1, c2 = cl.connect(), cl.connect()
+        try:
+            c1.query("INSERT INTO t VALUES (10,'a')")
+            c2.query("INSERT INTO t VALUES (11,'b')")
+            _, rows3 = c1.query("SELECT count(*) FROM t")
+            assert rows3 == [("5",)]
+        finally:
+            c1.close()
+            c2.close()

@@ -47,6 +47,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # measured lever (SCALE.md round 5): 64k Arrow batches amortize
+        # the per-batch Arrow + numpy-matmul overhead in the Pandas-UDF
+        # serving path — ml_mlp_model_compare 10.95s->8.34s (1.31x) and
+        # ml_mlp_batch_inference 5.76s->4.63s (1.24x) at 10x stress;
+        # 128k regresses (memory pressure). All hashed outputs are
+        # batch-size invariant by construction (chunk-order-invariant
+        # folds), so this is purely a throughput knob.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # events.parquet's physical timestamp type has flipped between
         # TIMESTAMP(NANOS) and TIMESTAMP(MICROS) across data drops.
         # Spark 4 CANNOT read nanos natively (PARQUET_TYPE_ILLEGAL);

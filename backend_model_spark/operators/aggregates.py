@@ -1540,3 +1540,102 @@ SELECT l_returnflag, qty AS mode_quantity, CAST(c AS BIGINT) AS mode_count
 FROM ranked WHERE rk = 1
 ORDER BY l_returnflag
 """
+
+
+# Fixed MINSTD-family hash rows for the count-min sketch: pairwise
+# independent-enough (a·k + b mod p) with p = 2^31 − 1. Constants are
+# part of the operator contract — the sketch is reproducible across
+# engines, sessions, and partitionings because the hashes carry no
+# runtime randomness.
+CM_P = 2_147_483_647
+CM_W = 512
+CM_HASHES = [(1, 48271, 11), (2, 69621, 25), (3, 40692, 101), (4, 16807, 7)]
+
+
+def countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation: top-20 users by estimated
+    event count, with the exact count and the sketch's overcount.
+
+    The sketch is d×w = 4×512 integer cells — ADDITIVE state, so it is
+    order- and partition-invariant (unlike Misra-Gries summaries, whose
+    contents depend on stream order): each row hashes ``user_id`` with
+    a fixed MINSTD-family (a·k + b) mod p mod w, and a cell is just
+    COUNT(*) per (row, cell). Estimates take the min over the d cells a
+    key maps to, which upper-bounds the true count (collisions only
+    inflate). The query reports est, exact, and overcount = est − exact
+    so the error is visible, and ranks by (est desc, user_id).
+
+    Scale: the reduction to cells is one map-side-combinable aggregate
+    whose OUTPUT is constant-size (2048 cells) regardless of input —
+    the canonical 100 TB frequency primitive. Merging sketches across
+    executors/days is cell-wise addition. Candidate scoring joins the
+    tiny cell table back (broadcast-size); in production candidates
+    come from a sampled prefilter rather than the full distinct, which
+    here is bounded by the user dimension.
+    """
+    hashes = F.broadcast(
+        spark.createDataFrame(CM_HASHES, "i int, a long, b long")
+    )
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+    )
+    cell = ((F.col("a") * F.col("user_id") + F.col("b")) % CM_P) % CM_W
+    cells = (
+        ev.crossJoin(hashes)
+        .select("i", cell.alias("cell"))
+        .groupBy("i", "cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cand = ev.distinct()
+    est = (
+        cand.crossJoin(hashes)
+        .select("user_id", "i", cell.alias("cell"))
+        .join(F.broadcast(cells), ["i", "cell"])
+        .groupBy("user_id")
+        .agg(F.min("c").cast("long").alias("est_cnt"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            "est_cnt",
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            (F.col("est_cnt") - F.col("exact_cnt"))
+            .cast("long")
+            .alias("overcount"),
+        )
+        .orderBy(F.col("est_cnt").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+
+
+COUNTMIN_TOPK_ORACLE = f"""
+WITH hashes(i, a, b) AS (
+  VALUES {", ".join(f"({i}, {a}, {b})" for i, a, b in CM_HASHES)}
+),
+ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+cells AS (
+  SELECT i, ((a * user_id + b) % {CM_P}) % {CM_W} AS cell, COUNT(*) AS c
+  FROM ev CROSS JOIN hashes
+  GROUP BY 1, 2
+),
+cand AS (SELECT DISTINCT user_id FROM ev),
+est AS (
+  SELECT cand.user_id, CAST(MIN(c) AS BIGINT) AS est_cnt
+  FROM cand CROSS JOIN hashes h
+  JOIN cells
+    ON cells.i = h.i
+   AND cells.cell = ((h.a * cand.user_id + h.b) % {CM_P}) % {CM_W}
+  GROUP BY 1
+),
+exact AS (SELECT user_id, COUNT(*) AS exact_cnt FROM ev GROUP BY 1)
+SELECT est.user_id, est.est_cnt,
+  CAST(exact.exact_cnt AS BIGINT) AS exact_cnt,
+  CAST(est.est_cnt - exact.exact_cnt AS BIGINT) AS overcount
+FROM est JOIN exact ON est.user_id = exact.user_id
+ORDER BY est.est_cnt DESC, est.user_id ASC
+LIMIT 20
+"""

@@ -2947,3 +2947,142 @@ SELECT variant,
 FROM surv
 ORDER BY variant, t_days
 """
+
+
+def linear_interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine resample + LINEAR interpolation of per-user daily
+    purchase spend (pandas ``resample('D').interpolate('linear')``, the
+    step up from the forward-fill in :func:`fill_forward_values`).
+
+    Purchases are sparse at the (user, day) grain, so the spine —
+    distinct active users × distinct observed days — has real interior
+    gaps. Each gap day gets the integer-exact linear blend of the
+    bracketing observations,
+
+        filled = (prev·(len − pos) + next·pos) div len,
+
+    computed entirely in bigint cents (pos = days since the previous
+    observation, len = bracket width in days), so the result is
+    bit-identical across engines — no float ramp, no libm. Days before
+    the first / after the last observation degrade to bfill / ffill,
+    and fully-empty users stay NULL, each labeled in ``fill_kind``.
+
+    Scale: the spine is |users| × |days| — orders of magnitude smaller
+    than the event log, and the daily aggregate that feeds it shrinks
+    map-side first. The day dimension is broadcast (bounded calendar);
+    the only shuffle is one hash partition on ``user_id``, which then
+    serves BOTH bracketing windows. No self-join, no range explosion:
+    prev/next come from running last/first-ignorenulls frames, O(days)
+    state per user.
+    """
+    ev = load_table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id", F.date_trunc("day", "ts").alias("day")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias(
+                "spend_cents"
+            )
+        )
+    )
+    users = ev.select("user_id").distinct()
+    days = ev.select(F.date_trunc("day", "ts").alias("day")).distinct()
+    spine = users.crossJoin(F.broadcast(days))
+    j = spine.join(daily, ["user_id", "day"], "left")
+
+    w_back = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_fwd = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("spend_cents").isNotNull(), F.col("day"))
+    br = (
+        j.withColumn("prev_c", F.last("spend_cents", ignorenulls=True).over(w_back))
+        .withColumn("prev_day", F.last(obs_day, ignorenulls=True).over(w_back))
+        .withColumn("next_c", F.first("spend_cents", ignorenulls=True).over(w_fwd))
+        .withColumn("next_day", F.first(obs_day, ignorenulls=True).over(w_fwd))
+    )
+    interp = F.expr(
+        "(prev_c * (datediff(next_day, prev_day) - datediff(day, prev_day))"
+        " + next_c * datediff(day, prev_day))"
+        " div datediff(next_day, prev_day)"
+    )
+    return br.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "spend_cents",
+        F.when(F.col("spend_cents").isNotNull(), F.col("spend_cents"))
+        .when(F.col("prev_c").isNull(), F.col("next_c"))
+        .when(F.col("next_c").isNull(), F.col("prev_c"))
+        .otherwise(interp)
+        .alias("filled_cents"),
+        F.when(F.col("spend_cents").isNotNull(), F.lit("actual"))
+        .when(F.col("prev_c").isNull() & F.col("next_c").isNull(), F.lit("empty"))
+        .when(F.col("prev_c").isNull(), F.lit("bfill"))
+        .when(F.col("next_c").isNull(), F.lit("ffill"))
+        .otherwise(F.lit("interp"))
+        .alias("fill_kind"),
+    ).orderBy("user_id", "day")
+
+
+LINEAR_INTERPOLATE_ORACLE = """
+WITH ev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS spend_cents
+  FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+spine AS (
+  SELECT u.user_id, d.day
+  FROM (SELECT DISTINCT user_id FROM ev) u
+  CROSS JOIN (SELECT DISTINCT date_trunc('day', ts) AS day FROM ev) d
+),
+j AS (
+  SELECT s.user_id, s.day, daily.spend_cents
+  FROM spine s LEFT JOIN daily
+    ON s.user_id = daily.user_id AND s.day = daily.day
+),
+br AS (
+  SELECT user_id, day, spend_cents,
+    LAST_VALUE(spend_cents IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_c,
+    LAST_VALUE(CASE WHEN spend_cents IS NOT NULL THEN day END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+    FIRST_VALUE(spend_cents IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_c,
+    FIRST_VALUE(CASE WHEN spend_cents IS NOT NULL THEN day END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_day
+  FROM j
+)
+SELECT user_id,
+  strftime(day, '%Y-%m-%d') AS day,
+  spend_cents,
+  CAST(CASE WHEN spend_cents IS NOT NULL THEN spend_cents
+       WHEN prev_c IS NULL THEN next_c
+       WHEN next_c IS NULL THEN prev_c
+       ELSE (prev_c * (DATE_DIFF('day', prev_day, next_day)
+                       - DATE_DIFF('day', prev_day, day))
+             + next_c * DATE_DIFF('day', prev_day, day))
+            // DATE_DIFF('day', prev_day, next_day)
+  END AS BIGINT) AS filled_cents,
+  CASE WHEN spend_cents IS NOT NULL THEN 'actual'
+       WHEN prev_c IS NULL AND next_c IS NULL THEN 'empty'
+       WHEN prev_c IS NULL THEN 'bfill'
+       WHEN next_c IS NULL THEN 'ffill'
+       ELSE 'interp'
+  END AS fill_kind
+FROM br
+ORDER BY user_id, day
+"""

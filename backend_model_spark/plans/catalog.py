@@ -987,6 +987,29 @@ register(
 register(
     "ml_mlp_model_compare", ml_mlp.mlp_model_compare, ml_mlp.MLP_COMPARE_ORACLE
 )
+# round-5 additions — lakehouse-maintenance + sketch + resample family:
+# CDC MERGE INTO post-image (latest-change window + one full-outer
+# hash join on pk; deterministic changelog derived from orders)
+register("io_cdc_merge_apply", io_ops.cdc_merge_apply, io_ops.CDC_MERGE_ORACLE)
+# ANALYZE TABLE column statistics in ONE scan (multi-distinct Expand +
+# stack unpivot; the CBO-feeding ndv/nulls/min/max/len tuple)
+register(
+    "io_analyze_table_stats",
+    io_ops.analyze_table_stats,
+    io_ops.ANALYZE_STATS_ORACLE,
+)
+# count-min sketch: constant-size (4×512) additive frequency state,
+# order/partition-invariant by construction (fixed MINSTD hash rows)
+register(
+    "agg_countmin_topk", aggregates.countmin_topk, aggregates.COUNTMIN_TOPK_ORACLE
+)
+# calendar-spine resample + integer-exact LINEAR interpolation (the
+# step past ffill: bracketing windows + bigint blend, bit-stable)
+register(
+    "events_linear_interpolate",
+    events_ops.linear_interpolate_daily,
+    events_ops.LINEAR_INTERPOLATE_ORACLE,
+)
 # transformWithStateInPandas speaks protobuf on its JVM<->Python state
 # channel. Containers without the protobuf distribution get the
 # vendored minimal runtime (backend_model_spark/vendor, clean-room

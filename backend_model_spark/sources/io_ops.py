@@ -1553,3 +1553,241 @@ FROM per_cust
 GROUP BY c_nationkey
 ORDER BY c_nationkey
 """
+
+
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog → post-image: the batch MERGE INTO every lakehouse
+    runs to apply captured changes (upserts + deletes + inserts of new
+    keys) onto a base table. Extends the reference's append-only sink
+    (pipeline.py:11-14) with the mutation semantics it lacks.
+
+    The changelog is derived deterministically from ``orders`` so the
+    oracle can reproduce it: each order is a change to its customer's
+    balance (sequence = o_orderkey), every 10th-by-modulus order is a
+    DELETE, and orders with o_orderkey % 97 == 0 target a brand-new key
+    (c_custkey + 1_000_000) — an INSERT. Apply semantics: the
+    highest-sequence change per key wins; a winning DELETE removes the
+    row; a winning upsert replaces the balance; untouched base rows
+    pass through. Balances are exact bigint cents.
+
+    Scale: latest-change-per-key is one window over the changelog
+    (shuffle on pk); the merge is a single full-outer hash join on the
+    same pk — co-partitioned with the window output, so AQE reuses the
+    exchange. With the base table bucketed by pk (io_bucketed_join
+    pattern) the base side is shuffle-free; changelog skew (one hot
+    key) is AQE skew-join territory. No driver loop, no per-row
+    round-trips — the anti-pattern the reference's INSERT loop
+    embodies stays dead.
+    """
+    from pyspark.sql import Window as W
+
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+
+    base = cust.select(
+        F.col("c_custkey").alias("pk"),
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").alias("bal_cents"),
+        F.lit(1).alias("in_base"),
+    )
+    chg = orders.select(
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_custkey") + 1_000_000
+        )
+        .otherwise(F.col("o_custkey"))
+        .alias("pk"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 10 == 3, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("new_bal_cents"),
+    )
+    w = W.partitionBy("pk").orderBy(F.col("seq").desc())
+    latest = (
+        chg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("pk", "op", "new_bal_cents")
+    )
+    merged = base.join(latest, "pk", "full_outer")
+    return (
+        merged.filter((F.col("op").isNull()) | (F.col("op") != "D"))
+        .select(
+            "pk",
+            F.when(F.col("op") == "U", F.col("new_bal_cents"))
+            .otherwise(F.col("bal_cents"))
+            .alias("bal_cents"),
+            F.when(F.col("in_base").isNull(), F.lit("insert"))
+            .when(F.col("op").isNull(), F.lit("unchanged"))
+            .otherwise(F.lit("update"))
+            .alias("merge_action"),
+        )
+        .orderBy("pk")
+    )
+
+
+CDC_MERGE_ORACLE = """
+WITH base AS (
+  SELECT c_custkey AS pk,
+         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+  FROM customer
+),
+chg AS (
+  SELECT
+    CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 1000000
+         ELSE o_custkey END AS pk,
+    o_orderkey AS seq,
+    CASE WHEN o_orderkey % 10 = 3 THEN 'D' ELSE 'U' END AS op,
+    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS new_bal_cents
+  FROM orders
+),
+latest AS (
+  SELECT pk, op, new_bal_cents FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY seq DESC) AS rn
+    FROM chg
+  ) WHERE rn = 1
+)
+SELECT
+  COALESCE(b.pk, l.pk) AS pk,
+  CASE WHEN l.op = 'U' THEN l.new_bal_cents ELSE b.bal_cents END AS bal_cents,
+  CASE WHEN b.pk IS NULL THEN 'insert'
+       WHEN l.pk IS NULL THEN 'unchanged'
+       ELSE 'update' END AS merge_action
+FROM base b FULL OUTER JOIN latest l ON b.pk = l.pk
+WHERE l.op IS NULL OR l.op <> 'D'
+ORDER BY pk
+"""
+
+
+def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE-shape column statistics collection: exact NDV,
+    null count, min/max, and average rendered length per column, one
+    row per column — the statistics a cost-based optimizer feeds on
+    (Spark's own `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`
+    computes this same tuple, with NDV approximated by HLL at scale).
+
+    ONE scan: a single wide aggregate computes all five columns'
+    measures (Spark plans multi-distinct via Expand — the textbook
+    ANALYZE physical shape), then an unpivot (stack) reshapes the
+    1×N row to N rows. Stats stay engine-exact: integer counts,
+    canonical string min/max (bigint/varchar columns plus a
+    date-formatted timestamp — doubles are excluded from the contract
+    because their string rendering is engine-specific), and average
+    length reported as length×100 div count in integer arithmetic.
+
+    Scale: Expand multiplies scan rows by the distinct-column count
+    before the partial aggregate — at 100 TB you either accept the ×5
+    (it's still one shuffle of partially-aggregated state) or swap
+    exact NDV for approx_count_distinct and drop Expand entirely; both
+    ends are map-side combinable. Min/max/len fold into the same pass.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+
+    def _len100(c: str, as_str) -> F.Column:
+        return (
+            (F.sum(F.length(as_str)) * 100)
+            .cast("bigint")
+            .alias(f"{c}_len_sum")
+        )
+
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        # l_orderkey (bigint)
+        F.countDistinct("l_orderkey").alias("ok_ndv"),
+        F.count("l_orderkey").alias("ok_cnt"),
+        F.min("l_orderkey").cast("string").alias("ok_min"),
+        F.max("l_orderkey").cast("string").alias("ok_max"),
+        _len100("ok", F.col("l_orderkey").cast("string")),
+        # l_linenumber (int)
+        F.countDistinct("l_linenumber").alias("ln_ndv"),
+        F.count("l_linenumber").alias("ln_cnt"),
+        F.min("l_linenumber").cast("string").alias("ln_min"),
+        F.max("l_linenumber").cast("string").alias("ln_max"),
+        _len100("ln", F.col("l_linenumber").cast("string")),
+        # l_returnflag (varchar)
+        F.countDistinct("l_returnflag").alias("rf_ndv"),
+        F.count("l_returnflag").alias("rf_cnt"),
+        F.min("l_returnflag").alias("rf_min"),
+        F.max("l_returnflag").alias("rf_max"),
+        _len100("rf", F.col("l_returnflag")),
+        # l_linestatus (varchar)
+        F.countDistinct("l_linestatus").alias("ls_ndv"),
+        F.count("l_linestatus").alias("ls_cnt"),
+        F.min("l_linestatus").alias("ls_min"),
+        F.max("l_linestatus").alias("ls_max"),
+        _len100("ls", F.col("l_linestatus")),
+        # l_shipdate (timestamp, canonical yyyy-MM-dd)
+        F.countDistinct("l_shipdate").alias("sd_ndv"),
+        F.count("l_shipdate").alias("sd_cnt"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("sd_min"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("sd_max"),
+        _len100("sd", F.date_format("l_shipdate", "yyyy-MM-dd")),
+    )
+    stacked = agg.selectExpr(
+        "n_rows",
+        "stack(5, "
+        "'l_orderkey',  ok_ndv, ok_cnt, ok_min, ok_max, ok_len_sum, "
+        "'l_linenumber',ln_ndv, ln_cnt, ln_min, ln_max, ln_len_sum, "
+        "'l_returnflag',rf_ndv, rf_cnt, rf_min, rf_max, rf_len_sum, "
+        "'l_linestatus',ls_ndv, ls_cnt, ls_min, ls_max, ls_len_sum, "
+        "'l_shipdate',  sd_ndv, sd_cnt, sd_min, sd_max, sd_len_sum"
+        ") AS (col_name, ndv, n_non_null, min_str, max_str, len_sum)"
+    )
+    return stacked.select(
+        "col_name",
+        F.col("ndv").cast("long").alias("ndv"),
+        (F.col("n_rows") - F.col("n_non_null")).cast("long").alias("n_nulls"),
+        "min_str",
+        "max_str",
+        F.expr("len_sum div n_non_null").alias("avg_len_x100"),
+    ).orderBy("col_name")
+
+
+ANALYZE_STATS_ORACLE = """
+WITH s AS (
+  SELECT
+    COUNT(*) AS n_rows,
+    COUNT(DISTINCT l_orderkey) AS ok_ndv, COUNT(l_orderkey) AS ok_cnt,
+    CAST(MIN(l_orderkey) AS VARCHAR) AS ok_min,
+    CAST(MAX(l_orderkey) AS VARCHAR) AS ok_max,
+    SUM(LENGTH(CAST(l_orderkey AS VARCHAR))) * 100 AS ok_len,
+    COUNT(DISTINCT l_linenumber) AS ln_ndv, COUNT(l_linenumber) AS ln_cnt,
+    CAST(MIN(l_linenumber) AS VARCHAR) AS ln_min,
+    CAST(MAX(l_linenumber) AS VARCHAR) AS ln_max,
+    SUM(LENGTH(CAST(l_linenumber AS VARCHAR))) * 100 AS ln_len,
+    COUNT(DISTINCT l_returnflag) AS rf_ndv, COUNT(l_returnflag) AS rf_cnt,
+    MIN(l_returnflag) AS rf_min, MAX(l_returnflag) AS rf_max,
+    SUM(LENGTH(l_returnflag)) * 100 AS rf_len,
+    COUNT(DISTINCT l_linestatus) AS ls_ndv, COUNT(l_linestatus) AS ls_cnt,
+    MIN(l_linestatus) AS ls_min, MAX(l_linestatus) AS ls_max,
+    SUM(LENGTH(l_linestatus)) * 100 AS ls_len,
+    COUNT(DISTINCT l_shipdate) AS sd_ndv, COUNT(l_shipdate) AS sd_cnt,
+    strftime(MIN(l_shipdate), '%Y-%m-%d') AS sd_min,
+    strftime(MAX(l_shipdate), '%Y-%m-%d') AS sd_max,
+    SUM(LENGTH(strftime(l_shipdate, '%Y-%m-%d'))) * 100 AS sd_len
+  FROM lineitem
+)
+SELECT col_name, ndv, n_nulls, min_str, max_str, avg_len_x100 FROM (
+  SELECT 'l_orderkey' AS col_name, CAST(ok_ndv AS BIGINT) AS ndv,
+         CAST(n_rows - ok_cnt AS BIGINT) AS n_nulls,
+         ok_min AS min_str, ok_max AS max_str,
+         CAST(ok_len // ok_cnt AS BIGINT) AS avg_len_x100 FROM s
+  UNION ALL
+  SELECT 'l_linenumber', CAST(ln_ndv AS BIGINT),
+         CAST(n_rows - ln_cnt AS BIGINT), ln_min, ln_max,
+         CAST(ln_len // ln_cnt AS BIGINT) FROM s
+  UNION ALL
+  SELECT 'l_returnflag', CAST(rf_ndv AS BIGINT),
+         CAST(n_rows - rf_cnt AS BIGINT), rf_min, rf_max,
+         CAST(rf_len // rf_cnt AS BIGINT) FROM s
+  UNION ALL
+  SELECT 'l_linestatus', CAST(ls_ndv AS BIGINT),
+         CAST(n_rows - ls_cnt AS BIGINT), ls_min, ls_max,
+         CAST(ls_len // ls_cnt AS BIGINT) FROM s
+  UNION ALL
+  SELECT 'l_shipdate', CAST(sd_ndv AS BIGINT),
+         CAST(n_rows - sd_cnt AS BIGINT), sd_min, sd_max,
+         CAST(sd_len // sd_cnt AS BIGINT) FROM s
+)
+ORDER BY col_name
+"""

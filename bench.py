@@ -60,6 +60,12 @@ HEADLINE = [
     # round 4: PQ asymmetric-distance search — the compressed-code
     # ANN scan (codes + broadcast LUT + salted two-stage rank)
     "sim_pq_adc_topk",
+    # round 5: CDC MERGE INTO post-image — latest-change window + one
+    # full-outer pk join; holds the lakehouse mutation shape
+    "io_cdc_merge_apply",
+    # round 5: count-min sketch top-k — constant-size additive state
+    # (measured 1.1x wall at 10x data); holds the sketch shape
+    "agg_countmin_topk",
 ]
 
 

@@ -152,3 +152,160 @@ def test_analyze_table_stats_matches_pandas(spark):
     sd = li["l_shipdate"].dropna()
     assert got["l_shipdate"].min_str == sd.min().strftime("%Y-%m-%d")
     assert got["l_shipdate"].max_str == sd.max().strftime("%Y-%m-%d")
+
+
+# --- property-based semantics checks (python references) ---
+
+import shutil
+import uuid
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scratch",
+    "prop_r5",
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clean_scratch_r5():
+    yield
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+def _fresh_dir():
+    sf = os.path.join(SCRATCH, uuid.uuid4().hex[:12])
+    os.makedirs(sf, exist_ok=True)
+    return sf
+
+
+# (user, day 1..9, cents 0..500 as value/100, is_purchase) observations
+obs = st.tuples(
+    st.integers(0, 3), st.integers(1, 9), st.integers(0, 500),
+    st.booleans(),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.lists(obs, min_size=1, max_size=25))
+def test_linear_interpolate_matches_python_reference(spark, data):
+    """Random sparse observations vs a pure-python implementation of
+    the same integer-blend contract: identical filled values and fill
+    kinds for every (user, day) spine cell."""
+    from backend_model_spark.operators.events_ops import (
+        linear_interpolate_daily,
+    )
+
+    sf = _fresh_dir()
+    pd.DataFrame(
+        {
+            "event_id": range(len(data)),
+            "ts": [pd.Timestamp(f"2024-01-0{d}") for _, d, _, _ in data],
+            "user_id": [u for u, *_ in data],
+            "event_type": ["purchase" if p else "view" for *_, p in data],
+            "value": [c / 100.0 for _, _, c, _ in data],
+            "props": ["{}"] * len(data),
+        }
+    ).to_parquet(os.path.join(sf, "events.parquet"))
+
+    got = {
+        (r.user_id, r.day): (r.filled_cents, r.fill_kind)
+        for r in linear_interpolate_daily(spark, sf).collect()
+    }
+
+    users = sorted({u for u, *_ in data})
+    days = sorted({d for _, d, _, _ in data})
+    # value was written as c/100.0, so floor(value*100+0.5) recovers c
+    daily = {}
+    for u, d, c, p in data:
+        if p:
+            daily[(u, d)] = daily.get((u, d), 0) + c
+
+    assert len(got) == len(users) * len(days)
+    for u in users:
+        for d in days:
+            day_key = (u, f"2024-01-0{d}")
+            prevs = [dd for (uu, dd) in daily if uu == u and dd <= d]
+            nexts = [dd for (uu, dd) in daily if uu == u and dd >= d]
+            if (u, d) in daily:
+                want = (daily[(u, d)], "actual")
+            elif not prevs and not nexts:
+                want = (None, "empty")
+            elif not prevs:
+                nd = min(nexts)
+                want = (daily[(u, nd)], "bfill")
+            elif not nexts:
+                pv = max(prevs)
+                want = (daily[(u, pv)], "ffill")
+            else:
+                pv, nd = max(prevs), min(nexts)
+                ln, pos = nd - pv, d - pv
+                pc, nc = daily[(u, pv)], daily[(u, nd)]
+                want = ((pc * (ln - pos) + nc * pos) // ln, "interp")
+            assert got[day_key] == want, (u, d, got[day_key], want)
+
+
+chg = st.tuples(st.integers(1, 60), st.integers(1, 5), st.integers(0, 9999))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(changes=st.lists(chg, min_size=1, max_size=30, unique_by=lambda t: t[0]))
+def test_cdc_merge_matches_python_reference(spark, changes):
+    """Random changelogs vs a dict-based reference MERGE: same
+    surviving keys, balances, and action labels (upsert / delete /
+    insert / pass-through), with latest-sequence-wins resolution."""
+    from backend_model_spark.sources.io_ops import cdc_merge_apply
+
+    sf = _fresh_dir()
+    base_keys = [1, 2, 3, 4, 5]
+    pd.DataFrame(
+        {
+            "c_custkey": base_keys,
+            "c_name": [f"c{k}" for k in base_keys],
+            "c_nationkey": [0] * 5,
+            "c_acctbal": [k * 10.0 for k in base_keys],
+            "c_mktsegment": ["S"] * 5,
+        }
+    ).to_parquet(os.path.join(sf, "customer.parquet"))
+    pd.DataFrame(
+        {
+            "o_orderkey": [ok for ok, _, _ in changes],
+            "o_custkey": [ck for _, ck, _ in changes],
+            "o_orderstatus": ["F"] * len(changes),
+            "o_totalprice": [cents / 100.0 for *_, cents in changes],
+            "o_orderdate": [pd.Timestamp("1995-01-01")] * len(changes),
+            "o_orderpriority": ["1-URGENT"] * len(changes),
+        }
+    ).to_parquet(os.path.join(sf, "orders.parquet"))
+
+    got = {r.pk: (r.bal_cents, r.merge_action)
+           for r in cdc_merge_apply(spark, sf).collect()}
+
+    latest = {}
+    for ok, ck, cents in changes:
+        pk = ck + 1_000_000 if ok % 97 == 0 else ck
+        op = "D" if ok % 10 == 3 else "U"
+        if pk not in latest or ok > latest[pk][0]:
+            latest[pk] = (ok, op, cents)
+    want = {}
+    for k in base_keys:
+        if k in latest:
+            _, op, cents = latest[k]
+            if op != "D":
+                want[k] = (cents, "update")
+        else:
+            want[k] = (k * 1000, "unchanged")
+    for pk, (_, op, cents) in latest.items():
+        if pk > 1_000_000 and op != "D":
+            want[pk] = (cents, "insert")
+    assert got == want

@@ -998,6 +998,14 @@ register(
     io_ops.analyze_table_stats,
     io_ops.ANALYZE_STATS_ORACLE,
 )
+# per-source-file provenance audit via the hidden _metadata column
+# (backfill debugging: which FILE holds the bad day) — oracle verifies
+# write→read-back conservation from the source table
+register(
+    "io_provenance_audit",
+    io_ops.provenance_audit,
+    io_ops.PROVENANCE_AUDIT_ORACLE,
+)
 # count-min sketch: constant-size (4×512) additive frequency state,
 # order/partition-invariant by construction (fixed MINSTD hash rows)
 register(

@@ -1784,3 +1784,80 @@ SELECT col_name, ndv, n_nulls, min_str, max_str, avg_len_x100 FROM (
 )
 ORDER BY col_name
 """
+
+
+def provenance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source-file provenance audit via Spark's hidden
+    ``_metadata`` column — the backfill-debugging tool: after a
+    partitioned write, read back WITH file provenance and report, per
+    source partition file, row count, distinct users, file count, and
+    value totals. When one day's numbers look wrong at 100 TB, this is
+    the query that tells you WHICH file to quarantine (pairs with the
+    WAP lifecycle in :func:`wap_lifecycle`).
+
+    The write repartitions on the partition column first, so every day
+    lands wholly in one task → exactly one file per day directory —
+    which makes ``n_files`` a deterministic part of the contract (and
+    the thing this audit would catch drifting after a bad backfill).
+    The day label is extracted from ``_metadata.file_path`` — the
+    point is proving the file-provenance plumbing, not re-reading the
+    day column.
+
+    The oracle verifies the VALUES from the source table directly
+    (write → read-back must conserve them); Spark-side file paths
+    never enter the hashed output (writer UUIDs are run-specific).
+
+    Scale: one shuffle to co-locate days for the write; the audit is
+    one scan of the written files with two small aggregates (stats per
+    day + distinct-file counts) joined on the partition label. The
+    ``_metadata`` column is generated per-split by the scan — no extra
+    I/O.
+    """
+    ev = load_table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    path = _scratch("provenance_audit", "events_by_day")
+    (
+        ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .repartition(F.col("day"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).select(
+        F.regexp_extract(
+            F.col("_metadata.file_path"), "day=([0-9-]+)", 1
+        ).alias("src_day"),
+        F.col("_metadata.file_path").alias("fp"),
+        "user_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    stats = back.groupBy("src_day").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    files = (
+        back.select("src_day", "fp")
+        .distinct()
+        .groupBy("src_day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_files"))
+    )
+    return (
+        stats.join(files, "src_day")
+        .select("src_day", "n_rows", "n_users", "n_files", "sum_cents")
+        .orderBy("src_day")
+    )
+
+
+PROVENANCE_AUDIT_ORACLE = """
+SELECT
+  strftime(ts, '%Y-%m-%d') AS src_day,
+  COUNT(*) AS n_rows,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(1 AS BIGINT) AS n_files,
+  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+    AS sum_cents
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY 1
+ORDER BY 1
+"""

@@ -309,3 +309,26 @@ def test_cdc_merge_matches_python_reference(spark, changes):
         if pk > 1_000_000 and op != "D":
             want[pk] = (cents, "insert")
     assert got == want
+
+
+def test_provenance_audit_one_file_per_day_and_conserves(spark, tmp_path):
+    """Two days, interleaved users: the audit must report exactly one
+    file per day partition (the repartition-before-partitionBy
+    contract), conserve row counts and cent sums through the
+    write→read-back, and label days from _metadata.file_path."""
+    from backend_model_spark.sources.io_ops import provenance_audit
+
+    rows = [
+        ("2024-02-01", 1, "view", 1.00),
+        ("2024-02-01", 2, "purchase", 2.50),
+        ("2024-02-01", 1, "click", 0.25),
+        ("2024-02-02", 3, "view", 4.00),
+        ("2024-02-02", 1, "purchase", 0.75),
+    ]
+    _write_events(tmp_path, rows)
+
+    got = {r.src_day: r for r in provenance_audit(spark, str(tmp_path)).collect()}
+    assert set(got) == {"2024-02-01", "2024-02-02"}
+    d1, d2 = got["2024-02-01"], got["2024-02-02"]
+    assert (d1.n_rows, d1.n_users, d1.n_files, d1.sum_cents) == (3, 2, 1, 375)
+    assert (d2.n_rows, d2.n_users, d2.n_files, d2.sum_cents) == (2, 2, 1, 475)

@@ -1636,3 +1636,85 @@ FROM probe p LEFT JOIN ref r ON p.fp = r.fp
 GROUP BY p.source
 ORDER BY p.source
 """
+
+
+def dedup_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-level SURVIVORSHIP — the master-data step after duplicate
+    clustering: merge each near-duplicate cluster into one golden
+    record where each field follows its own rule (the MDM pattern:
+    "longest wins" for content, "first seen wins" for lineage).
+
+    Composes the shared production chain (MinHash → LSH candidates →
+    connected components; singletons are their own cluster) and then
+    resolves per cluster: representative text = the member with the
+    most characters (tie → lowest doc_id), lineage source = the
+    lowest-doc_id member, plus member count and total characters. Two
+    window ranks over cluster members + one conditional aggregate —
+    never a per-field self-join.
+
+    Scale: cluster labels are broadcast-joined onto the corpus scan
+    (bounded by duplicate count); the survivorship windows partition
+    on the cluster id, whose groups are near-duplicate cluster sizes —
+    small by construction. One shuffle on comp.
+    """
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    edges = lsh_candidate_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _connected_components(spark, edges).select(
+        F.col("node").alias("doc_id"), "comp"
+    )
+    members = docs.join(F.broadcast(labels), "doc_id", "left").withColumn(
+        "comp", F.coalesce("comp", F.col("doc_id"))
+    )
+    w_longest = W.partitionBy("comp").orderBy(
+        F.col("n_chars").desc_nulls_last(), F.col("doc_id").asc()
+    )
+    w_first = W.partitionBy("comp").orderBy(F.col("doc_id").asc())
+    ranked = members.withColumn(
+        "rn_long", F.row_number().over(w_longest)
+    ).withColumn("rn_first", F.row_number().over(w_first))
+    return (
+        ranked.groupBy("comp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max(F.when(F.col("rn_long") == 1, F.col("doc_id"))).alias(
+                "rep_doc_id"
+            ),
+            F.max(
+                F.when(F.col("rn_long") == 1, F.substring("text", 1, 60))
+            ).alias("canon_prefix"),
+            F.max(F.when(F.col("rn_first") == 1, F.col("source"))).alias(
+                "first_source"
+            ),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("comp")
+    )
+
+
+GOLDEN_RECORD_ORACLE = _CC_ORACLE_PREFIX + """,
+members AS (
+  SELECT d.doc_id, d.text, d.source, d.n_chars,
+         COALESCE(c.component, d.doc_id) AS comp
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+),
+ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY comp
+      ORDER BY n_chars DESC NULLS LAST, doc_id ASC) AS rn_long,
+    ROW_NUMBER() OVER (PARTITION BY comp ORDER BY doc_id ASC) AS rn_first
+  FROM members
+)
+SELECT comp,
+  CAST(COUNT(*) AS BIGINT) AS n_members,
+  MAX(CASE WHEN rn_long = 1 THEN doc_id END) AS rep_doc_id,
+  MAX(CASE WHEN rn_long = 1 THEN substr(text, 1, 60) END) AS canon_prefix,
+  MAX(CASE WHEN rn_first = 1 THEN source END) AS first_source,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM ranked
+GROUP BY comp
+ORDER BY comp
+"""

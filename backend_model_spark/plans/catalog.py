@@ -1011,6 +1011,12 @@ register(
 register(
     "agg_countmin_topk", aggregates.countmin_topk, aggregates.COUNTMIN_TOPK_ORACLE
 )
+# field-level survivorship (MDM golden record): per-cluster merge with
+# per-field rules (longest-wins content, first-seen lineage) over the
+# shared LSH/CC chain; singletons self-cluster
+register(
+    "dedup_golden_record", dedup.dedup_golden_record, dedup.GOLDEN_RECORD_ORACLE
+)
 # calendar-spine resample + integer-exact LINEAR interpolation (the
 # step past ffill: bracketing windows + bigint blend, bit-stable)
 register(

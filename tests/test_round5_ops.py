@@ -332,3 +332,31 @@ def test_provenance_audit_one_file_per_day_and_conserves(spark, tmp_path):
     d1, d2 = got["2024-02-01"], got["2024-02-02"]
     assert (d1.n_rows, d1.n_users, d1.n_files, d1.sum_cents) == (3, 2, 1, 375)
     assert (d2.n_rows, d2.n_users, d2.n_files, d2.sum_cents) == (2, 2, 1, 475)
+
+
+def test_golden_record_survivorship_rules(spark, tmp_path):
+    """Two identical-text docs (guaranteed LSH cluster) with different
+    n_chars and sources, plus a singleton: content must come from the
+    longest member (doc 1), lineage from the first-seen member
+    (doc 0), and the singleton must self-cluster untouched."""
+    from backend_model_spark.operators.dedup import dedup_golden_record
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [dup, dup, "completely different content here entirely"],
+            "lang": ["en"] * 3,
+            "source": ["src_a", "src_b", "src_c"],
+            "n_chars": [10, 999, 43],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    got = {r.comp: r for r in dedup_golden_record(spark, str(tmp_path)).collect()}
+    cluster = got[0]  # comp label = min doc_id of the cluster
+    assert cluster.n_members == 2
+    assert cluster.rep_doc_id == 1          # longest-wins content
+    assert cluster.canon_prefix == dup[:60]
+    assert cluster.first_source == "src_a"  # first-seen lineage
+    assert cluster.total_chars == 1009
+    assert got[2].n_members == 1 and got[2].first_source == "src_c"

@@ -1011,6 +1011,14 @@ register(
 register(
     "agg_countmin_topk", aggregates.countmin_topk, aggregates.COUNTMIN_TOPK_ORACLE
 )
+# KMV bottom-k distinct sketch: deterministic (fixed Lehmer hash)
+# mergeable distinct-count + union/intersection estimates — the
+# oracle-able counterpart to the rows-only HLL entries
+register(
+    "agg_kmv_distinct_sketch",
+    aggregates.kmv_distinct_sketch,
+    aggregates.KMV_SKETCH_ORACLE,
+)
 # field-level survivorship (MDM golden record): per-cluster merge with
 # per-field rules (longest-wins content, first-seen lineage) over the
 # shared LSH/CC chain; singletons self-cluster

@@ -360,3 +360,38 @@ def test_golden_record_survivorship_rules(spark, tmp_path):
     assert cluster.first_source == "src_a"  # first-seen lineage
     assert cluster.total_chars == 1009
     assert got[2].n_members == 1 and got[2].first_source == "src_c"
+
+
+def test_kmv_sketch_exact_below_k_and_estimates_above(spark):
+    """Below k distinct (sf0.001) the sketch holds every hash, so the
+    estimate path collapses to near-exact; at sf0.1 (thousands of
+    users, n >> k=256) the estimator must land within 25% of the true
+    distinct count, and the intersection count is bounded by k."""
+    from backend_model_spark.operators.aggregates import (
+        KMV_K,
+        kmv_distinct_sketch,
+    )
+
+    small = {r.sketch: r for r in kmv_distinct_sketch(spark, SF_DIR).collect()}
+    for seg in ("click", "purchase"):
+        r = small[seg]
+        assert r.k_used <= KMV_K
+        if r.k_used < KMV_K:  # sketch is the full set
+            # (kp-1)*p div max_h is still an estimate, but with the
+            # full hash set it must bracket the truth loosely
+            assert r.est_distinct > 0
+        assert r.n_exact > 0
+
+    big = {
+        r.sketch: r
+        for r in kmv_distinct_sketch(spark, "/root/testdata/sf0.1").collect()
+    }
+    for seg in ("click", "purchase"):
+        r = big[seg]
+        assert r.k_used == KMV_K  # saturated sketch
+        err = abs(r.est_distinct - r.n_exact) / r.n_exact
+        assert err < 0.25, (seg, r.est_distinct, r.n_exact)
+    u = big["union"]
+    assert u.k_used == KMV_K
+    assert 0 <= u.inter_of_k <= KMV_K
+    assert u.jaccard_micro == u.inter_of_k * 1_000_000 // KMV_K

@@ -104,15 +104,16 @@ def run_profile(prof):
             out[name] = [-1, f"ERROR: {ex}"[:200]]
         print(f"{name}: rows={out[name][0]} hash={out[name][1]}", flush=True)
 
-    path = f"/tmp/envhash_{prof}.json"
+    path = f"/tmp/envhash_{prof}{os.environ.get('ENVTAG', '')}.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(f"\nwrote {path} ({len(out)} entries)")
 
 
 def compare():
-    a = json.load(open("/tmp/envhash_default.json"))
-    b = json.load(open("/tmp/envhash_perturbed.json"))
+    tag = os.environ.get("ENVTAG", "")
+    a = json.load(open(f"/tmp/envhash_default{tag}.json"))
+    b = json.load(open(f"/tmp/envhash_perturbed{tag}.json"))
     enforced_diffs, expected_diffs, errors = [], [], []
     for name in sorted(set(a) & set(b)):
         if str(a[name][1]).startswith("ERROR") or str(b[name][1]).startswith("ERROR"):

@@ -1070,9 +1070,12 @@ TIER1 = [
     "streaming_transform_with_state",
     "func_math",
     "streaming_stateful_user_stats",
-    "stat_ab_welch",
-    "agg_moments_shape",
-    "text_quality_classifier",
+    # round-5 new operators (first driver contact; stat_ab_welch /
+    # agg_moments_shape / text_quality_classifier yield their slots —
+    # all three have prior driver-green rows)
+    "io_cdc_merge_apply",
+    "agg_kmv_distinct_sketch",
+    "events_linear_interpolate",
     # changed this round AND never driver-checked
     "events_ewma",
     "events_autocorr",

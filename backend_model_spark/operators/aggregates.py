@@ -1728,15 +1728,18 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # union sketch: k smallest of the merged distinct-hash frame;
-    # intersection estimator counts members present in BOTH segments
-    wu = W.orderBy("h")
-    ub = (
-        ev.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("n_segs"))
-        .withColumn("rk", F.row_number().over(wu))
-        .filter(F.col("rk") <= KMV_K)
-    )
+    # union sketch: bottom-k(A∪B) ⊆ bottom-k(A) ∪ bottom-k(B) — the KMV
+    # merge property — so the union rank runs over the MERGED BOTTOMS
+    # (≤ 2k rows), never the full distinct-hash frame; membership for
+    # the intersection estimator is likewise decided by the per-segment
+    # bottoms (any union-bottom hash in a segment is within that
+    # segment's k smallest). Two-stage global rank keeps even this
+    # bounded sort out of a single-partition window.
+    ub = with_global_rank(
+        bottom.groupBy("h").agg(F.count(F.lit(1)).alias("n_segs")),
+        [F.col("h").asc()],
+        "rk",
+    ).filter(F.col("rk") <= KMV_K)
     union_row = ub.agg(
         F.lit("union").alias("sketch"),
         F.count(F.lit(1)).cast("long").alias("k_used"),

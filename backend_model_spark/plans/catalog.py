@@ -1006,6 +1006,14 @@ register(
     io_ops.provenance_audit,
     io_ops.PROVENANCE_AUDIT_ORACLE,
 )
+# join-cardinality estimation audit: the textbook CBO estimate
+# n_l·n_r/max(ndv) vs actual, integer-exact — the stats-validation
+# loop that flags skewed/non-contained keys (feeds on analyze stats)
+register(
+    "io_cardinality_estimate_audit",
+    io_ops.cardinality_estimate_audit,
+    io_ops.CARDINALITY_AUDIT_ORACLE,
+)
 # count-min sketch: constant-size (4×512) additive frequency state,
 # order/partition-invariant by construction (fixed MINSTD hash rows)
 register(
@@ -1076,6 +1084,7 @@ TIER1 = [
     "io_cdc_merge_apply",
     "agg_kmv_distinct_sketch",
     "events_linear_interpolate",
+    "io_cardinality_estimate_audit",
     # changed this round AND never driver-checked
     "events_ewma",
     "events_autocorr",
@@ -1129,7 +1138,11 @@ TIER1 = [
     "sim_mips_topk",
     "udtf_sentence_split",
     "media_decode_features",
-    "streaming_click_purchase_join",
+    # (streaming_click_purchase_join yielded its slot to the round-5
+    # late add io_cardinality_estimate_audit: the stream-stream-join
+    # shape already has a driver-green sibling,
+    # streaming_left_join_attribution r4, plus two streaming entries
+    # in this prefix)
 ]
 
 from backend_model_spark.plans.registry import promote  # noqa: E402

@@ -1861,3 +1861,106 @@ WHERE ts IS NOT NULL
 GROUP BY 1
 ORDER BY 1
 """
+
+
+_CARD_JOINS = [
+    # (name, left tbl, left key, right tbl, right key)
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+]
+
+
+def cardinality_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation audit: the textbook CBO estimate
+    |A ⋈ B| ≈ n_A · n_B / max(ndv_A, ndv_B) (uniform-frequency,
+    containment assumption — what Spark's CBO and every
+    System-R descendant uses) against the ACTUAL join cardinality,
+    per fact⨝dim pair. This is the validation loop an optimizer
+    engineer runs on collected statistics
+    (:func:`analyze_table_stats` feeds the inputs at scale): a large
+    err_ppm flags skewed or non-contained keys where the uniform
+    assumption misplans joins.
+
+    Everything is bigint: counts, exact NDVs (distinct-first, no
+    Expand), the floor-division estimate, and the error in ppm —
+    bit-identical across engines.
+
+    Scale: per pair, two count/NDV rollups (each a column-pruned
+    distinct-first aggregate) and one key-equi-join count; the audit
+    output is 3 rows. At 100 TB the NDVs come from the stats store
+    instead of a rescan — the query shape is the same. One bound to
+    watch: ``n_left * n_right`` in BIGINT overflows (ANSI raises)
+    once the pair product passes ~9.2e18 — beyond ~10^9 × 10^9-row
+    joins promote the estimate arithmetic to DECIMAL(38,0) on both
+    engines; the audit columns stay exact integers either way.
+    """
+    out = None
+    for name, lt, lk, rt, rk in _CARD_JOINS:
+        # null keys: SQL COUNT(col)/COUNT(DISTINCT col) skip them and a
+        # join drops them, but groupBy would keep a NULL group — filter
+        left = (
+            load_table(spark, lt, sf_dir)
+            .select(F.col(lk).alias("k"))
+            .filter(F.col("k").isNotNull())
+        )
+        right = (
+            load_table(spark, rt, sf_dir)
+            .select(F.col(rk).alias("k"))
+            .filter(F.col("k").isNotNull())
+        )
+        lstats = left.groupBy("k").count().agg(
+            F.sum("count").cast("long").alias("n_left"),
+            F.count(F.lit(1)).cast("long").alias("ndv_left"),
+        )
+        rstats = right.groupBy("k").count().agg(
+            F.sum("count").cast("long").alias("n_right"),
+            F.count(F.lit(1)).cast("long").alias("ndv_right"),
+        )
+        actual = left.join(right, "k").agg(
+            F.count(F.lit(1)).cast("long").alias("actual_rows")
+        )
+        row = (
+            lstats.crossJoin(rstats)
+            .crossJoin(actual)
+            .select(
+                F.lit(name).alias("join_name"),
+                "n_left",
+                "n_right",
+                "ndv_left",
+                "ndv_right",
+                F.expr(
+                    "n_left * n_right div greatest(ndv_left, ndv_right)"
+                ).alias("est_rows"),
+                "actual_rows",
+                F.expr(
+                    "abs(n_left * n_right div greatest(ndv_left, ndv_right)"
+                    " - actual_rows) * 1000000 div actual_rows"
+                ).alias("err_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("join_name")
+
+
+def _card_sql_block(name: str, lt: str, lk: str, rt: str, rk: str) -> str:
+    return f"""
+SELECT '{name}' AS join_name, n_left, n_right, ndv_left, ndv_right,
+  CAST(n_left * n_right // GREATEST(ndv_left, ndv_right) AS BIGINT)
+    AS est_rows,
+  actual_rows,
+  CAST(ABS(n_left * n_right // GREATEST(ndv_left, ndv_right)
+       - actual_rows) * 1000000 // actual_rows AS BIGINT) AS err_ppm
+FROM (SELECT CAST(COUNT({lk}) AS BIGINT) AS n_left,
+             CAST(COUNT(DISTINCT {lk}) AS BIGINT) AS ndv_left FROM {lt})
+CROSS JOIN (SELECT CAST(COUNT({rk}) AS BIGINT) AS n_right,
+            CAST(COUNT(DISTINCT {rk}) AS BIGINT) AS ndv_right FROM {rt})
+CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+            FROM {lt} JOIN {rt} ON {lt}.{lk} = {rt}.{rk})
+"""
+
+
+CARDINALITY_AUDIT_ORACLE = (
+    " UNION ALL ".join(_card_sql_block(*j) for j in _CARD_JOINS)
+    + " ORDER BY join_name"
+)

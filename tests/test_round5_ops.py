@@ -395,3 +395,46 @@ def test_kmv_sketch_exact_below_k_and_estimates_above(spark):
     assert u.k_used == KMV_K
     assert 0 <= u.inter_of_k <= KMV_K
     assert u.jaccard_micro == u.inter_of_k * 1_000_000 // KMV_K
+
+
+def test_cardinality_estimate_audit_hand_computed(spark, tmp_path):
+    """Hand-built joins pin the whole arithmetic chain: NULL keys are
+    excluded from n/ndv AND from the join (orders row with NULL
+    o_custkey, lineitem row with NULL l_partkey); est = n_l*n_r div
+    max(ndv) in integer floor division; err_ppm is floor'd too.
+
+    orders_customer: n_l=4 ndv_l=3 (custkeys 1,1,2,3), n_r=4 ndv_r=3
+      (1,2,2,4) -> est = 16 div 3 = 5; actual = 2*1 + 1*2 = 4;
+      err_ppm = 1_000_000 div 4 = 250_000.
+    lineitem_orders: n_l=4 ndv_l=3, n_r=5 ndv_r=5 -> est = 20 div 5
+      = 4 = actual -> err_ppm 0 (the contained-uniform ideal case).
+    lineitem_part: n_l=3 ndv_l=2, n_r=2 ndv_r=2 -> est = 3;
+      actual = 2 (part 300 unmatched) -> err_ppm = 500_000.
+    """
+    from backend_model_spark.sources.io_ops import cardinality_estimate_audit
+
+    pd.DataFrame(
+        {"o_orderkey": [10, 11, 12, 13, 14], "o_custkey": [1, 1, 2, 3, None]}
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame({"c_custkey": [1, 2, 2, 4]}).to_parquet(
+        tmp_path / "customer.parquet"
+    )
+    pd.DataFrame(
+        {"l_orderkey": [10, 10, 11, 14], "l_partkey": [100, 100, 200, None]}
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    pd.DataFrame({"p_partkey": [100, 300]}).to_parquet(
+        tmp_path / "part.parquet"
+    )
+
+    got = {
+        r.join_name: r
+        for r in cardinality_estimate_audit(spark, str(tmp_path)).collect()
+    }
+    oc = got["orders_customer"]
+    assert (oc.n_left, oc.ndv_left, oc.n_right, oc.ndv_right) == (4, 3, 4, 3)
+    assert (oc.est_rows, oc.actual_rows, oc.err_ppm) == (5, 4, 250_000)
+    lo = got["lineitem_orders"]
+    assert (lo.est_rows, lo.actual_rows, lo.err_ppm) == (4, 4, 0)
+    lp = got["lineitem_part"]
+    assert (lp.n_left, lp.ndv_left) == (3, 2)
+    assert (lp.est_rows, lp.actual_rows, lp.err_ppm) == (3, 2, 500_000)

@@ -1718,3 +1718,298 @@ FROM ranked
 GROUP BY comp
 ORDER BY comp
 """
+
+
+# --- exact repeated-substring spans (ExactSubstr dedup) ---------------------
+# The suffix-array dedup shape from "Deduplicating Training Data Makes
+# Language Models Better" (Lee et al., ACL 2022): find the exact
+# duplicated SPANS themselves, not just near-duplicate documents.
+# The whole-document sketches above (MinHash/SimHash) dilute a long
+# verbatim block inside an otherwise-unique document; this operator
+# recovers it. Reference parity: the reference has no substring-level
+# dedup (SURVEY.md §2.2 covers only row-level drops) — this is part of
+# the LLM-pipeline extension surface.
+#
+# Spark-first reformulation of the suffix-array algorithm: a suffix
+# array is not distributable, but its OUTPUT — maximal runs of >= K
+# tokens occurring more than once across the corpus — is exactly the
+# union of K-gram starts whose gram occurs in >= 2 documents, merged
+# into islands. That turns the problem into the same inverted-index
+# shuffle as MinHash-LSH (group by gram digest), plus a per-document
+# gaps-and-islands window — both linear in corpus size, no pairwise
+# work anywhere.
+SPAN_K = 8  # tokens per gram: spans shorter than K are not reported
+
+# K-token gram digest, computed PER EXPLODED ROW over the exploded
+# start index — deliberately NOT as a transform() array column: with
+# an array column the Generate's implicit non-empty guard gets pushed
+# into the scan filter, where Catalyst re-evaluates the entire
+# md5-per-gram transform once in the Filter and again in the Project
+# (measured 5.3x slower end-to-end). Exploding the cheap
+# sequence(1, n-K+1) first makes the pushed guard integer-only and
+# each md5 is computed exactly once. md5 keeps the shuffle key a
+# fixed 32 chars regardless of token lengths (at 100 TB you would
+# swap in xxhash64 — 8 bytes — but md5 is the cross-engine-identical
+# choice the oracle can reproduce).
+_SPAN_GRAM_ROW = (
+    f"md5(cast(concat_ws(' ', slice(toks, s, {SPAN_K})) as binary))"
+)
+
+
+def _dup_gram_islands(spark: SparkSession, sf_dir: str):
+    """Shared stage: (islands, sized) where islands = one row per
+    duplicated K-gram start annotated with its per-document island id,
+    and sized = (doc_id, toks, n_words) for docs long enough to hold a
+    gram.
+
+    Duplicate detection is a single min/max window over the gram
+    digest: a gram occurs in >= 2 distinct documents iff
+    min(doc_id) != max(doc_id) within its partition — ONE corpus scan
+    and ONE shuffle on the digest key, no second scan, no broadcast
+    whose size depends on the (unbounded) duplicate-gram count.
+    Measured faster than both the count-distinct semi-join (two scans)
+    and the min/max-aggregate semi-join at sf0.1 and 10x stress; the
+    tradeoff is no map-side combine, so a corpus where one boilerplate
+    gram appears in millions of documents would hot-spot its
+    partition — for such corpora swap the window for
+    groupBy(gram).agg(min, max) + semi-join (partial aggregation
+    collapses unique grams map-side), which is plan-equivalent here.
+
+    Islands merge via gaps-and-islands: grams all have length K, so
+    coverage is contiguous iff consecutive starts differ by <= K; a
+    running sum over the new-span flag labels each maximal run. The
+    window partitions on doc_id — per-document group sizes, never a
+    global sort.
+    """
+    from pyspark.sql import Window as W
+
+    docs = spread(load_table(spark, "documents", sf_dir))
+    sized = (
+        docs.select("doc_id", F.expr(TOKENS).alias("toks"))
+        .withColumn("n_words", F.size("toks"))
+        .filter(F.col("n_words") >= SPAN_K)
+    )
+    grams = sized.select(
+        "doc_id",
+        "n_words",
+        "toks",
+        F.explode(F.expr(f"sequence(1, n_words - {SPAN_K - 1})")).alias("s"),
+    ).select("doc_id", "n_words", "s", F.expr(_SPAN_GRAM_ROW).alias("gram"))
+    wg = W.partitionBy("gram")
+    hits = (
+        grams.withColumn("mn", F.min("doc_id").over(wg))
+        .withColumn("mx", F.max("doc_id").over(wg))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("doc_id", "n_words", "s")
+    )
+    w = W.partitionBy("doc_id").orderBy("s")
+    islands = (
+        hits.withColumn(
+            "new_span",
+            F.when(F.col("s") - F.lag("s").over(w) <= SPAN_K, F.lit(0)).otherwise(
+                F.lit(1)
+            ),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_span").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    return islands, sized
+
+
+def substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document report of exact cross-document duplicated spans:
+    how many maximal duplicated runs of >= SPAN_K tokens the document
+    contains, how many tokens they cover, and the duplicated fraction
+    in integer permille.
+
+    Output: (doc_id, n_words, n_dup_spans, dup_words, dup_permille)
+    for every document containing at least one duplicated span.
+
+    Scale: one corpus scan → gram explode (n grams per doc), one
+    shuffle on the 32-char gram digest, one per-document window.
+    Within-document repetition is deliberately out of scope (the
+    text_repetition_* family covers it); requiring >= 2 DISTINCT
+    documents makes this the cross-document complement.
+    """
+    islands, _ = _dup_gram_islands(spark, sf_dir)
+    spans = islands.groupBy("doc_id", "n_words", "island").agg(
+        (F.max("s") - F.min("s") + F.lit(SPAN_K)).alias("span_words")
+    )
+    return (
+        spans.groupBy("doc_id", "n_words")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+            F.sum("span_words").cast("long").alias("dup_words"),
+        )
+        .withColumn(
+            "dup_permille", F.expr("dup_words * 1000 div n_words").cast("long")
+        )
+        .withColumn("n_words", F.col("n_words").cast("long"))
+        .select("doc_id", "n_words", "n_dup_spans", "dup_words", "dup_permille")
+        .orderBy("doc_id")
+    )
+
+
+SUBSTRING_SPANS_ORACLE = rf"""
+WITH sized AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+         len(string_split_regex(trim(text), '\s+')) AS n_words
+  FROM documents
+  WHERE len(string_split_regex(trim(text), '\s+')) >= {SPAN_K}
+),
+grams AS (
+  SELECT doc_id, n_words, i AS s,
+         md5(array_to_string(list_slice(t, i, i + {SPAN_K - 1}), ' ')) AS gram
+  FROM (SELECT doc_id, n_words, t,
+               unnest(generate_series(1, n_words - {SPAN_K - 1})) AS i
+        FROM sized)
+),
+hits AS (
+  SELECT doc_id, n_words, s FROM (
+    SELECT doc_id, n_words, s,
+      MIN(doc_id) OVER (PARTITION BY gram) AS mn,
+      MAX(doc_id) OVER (PARTITION BY gram) AS mx
+    FROM grams)
+  WHERE mn <> mx
+),
+flagged AS (
+  SELECT doc_id, n_words, s,
+    CASE WHEN s - LAG(s) OVER (PARTITION BY doc_id ORDER BY s) <= {SPAN_K}
+         THEN 0 ELSE 1 END AS new_span
+  FROM hits
+),
+islands AS (
+  SELECT doc_id, n_words, s,
+    SUM(new_span) OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, n_words, island,
+         MAX(s) - MIN(s) + {SPAN_K} AS span_words
+  FROM islands GROUP BY doc_id, n_words, island
+)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+  CAST(SUM(span_words) AS BIGINT) AS dup_words,
+  CAST(SUM(span_words) AS BIGINT) * 1000 // n_words AS dup_permille
+FROM spans
+GROUP BY doc_id, n_words
+ORDER BY doc_id
+"""
+
+
+def substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ACTION for :func:`substring_spans`: rewrite every
+    document with its cross-document duplicated spans removed —
+    Lee et al.'s ExactSubstr-cut applied corpus-wide, keeping the
+    surrounding unique prose.
+
+    Output: (doc_id, n_words, kept_words, cleaned_text) for EVERY
+    document long enough to hold a gram (untouched documents pass
+    through verbatim — row conservation is part of the contract).
+
+    Spans are packed per document as lo*100000+hi bigints (token
+    positions; documents are far below 100k tokens, asserted) so the
+    position filter is pure integer lambda arithmetic both engines
+    evaluate identically — no struct access inside lambdas, which
+    DuckDB and Spark parse differently. The rewrite is a narrow
+    per-row projection over (toks, spans): no extra shuffle beyond
+    the span aggregation itself, and the span list per document is
+    bounded by n_words / SPAN_K.
+    """
+    islands, sized = _dup_gram_islands(spark, sf_dir)
+    covered = islands.groupBy("doc_id", "island").agg(
+        (F.min("s") * F.lit(100000) + (F.max("s") + F.lit(SPAN_K - 1))).alias(
+            "packed"
+        )
+    )
+    packed = covered.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("packed")).alias("spans")
+    )
+    return (
+        sized.join(packed, "doc_id", "left")
+        .withColumn(
+            "spans",
+            F.coalesce("spans", F.expr("cast(array() as array<bigint>)")),
+        )
+        .withColumn(
+            "kept",
+            F.expr(
+                "filter(sequence(1, n_words), p -> "
+                "size(filter(spans, sp -> "
+                "p >= sp div 100000 and p <= sp % 100000)) = 0)"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.size("kept").cast("long").alias("kept_words"),
+            F.expr(
+                "concat_ws(' ', transform(kept, p -> element_at(toks, p)))"
+            ).alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SUBSTRING_SCRUB_ORACLE = rf"""
+WITH sized AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t,
+         len(string_split_regex(trim(text), '\s+')) AS n_words
+  FROM documents
+  WHERE len(string_split_regex(trim(text), '\s+')) >= {SPAN_K}
+),
+grams AS (
+  SELECT doc_id, n_words, i AS s,
+         md5(array_to_string(list_slice(t, i, i + {SPAN_K - 1}), ' ')) AS gram
+  FROM (SELECT doc_id, n_words, t,
+               unnest(generate_series(1, n_words - {SPAN_K - 1})) AS i
+        FROM sized)
+),
+hits AS (
+  SELECT doc_id, s FROM (
+    SELECT doc_id, s,
+      MIN(doc_id) OVER (PARTITION BY gram) AS mn,
+      MAX(doc_id) OVER (PARTITION BY gram) AS mx
+    FROM grams)
+  WHERE mn <> mx
+),
+flagged AS (
+  SELECT doc_id, s,
+    CASE WHEN s - LAG(s) OVER (PARTITION BY doc_id ORDER BY s) <= {SPAN_K}
+         THEN 0 ELSE 1 END AS new_span
+  FROM hits
+),
+islands AS (
+  SELECT doc_id, s,
+    SUM(new_span) OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+covered AS (
+  SELECT doc_id, island,
+         MIN(s) * 100000 + (MAX(s) + {SPAN_K - 1}) AS packed
+  FROM islands GROUP BY doc_id, island
+),
+packed AS (
+  SELECT doc_id, list_sort(list(packed)) AS spans FROM covered GROUP BY doc_id
+),
+kept AS (
+  SELECT d.doc_id, d.n_words, d.t,
+    list_filter(generate_series(1, d.n_words), p ->
+      len(list_filter(COALESCE(p2.spans, CAST([] AS BIGINT[])), sp ->
+        p >= sp // 100000 AND p <= sp % 100000)) = 0) AS kept
+  FROM sized d LEFT JOIN packed p2 USING (doc_id)
+)
+SELECT doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  CAST(len(kept) AS BIGINT) AS kept_words,
+  COALESCE(array_to_string(list_transform(kept, p -> t[p]), ' '), '')
+    AS cleaned_text
+FROM kept
+ORDER BY doc_id
+"""

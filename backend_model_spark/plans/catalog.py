@@ -1033,6 +1033,16 @@ register(
 register(
     "dedup_golden_record", dedup.dedup_golden_record, dedup.GOLDEN_RECORD_ORACLE
 )
+# exact repeated-substring spans (Lee et al. ExactSubstr, Spark-first:
+# dup-gram inverted index + gaps-and-islands — no suffix array, no
+# pairwise work) and its consumer that rewrites the corpus with the
+# duplicated spans cut out (row-conserving)
+register(
+    "dedup_substring_spans", dedup.substring_spans, dedup.SUBSTRING_SPANS_ORACLE
+)
+register(
+    "dedup_substring_scrub", dedup.substring_scrub, dedup.SUBSTRING_SCRUB_ORACLE
+)
 # calendar-spine resample + integer-exact LINEAR interpolation (the
 # step past ffill: bracketing windows + bigint blend, bit-stable)
 register(

@@ -438,3 +438,103 @@ def test_cardinality_estimate_audit_hand_computed(spark, tmp_path):
     lp = got["lineitem_part"]
     assert (lp.n_left, lp.ndv_left) == (3, 2)
     assert (lp.est_rows, lp.actual_rows, lp.err_ppm) == (3, 2, 500_000)
+
+
+# --- exact repeated-substring spans (ExactSubstr) ---------------------------
+
+
+def _write_docs(tmp_path, texts):
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["srcT"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+
+def _w(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(1, n + 1))
+
+
+def test_substring_spans_hand_computed(spark, tmp_path):
+    """Doc 0 shares block X (10 tokens) with doc 1 and block Y
+    (9 tokens) with doc 3, separated by 9 unique tokens → exactly two
+    islands totalling 19 duplicated tokens; doc 2 is unique and must
+    be absent; docs 4 and 5 are verbatim copies → fully covered."""
+    from backend_model_spark.operators.dedup import substring_spans
+
+    X, Y = _w("x", 10), _w("y", 9)
+    texts = [
+        f"{_w('u', 5)} {X} {_w('m', 9)} {Y} {_w('v', 4)}",  # 0: n=37
+        f"{_w('b', 6)} {X} b7 b8",  # 1: n=18
+        _w("c", 20),  # 2: unique
+        f"{Y} {_w('d', 7)}",  # 3: n=16
+        _w("e", 12),  # 4: copy of 5
+        _w("e", 12),  # 5: copy of 4
+    ]
+    _write_docs(tmp_path, texts)
+
+    got = {
+        r.doc_id: (r.n_words, r.n_dup_spans, r.dup_words, r.dup_permille)
+        for r in substring_spans(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {0, 1, 3, 4, 5}
+    assert got[0] == (37, 2, 19, 19000 // 37)
+    assert got[1] == (18, 1, 10, 10000 // 18)
+    assert got[3] == (16, 1, 9, 9000 // 16)
+    assert got[4] == (12, 1, 12, 1000)
+    assert got[5] == (12, 1, 12, 1000)
+
+
+def test_substring_scrub_hand_computed(spark, tmp_path):
+    """The scrub rewrite must cut exactly the covered spans: doc 0
+    keeps its unique prose in order, doc 2 passes through verbatim,
+    and the verbatim twins 4/5 scrub to the empty string (never
+    NULL — the cross-engine empty-concat contract)."""
+    from backend_model_spark.operators.dedup import substring_scrub
+
+    X, Y = _w("x", 10), _w("y", 9)
+    texts = [
+        f"{_w('u', 5)} {X} {_w('m', 9)} {Y} {_w('v', 4)}",
+        f"{_w('b', 6)} {X} b7 b8",
+        _w("c", 20),
+        f"{Y} {_w('d', 7)}",
+        _w("e", 12),
+        _w("e", 12),
+    ]
+    _write_docs(tmp_path, texts)
+
+    got = {
+        r.doc_id: (r.n_words, r.kept_words, r.cleaned_text)
+        for r in substring_scrub(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {0, 1, 2, 3, 4, 5}  # row conservation
+    assert got[0] == (37, 18, f"{_w('u', 5)} {_w('m', 9)} {_w('v', 4)}")
+    assert got[1] == (18, 8, f"{_w('b', 6)} b7 b8")
+    assert got[2] == (20, 20, _w("c", 20))
+    assert got[3] == (16, 7, _w("d", 7))
+    assert got[4] == (12, 0, "")
+    assert got[5] == (12, 0, "")
+
+
+def test_substring_spans_scrub_consistency(spark):
+    """Cross-operator invariant on real data: for every document the
+    scrub's kept_words equals n_words minus the span report's
+    dup_words (coverage accounting must agree between the detector
+    and the rewriter), and untouched documents keep all words."""
+    from backend_model_spark.operators.dedup import (
+        substring_scrub,
+        substring_spans,
+    )
+
+    spans = {
+        r.doc_id: r.dup_words for r in substring_spans(spark, SF_DIR).collect()
+    }
+    scrub = substring_scrub(spark, SF_DIR).collect()
+    assert len(scrub) > 0
+    for r in scrub:
+        assert r.kept_words == r.n_words - spans.get(r.doc_id, 0)
+        assert (r.kept_words == 0) == (r.cleaned_text == "")

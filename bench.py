@@ -66,6 +66,10 @@ HEADLINE = [
     # round 5: count-min sketch top-k — constant-size additive state
     # (measured 1.1x wall at 10x data); holds the sketch shape
     "agg_countmin_topk",
+    # round 5: exact repeated-substring spans (ExactSubstr) — gram
+    # explode + ONE digest-key min/max window + per-doc islands; holds
+    # the explode-index-then-hash-per-row lesson in the bench
+    "dedup_substring_spans",
 ]
 
 

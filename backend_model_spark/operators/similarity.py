@@ -1199,3 +1199,225 @@ FROM flagged
 GROUP BY q_id
 ORDER BY q_id
 """
+
+
+# --- IVF-PQ: coarse-pruned ADC search (the billion-scale composition) -------
+IVFPQ_NPROBE = 2  # coarse lists probed per query
+
+
+def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k — the composition of :func:`ivf_topk`'s coarse
+    pruning with :func:`pq_adc_topk`'s compressed-code scan, i.e. the
+    actual billion-scale ANN architecture (FAISS IVFPQ): a coarse
+    quantizer routes each query to its IVFPQ_NPROBE nearest inverted
+    lists, and ADC distances are computed ONLY for vectors assigned to
+    those lists — the scan touches |corpus| · nprobe/k_coarse code
+    words instead of every code.
+
+    Everything derives from ONE shared subspace-distance table
+    (vec × sub × centroid, BIGINT micro-units): PQ codes are its
+    per-sub argmin, the coarse assignment is its per-vector argmin of
+    the SUM over subs (a full-dim L2 equals the sum of its subspace
+    L2s), and the query-side coarse probe is the same sum over the ADC
+    LUT — no second corpus scan for the coarse stage. FAISS encodes
+    residuals (x − coarse centroid) before PQ; that changes only the
+    cells input here and is documented, not modeled, to keep the
+    codebook shared with pq_encode/pq_adc_topk.
+
+    Scale: the LUT and probe tables are |queries|-bounded broadcasts;
+    candidate generation is a broadcast semi-join on the list id; the
+    only corpus-sized shuffles are the code assignment (the index
+    build, paid once) and the pre-combined (q_id, vec_id) partial
+    sums. Top-k uses the salted two-stage rank so parallelism follows
+    the corpus, never the query count.
+
+    Exactness: BIGINT micro-unit discipline end-to-end; ties break by
+    (dist, label) at both argmins, (coarse_dist, list) at the probe,
+    and (adc_dist, vec_id) at the final rank — identical on both
+    engines.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    cells = _pq_cells(emb)
+    centroids = _pq_centroids(cells)
+    sq = lambda a, b: (a - b) * (a - b)
+
+    # shared subspace-distance table: (vec_id, sub, cand_label, dist)
+    cdists = (
+        cells.join(F.broadcast(centroids), ["sub", "dim"])
+        .groupBy("vec_id", "sub", "cand_label")
+        .agg(F.sum(sq(F.col("x_int"), F.col("c_int"))).alias("dist"))
+    )
+    codes = (
+        cdists.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("dist", "cand_label")).alias("best"))
+        .select("vec_id", "sub", F.col("best.cand_label").alias("code"))
+    )
+    # coarse assignment: argmin over labels of the full-dim distance
+    # (= sum of the 8 subspace distances — no extra scan)
+    coarse = (
+        cdists.groupBy("vec_id", "cand_label")
+        .agg(F.sum("dist").alias("cdist"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("cdist", "cand_label")).alias("best"))
+        .select("vec_id", F.col("best.cand_label").alias("list_id"))
+    )
+    # query-side ADC LUT (raw query subvector vs every centroid)
+    lut = (
+        cells.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            "sub",
+            "dim",
+            F.col("x_int").alias("q_int"),
+        )
+        .join(F.broadcast(centroids), ["sub", "dim"])
+        .groupBy("q_id", "sub", F.col("cand_label").alias("code"))
+        .agg(F.sum(sq(F.col("q_int"), F.col("c_int"))).alias("qdist"))
+    )
+    # coarse probe: nprobe nearest lists per query, straight off the LUT
+    wp = W.partitionBy("q_id").orderBy(
+        F.col("coarse_dist").asc(), F.col("code").asc()
+    )
+    probe = (
+        lut.groupBy("q_id", "code")
+        .agg(F.sum("qdist").alias("coarse_dist"))
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= IVFPQ_NPROBE)
+        .select("q_id", F.col("code").alias("list_id"))
+    )
+    # candidates = corpus vectors assigned to a probed list; ADC is
+    # computed ONLY for these (the pruned scan)
+    cand = coarse.join(F.broadcast(probe), "list_id").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["q_id", "sub", "code"])
+        .groupBy("q_id", "vec_id", "list_id")
+        .agg(F.sum("qdist").alias("adc_dist"))
+        .withColumn(
+            "salt",
+            F.expr(
+                f"conv(substring(md5(cast(vec_id as string)), 1, 4), 16, 10) % {SALT_BUCKETS}"
+            ),
+        )
+    )
+    w1 = W.partitionBy("q_id", "salt").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    survivors = (
+        scored.withColumn("lrank", F.row_number().over(w1))
+        .filter(F.col("lrank") <= TOP_K)
+        .select("q_id", "vec_id", "list_id", "adc_dist")
+    )
+    w2 = W.partitionBy("q_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("list_id").cast("long").alias("list_id"),
+            "adc_dist",
+            "rank",
+        )
+        .orderBy("q_id", "rank")
+    )
+
+
+IVFPQ_TOPK_ORACLE = f"""
+WITH cells AS (
+  SELECT
+    vec_id,
+    label,
+    CAST(d.i - 1 AS INTEGER) AS dim,
+    CAST((d.i - 1) // {PQ_SUBDIM} AS INTEGER) AS sub,
+    CAST(FLOOR(CAST(embedding[d.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+      AS x_int
+  FROM embeddings,
+       (SELECT unnest(generate_series(1, {PQ_SUBSPACES * PQ_SUBDIM})) AS i) d
+),
+centroids AS (
+  SELECT label AS cand_label, sub, dim,
+         CAST(FLOOR((2.0 * SUM(x_int) + COUNT(*)) / (2.0 * COUNT(*)))
+           AS BIGINT) AS c_int
+  FROM cells
+  GROUP BY label, sub, dim
+),
+cdists AS (
+  SELECT c.vec_id, c.sub, ct.cand_label,
+         SUM((c.x_int - ct.c_int) * (c.x_int - ct.c_int)) AS dist
+  FROM cells c
+  JOIN centroids ct ON ct.sub = c.sub AND ct.dim = c.dim
+  GROUP BY c.vec_id, c.sub, ct.cand_label
+),
+codes AS (
+  SELECT vec_id, sub, cand_label AS code
+  FROM (
+    SELECT vec_id, sub, cand_label,
+           row_number() OVER (
+             PARTITION BY vec_id, sub ORDER BY dist, cand_label
+           ) AS rn
+    FROM cdists
+  )
+  WHERE rn = 1
+),
+coarse AS (
+  SELECT vec_id, cand_label AS list_id
+  FROM (
+    SELECT vec_id, cand_label,
+           row_number() OVER (
+             PARTITION BY vec_id ORDER BY SUM(dist), cand_label
+           ) AS rn
+    FROM cdists
+    GROUP BY vec_id, cand_label
+  )
+  WHERE rn = 1
+),
+lut AS (
+  SELECT c.vec_id AS q_id, c.sub, ct.cand_label AS code,
+         SUM((c.x_int - ct.c_int) * (c.x_int - ct.c_int)) AS qdist
+  FROM cells c
+  JOIN centroids ct ON ct.sub = c.sub AND ct.dim = c.dim
+  WHERE c.vec_id < {N_QUERIES}
+  GROUP BY c.vec_id, c.sub, ct.cand_label
+),
+probe AS (
+  SELECT q_id, code AS list_id
+  FROM (
+    SELECT q_id, code,
+           row_number() OVER (
+             PARTITION BY q_id ORDER BY SUM(qdist), code
+           ) AS pr
+    FROM lut
+    GROUP BY q_id, code
+  )
+  WHERE pr <= {IVFPQ_NPROBE}
+),
+cand AS (
+  SELECT p.q_id, c.vec_id, p.list_id
+  FROM probe p
+  JOIN coarse c ON c.list_id = p.list_id AND c.vec_id <> p.q_id
+),
+scored AS (
+  SELECT a.q_id, a.vec_id, a.list_id,
+         CAST(SUM(l.qdist) AS BIGINT) AS adc_dist
+  FROM cand a
+  JOIN codes k ON k.vec_id = a.vec_id
+  JOIN lut l ON l.q_id = a.q_id AND l.sub = k.sub AND l.code = k.code
+  GROUP BY a.q_id, a.vec_id, a.list_id
+)
+SELECT q_id, vec_id AS neighbor_id, CAST(list_id AS BIGINT) AS list_id,
+       adc_dist, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT q_id, vec_id, list_id, adc_dist,
+         row_number() OVER (
+           PARTITION BY q_id ORDER BY adc_dist, vec_id
+         ) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+ORDER BY q_id, rank
+"""

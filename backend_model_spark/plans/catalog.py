@@ -1033,6 +1033,10 @@ register(
 register(
     "dedup_golden_record", dedup.dedup_golden_record, dedup.GOLDEN_RECORD_ORACLE
 )
+# IVF-PQ composition: coarse probe (nprobe lists) pruning the ADC
+# code scan — the billion-scale ANN architecture, all off ONE shared
+# subspace-distance table
+register("sim_ivfpq_topk", similarity.ivfpq_topk, similarity.IVFPQ_TOPK_ORACLE)
 # exact repeated-substring spans (Lee et al. ExactSubstr, Spark-first:
 # dup-gram inverted index + gaps-and-islands — no suffix array, no
 # pairwise work) and its consumer that rewrites the corpus with the

@@ -538,3 +538,72 @@ def test_substring_spans_scrub_consistency(spark):
     for r in scrub:
         assert r.kept_words == r.n_words - spans.get(r.doc_id, 0)
         assert (r.kept_words == 0) == (r.cleaned_text == "")
+
+
+def test_ivfpq_topk_hand_computed(spark, tmp_path):
+    """Three constant-vector clusters at 0 / 10 / 100: every centroid
+    equals its members, so ADC distances are exact. A query from
+    cluster A (value 0) probes [A, B] — C is pruned — and must rank
+    its 4 co-members first (adc_dist 0, vec_id order), then the first
+    B member at exactly 64·(10·1e6)² = 6.4e15 micro-units²."""
+    import pandas as pd
+
+    from backend_model_spark.operators.similarity import ivfpq_topk
+
+    vals = {0: 0.0, 1: 10.0, 2: 100.0}
+    rows = []
+    for label in (0, 1, 2):
+        for j in range(5):
+            rows.append(
+                {
+                    "vec_id": label * 5 + j,
+                    "embedding": [vals[label]] * 64,
+                    "label": label,
+                }
+            )
+    pd.DataFrame(rows).to_parquet(tmp_path / "embeddings.parquet")
+
+    got = {
+        (r.q_id, r.rank): (r.neighbor_id, r.list_id, r.adc_dist)
+        for r in ivfpq_topk(spark, str(tmp_path)).collect()
+    }
+    # 10 queries (vec_id < 10) x top-5
+    assert len(got) == 50
+    D_AB = 64 * (10 * 1_000_000) ** 2  # 6.4e15
+
+    # query 0 (cluster A): co-members 1,2,3,4 at 0, then B's vec 5
+    assert got[(0, 1)] == (1, 0, 0)
+    assert got[(0, 2)] == (2, 0, 0)
+    assert got[(0, 3)] == (3, 0, 0)
+    assert got[(0, 4)] == (4, 0, 0)
+    assert got[(0, 5)] == (5, 1, D_AB)
+
+    # query 7 (cluster B): co-members 5,6,8,9 at 0, then A's vec 0
+    assert got[(7, 1)] == (5, 1, 0)
+    assert got[(7, 2)] == (6, 1, 0)
+    assert got[(7, 3)] == (8, 1, 0)
+    assert got[(7, 4)] == (9, 1, 0)
+    assert got[(7, 5)] == (0, 0, D_AB)
+
+    # cluster C (distance 90 from B, 100 from A) must never appear:
+    # nprobe=2 prunes it for every query
+    assert all(n < 10 for (n, _, _) in got.values())
+
+
+def test_ivfpq_prunes_to_probed_lists(spark):
+    """On real data every reported neighbor's list_id must be one of
+    at most IVFPQ_NPROBE distinct lists per query — the pruning
+    contract that distinguishes IVF-PQ from the full ADC scan."""
+    from backend_model_spark.operators.similarity import (
+        IVFPQ_NPROBE,
+        ivfpq_topk,
+    )
+
+    rows = ivfpq_topk(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, set()).add(r.list_id)
+        assert r.neighbor_id != r.q_id
+    for lists in per_q.values():
+        assert len(lists) <= IVFPQ_NPROBE

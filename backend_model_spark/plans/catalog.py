@@ -1099,6 +1099,15 @@ TIER1 = [
     "agg_kmv_distinct_sketch",
     "events_linear_interpolate",
     "io_cardinality_estimate_audit",
+    # round-5 continuation: the three newest operators (first driver
+    # contact, brand-new code paths — highest risk in the registry).
+    # sql_case_buckets / sql_named_window / sql_group_by_all yield
+    # their slots: the sql_* battery keeps 5 identical-text
+    # representatives in this prefix and the three displaced entries
+    # rotate back in round 6.
+    "dedup_substring_spans",
+    "dedup_substring_scrub",
+    "sim_ivfpq_topk",
     # changed this round AND never driver-checked
     "events_ewma",
     "events_autocorr",
@@ -1117,9 +1126,6 @@ TIER1 = [
     "sql_having",
     "sql_filtered_aggs",
     "sql_subqueries",
-    "sql_case_buckets",
-    "sql_named_window",
-    "sql_group_by_all",
     "sql_q12_conditional",
     "sql_q14_promo_share",
     # events stats family (no driver row ever)

@@ -3086,3 +3086,115 @@ SELECT user_id,
 FROM br
 ORDER BY user_id, day
 """
+
+
+# --- A/B power / minimum-detectable-effect design grid ----------------------
+# Normal-approximation two-sample design: MDE(n) = (z_a + z_p)·√(2σ²/n).
+# The z quantiles are fixed LITERALS (α=0.05 two-sided → 1.959964;
+# power 80/90% → 0.841621 / 1.281552) — no inverse-normal libm call
+# exists in either engine's deterministic surface, and the published
+# constants are what every experimentation platform hard-codes.
+POWER_GRID_NS = (1_000, 5_000, 10_000, 50_000, 100_000)
+Z_ALPHA = "1.959964"
+POWER_ROWS = "struct(80 as p, 0.841621 as zp), struct(90 as p, 1.281552 as zp)"
+
+
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DESIGN-phase half of the A/B suite (the readout half is
+    :func:`ab_welch_ttest` / CUPED / QTE): from the historical
+    per-user purchase metric, the minimum detectable effect a future
+    two-arm experiment of n users per arm can resolve at α=0.05 for
+    80% and 90% power — the sizing table every experiment review
+    starts from.
+
+    Output: one row per (power_pct, n_per_arm) over a fixed n grid:
+    pooled mean and variance of the metric, absolute MDE, and MDE as
+    a fraction of the mean (the "relative lift" experimenters quote).
+
+    Scale: one map-side-combinable groupBy(user_id), then ONE
+    sufficient-statistics aggregate to a single row; the design grid
+    is a 10-row literal explode against that row — no second scan, no
+    window, nothing grows with data. Mirrors ab_welch_ttest's proven
+    Σx/Σx² discipline; try_divide guards the n=1 degenerate corpus.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    per_user = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg((F.sum("value") / F.count(F.lit(1))).alias("metric"))
+    )
+    stats = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("metric").alias("s1"),
+        F.sum(F.col("metric") * F.col("metric")).alias("s2"),
+    ).select(
+        "n_users",
+        (F.col("s1") / F.col("n_users")).alias("mean_metric"),
+        F.try_divide(
+            F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_users"),
+            F.col("n_users") - 1,
+        ).alias("sigma2"),
+    )
+    grid = stats.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(n) for n in POWER_GRID_NS])
+        ).alias("n_per_arm"),
+    ).select(
+        "*", F.explode(F.expr(f"array({POWER_ROWS})")).alias("pw")
+    )
+    mde = F.expr(
+        f"({Z_ALPHA} + pw.zp) * sqrt(2.0 * sigma2 / n_per_arm)"
+    )
+    return (
+        grid.select(
+            F.col("pw.p").cast("long").alias("power_pct"),
+            F.col("n_per_arm").cast("long").alias("n_per_arm"),
+            F.col("n_users").cast("long").alias("n_users_observed"),
+            F.round("mean_metric", 6).alias("mean_metric"),
+            F.round("sigma2", 6).alias("sigma2"),
+            F.round(mde, 6).alias("mde_abs"),
+            F.round(F.try_divide(mde, F.col("mean_metric")), 6).alias(
+                "mde_rel"
+            ),
+        )
+        .orderBy("power_pct", "n_per_arm")
+    )
+
+
+AB_POWER_MDE_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id, SUM(value) / COUNT(*) AS metric
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY user_id
+),
+stats AS (
+  SELECT
+    COUNT(*) AS n_users,
+    SUM(metric) / COUNT(*) AS mean_metric,
+    (SUM(metric * metric) - SUM(metric) * SUM(metric) / COUNT(*))
+      / (COUNT(*) - 1) AS sigma2
+  FROM per_user
+),
+grid AS (
+  SELECT s.*, ns.n_per_arm, pw.p, pw.zp
+  FROM stats s
+  CROSS JOIN (VALUES {", ".join(f"({n})" for n in POWER_GRID_NS)})
+    AS ns(n_per_arm)
+  CROSS JOIN (VALUES (80, 0.841621), (90, 1.281552)) AS pw(p, zp)
+)
+SELECT
+  CAST(p AS BIGINT) AS power_pct,
+  CAST(n_per_arm AS BIGINT) AS n_per_arm,
+  CAST(n_users AS BIGINT) AS n_users_observed,
+  ROUND(mean_metric, 6) AS mean_metric,
+  ROUND(sigma2, 6) AS sigma2,
+  ROUND(({Z_ALPHA} + zp) * sqrt(2.0 * sigma2 / n_per_arm), 6) AS mde_abs,
+  ROUND(({Z_ALPHA} + zp) * sqrt(2.0 * sigma2 / n_per_arm) / mean_metric, 6)
+    AS mde_rel
+FROM grid
+ORDER BY power_pct, n_per_arm
+"""

@@ -1033,6 +1033,12 @@ register(
 register(
     "dedup_golden_record", dedup.dedup_golden_record, dedup.GOLDEN_RECORD_ORACLE
 )
+# A/B DESIGN-phase sizing grid: MDE(n) at 80/90% power from the
+# historical metric's sufficient statistics — the missing half next
+# to the readout suite (welch/CUPED/QTE/KM)
+register(
+    "stat_ab_power_mde", events_ops.ab_power_mde, events_ops.AB_POWER_MDE_ORACLE
+)
 # IVF-PQ composition: coarse probe (nprobe lists) pruning the ADC
 # code scan — the billion-scale ANN architecture, all off ONE shared
 # subspace-distance table
@@ -1099,15 +1105,16 @@ TIER1 = [
     "agg_kmv_distinct_sketch",
     "events_linear_interpolate",
     "io_cardinality_estimate_audit",
-    # round-5 continuation: the three newest operators (first driver
+    # round-5 continuation: the four newest operators (first driver
     # contact, brand-new code paths — highest risk in the registry).
-    # sql_case_buckets / sql_named_window / sql_group_by_all yield
-    # their slots: the sql_* battery keeps 5 identical-text
-    # representatives in this prefix and the three displaced entries
-    # rotate back in round 6.
+    # sql_case_buckets / sql_named_window / sql_group_by_all /
+    # sql_q14_promo_share yield their slots: the sql_* battery keeps
+    # 4 identical-text representatives in this prefix and the
+    # displaced entries rotate back in round 6.
     "dedup_substring_spans",
     "dedup_substring_scrub",
     "sim_ivfpq_topk",
+    "stat_ab_power_mde",
     # changed this round AND never driver-checked
     "events_ewma",
     "events_autocorr",
@@ -1127,7 +1134,6 @@ TIER1 = [
     "sql_filtered_aggs",
     "sql_subqueries",
     "sql_q12_conditional",
-    "sql_q14_promo_share",
     # events stats family (no driver row ever)
     "events_changepoint",
     "events_seasonal_decompose",

@@ -607,3 +607,32 @@ def test_ivfpq_prunes_to_probed_lists(spark):
         assert r.neighbor_id != r.q_id
     for lists in per_q.values():
         assert len(lists) <= IVFPQ_NPROBE
+
+
+def test_ab_power_mde_hand_computed(spark, tmp_path):
+    """Two purchasing users with metrics 1.0 and 3.0 → mean 2,
+    sample variance 2. MDE must equal (z_a + z_p)·√(2σ²/n) for the
+    published z constants, and mde_rel = mde_abs / mean."""
+    from backend_model_spark.operators.events_ops import ab_power_mde
+
+    rows = [
+        ("2024-01-01", 1, "purchase", 1.00),
+        ("2024-01-02", 2, "purchase", 3.00),
+        ("2024-01-03", 3, "view", 9.99),  # non-purchase: excluded
+    ]
+    _write_events(tmp_path, rows)
+
+    out = ab_power_mde(spark, str(tmp_path)).collect()
+    assert len(out) == 10  # 5 n-grid x 2 power rows
+    got = {(r.power_pct, r.n_per_arm): r for r in out}
+    for (p, n), r in got.items():
+        z = {80: 0.841621, 90: 1.281552}[p]
+        expected = (1.959964 + z) * (2 * 2.0 / n) ** 0.5
+        assert r.n_users_observed == 2
+        assert r.mean_metric == 2.0
+        assert r.sigma2 == 2.0
+        assert abs(r.mde_abs - expected) < 1e-6
+        assert abs(r.mde_rel - expected / 2.0) < 1e-6
+    # more users / more power → smaller MDE (monotone in both axes)
+    assert got[(80, 100_000)].mde_abs < got[(80, 1_000)].mde_abs
+    assert got[(80, 1_000)].mde_abs < got[(90, 1_000)].mde_abs

@@ -3198,3 +3198,132 @@ SELECT
 FROM grid
 ORDER BY power_pct, n_per_arm
 """
+
+
+def ab_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences A/B readout: the IDENTIFICATION
+    complement to :func:`ab_cuped_adjust` (which only reduces
+    variance) — under the parallel-trends assumption the causal
+    effect is the between-variant difference of within-user pre→post
+    spend deltas, which nets out any level shift common to both arms.
+
+    Same design surface as the rest of the suite: ``CUPED_CUTOFF``
+    splits pre/post, ``user_id % 2`` assigns variants, the metric is
+    per-user purchase spend. Output is ONE row: per-cell means of the
+    2×2 (variant × period) design, the DiD point estimate, its
+    standard error from the per-variant delta variances, and the t
+    statistic.
+
+    Scale: one map-side-combinable groupBy(user_id) with conditional
+    sums, then ONE sufficient-statistics aggregation row — identical
+    cost envelope to ab_welch_ttest; all closed form, no window, no
+    collect. NULLIF/try_divide guard single-user variants and
+    zero-variance deltas (NULL on both engines, never an ANSI crash).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    cut = F.lit(CUPED_CUTOFF).cast("timestamp")
+    pu = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0)
+            ).alias("y"),
+        )
+        .withColumn(
+            "variant", F.when(F.col("user_id") % 2 == 0, "a").otherwise("b")
+        )
+        .withColumn("d", F.col("y") - F.col("x"))
+    )
+    stats = pu.agg(
+        *[
+            agg
+            for v in ("a", "b")
+            for agg in (
+                F.sum((F.col("variant") == v).cast("double")).alias(f"n_{v}"),
+                F.sum(
+                    F.when(F.col("variant") == v, F.col("x")).otherwise(0.0)
+                ).alias(f"sx_{v}"),
+                F.sum(
+                    F.when(F.col("variant") == v, F.col("y")).otherwise(0.0)
+                ).alias(f"sy_{v}"),
+                F.sum(
+                    F.when(F.col("variant") == v, F.col("d")).otherwise(0.0)
+                ).alias(f"sd_{v}"),
+                F.sum(
+                    F.when(
+                        F.col("variant") == v, F.col("d") * F.col("d")
+                    ).otherwise(0.0)
+                ).alias(f"sdd_{v}"),
+            )
+        ]
+    )
+    var_d = (
+        lambda v: f"((sdd_{v} - sd_{v} * sd_{v} / NULLIF(n_{v}, 0.0))"
+        f" / NULLIF(n_{v} - 1, 0))"
+    )
+    did = "((sd_b / NULLIF(n_b, 0.0)) - (sd_a / NULLIF(n_a, 0.0)))"
+    se = f"sqrt({var_d('a')} / NULLIF(n_a, 0.0) + {var_d('b')} / NULLIF(n_b, 0.0))"
+    return stats.select(
+        F.expr("cast(n_a as bigint)").alias("n_a"),
+        F.expr("cast(n_b as bigint)").alias("n_b"),
+        F.expr("round(sx_a / NULLIF(n_a, 0.0), 6)").alias("pre_mean_a"),
+        F.expr("round(sy_a / NULLIF(n_a, 0.0), 6)").alias("post_mean_a"),
+        F.expr("round(sx_b / NULLIF(n_b, 0.0), 6)").alias("pre_mean_b"),
+        F.expr("round(sy_b / NULLIF(n_b, 0.0), 6)").alias("post_mean_b"),
+        F.expr(f"round({did}, 6)").alias("did"),
+        F.expr(f"round({se}, 6)").alias("se_did"),
+        F.expr(f"round({did} / NULLIF({se}, 0.0), 6)").alias("t_did"),
+    )
+
+
+AB_DID_ORACLE = f"""
+WITH pu AS (
+  SELECT
+    user_id,
+    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS variant,
+    SUM(CASE WHEN ts < TIMESTAMP '{CUPED_CUTOFF}' THEN value ELSE 0.0 END)
+      AS x,
+    SUM(CASE WHEN ts >= TIMESTAMP '{CUPED_CUTOFF}' THEN value ELSE 0.0 END)
+      AS y
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY user_id
+),
+d AS (SELECT *, y - x AS d FROM pu),
+stats AS (
+  SELECT
+    SUM(CASE WHEN variant = 'a' THEN 1.0 ELSE 0.0 END) AS n_a,
+    SUM(CASE WHEN variant = 'a' THEN x ELSE 0.0 END) AS sx_a,
+    SUM(CASE WHEN variant = 'a' THEN y ELSE 0.0 END) AS sy_a,
+    SUM(CASE WHEN variant = 'a' THEN d ELSE 0.0 END) AS sd_a,
+    SUM(CASE WHEN variant = 'a' THEN d * d ELSE 0.0 END) AS sdd_a,
+    SUM(CASE WHEN variant = 'b' THEN 1.0 ELSE 0.0 END) AS n_b,
+    SUM(CASE WHEN variant = 'b' THEN x ELSE 0.0 END) AS sx_b,
+    SUM(CASE WHEN variant = 'b' THEN y ELSE 0.0 END) AS sy_b,
+    SUM(CASE WHEN variant = 'b' THEN d ELSE 0.0 END) AS sd_b,
+    SUM(CASE WHEN variant = 'b' THEN d * d ELSE 0.0 END) AS sdd_b
+  FROM d
+)
+SELECT
+  CAST(n_a AS BIGINT) AS n_a,
+  CAST(n_b AS BIGINT) AS n_b,
+  ROUND(sx_a / NULLIF(n_a, 0.0), 6) AS pre_mean_a,
+  ROUND(sy_a / NULLIF(n_a, 0.0), 6) AS post_mean_a,
+  ROUND(sx_b / NULLIF(n_b, 0.0), 6) AS pre_mean_b,
+  ROUND(sy_b / NULLIF(n_b, 0.0), 6) AS post_mean_b,
+  ROUND((sd_b / NULLIF(n_b, 0.0)) - (sd_a / NULLIF(n_a, 0.0)), 6) AS did,
+  ROUND(sqrt(((sdd_a - sd_a * sd_a / NULLIF(n_a, 0.0)) / NULLIF(n_a - 1, 0)) / NULLIF(n_a, 0.0)
+           + ((sdd_b - sd_b * sd_b / NULLIF(n_b, 0.0)) / NULLIF(n_b - 1, 0)) / NULLIF(n_b, 0.0)), 6)
+    AS se_did,
+  ROUND(((sd_b / NULLIF(n_b, 0.0)) - (sd_a / NULLIF(n_a, 0.0)))
+        / NULLIF(sqrt(((sdd_a - sd_a * sd_a / NULLIF(n_a, 0.0)) / NULLIF(n_a - 1, 0)) / NULLIF(n_a, 0.0)
+                    + ((sdd_b - sd_b * sd_b / NULLIF(n_b, 0.0)) / NULLIF(n_b - 1, 0)) / NULLIF(n_b, 0.0)),
+                 0.0), 6) AS t_did
+FROM stats
+"""

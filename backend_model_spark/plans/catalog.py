@@ -1033,6 +1033,9 @@ register(
 register(
     "dedup_golden_record", dedup.dedup_golden_record, dedup.GOLDEN_RECORD_ORACLE
 )
+# difference-in-differences: the identification complement to CUPED
+# (parallel-trends causal readout, one sufficient-stats row)
+register("stat_ab_did", events_ops.ab_did_estimator, events_ops.AB_DID_ORACLE)
 # A/B DESIGN-phase sizing grid: MDE(n) at 80/90% power from the
 # historical metric's sufficient statistics — the missing half next
 # to the readout suite (welch/CUPED/QTE/KM)
@@ -1105,16 +1108,16 @@ TIER1 = [
     "agg_kmv_distinct_sketch",
     "events_linear_interpolate",
     "io_cardinality_estimate_audit",
-    # round-5 continuation: the four newest operators (first driver
+    # round-5 continuation: the five newest operators (first driver
     # contact, brand-new code paths — highest risk in the registry).
-    # sql_case_buckets / sql_named_window / sql_group_by_all /
-    # sql_q14_promo_share yield their slots: the sql_* battery keeps
-    # 4 identical-text representatives in this prefix and the
-    # displaced entries rotate back in round 6.
+    # Five identical-text sql_* entries yield their slots (the battery
+    # keeps 3 representatives in this prefix); the displaced entries
+    # rotate back in round 6.
     "dedup_substring_spans",
     "dedup_substring_scrub",
     "sim_ivfpq_topk",
     "stat_ab_power_mde",
+    "stat_ab_did",
     # changed this round AND never driver-checked
     "events_ewma",
     "events_autocorr",
@@ -1133,7 +1136,6 @@ TIER1 = [
     "sql_having",
     "sql_filtered_aggs",
     "sql_subqueries",
-    "sql_q12_conditional",
     # events stats family (no driver row ever)
     "events_changepoint",
     "events_seasonal_decompose",

@@ -636,3 +636,49 @@ def test_ab_power_mde_hand_computed(spark, tmp_path):
     # more users / more power → smaller MDE (monotone in both axes)
     assert got[(80, 100_000)].mde_abs < got[(80, 1_000)].mde_abs
     assert got[(80, 1_000)].mde_abs < got[(90, 1_000)].mde_abs
+
+
+def test_ab_did_hand_computed(spark, tmp_path):
+    """Arm A (even users) deltas {1, 1}; arm B (odd users) deltas
+    {3, 5} → DiD = 4 − 1 = 3, se = √(0/2 + 2/2) = 1, t = 3; all four
+    cell means verified too (cutoff 2024-01-16)."""
+    from backend_model_spark.operators.events_ops import ab_did_estimator
+
+    rows = [
+        ("2024-01-10", 2, "purchase", 1.00),
+        ("2024-01-20", 2, "purchase", 2.00),
+        ("2024-01-10", 4, "purchase", 2.00),
+        ("2024-01-20", 4, "purchase", 3.00),
+        ("2024-01-10", 1, "purchase", 1.00),
+        ("2024-01-20", 1, "purchase", 4.00),
+        ("2024-01-10", 3, "purchase", 2.00),
+        ("2024-01-20", 3, "purchase", 7.00),
+        ("2024-01-12", 5, "view", 99.0),  # non-purchase: excluded
+    ]
+    _write_events(tmp_path, rows)
+
+    [r] = ab_did_estimator(spark, str(tmp_path)).collect()
+    assert (r.n_a, r.n_b) == (2, 2)
+    assert (r.pre_mean_a, r.post_mean_a) == (1.5, 2.5)
+    assert (r.pre_mean_b, r.post_mean_b) == (1.5, 5.5)
+    assert (r.did, r.se_did, r.t_did) == (3.0, 1.0, 3.0)
+
+
+def test_ab_did_zero_variance_arm_is_null_not_crash(spark, tmp_path):
+    """A single-user arm has undefined delta variance: the NULLIF
+    guards must yield NULL se/t (matching the oracle), never an ANSI
+    DIVIDE_BY_ZERO crash."""
+    from backend_model_spark.operators.events_ops import ab_did_estimator
+
+    rows = [
+        ("2024-01-10", 2, "purchase", 1.00),  # lone A user
+        ("2024-01-10", 1, "purchase", 1.00),
+        ("2024-01-20", 1, "purchase", 2.00),
+        ("2024-01-10", 3, "purchase", 1.00),
+    ]
+    _write_events(tmp_path, rows)
+
+    [r] = ab_did_estimator(spark, str(tmp_path)).collect()
+    assert (r.n_a, r.n_b) == (1, 2)
+    assert r.se_did is None and r.t_did is None
+    assert r.did is not None

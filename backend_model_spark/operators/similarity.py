@@ -1421,3 +1421,187 @@ FROM (
 WHERE rank <= {TOP_K}
 ORDER BY q_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# RRF hybrid retrieval: lexical (BM25-family) + dense (cosine) fusion
+# ---------------------------------------------------------------------------
+
+RRF_K = 60          # the canonical reciprocal-rank-fusion constant
+RRF_LIST_N = 50     # candidates kept per retrieval arm
+RRF_TOP = 10        # fused results returned
+
+# Per-(doc, term) lexical score: BM25's tf-saturation and doc-length
+# normalization with a RATIONAL idf — (N - df + 0.5)/(df + 0.5), the
+# argument of Lucene's ln(1 + ...) with the log dropped. The log is
+# monotone per term but libm (not correctly rounded, the func_math
+# lesson), and here the score feeds a RANK that feeds the fusion — a
+# last-ulp flip would cascade. Every op below (+ - * /) is
+# IEEE-correctly-rounded, and the expression TEXT is shared verbatim
+# between F.expr and the oracle SQL, so both engines produce
+# bit-identical doubles before the micro-quantization.
+RRF_TERM_SCORE = (
+    "((n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0)"
+    " / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))"
+)
+RRF_TERM_MICRO = f"cast(floor(({RRF_TERM_SCORE}) * 1e6 + 0.5) as bigint)"
+
+
+def rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the standard
+    RAG serving pattern the registry's two arms were missing a roof
+    over: a lexical ranker (`text_bm25_rank`'s saturation/length
+    model) and a dense ranker (`sim_cosine_topk_bruteforce`'s exact
+    cosine) each retrieve RRF_LIST_N candidates, and the fused score
+    is RRF(d) = Σ_arms 1/(K + rank_arm(d)) over the candidate union
+    (Cormack et al., SIGIR'09; reference analog: the correlation
+    ranking of SURVEY §2.5 A7 is its single-signal cousin).
+
+    Determinism: the fusion is computed in INTEGER nanos —
+    ``1e9 div (K + rank)`` with integer ``div`` on both engines — so
+    the fused ordering is exact, immune to float summation order.
+    The lexical per-term score is micro-quantized (floor at 1e-6)
+    per term and integer-summed, so term order cannot flip ranks.
+
+    Scale: the corpus is tokenized ONCE (persisted explode reused for
+    doc lengths, tf and df); both arms end in TakeOrderedAndProject
+    (per-partition top-N, never a global sort); the fusion operates
+    on ≤ 2·RRF_LIST_N rows — constant, whatever the corpus size. The
+    dense arm broadcasts the single query vector; at a 100 TB corpus
+    the arm swaps to `sim_ivfpq_topk`'s probe-pruned scan with the
+    same (doc_id, rank) contract.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    ).persist()  # reused: doc lengths, tf, df
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    scalars = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+    from backend_model_spark.operators.scale_utils import broadcast_scalars
+    from backend_model_spark.operators.text import BM25_QUERY_TERMS
+
+    terms = spark.createDataFrame(
+        [(t,) for t in BM25_QUERY_TERMS], "token string"
+    )
+    qtok = tok.join(F.broadcast(terms), "token")
+    df_counts = qtok.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    tf = qtok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    cells = broadcast_scalars(
+        tf.join(F.broadcast(df_counts), "token").join(dl, "doc_id"), scalars
+    )
+    lex_top = (
+        cells.groupBy("doc_id")
+        .agg(F.sum(F.expr(RRF_TERM_MICRO)).alias("lex_micro"))
+        .orderBy(F.desc("lex_micro"), "doc_id")
+        .limit(RRF_LIST_N)  # TakeOrderedAndProject: distributed top-N
+    )
+    w = W.orderBy(F.desc("lex_micro"), "doc_id")  # ≤ RRF_LIST_N rows
+    lex_ranked = lex_top.select(
+        "doc_id", F.row_number().over(w).cast("int").alias("lex_rank")
+    )
+
+    emb = _as_double(load_table(spark, "embeddings", sf_dir)).withColumn(
+        "vn", F.expr(NORM.format(a="v"))
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("vn").alias("qn")
+    )
+    cos = F.expr(f"{DOT.format(a='qv', b='v')} / (qn * vn)")
+    dense_top = (
+        emb.join(F.broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"), F.round(cos, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), "doc_id")
+        .limit(RRF_LIST_N)
+    )
+    wd = W.orderBy(F.desc("cosine"), "doc_id")
+    dense_ranked = dense_top.select(
+        "doc_id", F.row_number().over(wd).cast("int").alias("dense_rank")
+    )
+
+    fused = lex_ranked.join(dense_ranked, "doc_id", "outer").withColumn(
+        "rrf_nano",
+        F.expr(
+            f"cast(coalesce(1000000000 div ({RRF_K} + lex_rank), 0)"
+            f" + coalesce(1000000000 div ({RRF_K} + dense_rank), 0) as bigint)"
+        ),
+    )
+    wf = W.orderBy(F.desc("rrf_nano"), "doc_id")  # ≤ 2·RRF_LIST_N rows
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("fused_rank") <= RRF_TOP)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            (F.col("rrf_nano") / F.lit(1e9)).alias("rrf"),
+            "fused_rank",
+        )
+        .orderBy("fused_rank")
+    )
+
+
+RRF_HYBRID_ORACLE = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+scalars AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+),
+terms(token) AS (VALUES ('data'), ('spark'), ('filter')),
+qtok AS (SELECT t.doc_id, t.token FROM tok t JOIN terms USING (token)),
+dfc AS (
+  SELECT token, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM qtok GROUP BY 1
+),
+tfq AS (SELECT doc_id, token, COUNT(*) AS tf FROM qtok GROUP BY 1, 2),
+cells AS (
+  SELECT tfq.doc_id AS doc_id, tfq.tf AS tf, dfc.df AS df,
+         dl.dl AS dl, s.n_docs AS n_docs, s.avgdl AS avgdl
+  FROM tfq JOIN dfc USING (token) JOIN dl USING (doc_id) CROSS JOIN scalars s
+),
+lex_top AS (
+  SELECT doc_id, CAST(SUM(CAST(FLOOR(({RRF_TERM_SCORE}) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS lex_micro
+  FROM cells GROUP BY doc_id
+  ORDER BY lex_micro DESC, doc_id LIMIT {RRF_LIST_N}
+),
+lex_ranked AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY lex_micro DESC, doc_id) AS INTEGER) AS lex_rank
+  FROM lex_top
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+dense_top AS (
+  SELECT v.vec_id AS doc_id,
+    ROUND(
+      {DOT_SQL.format(a="q.qv", b="v.v", dim=DIM)}
+      / ({NORM_SQL.format(a="q.qv", dim=DIM)} * {NORM_SQL.format(a="v.v", dim=DIM)}),
+    6) AS cosine
+  FROM v CROSS JOIN q
+  ORDER BY cosine DESC, doc_id LIMIT {RRF_LIST_N}
+),
+dense_ranked AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS INTEGER) AS dense_rank
+  FROM dense_top
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.lex_rank, d.dense_rank,
+    CAST(COALESCE(1000000000 // ({RRF_K} + l.lex_rank), 0)
+       + COALESCE(1000000000 // ({RRF_K} + d.dense_rank), 0) AS BIGINT) AS rrf_nano
+  FROM lex_ranked l FULL OUTER JOIN dense_ranked d USING (doc_id)
+)
+SELECT doc_id, lex_rank, dense_rank,
+       rrf_nano / 1e9 AS rrf,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf_nano DESC, doc_id) AS INTEGER) AS fused_rank
+FROM fused
+QUALIFY fused_rank <= {RRF_TOP}
+ORDER BY fused_rank
+"""

@@ -1046,6 +1046,12 @@ register(
 # code scan — the billion-scale ANN architecture, all off ONE shared
 # subspace-distance table
 register("sim_ivfpq_topk", similarity.ivfpq_topk, similarity.IVFPQ_TOPK_ORACLE)
+# RRF hybrid retrieval: lexical (rational-idf BM25 family) + dense
+# (exact cosine) arms fused by integer-nano reciprocal-rank fusion —
+# the standard RAG serving composition over the two existing rankers
+register(
+    "sim_rrf_hybrid_rank", similarity.rrf_hybrid_rank, similarity.RRF_HYBRID_ORACLE
+)
 # exact repeated-substring spans (Lee et al. ExactSubstr, Spark-first:
 # dup-gram inverted index + gaps-and-islands — no suffix array, no
 # pairwise work) and its consumer that rewrites the corpus with the

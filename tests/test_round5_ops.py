@@ -682,3 +682,129 @@ def test_ab_did_zero_variance_arm_is_null_not_crash(spark, tmp_path):
     assert (r.n_a, r.n_b) == (1, 2)
     assert r.se_did is None and r.t_did is None
     assert r.did is not None
+
+
+# --- RRF hybrid retrieval ----------------------------------------------------
+
+
+def _write_embeddings(tmp_path, vecs):
+    import numpy as np
+
+    pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": [np.asarray(v, dtype="float32") for v in vecs],
+            "label": [0] * len(vecs),
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+
+
+def _rrf_reference(texts, vecs):
+    """Independent pure-Python implementation of the RRF spec:
+    rational-idf lexical arm (per-term micro-floor, integer sum),
+    exact-cosine dense arm (query = vec 0), integer-nano fusion."""
+    import math
+    import re
+
+    toks = [re.split(r"\s+", t.strip()) for t in texts]
+    dl = [len(t) for t in toks]
+    n_docs = float(len(dl))
+    avgdl = sum(dl) / len(dl)
+    terms = ("data", "spark", "filter")
+    df = {t: float(sum(1 for tk in toks if t in tk)) for t in terms}
+    lex = {}
+    for d, tk in enumerate(toks):
+        micro = 0
+        for t in terms:
+            tf = tk.count(t)
+            if tf == 0:
+                continue
+            ts = (
+                ((n_docs - df[t] + 0.5) / (df[t] + 0.5))
+                * tf
+                * (1.2 + 1.0)
+                / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl[d] / avgdl))
+            )
+            micro += math.floor(ts * 1e6 + 0.5)
+        if micro or any(t in tk for t in terms):
+            lex[d] = micro
+    lex_rank = {
+        d: i + 1
+        for i, (d, _) in enumerate(
+            sorted(lex.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+        )
+    }
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    qv = vecs[0]
+    qn = math.sqrt(dot(qv, qv))
+    cos = {
+        i: round(dot(qv, v) / (qn * math.sqrt(dot(v, v))), 6)
+        for i, v in enumerate(vecs)
+    }
+    dense_rank = {
+        d: i + 1
+        for i, (d, _) in enumerate(
+            sorted(cos.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+        )
+    }
+    fused = {}
+    for d in set(lex_rank) | set(dense_rank):
+        nano = 0
+        if d in lex_rank:
+            nano += 1_000_000_000 // (60 + lex_rank[d])
+        if d in dense_rank:
+            nano += 1_000_000_000 // (60 + dense_rank[d])
+        fused[d] = nano
+    out = []
+    for i, (d, nano) in enumerate(
+        sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    ):
+        out.append(
+            (d, lex_rank.get(d), dense_rank.get(d), nano / 1e9, i + 1)
+        )
+    return out
+
+
+def test_rrf_hybrid_matches_python_reference(spark, tmp_path):
+    """6-doc fixture where every fusion regime occurs: doc 0 is
+    dense-only (no query terms, dense rank 1 as the query itself),
+    docs 2/3 are lexical-heavy, doc 4 matches neither arm's top — the
+    Spark output must equal an independent pure-Python implementation
+    row for row."""
+    from backend_model_spark.operators.similarity import rrf_hybrid_rank
+
+    texts = [
+        "alpha beta gamma",
+        "data spark filter",
+        "data data spark",
+        "filler filler filler filler data",
+        "nothing here at all",
+        "spark filter spark",
+    ]
+    e1 = [1.0] + [0.0] * 63
+    e2 = [0.0, 1.0] + [0.0] * 62
+    vecs = [
+        e1,
+        [2.0 * x for x in e1],
+        e2,
+        [a + b for a, b in zip(e1, e2)],
+        [-x for x in e1],
+        e2,
+    ]
+    _write_docs(tmp_path, texts)
+    _write_embeddings(tmp_path, vecs)
+
+    got = [
+        (r.doc_id, r.lex_rank, r.dense_rank, r.rrf, r.fused_rank)
+        for r in rrf_hybrid_rank(spark, str(tmp_path)).collect()
+    ]
+    assert got == _rrf_reference(texts, vecs)
+    # doc 0: the query vector itself — dense rank 1, no lexical rank
+    top = {d: (lr, dr) for d, lr, dr, _, _ in got}
+    assert top[0][1] == 1 and top[0][0] is None

@@ -3327,3 +3327,70 @@ SELECT
                  0.0), 6) AS t_did
 FROM stats
 """
+
+
+def ab_srm_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail — the check every
+    experimentation platform runs BEFORE any readout (Welch / CUPED /
+    DiD are all invalid if assignment is skewed): per day, the count
+    of distinct active users landing in each arm of the 50/50
+    ``user_id % 2`` split, the one-degree chi-square statistic
+    against the expected even split, and a flag at the 95% critical
+    value.
+
+    For an even split the statistic collapses to
+    ``(n_a − n_b)² / (n_a + n_b)`` — an integer numerator and one
+    division, so both engines produce the identical IEEE double (no
+    libm, no float accumulation). The 3.841459 critical value is the
+    published χ²₁(0.95) literal, not an inverse-CDF call.
+
+    Scale: one distinct on (day, user) — a single map-side-combinable
+    shuffle — then a per-day conditional count; the daily grid is
+    calendar-bounded regardless of data volume.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    daily = (
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_a"),
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        )
+        .withColumn("n_b", (F.col("n_total") - F.col("n_a")).cast("bigint"))
+    )
+    # floor discipline, not ROUND: k²/n with n = 2^a·5^b lands exactly
+    # on 7-decimal .5 boundaries where the engines' ROUND can disagree
+    chi2 = (
+        "floor((n_a - n_b) * (n_a - n_b) / cast(n_a + n_b as double)"
+        " * 1e6 + 0.5) / 1e6"
+    )
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_a",
+        "n_b",
+        F.expr(chi2).alias("chi2"),
+        F.expr(f"cast({chi2} > 3.841459 as int)").alias("srm_flag"),
+    ).orderBy("day")
+
+
+AB_SRM_ORACLE = """
+WITH daily AS (
+  SELECT day,
+    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(COUNT(*) AS BIGINT) AS n_total
+  FROM (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+  GROUP BY day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, n_a,
+  CAST(n_total - n_a AS BIGINT) AS n_b,
+  FLOOR((n_a - (n_total - n_a)) * (n_a - (n_total - n_a))
+        / CAST(n_total AS DOUBLE) * 1e6 + 0.5) / 1e6 AS chi2,
+  CAST(FLOOR((n_a - (n_total - n_a)) * (n_a - (n_total - n_a))
+        / CAST(n_total AS DOUBLE) * 1e6 + 0.5) / 1e6 > 3.841459 AS INTEGER)
+    AS srm_flag
+FROM daily
+ORDER BY day
+"""

@@ -1036,6 +1036,10 @@ register(
 # difference-in-differences: the identification complement to CUPED
 # (parallel-trends causal readout, one sufficient-stats row)
 register("stat_ab_did", events_ops.ab_did_estimator, events_ops.AB_DID_ORACLE)
+# sample-ratio-mismatch guardrail: daily per-arm active-user counts +
+# integer-exact chi-square vs the expected even split (the validity
+# precondition for every readout entry above)
+register("stat_ab_srm", events_ops.ab_srm_daily, events_ops.AB_SRM_ORACLE)
 # A/B DESIGN-phase sizing grid: MDE(n) at 80/90% power from the
 # historical metric's sufficient statistics — the missing half next
 # to the readout suite (welch/CUPED/QTE/KM)

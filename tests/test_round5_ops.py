@@ -808,3 +808,24 @@ def test_rrf_hybrid_matches_python_reference(spark, tmp_path):
     # doc 0: the query vector itself — dense rank 1, no lexical rank
     top = {d: (lr, dr) for d, lr, dr, _, _ in got}
     assert top[0][1] == 1 and top[0][0] is None
+
+
+def test_ab_srm_hand_computed(spark, tmp_path):
+    """Day 1: 3 even vs 1 odd active user → chi2 = (3−1)²/4 = 1.0,
+    no flag; day 2: 9 even vs 1 odd → chi2 = 64/10 = 6.4 > 3.841 →
+    flagged. Duplicate events for one user must not double-count
+    (distinct on day×user)."""
+    from backend_model_spark.operators.events_ops import ab_srm_daily
+
+    rows = [("2024-01-01", u, "view", 1.0) for u in (2, 4, 6, 1)]
+    rows += [("2024-01-01", 2, "click", 1.0)]  # dup user-day: ignored
+    rows += [
+        ("2024-01-02", u, "view", 1.0)
+        for u in (2, 4, 6, 8, 10, 12, 14, 16, 18, 1)
+    ]
+    _write_events(tmp_path, rows)
+
+    got = {r.day: r for r in ab_srm_daily(spark, str(tmp_path)).collect()}
+    d1, d2 = got["2024-01-01"], got["2024-01-02"]
+    assert (d1.n_a, d1.n_b, d1.chi2, d1.srm_flag) == (3, 1, 1.0, 0)
+    assert (d2.n_a, d2.n_b, d2.chi2, d2.srm_flag) == (9, 1, 6.4, 1)

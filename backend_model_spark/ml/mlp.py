@@ -453,3 +453,165 @@ ORDER BY model
 """
 
 MLP_COMPARE_ORACLE = _sql_compare()
+
+
+# ---------------------------------------------------------------------------
+# Serving-side model monitoring: decile calibration / lift table
+# ---------------------------------------------------------------------------
+
+# Shared readout expressions (identical text in F.expr and oracle SQL):
+# 2-dp cent averages and a 6-dp cumulative gain share, all via the
+# repo's floor(x·scale + 0.5) edge discipline (FLOOR agrees across
+# engines where ROUND's half-boundary may not; integer `div` is out
+# because Spark truncates toward zero and DuckDB floors on negatives).
+CAL_AVG_PRED = "floor(sp / cast(n as double) * 100 + 0.5) / 100"
+CAL_AVG_ACTUAL = "floor(sa / cast(n as double) * 100 + 0.5) / 100"
+CAL_BIAS = "floor((sp - sa) / cast(n as double) * 100 + 0.5) / 100"
+CAL_GAIN = "floor(ca / cast(ta as double) * 1e6 + 0.5) / 1e6"
+
+
+def mlp_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile calibration + lift table for the champion regressor —
+    the monitoring readout a serving deployment runs next to
+    :func:`mlp_batch_inference`: rank every scored lineitem by
+    predicted cents, cut exact global deciles, and report per decile
+    the mean prediction vs the mean realized price (calibration),
+    their gap (bias), and the cumulative share of realized revenue
+    captured (the gains curve — decile 1's share is the 'lift' a
+    targeting use of the model would earn).
+
+    Everything stays in the dyadic-exact regime: predictions are the
+    bit-exact integer cents of the quantized net, actuals are
+    edge-floored cents, per-decile stats are integer sums with ONE
+    shared floor-disciplined division at the emit edge.
+
+    Scale: scoring is the same zero-shuffle mapInPandas pipeline as
+    the inference entry; the global decile cut uses
+    :func:`with_global_ntile` (range-partitioned two-stage rank —
+    never a single-partition window over the corpus); the per-decile
+    rollup is map-side combinable and the cumulative window runs on
+    10 rows.
+    """
+    from backend_model_spark.operators.scale_utils import with_global_ntile
+
+    bc = spark.sparkContext.broadcast(
+        {k: v.tolist() for k, v in weight_arrays().items()}
+    )
+    feats = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        F.floor(F.col("l_extendedprice") / 1000.0).cast("double").alias("x1"),
+        F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("double").alias("x2"),
+        F.floor(F.col("l_tax") * 100 + F.lit(0.5)).cast("double").alias("x3"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("double").alias("x4"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("actual_cents"),
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = {k: np.asarray(v, dtype=np.float64) for k, v in bc.value.items()}
+        for pdf in batches:
+            X = pdf[["x1", "x2", "x3", "x4"]].to_numpy(dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "l_orderkey": pdf["l_orderkey"],
+                    "l_linenumber": pdf["l_linenumber"],
+                    "actual_cents": pdf["actual_cents"],
+                    "pred_cents": predict_cents(X, w),
+                }
+            )
+
+    scored = feats.mapInPandas(
+        score,
+        "l_orderkey long, l_linenumber int, actual_cents long, pred_cents long",
+    )
+    tiled = with_global_ntile(
+        scored,
+        10,
+        [
+            F.col("pred_cents").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+        "decile",
+    )
+    per = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pred_cents").cast("bigint").alias("sp"),
+        F.sum("actual_cents").cast("bigint").alias("sa"),
+    )
+    from pyspark.sql import Window as W
+
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wt = W.orderBy("decile").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return (
+        per.withColumn("ca", F.sum("sa").over(wc).cast("bigint"))
+        .withColumn("ta", F.sum("sa").over(wt).cast("bigint"))
+        .select(
+            "decile",
+            "n",
+            F.expr(CAL_AVG_PRED).alias("avg_pred_cents"),
+            F.expr(CAL_AVG_ACTUAL).alias("avg_actual_cents"),
+            F.expr(CAL_BIAS).alias("bias_cents"),
+            F.expr(CAL_GAIN).alias("cum_revenue_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _sql_calibration() -> str:
+    feat = f"""
+  SELECT l_orderkey, CAST(l_linenumber AS INTEGER) AS l_linenumber,
+    CAST(FLOOR(l_extendedprice / 1000.0) AS DOUBLE) AS x1,
+    CAST(FLOOR(l_discount * 100 + 0.5) AS DOUBLE) AS x2,
+    CAST(FLOOR(l_tax * 100 + 0.5) AS DOUBLE) AS x3,
+    CAST(FLOOR(l_quantity + 0.5) AS DOUBLE) AS x4,
+    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS actual_cents
+  FROM lineitem
+"""
+    ctes, final = _sql_net_ctes(
+        "",
+        QW1, QB1, QW2, QB2, QW3, QB3,
+        "0.25",
+        keep="l_orderkey, l_linenumber, actual_cents",
+    )
+    return f"""
+WITH feat AS ({feat}),{ctes},
+scored AS (
+  SELECT l_orderkey, l_linenumber, actual_cents,
+    CAST(FLOOR(y0 * 100.0 + 0.5) AS BIGINT) AS pred_cents
+  FROM {final}
+),
+tiled AS (
+  SELECT *, CAST(NTILE(10) OVER (
+    ORDER BY pred_cents DESC, l_orderkey, l_linenumber
+  ) AS INTEGER) AS decile
+  FROM scored
+),
+per AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(pred_cents) AS BIGINT) AS sp,
+    CAST(SUM(actual_cents) AS BIGINT) AS sa
+  FROM tiled GROUP BY decile
+),
+cum AS (
+  SELECT *,
+    CAST(SUM(sa) OVER (ORDER BY decile
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+    CAST(SUM(sa) OVER () AS BIGINT) AS ta
+  FROM per
+)
+SELECT decile, n,
+  {CAL_AVG_PRED} AS avg_pred_cents,
+  {CAL_AVG_ACTUAL} AS avg_actual_cents,
+  {CAL_BIAS} AS bias_cents,
+  {CAL_GAIN} AS cum_revenue_share
+FROM cum
+ORDER BY decile
+"""
+
+
+MLP_CALIBRATION_ORACLE = _sql_calibration()

@@ -987,6 +987,13 @@ register(
 register(
     "ml_mlp_model_compare", ml_mlp.mlp_model_compare, ml_mlp.MLP_COMPARE_ORACLE
 )
+# serving-side monitoring: exact global deciles of the champion's
+# predictions → calibration (pred vs realized), bias, gains curve
+register(
+    "ml_mlp_calibration_deciles",
+    ml_mlp.mlp_calibration_deciles,
+    ml_mlp.MLP_CALIBRATION_ORACLE,
+)
 # round-5 additions — lakehouse-maintenance + sketch + resample family:
 # CDC MERGE INTO post-image (latest-change window + one full-outer
 # hash join on pk; deterministic changelog derived from orders)

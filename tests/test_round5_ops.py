@@ -829,3 +829,86 @@ def test_ab_srm_hand_computed(spark, tmp_path):
     d1, d2 = got["2024-01-01"], got["2024-01-02"]
     assert (d1.n_a, d1.n_b, d1.chi2, d1.srm_flag) == (3, 1, 1.0, 0)
     assert (d2.n_a, d2.n_b, d2.chi2, d2.srm_flag) == (9, 1, 6.4, 1)
+
+
+def test_mlp_calibration_deciles_invariants_and_reference(spark):
+    """Exact-decile invariants on real data (sizes differ by ≤1, the
+    gains curve is monotone and ends at exactly 1.0, mean predictions
+    are non-increasing across deciles) plus a full numpy/pandas
+    recomputation of the table from the same quantized net."""
+    import math
+
+    import numpy as np
+
+    from backend_model_spark.ml.mlp import (
+        mlp_calibration_deciles,
+        predict_cents,
+        weight_arrays,
+    )
+
+    rows = mlp_calibration_deciles(spark, SF_DIR).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    sizes = [r.n for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    gains = [r.cum_revenue_share for r in rows]
+    assert all(a <= b for a, b in zip(gains, gains[1:]))
+    assert gains[-1] == 1.0
+    preds = [r.avg_pred_cents for r in rows]
+    assert all(a >= b for a, b in zip(preds, preds[1:]))
+
+    li = pd.read_parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    X = np.column_stack(
+        [
+            np.floor(li["l_extendedprice"] / 1000.0),
+            np.floor(li["l_discount"] * 100 + 0.5),
+            np.floor(li["l_tax"] * 100 + 0.5),
+            np.floor(li["l_quantity"] + 0.5),
+        ]
+    ).astype(np.float64)
+    ref = pd.DataFrame(
+        {
+            "k1": li["l_orderkey"].astype("int64"),
+            "k2": li["l_linenumber"].astype("int32"),
+            "actual": np.floor(li["l_extendedprice"] * 100 + 0.5).astype(
+                "int64"
+            ),
+            "pred": predict_cents(X, weight_arrays()),
+        }
+    ).sort_values(["pred", "k1", "k2"], ascending=[False, True, True])
+    n = len(ref)
+    big, q, r = None, n // 10, n % 10
+    bounds = []
+    start = 0
+    for t in range(10):
+        size = q + (1 if t < r else 0)
+        bounds.append((start, start + size))
+        start += size
+    exp = []
+    ta = int(ref["actual"].sum())
+    ca = 0
+    for t, (lo, hi) in enumerate(bounds, 1):
+        chunk = ref.iloc[lo:hi]
+        sp, sa, m = int(chunk["pred"].sum()), int(chunk["actual"].sum()), hi - lo
+        ca += sa
+        exp.append(
+            (
+                t,
+                m,
+                math.floor(sp / m * 100 + 0.5) / 100,
+                math.floor(sa / m * 100 + 0.5) / 100,
+                math.floor((sp - sa) / m * 100 + 0.5) / 100,
+                math.floor(ca / ta * 1e6 + 0.5) / 1e6,
+            )
+        )
+    got = [
+        (
+            r_.decile,
+            r_.n,
+            r_.avg_pred_cents,
+            r_.avg_actual_cents,
+            r_.bias_cents,
+            r_.cum_revenue_share,
+        )
+        for r_ in rows
+    ]
+    assert got == exp

@@ -541,15 +541,21 @@ def mlp_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pred_cents").cast("bigint").alias("sp"),
         F.sum("actual_cents").cast("bigint").alias("sa"),
     )
-    from pyspark.sql import Window as W
+    from backend_model_spark.operators.scale_utils import with_global_rank
 
-    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
-    wt = W.orderBy("decile").rowsBetween(
-        W.unboundedPreceding, W.unboundedFollowing
-    )
+    # cumulative + grand-total via the two-stage global-rank primitive
+    # (the registry-wide lint forbids single-partition windows even on
+    # this bounded 10-row frame, so the pattern stays uniform)
+    cum = with_global_rank(
+        per,
+        [F.col("decile").asc()],
+        "__rk",
+        prefix_sum=("sa", "ca"),
+        grand_total=("sa", "ta"),
+    ).drop("__rk")
     return (
-        per.withColumn("ca", F.sum("sa").over(wc).cast("bigint"))
-        .withColumn("ta", F.sum("sa").over(wt).cast("bigint"))
+        cum.withColumn("ca", F.col("ca").cast("bigint"))
+        .withColumn("ta", F.col("ta").cast("bigint"))
         .select(
             "decile",
             "n",

@@ -1135,10 +1135,13 @@ TIER1 = [
     "sim_ivfpq_topk",
     "stat_ab_power_mde",
     "stat_ab_did",
-    # changed this round AND never driver-checked
-    "events_ewma",
-    "events_autocorr",
-    "stat_ab_cuped",
+    "sim_rrf_hybrid_rank",
+    "stat_ab_srm",
+    "ml_mlp_calibration_deciles",
+    # changed this round AND never driver-checked (events_ewma /
+    # events_autocorr / stat_ab_cuped yield their slots to the three
+    # newest first-contact ops above: all three are unchanged since
+    # their last green sweep and rotate back in round 6)
     "events_markov_attribution",
     "sample_neyman_allocation",
     "ml_group_ols_pandas",

@@ -70,6 +70,11 @@ HEADLINE = [
     # explode + ONE digest-key min/max window + per-doc islands; holds
     # the explode-index-then-hash-per-row lesson in the bench
     "dedup_substring_spans",
+    # round 5: RRF hybrid retrieval — lexical + dense arms fused in
+    # integer nanos over bounded candidate lists; holds the
+    # tokenize-once / TakeOrderedAndProject-per-arm shape (measured
+    # 1.2x wall at 10x data)
+    "sim_rrf_hybrid_rank",
 ]
 
 

@@ -355,6 +355,14 @@ register(
     streaming_jobs.streaming_static_enrich,
     streaming_jobs.STREAMING_STATIC_ENRICH_ORACLE,
 )
+# windowed top-k (daily trending users): watermarked windowed count in
+# the stream + per-window rank downstream — the foreachBatch serving
+# two-step, the rank-shaped readout the streaming family was missing
+register(
+    "streaming_windowed_topk",
+    streaming_jobs.streaming_windowed_topk,
+    streaming_jobs.STREAMING_WINDOWED_TOPK_ORACLE,
+)
 
 # ======================================================================
 # TIER 2 — remainder, grouped by family
@@ -1144,7 +1152,9 @@ TIER1 = [
     # their last green sweep and rotate back in round 6)
     "events_markov_attribution",
     "sample_neyman_allocation",
-    "ml_group_ols_pandas",
+    # ml_group_ols_pandas yields its slot (judge-verified in round 4)
+    # to the fourth first-contact op of this round
+    "streaming_windowed_topk",
     # tpch tail (no driver row ever)
     "tpch_q7_volume",
     "tpch_q8_mkt_share",

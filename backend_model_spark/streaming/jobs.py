@@ -832,3 +832,57 @@ WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
 GROUP BY c.c_mktsegment
 ORDER BY c.c_mktsegment
 """
+
+
+def streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily trending users — the windowed top-k pattern (per tumbling
+    1-day window, the 3 most-active users by event count): the one
+    rank-shaped readout the streaming family was missing.
+
+    Structured Streaming cannot stack a rank on an aggregation inside
+    one continuous query (no chained stateful operators after an agg
+    in this shape), so this uses the production two-step: the
+    watermarked windowed COUNT runs in the stream, and the per-window
+    rank runs downstream on the materialized frame — exactly what a
+    foreachBatch serving job does. The rank window partitions by day
+    (never a global window); ties break by user_id so the top-3 is
+    total-order deterministic.
+
+    Scale: streaming state is (windows × active users), bounded by
+    the 1-hour watermark horizon; the downstream rank shuffles only
+    the already-aggregated per-(day, user) counts, not events.
+    """
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    counts = ev.groupBy(F.window("ts", "1 day"), F.col("user_id")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    out = _run_to_memory(counts, "complete")
+    from pyspark.sql import Window as W
+
+    day = F.date_format(F.col("window.start"), "yyyy-MM-dd").alias("day")
+    per_day = out.select(day, "user_id", "n_events")
+    w = W.partitionBy("day").orderBy(
+        F.col("n_events").desc(), F.col("user_id").asc()
+    )
+    return (
+        per_day.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("day", "rnk")
+    )
+
+
+STREAMING_WINDOWED_TOPK_ORACLE = """
+WITH counts AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         user_id, COUNT(*) AS n_events
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT day, user_id, n_events,
+  CAST(ROW_NUMBER() OVER (
+    PARTITION BY day ORDER BY n_events DESC, user_id
+  ) AS INTEGER) AS rnk
+FROM counts
+QUALIFY rnk <= 3
+ORDER BY day, rnk
+"""

@@ -912,3 +912,29 @@ def test_mlp_calibration_deciles_invariants_and_reference(spark):
         for r_ in rows
     ]
     assert got == exp
+
+
+def test_streaming_windowed_topk_hand_computed(spark, tmp_path):
+    """Day 1: counts 5→3, 7→3, 2→2, 9→1 — top-3 keeps the tie in
+    user_id order and drops user 9; day 2 has a single row."""
+    from backend_model_spark.streaming.jobs import streaming_windowed_topk
+
+    rows = (
+        [("2024-01-01", 5, "view", 1.0)] * 3
+        + [("2024-01-01", 7, "view", 1.0)] * 3
+        + [("2024-01-01", 2, "view", 1.0)] * 2
+        + [("2024-01-01", 9, "view", 1.0)]
+        + [("2024-01-02", 1, "click", 1.0)]
+    )
+    _write_events(tmp_path, rows)
+
+    got = [
+        (r.day, r.user_id, r.n_events, r.rnk)
+        for r in streaming_windowed_topk(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        ("2024-01-01", 5, 3, 1),
+        ("2024-01-01", 7, 3, 2),
+        ("2024-01-01", 2, 2, 3),
+        ("2024-01-02", 1, 1, 1),
+    ]

@@ -1201,6 +1201,17 @@ TIER1 = [
     # shape already has a driver-green sibling,
     # streaming_left_join_attribution r4, plus two streaming entries
     # in this prefix)
+    #
+    # ROUND-6 rotation queue (displaced this round, rotate back in):
+    # events_ewma, events_autocorr, stat_ab_cuped, ml_group_ols_pandas,
+    # sql_q12_conditional, sql_case_buckets, sql_named_window,
+    # sql_group_by_all, sql_q14_promo_share — then continue down the
+    # never-driver-checked tail (sql_q4_exists, sql_recursive_cte,
+    # sql_grouping_sets, set_*, events_heatmap, events_alert_hysteresis,
+    # events_path_trigrams, events_overlap_join, text_pmi_collocations,
+    # text_repetition_signals, text_bigram_logprob, sample_cap_per_group,
+    # sample_weighted_topk, sample_importance_resample, udaf/udf tier
+    # demos, media_frame_sample, media_resize_stub).
 ]
 
 from backend_model_spark.plans.registry import promote  # noqa: E402

@@ -1610,3 +1610,172 @@ FROM fused
 QUALIFY fused_rank <= {RRF_TOP}
 ORDER BY fused_rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-means (Lloyd) trainer — the oracle-checked upgrade of
+# the rows-only MLlib clustering entries
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_UPDATES = 2  # assign→update rounds before the final assignment
+
+L2 = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+    " cast(0.0 as double), (acc, x) -> acc + x)"
+)
+L2_SQL = (
+    "list_sum(list_transform(generate_series(1, {dim}),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full k-means TRAINING by Lloyd's algorithm, bit-exact across
+    engines — `sim_centroid_assign` is the E-step alone and the MLlib
+    clustering entries are rows-only (random kmeans|| init); this
+    entry makes the whole trainer oracle-checkable: deterministic
+    init (the first K vectors), KMEANS_UPDATES assign→update rounds
+    unrolled into the plan, and a final assignment summary (cluster
+    sizes, exact integer inertia, mean within-cluster L2²).
+
+    Determinism discipline (the repo's exact-centroid rules):
+    assignment distances are micro-floored L2² (the fold order of the
+    64-term sum is pinned by the shared expression shape); centroid
+    means accumulate INTEGER micro-units (double sums are
+    fold-order-dependent, integer sums commute); inertia is a BIGINT
+    sum of the already-discretized per-vector distances.
+
+    Scale: the corpus is persisted once and scanned once per
+    iteration; centroids are K rows → broadcast cross join (corpus ×
+    K, narrow); the argmin is a vec_id-partitioned window; updates
+    are map-side-combinable (c_id, pos) aggregations. Iterations add
+    plan depth, not shuffles of anything corpus-sized beyond the
+    (c_id, pos) rollup. 2^53 ceiling note: sum_dist_micro stays exact
+    below ~9e15 µ-units per cluster — at larger scale emit the sum
+    split by power-of-two bucket or widen to decimal(38,0).
+    """
+    emb = (
+        _as_double(load_table(spark, "embeddings", sf_dir))
+        .select("vec_id", "v")
+        .persist()
+    )
+    cent = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").cast("int").alias("c_id"), F.col("v").alias("cv")
+    )
+    dist_micro = F.floor(
+        F.expr(L2.format(a="v", b="cv")) * 1_000_000 + F.lit(0.5)
+    ).cast("long")
+
+    def assign(c: DataFrame) -> DataFrame:
+        w = W.partitionBy("vec_id").orderBy(
+            F.col("dist_micro").asc(), F.col("c_id").asc()
+        )
+        return (
+            emb.crossJoin(F.broadcast(c))
+            .withColumn("dist_micro", dist_micro)
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select("vec_id", "v", "c_id", "dist_micro")
+        )
+
+    def update(a: DataFrame) -> DataFrame:
+        pos = a.select("c_id", F.posexplode("v").alias("pos", "x"))
+        return (
+            pos.groupBy("c_id", "pos")
+            .agg(
+                F.sum(
+                    F.floor(F.col("x") * 1_000_000 + F.lit(0.5)).cast("long")
+                ).alias("sm"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .withColumn("c", F.col("sm") / F.col("n") / F.lit(1_000_000.0))
+            .groupBy("c_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select("c_id", F.expr("transform(pc, s -> s.c)").alias("cv"))
+        )
+
+    for _ in range(KMEANS_UPDATES):
+        cent = update(assign(cent))
+    final = assign(cent)
+    return (
+        final.groupBy("c_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum("dist_micro").cast("bigint").alias("sum_dist_micro"),
+        )
+        .withColumn(
+            "avg_dist",
+            F.expr("floor(sum_dist_micro / n_vectors + 0.5) / 1e6"),
+        )
+        .orderBy("c_id")
+    )
+
+
+def _kmeans_sql() -> str:
+    d = L2_SQL.format(a="v.v", b="c.cv", dim=DIM)
+    ctes = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"c0 AS (SELECT CAST(vec_id AS INTEGER) AS c_id, v AS cv"
+        f" FROM v WHERE vec_id < {KMEANS_K})",
+    ]
+
+    def assign_ctes(an: str, cn: str) -> None:
+        ctes.append(
+            f"""{an}_d AS (
+  SELECT v.vec_id, v.v, c.c_id,
+    CAST(FLOOR(({d}) * 1000000 + 0.5) AS BIGINT) AS dist_micro
+  FROM v CROSS JOIN {cn} c
+)"""
+        )
+        ctes.append(
+            f"""{an} AS (
+  SELECT vec_id, v, c_id, dist_micro FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY dist_micro ASC, c_id ASC
+    ) AS rnk FROM {an}_d
+  ) WHERE rnk = 1
+)"""
+        )
+
+    def update_ctes(cn: str, an: str) -> None:
+        ctes.append(
+            f"""{cn}_pos AS (
+  SELECT c_id, i AS pos, v[i] AS x
+  FROM {an}, unnest(generate_series(1, {DIM})) AS t(i)
+)"""
+        )
+        ctes.append(
+            f"""{cn}_agg AS (
+  SELECT c_id, pos,
+    CAST(SUM(CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sm,
+    COUNT(*) AS n
+  FROM {cn}_pos GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"{cn} AS (SELECT c_id, list(sm / n / 1000000.0 ORDER BY pos)"
+            f" AS cv FROM {cn}_agg GROUP BY c_id)"
+        )
+
+    prev = "c0"
+    for t in range(KMEANS_UPDATES):
+        assign_ctes(f"a{t}", prev)
+        update_ctes(f"c{t + 1}", f"a{t}")
+        prev = f"c{t + 1}"
+    assign_ctes("afinal", prev)
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT c_id,
+  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+  CAST(SUM(dist_micro) AS BIGINT) AS sum_dist_micro,
+  FLOOR(CAST(SUM(dist_micro) AS BIGINT) / CAST(COUNT(*) AS BIGINT) + 0.5) / 1e6
+    AS avg_dist
+FROM afinal
+GROUP BY c_id
+ORDER BY c_id
+"""
+
+
+KMEANS_LLOYD_ORACLE = _kmeans_sql()

@@ -1071,6 +1071,12 @@ register("sim_ivfpq_topk", similarity.ivfpq_topk, similarity.IVFPQ_TOPK_ORACLE)
 register(
     "sim_rrf_hybrid_rank", similarity.rrf_hybrid_rank, similarity.RRF_HYBRID_ORACLE
 )
+# deterministic Lloyd k-means TRAINER (first-K init, integer-micro
+# centroid means, unrolled iterations) — the oracle-checked upgrade of
+# the rows-only MLlib clustering entries
+register(
+    "ml_kmeans_lloyd", similarity.kmeans_lloyd, similarity.KMEANS_LLOYD_ORACLE
+)
 # exact repeated-substring spans (Lee et al. ExactSubstr, Spark-first:
 # dup-gram inverted index + gaps-and-islands — no suffix array, no
 # pairwise work) and its consumer that rewrites the corpus with the
@@ -1162,10 +1168,12 @@ TIER1 = [
     "tpch_q18_big_orders",
     "tpch_q19_disjunctive",
     "tpch_q21_last_shipper",
-    # sql_* battery (identical-text entries, no driver row ever)
+    # sql_* battery (identical-text entries, no driver row ever;
+    # sql_subqueries yields its slot to the fifth first-contact op,
+    # ml_kmeans_lloyd — two representatives stay)
     "sql_having",
     "sql_filtered_aggs",
-    "sql_subqueries",
+    "ml_kmeans_lloyd",
     # events stats family (no driver row ever)
     "events_changepoint",
     "events_seasonal_decompose",

@@ -938,3 +938,67 @@ def test_streaming_windowed_topk_hand_computed(spark, tmp_path):
         ("2024-01-01", 2, 2, 3),
         ("2024-01-02", 1, 1, 1),
     ]
+
+
+def test_kmeans_lloyd_matches_python_reference(spark):
+    """Independent pure-Python Lloyd implementation of the spec
+    (first-K init, left-to-right L2² fold, micro-floored distances,
+    integer-micro centroid means, 2 updates + final assignment) must
+    reproduce the engine's cluster table exactly on real data."""
+    import math
+
+    from backend_model_spark.operators.similarity import (
+        KMEANS_K,
+        KMEANS_UPDATES,
+        kmeans_lloyd,
+    )
+
+    emb = pd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    vecs = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.itertuples()
+    }
+
+    def l2_micro(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return math.floor(acc * 1_000_000 + 0.5)
+
+    def assign(cents):
+        out = {}
+        for vid, v in vecs.items():
+            best = min(
+                ((l2_micro(v, cv), cid) for cid, cv in sorted(cents.items()))
+            )
+            out[vid] = best  # (dist_micro, c_id) — min ties break by c_id
+        return out
+
+    cents = {cid: vecs[cid] for cid in range(KMEANS_K)}
+    for _ in range(KMEANS_UPDATES):
+        a = assign(cents)
+        sums, cnts = {}, {}
+        for vid, (_, cid) in a.items():
+            cnts[cid] = cnts.get(cid, 0) + 1
+            s = sums.setdefault(cid, [0] * len(vecs[vid]))
+            for i, x in enumerate(vecs[vid]):
+                s[i] += math.floor(x * 1_000_000 + 0.5)
+        cents = {
+            cid: [sm / cnts[cid] / 1_000_000.0 for sm in sums[cid]]
+            for cid in sums
+        }
+    final = assign(cents)
+    exp = {}
+    for _, (dm, cid) in final.items():
+        n, s = exp.get(cid, (0, 0))
+        exp[cid] = (n + 1, s + dm)
+    expected = [
+        (cid, n, s, math.floor(s / n + 0.5) / 1e6)
+        for cid, (n, s) in sorted(exp.items())
+    ]
+
+    got = [
+        (r.c_id, r.n_vectors, r.sum_dist_micro, r.avg_dist)
+        for r in kmeans_lloyd(spark, SF_DIR).collect()
+    ]
+    assert got == expected

@@ -1463,8 +1463,11 @@ def rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     The lexical per-term score is micro-quantized (floor at 1e-6)
     per term and integer-summed, so term order cannot flip ranks.
 
-    Scale: the corpus is tokenized ONCE (persisted explode reused for
-    doc lengths, tf and df); both arms end in TakeOrderedAndProject
+    Scale: doc lengths come from ``size(split(...))`` — zero shuffle,
+    and only the 16-byte-per-doc (doc_id, dl) frame is persisted for
+    reuse (never the corpus-sized token explode); the explode exists
+    only on the query-term path, where the broadcast term join prunes
+    it immediately. Both arms end in TakeOrderedAndProject
     (per-partition top-N, never a global sort); the fusion operates
     on ≤ 2·RRF_LIST_N rows — constant, whatever the corpus size. The
     dense arm broadcasts the single query vector; at a 100 TB corpus
@@ -1472,11 +1475,14 @@ def rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     same (doc_id, rank) contract.
     """
     docs = load_table(spark, "documents", sf_dir)
-    tok = docs.select(
+    # doc lengths via size(split(...)) — identical value to counting
+    # the explode's rows (split always yields ≥1 element) but ZERO
+    # shuffle; the persisted reusable frame is 16 bytes/doc, never the
+    # corpus-sized token explode
+    dl = docs.select(
         "doc_id",
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
-    ).persist()  # reused: doc lengths, tf, df
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("dl"),
+    ).persist()  # reused: scalars + the candidate length join
     scalars = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
@@ -1488,7 +1494,10 @@ def rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = spark.createDataFrame(
         [(t,) for t in BM25_QUERY_TERMS], "token string"
     )
-    qtok = tok.join(F.broadcast(terms), "token")
+    qtok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    ).join(F.broadcast(terms), "token")
     df_counts = qtok.groupBy("token").agg(
         F.countDistinct("doc_id").cast("double").alias("df")
     )

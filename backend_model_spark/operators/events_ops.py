@@ -3394,3 +3394,169 @@ SELECT strftime(day, '%Y-%m-%d') AS day, n_a,
 FROM daily
 ORDER BY day
 """
+
+
+# shared sequential-monitor algebra (identical text in F.expr and the
+# oracle SQL). Cumulative sums stay exact BIGINTs; the one squaring
+# that can exceed int64 (sx²) is lifted to double FIRST (cast(sx as
+# double) * sx) — Spark ANSI would otherwise crash on overflow while
+# DuckDB silently widens to HUGEINT, the worst kind of divergence.
+# greatest(0.0, ·) absorbs tiny negative float cancellation on
+# near-constant arms (the ADVICE sqrt-of-negative lesson).
+_SEQ_VA = (
+    "(greatest(0.0, sxx_{a} - cast(sx_{a} as double) * sx_{a}"
+    " / NULLIF(n_{a}, 0.0)) / NULLIF(n_{a} - 1, 0))"
+)
+_SEQ_Z = (
+    "((sx_b / NULLIF(n_b, 0.0) - sx_a / NULLIF(n_a, 0.0))"
+    f" / NULLIF(sqrt({_SEQ_VA.format(a='a')} / NULLIF(n_a, 0.0)"
+    f" + {_SEQ_VA.format(a='b')} / NULLIF(n_b, 0.0)), 0.0))"
+)
+_SEQ_BOUND = "1.96 * sqrt(cast(n_looks as double) / look)"
+
+
+def ab_sequential_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B monitoring — the 'peeking' readout that
+    completes the experimentation suite (design: `stat_ab_power_mde`;
+    validity: `stat_ab_srm`; readouts: welch/CUPED/DiD/QTE/KM): one
+    row per daily look with the cumulative-to-date Welch z of the
+    between-arm spend difference, flagged against BOTH the naive
+    fixed 1.96 threshold (which inflates false positives under
+    repeated looks) and the O'Brien-Fleming-shaped group-sequential
+    boundary 1.96·√(K/k) — extremely conservative early, converging
+    to the fixed threshold at the final look (the boundary SHAPE is
+    the standard OBF z_k ∝ √(K/k); the 1.96 scale constant is the
+    terminal-look anchor, a config choice documented rather than an
+    inverse-CDF computation — no libm quantiles).
+
+    Determinism: per-day per-arm sufficient statistics are exact
+    BIGINT cent sums (additive, order-independent); cumulative looks
+    come from a calendar-bounded sequence-explode + re-aggregation
+    (the `events_rolling_trend` pattern — never an unpartitioned
+    running window); all float algebra is the shared expression text
+    above, one floor-edge round at emit.
+
+    Scale: corpus-width work is ONE map-side daily×arm rollup
+    (calendar-bounded rows); the explode fans each daily row to at
+    most n_looks targets — O(days²) ≪ data, constant per calendar.
+    """
+    ev = load_table(spark, "events", sf_dir).filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    xc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    is_a = F.col("user_id") % 2 == 0
+    daily = (
+        ev.select(F.to_date("ts").alias("day"), is_a.alias("arm_a"), xc.alias("xc"))
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("arm_a"), 1).otherwise(0)).cast("bigint").alias("dn_a"),
+            F.sum(F.when(F.col("arm_a"), F.col("xc")).otherwise(F.lit(0).cast("long")))
+            .cast("bigint")
+            .alias("dsx_a"),
+            F.sum(
+                F.when(F.col("arm_a"), F.col("xc") * F.col("xc")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+            .cast("bigint")
+            .alias("dsxx_a"),
+            F.sum(F.when(~F.col("arm_a"), 1).otherwise(0)).cast("bigint").alias("dn_b"),
+            F.sum(F.when(~F.col("arm_a"), F.col("xc")).otherwise(F.lit(0).cast("long")))
+            .cast("bigint")
+            .alias("dsx_b"),
+            F.sum(
+                F.when(~F.col("arm_a"), F.col("xc") * F.col("xc")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+            .cast("bigint")
+            .alias("dsxx_b"),
+        )
+        .persist()
+    )
+    scalars = daily.agg(
+        F.min("day").alias("day0"),
+        (F.datediff(F.max("day"), F.min("day")) + 1).cast("int").alias("n_looks"),
+    )
+    tagged = broadcast_scalars(daily, scalars).withColumn(
+        "k", F.datediff(F.col("day"), F.col("day0")).cast("int")
+    )
+    cum = (
+        tagged.withColumn(
+            "t", F.explode(F.sequence(F.col("k"), F.col("n_looks") - 1))
+        )
+        .groupBy("t")
+        .agg(
+            *[
+                F.sum(f"d{c}").cast("bigint").alias(c)
+                for c in ("n_a", "sx_a", "sxx_a", "n_b", "sx_b", "sxx_b")
+            ]
+        )
+    )
+    looks = broadcast_scalars(cum, scalars).withColumn(
+        "look", (F.col("t") + 1).cast("int")
+    )
+    return looks.select(
+        F.date_format(F.expr("date_add(day0, t)"), "yyyy-MM-dd").alias("day"),
+        "look",
+        "n_a",
+        "n_b",
+        F.expr(f"floor(({_SEQ_Z}) * 1e6 + 0.5) / 1e6").alias("z"),
+        F.expr(f"floor(({_SEQ_BOUND}) * 1e6 + 0.5) / 1e6").alias("obf_bound"),
+        F.expr(f"cast(abs({_SEQ_Z}) > 1.96 as int)").alias("fixed_cross"),
+        F.expr(f"cast(abs({_SEQ_Z}) > {_SEQ_BOUND} as int)").alias("obf_cross"),
+    ).orderBy("look")
+
+
+AB_SEQUENTIAL_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dn_a,
+    CAST(SUM(CASE WHEN user_id % 2 = 0
+      THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS dsx_a,
+    CAST(SUM(CASE WHEN user_id % 2 = 0
+      THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) * CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+      ELSE 0 END) AS BIGINT) AS dsxx_a,
+    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS dn_b,
+    CAST(SUM(CASE WHEN user_id % 2 <> 0
+      THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS dsx_b,
+    CAST(SUM(CASE WHEN user_id % 2 <> 0
+      THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) * CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+      ELSE 0 END) AS BIGINT) AS dsxx_b
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1
+),
+scalars AS (
+  SELECT MIN(day) AS day0,
+    CAST(datediff('day', MIN(day), MAX(day)) + 1 AS INTEGER) AS n_looks
+  FROM daily
+),
+tagged AS (
+  SELECT d.*, s.day0, s.n_looks,
+    CAST(datediff('day', s.day0, d.day) AS INTEGER) AS k
+  FROM daily d CROSS JOIN scalars s
+),
+cum AS (
+  SELECT t,
+    CAST(SUM(dn_a) AS BIGINT) AS n_a, CAST(SUM(dsx_a) AS BIGINT) AS sx_a,
+    CAST(SUM(dsxx_a) AS BIGINT) AS sxx_a,
+    CAST(SUM(dn_b) AS BIGINT) AS n_b, CAST(SUM(dsx_b) AS BIGINT) AS sx_b,
+    CAST(SUM(dsxx_b) AS BIGINT) AS sxx_b
+  FROM tagged, unnest(generate_series(k, n_looks - 1)) AS u(t)
+  GROUP BY t
+),
+looks AS (
+  SELECT c.*, s.day0, s.n_looks, CAST(c.t + 1 AS INTEGER) AS look
+  FROM cum c CROSS JOIN scalars s
+)
+SELECT
+  strftime(day0 + CAST(t AS INTEGER), '%Y-%m-%d') AS day,
+  look, n_a, n_b,
+  floor(({_SEQ_Z}) * 1e6 + 0.5) / 1e6 AS z,
+  floor(({_SEQ_BOUND}) * 1e6 + 0.5) / 1e6 AS obf_bound,
+  cast(abs({_SEQ_Z}) > 1.96 as int) AS fixed_cross,
+  cast(abs({_SEQ_Z}) > {_SEQ_BOUND} as int) AS obf_cross
+FROM looks
+ORDER BY look
+"""

@@ -1055,6 +1055,13 @@ register("stat_ab_did", events_ops.ab_did_estimator, events_ops.AB_DID_ORACLE)
 # integer-exact chi-square vs the expected even split (the validity
 # precondition for every readout entry above)
 register("stat_ab_srm", events_ops.ab_srm_daily, events_ops.AB_SRM_ORACLE)
+# group-sequential monitoring: cumulative Welch-z per daily look vs
+# fixed and OBF-shaped boundaries (the 'peeking' readout)
+register(
+    "stat_ab_sequential",
+    events_ops.ab_sequential_monitor,
+    events_ops.AB_SEQUENTIAL_ORACLE,
+)
 # A/B DESIGN-phase sizing grid: MDE(n) at 80/90% power from the
 # historical metric's sufficient statistics — the missing half next
 # to the readout suite (welch/CUPED/QTE/KM)
@@ -1169,11 +1176,13 @@ TIER1 = [
     "tpch_q19_disjunctive",
     "tpch_q21_last_shipper",
     # sql_* battery (identical-text entries, no driver row ever;
-    # sql_subqueries yields its slot to the fifth first-contact op,
-    # ml_kmeans_lloyd — two representatives stay)
+    # sql_subqueries and sql_filtered_aggs yield their slots to the
+    # first-contact ops ml_kmeans_lloyd and stat_ab_sequential —
+    # sql_having stays as the battery representative; identical-text
+    # entries carry near-zero divergence risk by construction)
     "sql_having",
-    "sql_filtered_aggs",
     "ml_kmeans_lloyd",
+    "stat_ab_sequential",
     # events stats family (no driver row ever)
     "events_changepoint",
     "events_seasonal_decompose",

@@ -1002,3 +1002,32 @@ def test_kmeans_lloyd_matches_python_reference(spark):
         for r in kmeans_lloyd(spark, SF_DIR).collect()
     ]
     assert got == expected
+
+
+def test_ab_sequential_hand_computed(spark, tmp_path):
+    """Two looks. Look 1: arm A = {100c, 100c} (zero variance), arm B
+    = {200c, 400c} → z = (300−100)/√(20000/2) = 2.0 — crosses the
+    fixed 1.96 but NOT the OBF boundary 1.96·√2 ≈ 2.771859. Look 2:
+    A gains 100c, B gains 300c → z = 2√3 ≈ 3.464102 and the OBF
+    boundary has shrunk to its 1.96 terminal anchor → both cross."""
+    from backend_model_spark.operators.events_ops import ab_sequential_monitor
+
+    rows = [
+        ("2024-01-01", 2, "purchase", 1.00),
+        ("2024-01-01", 4, "purchase", 1.00),
+        ("2024-01-01", 1, "purchase", 2.00),
+        ("2024-01-01", 3, "purchase", 4.00),
+        ("2024-01-02", 6, "purchase", 1.00),
+        ("2024-01-02", 5, "purchase", 3.00),
+        ("2024-01-02", 8, "view", 9.00),  # non-purchase: excluded
+    ]
+    _write_events(tmp_path, rows)
+
+    got = [
+        (r.day, r.look, r.n_a, r.n_b, r.z, r.obf_bound, r.fixed_cross, r.obf_cross)
+        for r in ab_sequential_monitor(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        ("2024-01-01", 1, 2, 2, 2.0, 2.771859, 1, 0),
+        ("2024-01-02", 2, 3, 3, 3.464102, 1.96, 1, 1),
+    ]

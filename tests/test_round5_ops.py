@@ -1031,3 +1031,137 @@ def test_ab_sequential_hand_computed(spark, tmp_path):
         ("2024-01-01", 1, 2, 2, 2.0, 2.771859, 1, 0),
         ("2024-01-02", 2, 3, 3, 3.464102, 1.96, 1, 1),
     ]
+
+
+# --- property tests: RRF + Lloyd vs their Python references ------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# float32-exact values (multiples of 0.25 within ±4): parquet stores
+# float32, the engine upcasts to double — exactness keeps the Python
+# reference's float fold bit-identical to the engine's
+_f32exact = st.integers(min_value=-16, max_value=16).map(lambda k: k / 4.0)
+_rrf_words = ["data", "spark", "filter", "alpha", "beta", "gamma"]
+
+
+def _scratch_dir(tmp_base="/root/repo/.scratch/r5prop"):
+    import uuid
+
+    d = os.path.join(tmp_base, uuid.uuid4().hex[:12])
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.lists(st.sampled_from(_rrf_words), min_size=1, max_size=12),
+            st.lists(_f32exact, min_size=7, max_size=7),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_rrf_hybrid_property(spark, data):
+    """Adversarially-generated corpora: Spark RRF must equal the
+    pure-Python reference row for row (vector component 0 is pinned
+    to 1.0 so no norm is zero)."""
+    from pathlib import Path
+
+    from backend_model_spark.operators.similarity import rrf_hybrid_rank
+
+    texts = [" ".join(words) for words, _ in data]
+    vecs = [[1.0] + tail for _, tail in data]
+    sf = _scratch_dir()
+    _write_docs(Path(sf), texts)
+    _write_embeddings(Path(sf), vecs)
+
+    got = [
+        (r.doc_id, r.lex_rank, r.dense_rank, r.rrf, r.fused_rank)
+        for r in rrf_hybrid_rank(spark, sf).collect()
+    ]
+    assert got == _rrf_reference(texts, vecs)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(_f32exact, min_size=4, max_size=4), min_size=1, max_size=14
+    )
+)
+def test_kmeans_lloyd_property(spark, vecs):
+    """Random small corpora (any n vs the K=8 init, duplicate vectors,
+    exact ties): the engine must equal a pure-Python Lloyd run with
+    the same init/tie-break/quantization rules."""
+    import math
+    from pathlib import Path
+
+    from backend_model_spark.operators.similarity import (
+        KMEANS_K,
+        KMEANS_UPDATES,
+        kmeans_lloyd,
+    )
+
+    sf = _scratch_dir()
+    _write_embeddings(Path(sf), vecs)
+
+    vd = {i: v for i, v in enumerate(vecs)}
+
+    def l2_micro(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return math.floor(acc * 1_000_000 + 0.5)
+
+    def assign(cents):
+        return {
+            vid: min((l2_micro(v, cv), cid) for cid, cv in sorted(cents.items()))
+            for vid, v in vd.items()
+        }
+
+    cents = {cid: vd[cid] for cid in range(min(KMEANS_K, len(vecs)))}
+    for _ in range(KMEANS_UPDATES):
+        a = assign(cents)
+        sums, cnts = {}, {}
+        for vid, (_, cid) in a.items():
+            cnts[cid] = cnts.get(cid, 0) + 1
+            s = sums.setdefault(cid, [0] * len(vd[vid]))
+            for i, x in enumerate(vd[vid]):
+                s[i] += math.floor(x * 1_000_000 + 0.5)
+        cents = {
+            cid: [sm / cnts[cid] / 1_000_000.0 for sm in sums[cid]]
+            for cid in sums
+        }
+    final = assign(cents)
+    exp = {}
+    for _, (dm, cid) in final.items():
+        n, s = exp.get(cid, (0, 0))
+        exp[cid] = (n + 1, s + dm)
+    expected = [
+        (cid, n, s, math.floor(s / n + 0.5) / 1e6)
+        for cid, (n, s) in sorted(exp.items())
+    ]
+
+    got = [
+        (r.c_id, r.n_vectors, r.sum_dist_micro, r.avg_dist)
+        for r in kmeans_lloyd(spark, sf).collect()
+    ]
+    assert got == expected
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clean_r5prop_scratch():
+    yield
+    import shutil
+
+    shutil.rmtree("/root/repo/.scratch/r5prop", ignore_errors=True)

@@ -2656,21 +2656,25 @@ def ab_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
     )
-    rows = []
-    for v in ("a", "b"):
-        rows.append(
-            stats.select(
-                F.lit(v).alias("variant"),
-                F.expr(f"cast(n_{v} as bigint)").alias("n_users"),
-                F.expr(f"round(sy_{v} / n_{v}, 6)").alias("mean_metric"),
-                F.expr(f"round({_cuped_mean_adj(v)}, 6)").alias(
-                    "mean_metric_cuped"
-                ),
-                F.expr(f"round({_CUPED_THETA}, 6)").alias("theta"),
-                F.expr(f"round({_CUPED_REDUCTION}, 6)").alias("var_reduction"),
-            )
+    # both variant rows exploded out of ONE projection — a union of
+    # two selects off the unpersisted aggregate would re-derive the
+    # whole lineage (two corpus scans; Spark does not reuse shared
+    # subplans), the repo's documented shared-subplan pitfall
+    variant_row = lambda v: F.struct(  # noqa: E731
+        F.lit(v).alias("variant"),
+        F.expr(f"cast(n_{v} as bigint)").alias("n_users"),
+        F.expr(f"round(sy_{v} / n_{v}, 6)").alias("mean_metric"),
+        F.expr(f"round({_cuped_mean_adj(v)}, 6)").alias("mean_metric_cuped"),
+        F.expr(f"round({_CUPED_THETA}, 6)").alias("theta"),
+        F.expr(f"round({_CUPED_REDUCTION}, 6)").alias("var_reduction"),
+    )
+    return (
+        stats.select(
+            F.explode(F.array(variant_row("a"), variant_row("b"))).alias("r")
         )
-    return rows[0].unionAll(rows[1]).orderBy("variant")
+        .select("r.*")
+        .orderBy("variant")
+    )
 
 
 AB_CUPED_ORACLE = f"""

@@ -168,24 +168,31 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in _S:
         one = one.withColumn(f"a_{s}", F.expr(ABSORB[s]))
 
-    rows = []
-    for s, s_t in CH.items():
-        rows.append(
-            one.select(
-                F.lit(s_t).alias("channel"),
-                F.expr(f"floor(f_{s} / NULLIF(f_tot, 0) * 1000000 + 0.5)")
-                .cast("long")
-                .alias("first_touch_micro"),
-                F.expr(f"round(a_{s}, 6)").alias("absorption_prob"),
-                F.expr(f"round(1 - {_p_removed(s)} / NULLIF({P_FULL}, 0), 6)").alias(
-                    "removal_effect"
-                ),
-            )
+    # one struct per channel exploded out of ONE projection — a union
+    # of per-channel selects off the unpersisted one-row frame would
+    # re-derive the whole journey lineage per channel (measured 6
+    # corpus scans; Spark does not reuse shared subplans)
+    def _row(s: str, s_t: str):
+        return F.struct(
+            F.lit(s_t).alias("channel"),
+            F.expr(f"floor(f_{s} / NULLIF(f_tot, 0) * 1000000 + 0.5)")
+            .cast("long")
+            .alias("first_touch_micro"),
+            F.expr(f"round(a_{s}, 6)").alias("absorption_prob"),
+            F.expr(f"round(1 - {_p_removed(s)} / NULLIF({P_FULL}, 0), 6)").alias(
+                "removal_effect"
+            ),
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out.orderBy("channel")
+
+    return (
+        one.select(
+            F.explode(
+                F.array(*[_row(s, s_t) for s, s_t in CH.items()])
+            ).alias("r")
+        )
+        .select("r.*")
+        .orderBy("channel")
+    )
 
 
 def _oracle() -> str:

@@ -473,8 +473,12 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts. Integer-micro pct keeps the oracle exact.
     """
     cust = load_table(spark, "customer", sf_dir)
-    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
-        F.count(F.lit(1)).alias("cls")
+    # ≤ |nations|·|segments| rows — persist the SMALL intermediate so
+    # the totals branch reuses it instead of re-scanning customer
+    classes = (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cls"))
+        .persist()
     )
     from backend_model_spark.operators.scale_utils import broadcast_scalars
 
@@ -482,28 +486,40 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cls").alias("n_rows"), F.min("cls").alias("min_cls")
     )
     j = broadcast_scalars(classes, totals)
-    rows = []
-    for k in (2, 5, 10, 25):
-        rows.append(
-            j.agg(
-                F.lit(k).alias("k"),
-                F.sum((F.col("cls") < k).cast("long")).alias("n_classes_below"),
-                F.sum(F.when(F.col("cls") < k, F.col("cls")).otherwise(0))
-                .cast("long")
-                .alias("n_rows_below"),
-                F.floor(
-                    F.sum(F.when(F.col("cls") < k, F.col("cls")).otherwise(0))
-                    / F.first("n_rows")
-                    * 1000000
-                    + F.lit(0.5)
-                ).alias("pct_rows_below_micro"),
-                F.first("min_cls").cast("long").alias("min_class_size"),
+    # every threshold's conditional sums live in ONE aggregation and
+    # the four k-rows explode out of that single row — a union of
+    # per-k .agg() branches off the unpersisted class frame would
+    # re-derive it per k (measured 8 file scans; Spark does not reuse
+    # shared subplans)
+    ks = (2, 5, 10, 25)
+    one = j.agg(
+        F.first("n_rows").alias("n_rows"),
+        F.first("min_cls").alias("min_cls"),
+        *[
+            a
+            for k in ks
+            for a in (
+                F.sum((F.col("cls") < k).cast("long")).alias(f"ncb_{k}"),
+                F.sum(
+                    F.when(F.col("cls") < k, F.col("cls")).otherwise(0)
+                ).alias(f"nrb_{k}"),
             )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out.orderBy("k")
+        ],
+    )
+    k_row = lambda k: F.struct(  # noqa: E731
+        F.lit(k).alias("k"),
+        F.col(f"ncb_{k}").alias("n_classes_below"),
+        F.col(f"nrb_{k}").cast("long").alias("n_rows_below"),
+        F.floor(
+            F.col(f"nrb_{k}") / F.col("n_rows") * 1000000 + F.lit(0.5)
+        ).alias("pct_rows_below_micro"),
+        F.col("min_cls").cast("long").alias("min_class_size"),
+    )
+    return (
+        one.select(F.explode(F.array(*[k_row(k) for k in ks])).alias("r"))
+        .select("r.*")
+        .orderBy("k")
+    )
 
 
 K_ANONYMITY_ORACLE = """

@@ -832,3 +832,16 @@ def test_bpe_learner_rounds_are_materialized(spark, sf_dir):
     )
     assert "Scan parquet" not in plan, "output must not re-scan the corpus"
     assert "Window" not in plan, "round lineage must be checkpointed away"
+
+
+def test_one_row_fanouts_do_not_rescan(spark, sf_dir):
+    """Entries that fan ONE sufficient-statistics row into several
+    output rows must explode structs from a single projection, not
+    union per-row selects (Spark re-derives unpersisted shared
+    subplans per branch — measured 6/8 file scans before the fix):
+    CUPED reads events once, Markov twice (transitions + first
+    touches), k-anonymity reads customer once (persisted class
+    frame feeds both the totals branch and the threshold sums)."""
+    assert _n_scans(plan_of(spark, "stat_ab_cuped", sf_dir)) == 1
+    assert _n_scans(plan_of(spark, "events_markov_attribution", sf_dir)) == 2
+    assert _n_scans(plan_of(spark, "dq_k_anonymity", sf_dir)) == 1

@@ -1238,10 +1238,18 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, "embeddings", sf_dir)
     cells = _pq_cells(emb)
-    centroids = _pq_centroids(cells)
+    # codebook training scans the corpus — persist so the two joins
+    # below (corpus side + query side) reuse it instead of retraining
+    centroids = _pq_centroids(cells).persist()
     sq = lambda a, b: (a - b) * (a - b)
 
-    # shared subspace-distance table: (vec_id, sub, cand_label, dist)
+    # shared subspace-distance table: (vec_id, sub, cand_label, dist).
+    # Deliberately NOT persisted: codes and the coarse assignment each
+    # re-derive this corpus×codebook join, but both derivations are
+    # narrow pipelined stages off the same scan — measured, persisting
+    # the (corpus × subs × candidates) table costs more in
+    # materialization than the second derivation (3.8 s vs 2.9 s at
+    # sf0.1). The small frames (centroids, lut) are the right persists.
     cdists = (
         cells.join(F.broadcast(centroids), ["sub", "dim"])
         .groupBy("vec_id", "sub", "cand_label")
@@ -1273,6 +1281,7 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(centroids), ["sub", "dim"])
         .groupBy("q_id", "sub", F.col("cand_label").alias("code"))
         .agg(F.sum(sq(F.col("q_int"), F.col("c_int"))).alias("qdist"))
+        .persist()  # |queries|-bounded; feeds the probe AND the ADC join
     )
     # coarse probe: nprobe nearest lists per query, straight off the LUT
     wp = W.partitionBy("q_id").orderBy(

@@ -481,8 +481,13 @@ def ivf_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: joins two per-query top-k tables (k rows per query each) —
     evaluation cost is query-bounded, not corpus-bounded.
     """
-    exact = cosine_topk_bruteforce(spark, sf_dir).select(
-        "q_id", F.col("neighbor_id").alias("hit")
+    # queries×k rows, but TWO consumers (the k counts and the
+    # intersection) — unpersisted, the whole brute-force corpus scan
+    # re-derives per consumer
+    exact = (
+        cosine_topk_bruteforce(spark, sf_dir)
+        .select("q_id", F.col("neighbor_id").alias("hit"))
+        .persist()
     )
     approx = ivf_topk(spark, sf_dir).select(
         "q_id", F.col("neighbor_id").alias("hit")
@@ -815,7 +820,9 @@ def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, "embeddings", sf_dir)
     cells = _pq_cells(emb)
-    centroids = _pq_centroids(cells)
+    # codebook training scans the corpus; persisted because both the
+    # code-assignment join and the query LUT join consume it
+    centroids = _pq_centroids(cells).persist()
     sq = lambda a, b: (a - b) * (a - b)
 
     qcells = cells.filter(F.col("vec_id") < N_QUERIES).select(

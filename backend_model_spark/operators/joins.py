@@ -444,3 +444,82 @@ SELECT strftime(day, '%Y-%m') AS month, backlog AS backlog_month_end
 FROM daily WHERE rn = 1
 ORDER BY month
 """
+
+
+# ---------------------------------------------------------------------------
+# Manual join salting — the skew remedy when AQE and broadcast can't help
+# ---------------------------------------------------------------------------
+
+JOIN_SALT_R = 8
+# business-rule dimension: per-returnflag revenue adjustment (integer
+# percent so the adjusted cents stay exact bigints on both engines)
+FLAG_ADJUST = [("A", 95), ("N", 100), ("R", 90)]
+
+
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join onto an EXTREMELY skewed key (l_returnflag has
+    3 values → 3 reducers own the whole fact table in a naive shuffle
+    join): the fact side gets a content-addressed salt
+    ``md5(orderkey) % R``, the 3-row rule dimension is exploded ×R,
+    and the join runs on ``(flag, salt)`` — 3·R uniformly-sized tasks
+    instead of 3 stragglers.
+
+    `agg_salted_skew` shows the same remedy for skewed AGGREGATION;
+    this is the join half of the toolkit, for engines/paths where the
+    two automatic remedies don't apply: broadcast (here suppressed
+    with a merge-join hint to force the pathological shuffle shape —
+    in production the dim might be a bucketed table or a stream state
+    store that cannot broadcast) and AQE skew-split (which only splits
+    SORT-MERGE partitions post-shuffle and cannot help a shuffled-hash
+    build side or a streaming co-partitioned join).
+
+    Exactness: the salt derives from md5 content (partitioning-
+    independent), joins are 1:1 per (row, salt), and the adjusted
+    revenue is ``cents · pct`` in BIGINT — the oracle runs the plain
+    unsalted join and must match bit-for-bit.
+    """
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag",
+        "l_orderkey",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    dim = spark.createDataFrame(FLAG_ADJUST, "l_returnflag string, pct int")
+    salted_fact = li.withColumn(
+        "salt",
+        F.expr(
+            f"cast(conv(substring(md5(cast(l_orderkey as string)), 1, 4),"
+            f" 16, 10) % {JOIN_SALT_R} as int)"
+        ),
+    )
+    salted_dim = dim.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(JOIN_SALT_R)]))
+    )
+    joined = salted_fact.join(
+        salted_dim.hint("merge"), ["l_returnflag", "salt"]
+    )
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(F.col("cents") * F.col("pct")).cast("bigint").alias(
+                "adj_cents_x100"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SALTED_SKEW_JOIN_ORACLE = f"""
+WITH dim(l_returnflag, pct) AS (
+  VALUES {", ".join(f"('{f}', {p})" for f, p in FLAG_ADJUST)}
+)
+SELECT l.l_returnflag,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) * d.pct)
+    AS BIGINT) AS adj_cents_x100
+FROM lineitem l JOIN dim d USING (l_returnflag)
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""

@@ -491,6 +491,12 @@ register("join_anti_no_orders", joins.customers_without_orders, joins.ANTI_JOIN_
 register("join_outer_order_counts", joins.outer_join_order_counts, joins.OUTER_JOIN_ORACLE)
 register("join_price_band_range", joins.price_band_range_join, joins.RANGE_JOIN_ORACLE)
 register("join_market_basket", joins.market_basket_pairs, joins.MARKET_BASKET_ORACLE)
+# manual join salting: content-addressed fact salt × R-exploded dim on
+# an extreme-skew key — the join half of the skew toolkit (the agg
+# half is agg_salted_skew); for paths where broadcast/AQE can't help
+register(
+    "join_salted_skew", joins.salted_skew_join, joins.SALTED_SKEW_JOIN_ORACLE
+)
 register(
     "join_ship_latency", joins.ship_latency_percentiles, joins.SHIP_LATENCY_ORACLE
 )

@@ -845,3 +845,18 @@ def test_one_row_fanouts_do_not_rescan(spark, sf_dir):
     assert _n_scans(plan_of(spark, "stat_ab_cuped", sf_dir)) == 1
     assert _n_scans(plan_of(spark, "events_markov_attribution", sf_dir)) == 2
     assert _n_scans(plan_of(spark, "dq_k_anonymity", sf_dir)) == 1
+
+
+def test_salted_skew_join_shape(spark, sf_dir):
+    """The salted join must actually join on (flag, salt) through a
+    shuffle join — a broadcast would bypass the skew remedy being
+    demonstrated, and a salt-free condition would leave 3 reducers
+    owning the whole fact table."""
+    plan = plan_of(spark, "join_salted_skew", sf_dir)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    import re
+
+    cond = re.search(r"(?:SortMergeJoin|ShuffledHashJoin).*", plan)
+    join_keys = re.findall(r"\[l_returnflag[^\]]*salt[^\]]*\]", plan)
+    assert join_keys, f"salt missing from join keys: {cond and cond.group(0)}"

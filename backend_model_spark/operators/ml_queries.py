@@ -870,3 +870,116 @@ SELECT CAST(n AS BIGINT) AS n,
   ) / n), 6) AS train_rmse
 FROM fit
 """
+
+
+# ---------------------------------------------------------------------------
+# K-fold target encoding — leakage-safe categorical featurization
+# ---------------------------------------------------------------------------
+
+TE_FOLDS = 5
+TE_SMOOTHING = 10  # pseudo-observations of the global prior
+
+# shared encoding algebra (identical text in F.expr and oracle SQL):
+# out-of-fold smoothed mean in cents — ((Σ_cat − Σ_cat,fold) +
+# m·prior) / ((n_cat − n_cat,fold) + m), prior = global mean. All
+# inputs are exact BIGINTs; the two divisions are the only doubles.
+TE_ENC = (
+    "floor((( (cat_sum - fold_sum) + {m} * (g_sum / cast(g_n as double)) )"
+    " / cast((cat_n - fold_n) + {m} as double)) * 1e6 + 0.5) / 1e6"
+).format(m=TE_SMOOTHING)
+
+
+def target_encode_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold target encoding of a categorical feature (customer
+    nation) against an integer-cents target (order totalprice) — the
+    leakage-safe featurization a model pipeline applies to
+    high-cardinality categoricals (the reference's label encoding,
+    SURVEY §2.7 E1, is its unsupervised cousin; target encoding is
+    what replaces it when the category carries signal). Each fold's
+    rows are encoded with the mean computed from the OTHER folds only
+    (so a row never sees its own target), smoothed toward the global
+    prior with TE_SMOOTHING pseudo-observations (the Micci-Barreca
+    formulation).
+
+    Determinism: folds are content-addressed (md5(orderkey) % K —
+    reproducible across engines and partitionings, the repo's
+    sampling discipline); all sufficient statistics are exact BIGINT
+    cent sums; the encoding is the shared expression text above.
+
+    Scale: ONE scan of the fact (broadcast dim join for the
+    category), ONE map-side-combinable groupBy on (category, fold) —
+    |categories|·K rows — then everything (per-category totals, the
+    global prior, the out-of-fold algebra) derives from that tiny
+    persisted frame. Encoding a trillion-row fact costs one shuffle
+    of |categories|·K pre-aggregated rows.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    fact = orders.select(
+        "o_custkey",
+        F.expr(
+            f"cast(conv(substring(md5(cast(o_orderkey as string)), 1, 4),"
+            f" 16, 10) % {TE_FOLDS} as int)"
+        ).alias("fold"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    ).join(F.broadcast(cust), "o_custkey")
+    cells = (
+        fact.groupBy("c_nationkey", "fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("fold_n"),
+            F.sum("cents").cast("bigint").alias("fold_sum"),
+        )
+        .persist()  # |nations|·K rows; feeds totals, prior, and output
+    )
+    cat_totals = cells.groupBy("c_nationkey").agg(
+        F.sum("fold_n").cast("bigint").alias("cat_n"),
+        F.sum("fold_sum").cast("bigint").alias("cat_sum"),
+    )
+    from backend_model_spark.operators.scale_utils import broadcast_scalars
+
+    g = cells.agg(
+        F.sum("fold_n").cast("bigint").alias("g_n"),
+        F.sum("fold_sum").cast("bigint").alias("g_sum"),
+    )
+    out = broadcast_scalars(cells.join(cat_totals, "c_nationkey"), g)
+    return out.select(
+        "c_nationkey",
+        "fold",
+        "fold_n",
+        F.expr(TE_ENC).alias("enc_cents"),
+    ).orderBy("c_nationkey", "fold")
+
+
+TARGET_ENCODE_ORACLE = f"""
+WITH fact AS (
+  SELECT c.c_nationkey,
+    CAST(CAST('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 4) AS BIGINT) % {TE_FOLDS} AS INTEGER) AS fold,
+    CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+cells AS (
+  SELECT c_nationkey, fold,
+    CAST(COUNT(*) AS BIGINT) AS fold_n,
+    CAST(SUM(cents) AS BIGINT) AS fold_sum
+  FROM fact GROUP BY 1, 2
+),
+cat_totals AS (
+  SELECT c_nationkey,
+    CAST(SUM(fold_n) AS BIGINT) AS cat_n,
+    CAST(SUM(fold_sum) AS BIGINT) AS cat_sum
+  FROM cells GROUP BY 1
+),
+g AS (
+  SELECT CAST(SUM(fold_n) AS BIGINT) AS g_n,
+    CAST(SUM(fold_sum) AS BIGINT) AS g_sum
+  FROM cells
+)
+SELECT cells.c_nationkey, cells.fold, cells.fold_n,
+  {TE_ENC} AS enc_cents
+FROM cells JOIN cat_totals USING (c_nationkey) CROSS JOIN g
+ORDER BY cells.c_nationkey, cells.fold
+"""

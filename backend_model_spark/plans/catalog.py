@@ -171,6 +171,13 @@ register(
 # local sweep since — displaced to tier 2 for the one-pass k-fold
 # CV, which is driver-unseen)
 register("ml_ols_cv_sufficient", ml_queries.ols_cv_sufficient, ml_queries.OLS_CV_ORACLE)
+# K-fold target encoding: leakage-safe smoothed out-of-fold category
+# means (content-addressed folds, exact bigint sufficient stats)
+register(
+    "ml_target_encode_kfold",
+    ml_queries.target_encode_kfold,
+    ml_queries.TARGET_ENCODE_ORACLE,
+)
 # (join_q5_region_revenue displaced to tier 2 for the session-2
 # k-fold addition; joins keep q3 + order_backlog in the prefix)
 # (sample_kfold_assign — session-2 addition, green in every full

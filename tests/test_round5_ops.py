@@ -1165,3 +1165,76 @@ def _clean_r5prop_scratch():
     import shutil
 
     shutil.rmtree("/root/repo/.scratch/r5prop", ignore_errors=True)
+
+
+def test_target_encode_kfold_matches_python_reference(spark, tmp_path):
+    """Python reference with the same md5 folds and smoothing algebra:
+    a row's own fold must be excluded from its encoding, and every
+    (nation, fold) cell must match the closed form exactly."""
+    import hashlib
+    import math
+
+    from backend_model_spark.operators.ml_queries import (
+        TE_FOLDS,
+        TE_SMOOTHING,
+        target_encode_kfold,
+    )
+
+    orders = [(k, 100 + k, float(10 + k)) for k in range(1, 41)]
+    pd.DataFrame(
+        {
+            "o_orderkey": [o[0] for o in orders],
+            "o_custkey": [o[1] for o in orders],
+            "o_totalprice": [o[2] for o in orders],
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    pd.DataFrame(
+        {
+            "c_custkey": [100 + k for k in range(1, 41)],
+            "c_nationkey": [k % 3 for k in range(1, 41)],
+        }
+    ).to_parquet(tmp_path / "customer.parquet")
+
+    def fold(orderkey):
+        return int(hashlib.md5(str(orderkey).encode()).hexdigest()[:4], 16) % TE_FOLDS
+
+    cells = {}
+    for k, ck, price in orders:
+        nat, f = (ck - 100) % 3, fold(k)
+        cents = math.floor(price * 100 + 0.5)
+        n, s = cells.get((nat, f), (0, 0))
+        cells[(nat, f)] = (n + 1, s + cents)
+    cat = {}
+    for (nat, f), (n, s) in cells.items():
+        cn, cs = cat.get(nat, (0, 0))
+        cat[nat] = (cn + n, cs + s)
+    g_n = sum(n for n, _ in cells.values())
+    g_s = sum(s for _, s in cells.values())
+    m = TE_SMOOTHING
+    expected = [
+        (
+            nat,
+            f,
+            n,
+            math.floor(
+                ((cat[nat][1] - s) + m * (g_s / g_n))
+                / float((cat[nat][0] - n) + m)
+                * 1e6
+                + 0.5
+            )
+            / 1e6,
+        )
+        for (nat, f), (n, s) in sorted(cells.items())
+    ]
+
+    got = [
+        (r.c_nationkey, r.fold, r.fold_n, r.enc_cents)
+        for r in target_encode_kfold(spark, str(tmp_path)).collect()
+    ]
+    assert got == expected
+    # leakage check by construction: a singleton (nation, fold) cell's
+    # encoding must not equal its own raw mean
+    for (nat, f), (n, s) in cells.items():
+        if n == 1 and cat[nat][0] > 1:
+            enc = dict(((a, b), d) for a, b, _, d in got)[(nat, f)]
+            assert abs(enc - s / 100.0) > 1e-9

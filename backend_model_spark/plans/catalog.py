@@ -1219,9 +1219,10 @@ TIER1 = [
     # dedup (no driver row ever)
     "dedup_containment_pairs",
     "dedup_chunk_first_wins",
-    # windows (no driver row ever)
-    "window_dense_rank",
-    "window_range_frame",
+    # window_dense_rank / window_range_frame yield their slots (both
+    # judge-verified in round 4) to the last two first-contact ops
+    "join_salted_skew",
+    "ml_target_encode_kfold",
     # family representatives with no driver row ever
     "sim_mips_topk",
     "udtf_sentence_split",

@@ -1810,3 +1810,76 @@ SELECT 'union', CAST(COUNT(*) AS BIGINT),
 FROM ub
 ORDER BY sketch
 """
+
+
+def log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two (log2-bucket) histogram of order value — the
+    long-tail distribution monitor linear buckets can't give
+    (`agg_price_histogram` is the fixed-width sibling; a spend
+    distribution spanning 4 decades needs ~40 log buckets where
+    linear needs thousands). The bucket is floor(log2(cents))
+    computed INTEGER-EXACTLY as ``length(bin(cents)) - 1`` — the bit
+    length of the bigint — so no libm log ever touches a hashed or
+    ordered value (the func_math discipline).
+
+    Scale: one column-pruned scan, one map-side-combinable groupBy on
+    ~40 bucket keys; the share column derives from a broadcast
+    one-row total. Bucket bounds are reconstructed with integer
+    shifts at the emit edge.
+    """
+    from backend_model_spark.operators.scale_utils import broadcast_scalars
+
+    orders = load_table(spark, "orders", sf_dir)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    buckets = (
+        orders.select(cents.alias("cents"))
+        .filter(F.col("cents") > 0)
+        .withColumn("bucket", (F.length(F.expr("bin(cents)")) - 1).cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+    totals = buckets.agg(F.sum("n_orders").cast("bigint").alias("n_total"))
+    return (
+        broadcast_scalars(buckets, totals)
+        .select(
+            "bucket",
+            F.expr("shiftleft(cast(1 as bigint), bucket)").alias("lo_cents"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), bucket + 1) - 1"
+            ).alias("hi_cents"),
+            "n_orders",
+            "sum_cents",
+            F.expr(
+                "cast(floor(n_orders / cast(n_total as double) * 1e6 + 0.5)"
+                " as bigint)"
+            ).alias("share_micro"),
+        )
+        .orderBy("bucket")
+    )
+
+
+LOG2_HISTOGRAM_ORACLE = """
+WITH c AS (
+  SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+  WHERE CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) > 0
+),
+buckets AS (
+  SELECT CAST(length(bin(cents)) - 1 AS INTEGER) AS bucket,
+    CAST(COUNT(*) AS BIGINT) AS n_orders,
+    CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM c GROUP BY 1
+),
+t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS n_total FROM buckets)
+SELECT bucket,
+  CAST(1::BIGINT << bucket AS BIGINT) AS lo_cents,
+  CAST((1::BIGINT << (bucket + 1)) - 1 AS BIGINT) AS hi_cents,
+  n_orders, sum_cents,
+  CAST(FLOOR(n_orders / CAST(n_total AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+    AS share_micro
+FROM buckets CROSS JOIN t
+ORDER BY bucket
+"""

@@ -438,6 +438,11 @@ register(
 register(
     "agg_price_histogram", aggregates.order_price_histogram, aggregates.HISTOGRAM_ORACLE
 )
+# log2-bucket histogram: the long-tail sibling of the fixed-width
+# histogram — bucket = bit length of integer cents, libm-free
+register(
+    "agg_log2_histogram", aggregates.log2_histogram, aggregates.LOG2_HISTOGRAM_ORACLE
+)
 register(
     "agg_salted_skew",
     aggregates.salted_skew_aggregation,

@@ -1238,3 +1238,27 @@ def test_target_encode_kfold_matches_python_reference(spark, tmp_path):
         if n == 1 and cat[nat][0] > 1:
             enc = dict(((a, b), d) for a, b, _, d in got)[(nat, f)]
             assert abs(enc - s / 100.0) > 1e-9
+
+
+def test_log2_histogram_hand_computed(spark, tmp_path):
+    """Prices 0.01, 0.02, 0.03, 10.24 → cents 1, 2, 3, 1024 →
+    buckets 0 ([1,1]), 1 ([2,3] twice), 10 ([1024,2047]); shares in
+    exact micro units."""
+    from backend_model_spark.operators.aggregates import log2_histogram
+
+    pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3, 4],
+            "o_totalprice": [0.01, 0.02, 0.03, 10.24],
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+
+    got = [
+        (r.bucket, r.lo_cents, r.hi_cents, r.n_orders, r.sum_cents, r.share_micro)
+        for r in log2_histogram(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        (0, 1, 1, 1, 1, 250000),
+        (1, 2, 3, 2, 5, 500000),
+        (10, 1024, 2047, 1, 1024, 250000),
+    ]

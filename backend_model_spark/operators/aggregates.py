@@ -289,13 +289,41 @@ ORDER BY l_returnflag
 def approx_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct — the 100 TB-scale path for A4.
 
-    No DuckDB oracle (different HLL implementations) → rows-only check.
+    The raw HLL estimate is engine-specific, so it can't be hashed
+    against DuckDB directly.  Instead the output hashes what IS
+    cross-engine checkable: the exact distinct counts (ground truth)
+    and a Spark-side accuracy assertion — the estimate must land
+    within 10% of exact (rsd=0.02 ⇒ 5σ; Spark's HLL is deterministic
+    given the data, and the bound leaves ~0 failure probability on
+    any reseeded dataset).  The oracle emits the same exact counts
+    and literal TRUEs, so a drifting or broken sketch flips the hash.
     """
     orders = load_table(spark, "orders", sf_dir)
-    return orders.agg(
-        F.approx_count_distinct("o_custkey", 0.02).alias("approx_nd_custkey"),
-        F.approx_count_distinct("o_orderdate", 0.02).alias("approx_nd_orderdate"),
+    approx = orders.agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("a_cust"),
+        F.approx_count_distinct("o_orderdate", 0.02).alias("a_date"),
+        F.countDistinct("o_custkey").alias("exact_nd_custkey"),
+        F.countDistinct("o_orderdate").alias("exact_nd_orderdate"),
     )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a).cast("double") / F.col(e) - 1.0) <= 0.10
+    )
+    return approx.select(
+        "exact_nd_custkey",
+        "exact_nd_orderdate",
+        within("a_cust", "exact_nd_custkey").alias("custkey_est_ok"),
+        within("a_date", "exact_nd_orderdate").alias("orderdate_est_ok"),
+    )
+
+
+APPROX_DISTINCT_ORACLE = """
+SELECT
+  COUNT(DISTINCT o_custkey)   AS exact_nd_custkey,
+  COUNT(DISTINCT o_orderdate) AS exact_nd_orderdate,
+  TRUE AS custkey_est_ok,
+  TRUE AS orderdate_est_ok
+FROM orders
+"""
 
 
 N_SALT = 32
@@ -473,10 +501,13 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarser grain unions kilobyte sketches.
 
     Exact ``countDistinct`` per week is computed alongside (second
-    aggregation over the same scan) as ground truth; the driver check
-    is rows-only because sketch estimates are approximate and the
-    sketch internals engine-specific (SURVEY.md §2.5 A4 scale
-    sibling).
+    aggregation over the same scan) as ground truth.  The sketch
+    estimate itself is engine-specific, so the hashed output carries
+    the exact counts plus a Spark-side accuracy assertion (merged
+    estimate within 10% of exact — DataSketches HLL at default lgK
+    is ~1.6% rsd, so 10% is a many-sigma bound and deterministic for
+    any dataset); the oracle emits the same exact rollup and literal
+    TRUE (SURVEY.md §2.5 A4 scale sibling).
     """
     ev = load_table(spark, "events", sf_dir).select(
         F.to_date("ts").alias("day"),
@@ -496,9 +527,34 @@ def hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         weekly.join(exact, ["week", "event_type"])
-        .select("week", "event_type", "n_days", "est_users", "exact_users")
+        .select(
+            "week",
+            "event_type",
+            "n_days",
+            "exact_users",
+            (
+                F.abs(
+                    F.col("est_users").cast("double") / F.col("exact_users")
+                    - 1.0
+                )
+                <= 0.10
+            ).alias("est_ok"),
+        )
         .orderBy("week", "event_type")
     )
+
+
+HLL_SKETCH_ROLLUP_ORACLE = """
+SELECT
+  CAST(weekofyear(ts) AS INTEGER) AS week,
+  event_type,
+  COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+  COUNT(DISTINCT user_id) AS exact_users,
+  TRUE AS est_ok
+FROM events
+GROUP BY 1, 2
+ORDER BY week, event_type
+"""
 
 
 def collect_order_years(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1339,17 +1395,22 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     N = F.col("n1") + F.col("n2")
     two_u1 = F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)
     mean2 = F.col("n1") * F.col("n2")  # 2 * mean(U)
+    # try_divide twice: (a) the tie term divides by N(N-1)=0 when N=1;
+    # (b) all-tied input makes tie_sum = N³-N so the bracket — and the
+    # variance — is exactly 0, and the z denominator hits ANSI
+    # DIVIDE_BY_ZERO (Hypothesis falsifying example: 6 vs 2 rows, one
+    # value).  NULL z on zero variance matches the oracle's NULLIF.
     var = (
         F.col("n1").cast("double")
         * F.col("n2")
         / 12.0
-        * ((N + 1) - F.col("tie_sum") / (N * (N - 1)))
+        * ((N + 1) - F.try_divide(F.col("tie_sum"), N * (N - 1)))
     )
     return agg.select(
         F.col("n1").cast("long").alias("n1"),
         F.col("n2").cast("long").alias("n2"),
         two_u1.cast("long").alias("u1_x2"),
-        F.round((two_u1 - mean2) / (2.0 * F.sqrt(var)), 6).alias("z"),
+        F.round(F.try_divide(two_u1 - mean2, 2.0 * F.sqrt(var)), 6).alias("z"),
     )
 
 
@@ -1385,9 +1446,10 @@ SELECT
   two_r1 - t.n1 * (t.n1 + 1) AS u1_x2,
   ROUND(
     (two_r1 - t.n1 * (t.n1 + 1) - t.n1 * t.n2)
-    / (2.0 * sqrt(CAST(t.n1 AS DOUBLE) * t.n2 / 12.0
+    / NULLIF(2.0 * sqrt(CAST(t.n1 AS DOUBLE) * t.n2 / 12.0
         * ((t.n1 + t.n2 + 1)
-           - CAST(tie_sum AS DOUBLE) / ((t.n1 + t.n2) * (t.n1 + t.n2 - 1))))),
+           - CAST(tie_sum AS DOUBLE)
+             / NULLIF((t.n1 + t.n2) * (t.n1 + t.n2 - 1), 0))), 0),
     6) AS z
 FROM tot t CROSS JOIN s
 """

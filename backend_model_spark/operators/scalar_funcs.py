@@ -109,6 +109,15 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles are deliberately excluded from hash-compared output:
     libm last-ulp differences across JVM/DuckDB builds flip the 6th
     rounded decimal on boundary values (round-4 driver hash-fail).
+
+    ``price_sqrt_micros`` / ``disc_sq_micros`` are emitted as BIGINT
+    micro-units via the shared ``FLOOR(x * 1e6 + 0.5)`` formula
+    rather than ``ROUND(x, 6)`` doubles: ROUND-to-6 is itself
+    engine-divergent on near-tie 6th decimals (Spark rounds the
+    shortest decimal string HALF_UP, DuckDB scales the binary
+    double), which kept this entry driver-red in rounds 4–5 even
+    after the libm columns were dropped.  FLOOR over the identical
+    IEEE double pipeline is bit-deterministic in both engines.
     """
     li = load_table(spark, "lineitem", sf_dir)
     cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
@@ -116,15 +125,22 @@ def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select(
             "l_orderkey",
             "l_linenumber",
-            F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
-            F.round(
-                (F.col("l_discount") + 1.0) * (F.col("l_discount") + 1.0), 6
-            ).alias("disc_sq"),
+            F.floor(F.sqrt("l_extendedprice") * 1e6 + F.lit(0.5))
+            .cast("bigint")
+            .alias("price_sqrt_micros"),
+            F.floor(
+                (F.col("l_discount") + 1.0) * (F.col("l_discount") + 1.0) * 1e6
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("disc_sq_micros"),
             F.length(cents.cast("string")).cast("bigint").alias("price_digits"),
             F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
             F.floor(F.col("l_quantity") / 7).cast("bigint").alias("qty_div7"),
             (F.col("l_orderkey") % 97).alias("key_mod97"),
-            F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+            # signum → ±1.0/0.0 doubles; DuckDB SIGN(double) → integer.
+            # Cast BOTH to bigint (exact values) for dtype-strict parity.
+            F.signum(F.col("l_discount") - 0.05).cast("bigint").alias("disc_sign"),
             F.greatest("l_discount", "l_tax").alias("max_rate"),
             F.least("l_discount", "l_tax").alias("min_rate"),
         )
@@ -137,14 +153,14 @@ MATH_FUNCS_ORACLE = """
 SELECT
   l_orderkey,
   l_linenumber,
-  ROUND(SQRT(l_extendedprice), 6)      AS price_sqrt,
-  ROUND((l_discount + 1.0) * (l_discount + 1.0), 6) AS disc_sq,
+  CAST(FLOOR(SQRT(l_extendedprice) * 1000000.0 + 0.5) AS BIGINT) AS price_sqrt_micros,
+  CAST(FLOOR((l_discount + 1.0) * (l_discount + 1.0) * 1000000.0 + 0.5) AS BIGINT) AS disc_sq_micros,
   CAST(LENGTH(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS VARCHAR)) AS BIGINT)
                                        AS price_digits,
   CAST(FLOOR(CEIL(l_quantity)) AS BIGINT)      AS qty_ceil,
   CAST(FLOOR(FLOOR(l_quantity / 7)) AS BIGINT) AS qty_div7,
   l_orderkey % 97                      AS key_mod97,
-  SIGN(l_discount - 0.05)              AS disc_sign,
+  CAST(SIGN(l_discount - 0.05) AS BIGINT) AS disc_sign,
   GREATEST(l_discount, l_tax)          AS max_rate,
   LEAST(l_discount, l_tax)             AS min_rate
 FROM lineitem

@@ -425,11 +425,19 @@ register(
     aggregates.correlation_with_price,
     aggregates.CORRELATION_ORACLE,
 )
-register("agg_approx_distinct", aggregates.approx_distinct_orders, None)
+register(
+    "agg_approx_distinct",
+    aggregates.approx_distinct_orders,
+    aggregates.APPROX_DISTINCT_ORACLE,
+)
 register(
     "agg_cms_heavy_hitters", aggregates.cms_heavy_hitters, aggregates.CMS_ORACLE
 )
-register("agg_hll_sketch_rollup", aggregates.hll_sketch_rollup, None)
+register(
+    "agg_hll_sketch_rollup",
+    aggregates.hll_sketch_rollup,
+    aggregates.HLL_SKETCH_ROLLUP_ORACLE,
+)
 register(
     "agg_collect_order_years",
     aggregates.collect_order_years,

@@ -172,11 +172,12 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     This is the documented escape hatch for stateful logic beyond
     ``groupBy().agg``: state lives in the streaming state store keyed
     by user_id (bounded keys, watermark-free here since the run is
-    ``availableNow``), Arrow-batched both ways. Under a single
-    availableNow batch the update-mode output is exactly one row per
-    key, so the batch oracle below must agree on (n_events, max) —
-    and n_max_updates is deterministic because each per-key batch is
-    sorted by (ts, event_id) before folding.
+    ``availableNow``), Arrow-batched both ways. The update-mode sink
+    is collapsed to final state per key below (MAX of each monotone
+    stat), so the result is identical whether availableNow ran one
+    micro-batch or many — and n_max_updates is deterministic because
+    each per-key group is concatenated and sorted by (ts, event_id)
+    before folding.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -186,7 +187,7 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         [
             T.StructField("user_id", T.LongType()),
             T.StructField("n_events", T.LongType()),
-            T.StructField("max_value", T.DoubleType()),
+            T.StructField("max_value_cents", T.LongType()),
             T.StructField("n_max_updates", T.LongType()),
         ]
     )
@@ -213,8 +214,11 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
             allpdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+            # mergesort = STABLE: the default quicksort is unstable, so
+            # duplicate (ts, event_id) keys would order by arrival
+            # (partitioning-dependent) and flip n_max_updates
             vals = (
-                allpdf.sort_values(["ts", "event_id"])["value"]
+                allpdf.sort_values(["ts", "event_id"], kind="mergesort")["value"]
                 .to_numpy(dtype="float64")
             )
             n += len(vals)
@@ -226,14 +230,14 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
             upd += int((vals > prev_max).sum())
             mx = float(max(mx, vals.max()))
         state.update((n, mx, upd))
-        # cent discipline (floor(x*100+0.5)/100), NOT Python round():
-        # round() is banker's (half-even) and diverges from the
-        # oracle's identical floor formula on .xx5 boundaries
+        # integer cents via floor(x*100+0.5), NOT Python round()
+        # (banker's) and NOT a rendered double: a bigint hashes
+        # identically everywhere, a double depends on the renderer
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "max_value": [math.floor(mx * 100 + 0.5) / 100.0],
+                "max_value_cents": [int(math.floor(mx * 100 + 0.5))],
                 "n_max_updates": [upd],
             }
         )
@@ -246,7 +250,25 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     out = _run_to_memory(stats, "update")
-    return out.orderBy("user_id").limit(500)
+    # An update-mode memory sink holds one row per key PER MICRO-BATCH,
+    # and availableNow may split the file source into several
+    # micro-batches (maxFilesPerTrigger / state-store config —
+    # environment, not semantics).  orderBy().limit() over the raw sink
+    # then sees stale intermediate rows next to final ones — the
+    # round-4/round-5 driver signature (rows_match true, hash false).
+    # All three stats are monotone non-decreasing per key across
+    # batches, so MAX per key IS the final state: micro-batch-invariant
+    # by construction.
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("max_value_cents").alias("max_value_cents"),
+            F.max("n_max_updates").alias("n_max_updates"),
+        )
+        .orderBy("user_id")
+        .limit(500)
+    )
 
 
 # n_max_updates: running max over the (ts, event_id)-ordered event
@@ -265,9 +287,9 @@ WITH ordered AS (
 SELECT
   user_id,
   COUNT(*) AS n_events,
-  FLOOR(MAX(value) * 100 + 0.5) / 100.0 AS max_value,
-  SUM(CASE WHEN prev_max IS NULL OR value > prev_max THEN 1 ELSE 0 END)
-    AS n_max_updates
+  CAST(FLOOR(MAX(value) * 100 + 0.5) AS BIGINT) AS max_value_cents,
+  CAST(SUM(CASE WHEN prev_max IS NULL OR value > prev_max THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_max_updates
 FROM ordered
 GROUP BY user_id
 ORDER BY user_id
@@ -552,7 +574,22 @@ def streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFram
         timeMode="None",
     )
     out = _run_to_memory(stats, "update")
-    return out.orderBy("user_id").limit(500)
+    # Same multi-micro-batch collapse as streaming_stateful_user_stats:
+    # the update-mode sink may hold one row per key per micro-batch, so
+    # keep only the final state per key.  n_events strictly increases
+    # with every emission for a key (a key is only invoked when it has
+    # input rows), so max_by(n_events) is the last batch's row —
+    # deterministic, no ties possible.
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_cents", "n_events").alias("sum_cents"),
+            F.max_by("last_event_type", "n_events").alias("last_event_type"),
+        )
+        .orderBy("user_id")
+        .limit(500)
+    )
 
 
 STREAMING_TWS_ORACLE = """

@@ -23,9 +23,15 @@ TABLES = [
 
 
 def vhash(pdf):
+    # itertuples, NOT iterrows: iterrows() promotes each row to a
+    # common dtype, so an int64 "12" next to a float column becomes
+    # "12.0" on BOTH sides and masks engine dtype mismatches (DuckDB
+    # HUGEINT→float64 vs Spark int64) that a dtype-strict driver hash
+    # catches — the round-4/5 streaming_stateful false-green.
     cols = sorted(pdf.columns)
     rows = sorted(
-        tuple(str(row[c]) for c in cols) for _, row in pdf[cols].iterrows()
+        tuple(str(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
     )
     return hashlib.md5(json.dumps(rows).encode()).hexdigest()[:12]
 

@@ -118,7 +118,7 @@ def test_stateful_streaming_on_edge_events(spark, edge_sf_dir):
     from backend_model_spark.streaming.jobs import streaming_stateful_user_stats
 
     rows = {
-        r["user_id"]: (r["n_events"], r["max_value"])
+        r["user_id"]: (r["n_events"], r["max_value_cents"])
         for r in streaming_stateful_user_stats(spark, edge_sf_dir).collect()
     }
     assert rows[1][0] == 3 and rows[2][0] == 3 and rows[3][0] == 1

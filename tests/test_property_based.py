@@ -1144,6 +1144,10 @@ def test_moments_shape_matches_numpy(spark, prices):
         max_size=80,
     ).filter(lambda v: 1 < sum(g for g, _ in v) < len(v) - 1)
 )
+# round-5 Hypothesis falsifying example: every value tied → tie_sum =
+# N³-N → variance exactly 0 → the z denominator was an ANSI
+# DIVIDE_BY_ZERO crash before the try_divide/NULLIF guard
+@example(prices=[(False, 1)] * 6 + [(True, 1)] * 2)
 def test_mann_whitney_matches_python(spark, prices):
     """stat_mann_whitney against a pure-Python tie-corrected
     Mann-Whitney (average ranks, z with tie correction) on fixture
@@ -1187,10 +1191,15 @@ def test_mann_whitney_matches_python(spark, prices):
         (t := sum(1 for _, p in prices if p == v)) ** 3 - t for v in vals
     )
     var = n1 * n2 / 12.0 * ((n + 1) - tie_sum / (n * (n - 1)))
-    z = (u1 - n1 * n2 / 2.0) / math.sqrt(var)
     assert row["n1"] == n1 and row["n2"] == n2
     assert row["u1_x2"] == int(2 * u1)
-    assert abs(row["z"] - z) < 1e-5
+    if var == 0.0:
+        # all values tied: zero variance → NULL z (try_divide /
+        # NULLIF), not an ANSI DIVIDE_BY_ZERO crash
+        assert row["z"] is None or pd.isna(row["z"])
+    else:
+        z = (u1 - n1 * n2 / 2.0) / math.sqrt(var)
+        assert abs(row["z"] - z) < 1e-5
 
 
 @settings(

@@ -1144,118 +1144,107 @@ if HAS_PROTOBUF:
     )
 
 # ======================================================================
-# TIER-1 ROTATION (round 5) — the driver-verified 50-entry prefix.
+# TIER-1 ROTATION (round 6) — the driver-verified 50-entry prefix.
 #
 # registry.promote() reorders the registry so these 50 run first; the
 # physical register() blocks above stay grouped by family for readers.
 # Rotation policy (one list edit per round): surface (a) entries NEW
 # or CHANGED this round, (b) entries with zero CORRECTNESS_r* rows in
 # any round so far, and keep ≥1 representative of every operator
-# family. Round 5: 44 of the 50 have never had a driver row (the
-# round-4 verdict's priority families — tpch_q* tail, the sql_*
-# battery, events_* stats, stat_ab_* suite, winnowing/BPE-segment,
-# io_wap_lifecycle, dedup_containment_pairs); the 6 repeats are the
-# flagship plus the five entries whose expressions CHANGED this round
-# (libm-determinism hardening), which must re-prove at the driver.
+# family. Round 6: the first 6 slots re-prove this round's parity
+# fixes (dtype-strict hashing: func_math integer micros + SIGN cast,
+# streaming final-state collapse, mann-whitney try_divide, the two
+# sketch entries upgraded from rows-only to real oracles); slots 7-8
+# are the verdict's reference-core S2-S5 priorities; the rest drain
+# the round-5 displacement queue and the never-driver-checked tail.
 # ======================================================================
 TIER1 = [
-    # round-5 unblocks + determinism fixes (re-prove at driver).
-    # q1_pricing_summary yields its slot: entry() smoke runs it anyway
-    # and it has been driver-green every round since r1.
-    "streaming_transform_with_state",
+    # round-6 parity fixes (re-prove at driver under its strict hash)
     "func_math",
     "streaming_stateful_user_stats",
-    # round-5 new operators (first driver contact; stat_ab_welch /
-    # agg_moments_shape / text_quality_classifier yield their slots —
-    # all three have prior driver-green rows)
-    "io_cdc_merge_apply",
-    "agg_kmv_distinct_sketch",
-    "events_linear_interpolate",
-    "io_cardinality_estimate_audit",
-    # round-5 continuation: the five newest operators (first driver
-    # contact, brand-new code paths — highest risk in the registry).
-    # Five identical-text sql_* entries yield their slots (the battery
-    # keeps 3 representatives in this prefix); the displaced entries
-    # rotate back in round 6.
-    "dedup_substring_spans",
-    "dedup_substring_scrub",
-    "sim_ivfpq_topk",
-    "stat_ab_power_mde",
-    "stat_ab_did",
-    "sim_rrf_hybrid_rank",
-    "stat_ab_srm",
-    "ml_mlp_calibration_deciles",
-    # changed this round AND never driver-checked (events_ewma /
-    # events_autocorr / stat_ab_cuped yield their slots to the three
-    # newest first-contact ops above: all three are unchanged since
-    # their last green sweep and rotate back in round 6)
-    "events_markov_attribution",
-    "sample_neyman_allocation",
-    # ml_group_ols_pandas yields its slot (judge-verified in round 4)
-    # to the fourth first-contact op of this round
-    "streaming_windowed_topk",
-    # tpch tail (no driver row ever)
-    "tpch_q7_volume",
-    "tpch_q8_mkt_share",
-    "tpch_q17_small_qty",
-    "tpch_q18_big_orders",
-    "tpch_q19_disjunctive",
-    "tpch_q21_last_shipper",
-    # sql_* battery (identical-text entries, no driver row ever;
-    # sql_subqueries and sql_filtered_aggs yield their slots to the
-    # first-contact ops ml_kmeans_lloyd and stat_ab_sequential —
-    # sql_having stays as the battery representative; identical-text
-    # entries carry near-zero divergence risk by construction)
-    "sql_having",
-    "ml_kmeans_lloyd",
-    "stat_ab_sequential",
-    # events stats family (no driver row ever)
-    "events_changepoint",
-    "events_seasonal_decompose",
-    "events_anomaly_mad",
-    "events_interarrival",
-    "events_cohort_ltv",
-    "events_funnel_timed",
-    # stat_ab_* suite (no driver row ever)
-    "stat_ab_quantile_effect",
-    "stat_ab_survival_km",
-    "stat_bootstrap_ci",
-    # text family (no driver row ever)
-    "text_winnow_overlap",
-    "text_bpe_segment_corpus",
-    "text_fingerprints",
-    "text_decontaminate",
-    # io lifecycle (no driver row ever)
-    "io_wap_lifecycle",
-    "io_postgres_roundtrip",
-    "io_zorder_layout",
-    # dedup (no driver row ever)
-    "dedup_containment_pairs",
-    "dedup_chunk_first_wins",
-    # window_dense_rank / window_range_frame yield their slots (both
-    # judge-verified in round 4) to the last two first-contact ops
-    "join_salted_skew",
-    "ml_target_encode_kfold",
-    # family representatives with no driver row ever
-    "sim_mips_topk",
-    "udtf_sentence_split",
-    "media_decode_features",
-    # (streaming_click_purchase_join yielded its slot to the round-5
-    # late add io_cardinality_estimate_audit: the stream-stream-join
-    # shape already has a driver-green sibling,
-    # streaming_left_join_attribution r4, plus two streaming entries
-    # in this prefix)
+    "streaming_transform_with_state",
+    "stat_mann_whitney",
+    "agg_approx_distinct",
+    "agg_hll_sketch_rollup",
+    # reference-core S2-S5 sink/DDL paths (never in any prefix)
+    "io_jdbc_roundtrip",
+    "io_ddl_create_insert_scan",
+    "io_append_sink",
+    # round-5 displacement queue (rotate back in)
+    "events_ewma",
+    "events_autocorr",
+    "stat_ab_cuped",
+    "ml_group_ols_pandas",
+    "sql_q12_conditional",
+    "sql_case_buckets",
+    "sql_named_window",
+    "sql_group_by_all",
+    "sql_q14_promo_share",
+    # never-driver-checked tail: events battery
+    "events_heatmap",
+    "events_alert_hysteresis",
+    "events_path_trigrams",
+    "events_overlap_join",
+    "events_hourly_rollup",
+    "events_fill_forward",
+    # never-driver-checked tail: text battery
+    "text_repetition_signals",
+    "text_bigram_logprob",
+    "text_language_id",
+    "text_vocab_build",
+    # never-driver-checked tail: sampling battery
+    "sample_cap_per_group",
+    "sample_weighted_topk",
+    "sample_importance_resample",
+    # never-driver-checked tail: media + udf plumbing
+    "media_frame_sample",
+    "media_resize_stub",
+    "udf_native_normalize",
+    "udf_arrow_normalize",
+    # never-driver-checked tail: sql battery remainder
+    "sql_filtered_aggs",
+    "sql_subqueries",
+    # never-driver-checked tail: tpch remainder
+    "tpch_q11_important_parts",
+    "tpch_q13_order_dist",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q20_excess_supp",
+    "tpch_q22_idle_rich",
+    # never-driver-checked tail: io formats + incremental
+    "io_json_roundtrip",
+    "io_orc_roundtrip",
+    "io_incremental_rollup",
+    # never-driver-checked tail: window + sim + dedup family reps
+    "window_dense_rank",
+    "window_range_frame",
+    "sim_ivf_topk",
+    "dedup_golden_record",
     #
-    # ROUND-6 rotation queue (displaced this round, rotate back in):
-    # events_ewma, events_autocorr, stat_ab_cuped, ml_group_ols_pandas,
-    # sql_q12_conditional, sql_case_buckets, sql_named_window,
-    # sql_group_by_all, sql_q14_promo_share — then continue down the
-    # never-driver-checked tail (sql_q4_exists, sql_recursive_cte,
-    # sql_grouping_sets, set_*, events_heatmap, events_alert_hysteresis,
-    # events_path_trigrams, events_overlap_join, text_pmi_collocations,
-    # text_repetition_signals, text_bigram_logprob, sample_cap_per_group,
-    # sample_weighted_topk, sample_importance_resample, udaf/udf tier
-    # demos, media_frame_sample, media_resize_stub).
+    # ROUND-7 rotation queue (never-driver-checked entries remaining
+    # after this prefix): sim_pq_adc_recall, sim_ivf_recall,
+    # sim_lsh_hyperplane_buckets, sim_quantize_int8, dq_k_anonymity,
+    # dq_drift_psi, agg_weighted_median_rank, agg_log2_histogram,
+    # agg_exact_median_rank, agg_approx_quantiles, agg_countmin_topk,
+    # window_revenue_growth, window_lag_deltas, window_ntile,
+    # window_distribution_stats, events_active_users,
+    # events_pattern_sequence, events_json_props, events_variant_props,
+    # events_asof_cogroup, events_transitions, events_sliding_windows,
+    # events_multilevel_rollup, events_gapfill_spine, events_props_map,
+    # events_active_streaks, events_anomaly_zscore, events_late_audit,
+    # text_source_kl, text_top_tokens, text_char_stats,
+    # text_chunk_documents, text_bigram_lm, text_tfidf,
+    # text_unigram_entropy, text_source_vocab_jaccard, text_pii_scrub,
+    # text_repetition_scores, pipeline_corpus_prep,
+    # dedup_bloom_prefilter, dedup_keep_list, dedup_ngram_jaccard,
+    # dedup_minhash_signatures, dedup_simhash, dedup_graph_pagerank,
+    # udf_... tier demos already covered this round; sample_kfold_assign,
+    # sample_temperature_mix, sample_weighted_lang_mix,
+    # ml_logistic_irls, ml_gbt_train_eval, ml_gbt_feature_importance,
+    # mllib_* (rows-only), io_permissive_json_scan,
+    # io_analyze_table_stats, io_provenance_audit,
+    # streaming_python_datasource, streaming_dedup_user_types,
+    # streaming_click_purchase_join.
 ]
 
 from backend_model_spark.plans.registry import promote  # noqa: E402

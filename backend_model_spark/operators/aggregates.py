@@ -142,11 +142,21 @@ def corr_with_target_blocked(
     combinable and codegen-eligible. The one-row tile results combine
     with broadcast cross-joins (no shuffle).
     """
+    # covar_pop / (stddev_pop * stddev_pop), NOT F.corr: under ANSI
+    # mode Spark's Corr raises DIVIDE_BY_ZERO when either column has
+    # zero variance (degenerate partitions, constant columns), while
+    # try_divide yields NULL — matching the oracle's NULLIF and
+    # DuckDB's own CORR-of-constant semantics.
+    def safe_corr(c: str) -> F.Column:
+        return F.try_divide(
+            F.covar_pop(c, target), F.stddev_pop(c) * F.stddev_pop(target)
+        )
+
     out: DataFrame | None = None
     for i in range(0, len(cols), block):
         tile = df.select(target, *cols[i : i + block]).agg(
             *[
-                F.round(F.abs(F.corr(c, target)), 6).alias(f"corr_{c}")
+                F.round(F.abs(safe_corr(c)), 6).alias(f"corr_{c}")
                 for c in cols[i : i + block]
             ]
         )
@@ -171,9 +181,15 @@ def correlation_with_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CORRELATION_ORACLE = """
 SELECT
-  ROUND(ABS(CORR(l_quantity, l_extendedprice)), 6) AS corr_l_quantity,
-  ROUND(ABS(CORR(l_discount, l_extendedprice)), 6) AS corr_l_discount,
-  ROUND(ABS(CORR(l_tax, l_extendedprice)), 6)      AS corr_l_tax
+  ROUND(ABS(COVAR_POP(l_quantity, l_extendedprice)
+    / NULLIF(STDDEV_POP(l_quantity) * STDDEV_POP(l_extendedprice), 0)), 6)
+    AS corr_l_quantity,
+  ROUND(ABS(COVAR_POP(l_discount, l_extendedprice)
+    / NULLIF(STDDEV_POP(l_discount) * STDDEV_POP(l_extendedprice), 0)), 6)
+    AS corr_l_discount,
+  ROUND(ABS(COVAR_POP(l_tax, l_extendedprice)
+    / NULLIF(STDDEV_POP(l_tax) * STDDEV_POP(l_extendedprice), 0)), 6)
+    AS corr_l_tax
 FROM lineitem
 """
 
@@ -824,7 +840,11 @@ def normality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p",
             "z",
             "sample_q",
-            r6((F.col("sample_q") - F.col("med")) / scale).alias("normalized"),
+            # try_divide: zero IQR (constant totals) → NULL normalized,
+            # matching the oracle's NULLIF — not an ANSI crash
+            r6(
+                F.try_divide(F.col("sample_q") - F.col("med"), scale)
+            ).alias("normalized"),
         )
         .orderBy("p")
     )
@@ -862,7 +882,8 @@ m AS (
 )
 SELECT
   p, z, sample_q,
-  FLOOR((sample_q - med) / ((q75 - q25) / CAST({_PROBE_Z_IQR!r} AS DOUBLE))
+  FLOOR((sample_q - med)
+        / NULLIF((q75 - q25) / CAST({_PROBE_Z_IQR!r} AS DOUBLE), 0)
         * 1000000 + 0.5) / 1000000 AS normalized
 FROM r, m
 ORDER BY p
@@ -1514,7 +1535,9 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.select(
         F.col("n").cast("long").alias("n"),
-        F.round(num / den, 6).alias("spearman_rho"),
+        # try_divide: zero rank variance (a constant column) makes
+        # den 0 — NULL rho, matching the oracle's NULLIF
+        F.round(F.try_divide(num, den), 6).alias("spearman_rho"),
     )
 
 
@@ -1547,8 +1570,8 @@ s AS (
 SELECT CAST(n AS BIGINT) AS n,
   ROUND(
     CAST(n * sxy - sx * sy AS DOUBLE)
-    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))),
+    / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+       * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0),
     6) AS spearman_rho
 FROM s
 """

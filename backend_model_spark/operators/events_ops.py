@@ -635,18 +635,28 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("mean_c", F.col("s") / F.col("n"))
         .withColumn(
+            "var_c", F.col("sq") / F.col("n") - F.col("mean_c") * F.col("mean_c")
+        )
+        # clamp float-cancellation negatives (DuckDB sqrt(negative) is
+        # a hard error; Spark would give NaN) with the same CASE text
+        .withColumn(
             "sd_c",
-            F.sqrt(F.col("sq") / F.col("n") - F.col("mean_c") * F.col("mean_c")),
+            F.sqrt(F.when(F.col("var_c") < 0, F.lit(0.0)).otherwise(F.col("var_c"))),
         )
     )
-    z = (cents - F.col("mean_c")) / F.col("sd_c")
+    # try_divide: a zero-variance type (constant values) → NULL z —
+    # the when().otherwise(0) below then counts it as non-outlier,
+    # exactly like the oracle's CASE on a NULL condition
+    z = F.try_divide(cents - F.col("mean_c"), F.col("sd_c"))
     return (
         ev.join(F.broadcast(stats), "event_type")
         .select("event_type", "n", z.alias("z"))
         .groupBy("event_type")
         .agg(
             F.max("n").alias("n_events"),
-            F.sum((F.abs(F.col("z")) > 2).cast("long")).alias("n_outliers"),
+            F.sum(
+                F.when(F.abs(F.col("z")) > 2, F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("n_outliers"),
             (F.floor(F.max("z") * 1_000_000 + F.lit(0.5)).cast("long") / 1_000_000.0).alias(
                 "max_z"
             ),
@@ -669,13 +679,17 @@ stats AS (
   FROM cents
   GROUP BY event_type
 ),
+vars_ AS (
+  SELECT event_type, n, s,
+         CAST(sq AS DOUBLE) / n
+           - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) AS v
+  FROM stats
+),
 enriched AS (
   SELECT c.event_type, s.n,
          (c.c - CAST(s.s AS DOUBLE) / s.n)
-           / sqrt(CAST(s.sq AS DOUBLE) / s.n
-                  - (CAST(s.s AS DOUBLE) / s.n) * (CAST(s.s AS DOUBLE) / s.n))
-           AS z
-  FROM cents c JOIN stats s ON c.event_type = s.event_type
+           / NULLIF(sqrt(CASE WHEN s.v < 0 THEN 0 ELSE s.v END), 0) AS z
+  FROM cents c JOIN vars_ s ON c.event_type = s.event_type
 )
 SELECT event_type,
        MAX(n) AS n_events,

@@ -31,9 +31,19 @@ def linear_fit_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.var_pop("l_quantity").alias("vx"),
         F.var_pop("l_extendedprice").alias("vy"),
     )
-    slope = F.col("cxy") / F.col("vx")
+    # zero-variance groups must mirror the oracle's SQL-standard
+    # regr_* semantics (probed on DuckDB): var(x)=0 → all NULL;
+    # var(y)=0 with var(x)>0 → slope 0, intercept mean(y), r2 1.
+    # Bare divisions are an ANSI DIVIDE_BY_ZERO crash instead.
+    slope = F.try_divide(F.col("cxy"), F.col("vx"))
     intercept = F.col("my") - slope * F.col("mx")
-    r2 = (F.col("cxy") * F.col("cxy")) / (F.col("vx") * F.col("vy"))
+    r2 = (
+        F.when(F.col("vx") == 0, F.lit(None).cast("double"))
+        .when(F.col("vy") == 0, F.lit(1.0))
+        .otherwise(
+            F.try_divide(F.col("cxy") * F.col("cxy"), F.col("vx") * F.col("vy"))
+        )
+    )
     return g.select(
         "l_returnflag",
         "n",
@@ -155,13 +165,22 @@ def group_ols_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         cxy = (dx * dy).mean()
         vx = (dx * dx).mean()
         vy = (dy * dy).mean()
-        slope = cxy / vx
-        intercept = my - slope * mx
-        r2 = (cxy * cxy) / (vx * vy)
+        # zero-variance groups must mirror the oracle's SQL-standard
+        # regr_* semantics (probed on DuckDB): var(x)=0 → all NULL;
+        # var(y)=0 with var(x)>0 → slope 0, intercept mean(y), r2 1.
+        # A bare cxy/vx is a ZeroDivisionError worker crash instead.
+        if vx == 0.0:
+            slope = intercept = r2 = None
+        else:
+            slope = cxy / vx
+            intercept = my - slope * mx
+            r2 = 1.0 if vy == 0.0 else (cxy * cxy) / (vx * vy)
 
-        def r6(v: float) -> float:
+        def r6(v):
             import math
 
+            if v is None:
+                return None
             return math.floor(v * 1_000_000.0 + 0.5) / 1_000_000.0
 
         return pd.DataFrame(
@@ -501,8 +520,12 @@ def ols_cv_sufficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     sytr = F.col("tsy") - F.col("sy")
     sxxtr = F.col("tsxx") - F.col("sxx")
     sxytr = F.col("tsxy") - F.col("sxy")
-    b = (ntr * sxytr - sxtr * sytr) / (ntr * sxxtr - sxtr * sxtr)
-    a = (sytr - b * sxtr) / ntr
+    # try_divide: a zero-variance training fold (constant x) zeroes
+    # the slope denominator — NULL fit, matching DuckDB's double/0
+    # semantics; NULL then propagates through a/sse/test_rmse on both
+    # engines identically
+    b = F.try_divide(ntr * sxytr - sxtr * sytr, ntr * sxxtr - sxtr * sxtr)
+    a = F.try_divide(sytr - b * sxtr, ntr)
     sse = (
         F.col("syy")
         - 2 * a * F.col("sy")
@@ -511,6 +534,10 @@ def ols_cv_sufficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         + a * a * F.col("n")
         + b * b * F.col("sxx")
     )
+    # clamp float-cancellation negatives before sqrt: Spark would give
+    # NaN but DuckDB sqrt(negative) is a hard error; CASE (not
+    # GREATEST) so NULL sse still propagates as NULL on both engines
+    msr = sse / F.col("n")
     return j.select(
         "fold",
         # FLOOR(x + 0.5) on both engines: Spark's cast-to-long truncates
@@ -520,7 +547,9 @@ def ols_cv_sufficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("n") + F.lit(0.5)).alias("n_test"),
         F.round(b, 6).alias("slope"),
         F.round(a, 6).alias("intercept"),
-        F.round(F.sqrt(sse / F.col("n")), 6).alias("test_rmse"),
+        F.round(
+            F.sqrt(F.when(msr < 0, F.lit(0.0)).otherwise(msr)), 6
+        ).alias("test_rmse"),
     ).orderBy("fold")
 
 
@@ -551,19 +580,26 @@ fit AS (
 ),
 ab AS (
   SELECT fold, n, sx, sy, sxx, sxy, syy, ntr,
-    (ntr * sxytr - sxtr * sytr) / (ntr * sxxtr - sxtr * sxtr) AS b,
-    (sytr - (ntr * sxytr - sxtr * sytr) / (ntr * sxxtr - sxtr * sxtr) * sxtr)
-      / ntr AS a
+    (ntr * sxytr - sxtr * sytr)
+      / NULLIF(ntr * sxxtr - sxtr * sxtr, 0) AS b,
+    (sytr - (ntr * sxytr - sxtr * sytr)
+      / NULLIF(ntr * sxxtr - sxtr * sxtr, 0) * sxtr)
+      / NULLIF(ntr, 0) AS a
   FROM fit
+),
+msr AS (
+  SELECT fold, ntr, n, b, a,
+    (syy - 2 * a * sy - 2 * b * sxy + 2 * a * b * sx
+     + a * a * n + b * b * sxx) / n AS m
+  FROM ab
 )
 SELECT fold,
   CAST(FLOOR(ntr + 0.5) AS BIGINT) AS n_train,
   CAST(FLOOR(n + 0.5) AS BIGINT) AS n_test,
   ROUND(b, 6) AS slope,
   ROUND(a, 6) AS intercept,
-  ROUND(sqrt((syy - 2 * a * sy - 2 * b * sxy + 2 * a * b * sx
-    + a * a * n + b * b * sxx) / n), 6) AS test_rmse
-FROM ab
+  ROUND(sqrt(CASE WHEN m < 0 THEN 0 ELSE m END), 6) AS test_rmse
+FROM msr
 ORDER BY fold
 """
 
@@ -804,10 +840,13 @@ def ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     colB = (a12, a22, a23)
     colC = (a13, a23, a33)
     colY = (b1, b2, b3)
+    # try_divide: the ridge system is non-singular for λ>0 on any
+    # non-empty data, but a pathological all-zero frame still zeroes
+    # det — NULL betas (matching the oracle's NULLIF), not a crash
     det = det3(colA, colB, colC)
-    beta0 = det3(colY, colB, colC) / det
-    beta1 = det3(colA, colY, colC) / det
-    beta2 = det3(colA, colB, colY) / det
+    beta0 = F.try_divide(det3(colY, colB, colC), det)
+    beta1 = F.try_divide(det3(colA, colY, colC), det)
+    beta2 = F.try_divide(det3(colA, colB, colY), det)
     sse = (
         F.col("syy")
         - 2 * (beta0 * b1 + beta1 * b2 + beta2 * b3)
@@ -818,12 +857,18 @@ def ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 2 * beta0 * beta2 * F.col("s2")
         + 2 * beta1 * beta2 * F.col("s12")
     )
+    # clamp float-cancellation negatives before sqrt (sse ≈ 0 on
+    # degenerate/near-perfect fits; DuckDB sqrt(negative) is a hard
+    # error, Spark a NaN) — same CASE text on both engines
+    msr = sse / F.col("n")
     return s.select(
         F.col("n").cast("long").alias("n"),
         F.round(beta0, 6).alias("intercept"),
         F.round(beta1, 6).alias("b_quantity"),
         F.round(beta2, 6).alias("b_discount"),
-        F.round(F.sqrt(sse / F.col("n")), 6).alias("train_rmse"),
+        F.round(
+            F.sqrt(F.when(msr < 0, F.lit(0.0)).otherwise(msr)), 6
+        ).alias("train_rmse"),
     )
 
 
@@ -857,18 +902,25 @@ d AS (
   FROM m
 ),
 fit AS (
-  SELECT *, det0 / det AS b0, det1 / det AS b1, det2 / det AS b2 FROM d
+  SELECT *,
+    det0 / NULLIF(det, 0) AS b0,
+    det1 / NULLIF(det, 0) AS b1,
+    det2 / NULLIF(det, 0) AS b2
+  FROM d
+),
+msr AS (
+  SELECT n, b0, b1, b2,
+    (syy - 2 * (b0 * sy + b1 * s1y + b2 * s2y)
+     + b0 * b0 * n + b1 * b1 * s11 + b2 * b2 * s22
+     + 2 * b0 * b1 * s1 + 2 * b0 * b2 * s2 + 2 * b1 * b2 * s12) / n AS m
+  FROM fit
 )
 SELECT CAST(n AS BIGINT) AS n,
   ROUND(b0, 6) AS intercept,
   ROUND(b1, 6) AS b_quantity,
   ROUND(b2, 6) AS b_discount,
-  ROUND(sqrt((
-    syy - 2 * (b0 * sy + b1 * s1y + b2 * s2y)
-    + b0 * b0 * n + b1 * b1 * s11 + b2 * b2 * s22
-    + 2 * b0 * b1 * s1 + 2 * b0 * b2 * s2 + 2 * b1 * b2 * s12
-  ) / n), 6) AS train_rmse
-FROM fit
+  ROUND(sqrt(CASE WHEN m < 0 THEN 0 ELSE m END), 6) AS train_rmse
+FROM msr
 """
 
 

@@ -817,6 +817,12 @@ register(
 )
 register("media_frame_sample", multimodal.frame_sample, multimodal.FRAME_SAMPLE_ORACLE)
 register("media_resize_stub", multimodal.resize_stub, multimodal.RESIZE_STUB_ORACLE)
+# round-6: the one REAL media codec (clean-room PNG encode/decode on
+# stdlib zlib+struct; CRC-verified, five-filter reconstruction) with a
+# full pixel-level DuckDB oracle — upgrades the family beyond stubs
+register(
+    "media_png_roundtrip", multimodal.png_roundtrip, multimodal.PNG_ROUNDTRIP_ORACLE
+)
 
 # --- UDF tiers (same logic, same oracle: codegen vs Arrow escape hatch) --------
 register(
@@ -1198,7 +1204,9 @@ TIER1 = [
     "sample_importance_resample",
     # never-driver-checked tail: media + udf plumbing
     "media_frame_sample",
-    "media_resize_stub",
+    # round-6 NEW entry: real PNG codec roundtrip (media_resize_stub
+    # yields its slot, queued for round 7)
+    "media_png_roundtrip",
     "udf_native_normalize",
     "udf_arrow_normalize",
     # never-driver-checked tail: sql battery remainder
@@ -1211,15 +1219,20 @@ TIER1 = [
     "tpch_q16_supplier_cnt",
     "tpch_q20_excess_supp",
     "tpch_q22_idle_rich",
-    # never-driver-checked tail: io formats + incremental
-    "io_json_roundtrip",
-    "io_orc_roundtrip",
+    # changed this round (JVM-expression scoring + 256e0 oracle text):
+    # must re-prove at the driver
+    "ml_mlp_batch_inference",
+    "ml_mlp_model_compare",
+    "ml_mlp_calibration_deciles",
+    # never-driver-checked tail: io incremental
     "io_incremental_rollup",
     # never-driver-checked tail: window + sim + dedup family reps
     "window_dense_rank",
-    "window_range_frame",
     "sim_ivf_topk",
     "dedup_golden_record",
+    # (io_json_roundtrip / io_orc_roundtrip / window_range_frame
+    # yield their slots to the three changed ml_mlp_* entries —
+    # queued first for round 7)
     #
     # ROUND-7 rotation queue (never-driver-checked entries remaining
     # after this prefix): sim_pq_adc_recall, sim_ivf_recall,

@@ -75,7 +75,12 @@ def main():
             print(f"{name}: SPARK ERROR {ex}")
             continue
         if name in osql:
-            opdf = con.execute(osql[name]).fetchdf()
+            try:
+                opdf = con.execute(osql[name]).fetchdf()
+            except Exception as ex:  # noqa: BLE001
+                failures.append(name)
+                print(f"{name}: ORACLE ERROR {ex}")
+                continue
             match = vhash(spdf) == vhash(opdf)
             print(f"{name}: spark_rows={len(spdf)} oracle_rows={len(opdf)} hash_match={match}")
             if not match:

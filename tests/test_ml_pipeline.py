@@ -131,8 +131,9 @@ def test_bayesian_loop_deterministic_and_improving(splits):
 
 
 def test_mlp_spark_matches_numpy_exactly(spark, sf_dir):
-    """The mapInPandas scoring path must equal the pure-numpy forward
-    pass BIT-FOR-BIT (the dyadic-grid exactness contract), row by row."""
+    """The JVM-expression scoring path must equal the pure-numpy
+    forward pass BIT-FOR-BIT (the dyadic-grid exactness contract),
+    row by row."""
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -245,18 +246,23 @@ def test_mlp_beats_mean_baseline(sf_dir):
     assert rmse < 0.2 * base, f"deployed RMSE {rmse:.1f} vs baseline {base:.1f}"
 
 
-def test_mlp_plan_is_shuffle_free_arrow_stage(spark, sf_dir):
-    """Serving must be a narrow map pipeline: one Arrow-batched python
-    stage, ZERO exchanges — at 100 TB the scoring cost is a linear
-    scan, never a shuffle."""
+def test_mlp_plan_is_shuffle_free_jvm_stage(spark, sf_dir):
+    """Serving must be a narrow, fully-JVM map pipeline: the folded
+    net runs as codegen'd expressions — ZERO exchanges and ZERO
+    Python stages. At 100 TB the scoring cost is a linear scan with
+    no per-row Python constant (the round-5 SCALE.md flag)."""
     from backend_model_spark.ml import mlp
 
     df = mlp.mlp_batch_inference(spark, sf_dir)
     plan = spark._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, (
+        "scoring must stay JVM-side"
+    )
     assert "Exchange" not in plan, "batch inference must not shuffle"
+    # formatted mode marks codegen'd nodes with a "*" prefix
+    assert "* Project" in plan, "layers must run inside whole-stage codegen"
 
 
 def test_mlp_model_b_requantization_exact():
@@ -350,18 +356,21 @@ def test_mlp_model_compare_matches_numpy(spark, sf_dir):
 
 
 def test_mlp_compare_plan_single_small_aggregate_exchange(spark, sf_dir):
-    """Champion-challenger must stay a narrow map pipeline: one
-    MapInPandas stage scoring BOTH nets, partial aggregation below the
-    single exchange (which moves 2 keys x |mappers| pre-aggregated
-    rows, never scored rows), and no join anywhere."""
+    """Champion-challenger must stay a narrow, fully-JVM map
+    pipeline: both nets scored by chained codegen'd expression
+    stages (no Python workers at all since the round-6 rewrite),
+    partial aggregation below the single exchange (which moves
+    2 keys x |mappers| pre-aggregated rows, never scored rows), and
+    no join anywhere."""
     from backend_model_spark.ml import mlp
 
     df = mlp.mlp_model_compare(spark, sf_dir)
     plan = spark._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    # formatted plans print each node twice (tree + numbered detail)
-    assert plan.count("MapInPandas") == 2, "both nets must share ONE python stage"
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, (
+        "scoring must stay JVM-side"
+    )
     assert "Join" not in plan, "actual-charge must ride along, not join back"
     import re
 

@@ -1,0 +1,97 @@
+"""Clean-room PNG codec tests (operators/multimodal.py round-6).
+
+The codec backs ``media_png_roundtrip`` — the one multimodal entry
+whose decode step is REAL (stdlib zlib + struct, written from the
+public PNG specification). These tests pin the spec behaviors the
+oracle can't see: all five filter types reconstruct, CRC corruption
+is rejected, and the emitted bytes form a structurally valid PNG.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from backend_model_spark.operators.multimodal import (
+    _PNG_SIG,
+    _paeth,
+    _png_chunk,
+    _png_decode_gray8,
+    _png_encode_gray8,
+)
+
+
+def test_encode_decode_roundtrip_all_sizes():
+    for w, h in [(1, 1), (3, 2), (16, 16), (7, 5)]:
+        pix = bytes((i * 37 + 11) % 256 for i in range(w * h))
+        assert _png_decode_gray8(_png_encode_gray8(pix, w, h)) == (w, h, pix)
+
+
+def test_decoder_reconstructs_all_five_filters():
+    """Hand-build an IDAT using every filter type (the encoder only
+    emits 0/1/2) so Average and Paeth reconstruction is exercised."""
+    w, h = 4, 5
+    pix = bytes((i * 53 + 7) % 256 for i in range(w * h))
+    rows = [pix[r * w : (r + 1) * w] for r in range(h)]
+    raw = bytearray()
+    prev = bytes(w)
+    for r, row in enumerate(rows):
+        ftype = r % 5
+        raw.append(ftype)
+        for i in range(w):
+            a = row[i - 1] if i else 0
+            b = prev[i]
+            c = prev[i - 1] if i else 0
+            x = row[i]
+            if ftype == 0:
+                enc = x
+            elif ftype == 1:
+                enc = x - a
+            elif ftype == 2:
+                enc = x - b
+            elif ftype == 3:
+                enc = x - (a + b) // 2
+            else:
+                enc = x - _paeth(a, b, c)
+            raw.append(enc & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    png = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert _png_decode_gray8(png) == (w, h, pix)
+
+
+def test_crc_corruption_rejected():
+    png = bytearray(_png_encode_gray8(bytes(range(16)) * 16, 16, 16))
+    # flip one bit inside the IDAT payload (after the 8-byte sig,
+    # 25-byte IHDR chunk, 8-byte IDAT header)
+    png[8 + 25 + 8 + 2] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        _png_decode_gray8(bytes(png))
+
+
+def test_bad_signature_rejected():
+    with pytest.raises(ValueError, match="signature"):
+        _png_decode_gray8(b"GIF89a" + b"\x00" * 64)
+
+
+def test_emitted_png_is_structurally_valid():
+    """Walk the chunk framing independently of the decoder."""
+    png = _png_encode_gray8(bytes(256), 16, 16)
+    assert png[:8] == _PNG_SIG
+    pos, tags = 8, []
+    while pos < len(png):
+        (length,) = struct.unpack(">I", png[pos : pos + 4])
+        tag = png[pos + 4 : pos + 8]
+        body = png[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", png[pos + 8 + length : pos + 12 + length])
+        assert zlib.crc32(tag + body) & 0xFFFFFFFF == crc
+        tags.append(tag)
+        pos += 12 + length
+    assert tags == [b"IHDR", b"IDAT", b"IEND"]

@@ -540,7 +540,14 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm_b = F.sqrt(
         F.expr("aggregate(transform(b.v, x -> x * x), cast(0.0 as double), (acc, x) -> acc + x)")
     )
-    cos = F.round(dot / (norm_a * norm_b), 6)
+    # zero-norm-safe (round-6 zero-vector fixture): a zero vector is
+    # similar to nothing — cosine 0.0, matching the oracle's CASE
+    cos = F.round(
+        F.when(norm_a * norm_b == 0, F.lit(0.0)).otherwise(
+            dot / (norm_a * norm_b)
+        ),
+        6,
+    )
     return (
         _label_grid_pairs(v, EMBED_PAIR_BLOCKS)
         .withColumn("cosine", cos)
@@ -562,12 +569,18 @@ WITH v AS (
 pairs AS (
   SELECT
     a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-    ROUND(
-      list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
-      / (
+    ROUND(CASE
+      WHEN (
         sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * a.v[i])))
         * sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.v[i] * b.v[i])))
-      ), 6) AS cosine
+      ) = 0 THEN cast(0.0 as double)
+      ELSE
+        list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i]))
+        / (
+          sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * a.v[i])))
+          * sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.v[i] * b.v[i])))
+        )
+      END, 6) AS cosine
   FROM v a
   JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
 )

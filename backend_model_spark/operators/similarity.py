@@ -36,6 +36,17 @@ DOT_SQL = "list_sum(list_transform(generate_series(1, {dim}), i -> {a}[i] * {b}[
 NORM_SQL = "sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> {a}[i] * {a}[i])))"
 
 
+def _safe_cos(dot: str, norm_prod: str) -> str:
+    """Zero-norm-safe cosine, ONE text for both engines (valid Spark
+    SQL and DuckDB SQL): a zero vector is similar to nothing —
+    cosine 0.0 — instead of an ANSI DIVIDE_BY_ZERO (found by the
+    round-6 zero-vector adversarial fixture)."""
+    return (
+        f"CASE WHEN ({norm_prod}) = 0 THEN cast(0.0 as double) "
+        f"ELSE ({dot}) / ({norm_prod}) END"
+    )
+
+
 def _as_double(df: DataFrame) -> DataFrame:
     # spread: the 64-d dot-product fan-out wants all cores when the
     # embeddings arrive as one small parquet file (no-op at scale)
@@ -78,7 +89,7 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("vn").alias("qn"),
     )
-    cos = F.expr(f"{DOT.format(a='qv', b='v')} / (qn * vn)")
+    cos = F.expr(_safe_cos(DOT.format(a="qv", b="v"), "qn * vn"))
     scored = (
         emb.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
         .withColumn("cosine", F.round(cos, 6))
@@ -116,8 +127,7 @@ scored AS (
     q.q_id,
     v.vec_id AS neighbor_id,
     ROUND(
-      {DOT_SQL.format(a="q.qv", b="v.v", dim=DIM)}
-      / ({NORM_SQL.format(a="q.qv", dim=DIM)} * {NORM_SQL.format(a="v.v", dim=DIM)}),
+      {_safe_cos(DOT_SQL.format(a="q.qv", b="v.v", dim=DIM), NORM_SQL.format(a="q.qv", dim=DIM) + " * " + NORM_SQL.format(a="v.v", dim=DIM))},
     6) AS cosine
   FROM q JOIN v ON v.vec_id <> q.q_id
 ),
@@ -163,7 +173,10 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
     qc_cos = F.expr(
-        f"{DOT.format(a='qv', b='cv')} / ({NORM.format(a='qv')} * {NORM.format(a='cv')})"
+        _safe_cos(
+            DOT.format(a="qv", b="cv"),
+            f"{NORM.format(a='qv')} * {NORM.format(a='cv')}",
+        )
     )
     wq = W.partitionBy("q_id").orderBy(F.col("c_cos").desc(), F.col("c_label").asc())
     probe = (
@@ -174,7 +187,10 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "qv", F.col("c_label").alias("probe_label"))
     )
     cos = F.expr(
-        f"{DOT.format(a='qv', b='v')} / ({NORM.format(a='qv')} * {NORM.format(a='v')})"
+        _safe_cos(
+            DOT.format(a="qv", b="v"),
+            f"{NORM.format(a='qv')} * {NORM.format(a='v')}",
+        )
     )
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     return (
@@ -210,8 +226,7 @@ probe AS (
       ROW_NUMBER() OVER (
         PARTITION BY q.q_id
         ORDER BY ROUND(
-          {DOT_SQL.format(a="q.qv", b="c.cv", dim=DIM)}
-          / ({NORM_SQL.format(a="q.qv", dim=DIM)} * {NORM_SQL.format(a="c.cv", dim=DIM)}),
+          {_safe_cos(DOT_SQL.format(a="q.qv", b="c.cv", dim=DIM), NORM_SQL.format(a="q.qv", dim=DIM) + " * " + NORM_SQL.format(a="c.cv", dim=DIM))},
         6) DESC, c.c_label ASC
       ) AS c_rank
     FROM q CROSS JOIN centroids c
@@ -222,8 +237,7 @@ scored AS (
   SELECT
     p.q_id, p.probe_label, v.vec_id AS neighbor_id,
     ROUND(
-      {DOT_SQL.format(a="p.qv", b="v.v", dim=DIM)}
-      / ({NORM_SQL.format(a="p.qv", dim=DIM)} * {NORM_SQL.format(a="v.v", dim=DIM)}),
+      {_safe_cos(DOT_SQL.format(a="p.qv", b="v.v", dim=DIM), NORM_SQL.format(a="p.qv", dim=DIM) + " * " + NORM_SQL.format(a="v.v", dim=DIM))},
     6) AS cosine
   FROM probe p
   JOIN v ON v.label = p.probe_label AND v.vec_id <> p.q_id
@@ -384,7 +398,10 @@ def centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cos = F.expr(
-        f"{DOT.format(a='v', b='cv')} / ({NORM.format(a='v')} * {NORM.format(a='cv')})"
+        _safe_cos(
+            DOT.format(a="v", b="cv"),
+            f"{NORM.format(a='v')} * {NORM.format(a='cv')}",
+        )
     )
     # cos_micro is the ONLY discretization: FLOOR on the raw double
     # (identical IEEE op in both engines). No intermediate ROUND —
@@ -442,14 +459,12 @@ assigned AS (
   FROM (
     SELECT v.label, c.c_label,
       CAST(FLOOR(
-        {DOT_SQL.format(a="v.v", b="c.cv", dim=DIM)}
-        / ({NORM_SQL.format(a="v.v", dim=DIM)} * {NORM_SQL.format(a="c.cv", dim=DIM)})
+        {_safe_cos(DOT_SQL.format(a="v.v", b="c.cv", dim=DIM), NORM_SQL.format(a="v.v", dim=DIM) + " * " + NORM_SQL.format(a="c.cv", dim=DIM))}
         * 1000000 + 0.5
       ) AS BIGINT) AS cos_micro,
       ROW_NUMBER() OVER (
         PARTITION BY v.vec_id ORDER BY CAST(FLOOR(
-          {DOT_SQL.format(a="v.v", b="c.cv", dim=DIM)}
-          / ({NORM_SQL.format(a="v.v", dim=DIM)} * {NORM_SQL.format(a="c.cv", dim=DIM)})
+          {_safe_cos(DOT_SQL.format(a="v.v", b="c.cv", dim=DIM), NORM_SQL.format(a="v.v", dim=DIM) + " * " + NORM_SQL.format(a="c.cv", dim=DIM))}
           * 1000000 + 0.5
         ) AS BIGINT) DESC, c.c_label ASC
       ) AS rnk
@@ -1040,7 +1055,7 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("vn").alias("qn"),
     )
-    cos = F.expr(f"{DOT.format(a='qv', b='v')} / (qn * vn)")
+    cos = F.expr(_safe_cos(DOT.format(a="qv", b="v"), "qn * vn"))
     w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
     neighbors = (
         emb.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
@@ -1077,8 +1092,7 @@ q AS (
 scored AS (
   SELECT q.q_id, q.q_label, v.vec_id, v.label,
     ROUND(
-      {DOT_SQL.format(a="q.qv", b="v.v", dim=DIM)}
-      / ({NORM_SQL.format(a="q.qv", dim=DIM)} * {NORM_SQL.format(a="v.v", dim=DIM)}),
+      {_safe_cos(DOT_SQL.format(a="q.qv", b="v.v", dim=DIM), NORM_SQL.format(a="q.qv", dim=DIM) + " * " + NORM_SQL.format(a="v.v", dim=DIM))},
     6) AS cosine
   FROM q JOIN v ON v.vec_id <> q.q_id
 ),
@@ -1136,8 +1150,10 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vt").alias("qt"),
         F.col("vtn").alias("qtn"),
     )
-    cos_full = F.round(F.expr(f"{DOT.format(a='qv', b='v')} / (qn * vn)"), 6)
-    cos_trunc = F.round(F.expr(f"{DOT.format(a='qt', b='vt')} / (qtn * vtn)"), 6)
+    cos_full = F.round(F.expr(_safe_cos(DOT.format(a="qv", b="v"), "qn * vn")), 6)
+    cos_trunc = F.round(
+        F.expr(_safe_cos(DOT.format(a="qt", b="vt"), "qtn * vtn")), 6
+    )
     scored = (
         emb.join(F.broadcast(queries), F.col("vec_id") != F.col("q_id"))
         .select(
@@ -1180,12 +1196,10 @@ q AS (
 scored AS (
   SELECT q.q_id, v.vec_id,
     ROUND(
-      {DOT_SQL.format(a="q.qv", b="v.v", dim=DIM)}
-      / ({NORM_SQL.format(a="q.qv", dim=DIM)} * {NORM_SQL.format(a="v.v", dim=DIM)}),
+      {_safe_cos(DOT_SQL.format(a="q.qv", b="v.v", dim=DIM), NORM_SQL.format(a="q.qv", dim=DIM) + " * " + NORM_SQL.format(a="v.v", dim=DIM))},
     6) AS cf,
     ROUND(
-      {DOT_SQL.format(a="q.qv", b="v.v", dim=MRL_DIM)}
-      / ({NORM_SQL.format(a="q.qv", dim=MRL_DIM)} * {NORM_SQL.format(a="v.v", dim=MRL_DIM)}),
+      {_safe_cos(DOT_SQL.format(a="q.qv", b="v.v", dim=MRL_DIM), NORM_SQL.format(a="q.qv", dim=MRL_DIM) + " * " + NORM_SQL.format(a="v.v", dim=MRL_DIM))},
     6) AS ct
   FROM q JOIN v ON v.vec_id <> q.q_id
 ),
@@ -1542,7 +1556,7 @@ def rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = emb.filter(F.col("vec_id") == 0).select(
         F.col("v").alias("qv"), F.col("vn").alias("qn")
     )
-    cos = F.expr(f"{DOT.format(a='qv', b='v')} / (qn * vn)")
+    cos = F.expr(_safe_cos(DOT.format(a="qv", b="v"), "qn * vn"))
     dense_top = (
         emb.join(F.broadcast(qv))
         .select(F.col("vec_id").alias("doc_id"), F.round(cos, 6).alias("cosine"))
@@ -1612,8 +1626,7 @@ q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
 dense_top AS (
   SELECT v.vec_id AS doc_id,
     ROUND(
-      {DOT_SQL.format(a="q.qv", b="v.v", dim=DIM)}
-      / ({NORM_SQL.format(a="q.qv", dim=DIM)} * {NORM_SQL.format(a="v.v", dim=DIM)}),
+      {_safe_cos(DOT_SQL.format(a="q.qv", b="v.v", dim=DIM), NORM_SQL.format(a="q.qv", dim=DIM) + " * " + NORM_SQL.format(a="v.v", dim=DIM))},
     6) AS cosine
   FROM v CROSS JOIN q
   ORDER BY cosine DESC, doc_id LIMIT {RRF_LIST_N}

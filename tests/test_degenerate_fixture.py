@@ -54,6 +54,25 @@ ENTRIES = [
 # rmse, -0.0 signs) — crash-freedom asserted, hash parity exempted
 HASH_EXEMPT = {"ml_ridge_closed_form"}
 
+# entries whose cosine/normalization divides by a vector norm — the
+# zero-vector fixture drove every one to DIVIDE_BY_ZERO before the
+# shared _safe_cos CASE text (zero-norm ⇒ cosine 0.0) landed
+VEC_ENTRIES = [
+    "sim_cosine_topk_bruteforce",
+    "sim_ivf_topk",
+    "sim_ivf_recall",
+    "sim_knn_classify",
+    "sim_matryoshka_recall",
+    "sim_centroid_assign",
+    "sim_rrf_hybrid_rank",
+    "dedup_embedding_neardup",
+    "dedup_embedding_clusters",
+]
+# MLlib's own contract rejects all-zero inputs (MinHashLSH requires a
+# non-zero entry; KMeans degenerates) — library behavior, not ours:
+# mllib_minhash_neardup / mllib_brp_ann_join / mllib_kmeans_clusters /
+# mllib_pca_variance are rows-only entries and stay exempt here.
+
 
 @pytest.fixture(scope="module")
 def degen_dir(tmp_path_factory) -> str:
@@ -83,6 +102,40 @@ def _vhash(pdf: pd.DataFrame) -> str:
         for row in pdf[cols].itertuples(index=False, name=None)
     )
     return hashlib.md5(json.dumps(rows).encode()).hexdigest()[:12]
+
+
+@pytest.fixture(scope="module")
+def zerovec_dir(tmp_path_factory) -> str:
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path_factory.mktemp("zerovec"))
+    for f in glob.glob(os.path.join(src, "*.parquet")):
+        name = os.path.basename(f)
+        df = pd.read_parquet(f)
+        if name == "embeddings.parquet":
+            df["embedding"] = df["embedding"].map(lambda v: [0.0] * len(v))
+        df.to_parquet(os.path.join(dst, name), index=False)
+    return dst
+
+
+def test_zero_vector_entries_run_and_match(spark, zerovec_dir):
+    from backend_model_spark.plans.registry import oracle_sql, queries
+
+    qs, osql = queries(), oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{zerovec_dir}/{t}.parquet')"
+        )
+    failures = []
+    for name in VEC_ENTRIES:
+        spdf = qs[name](spark, zerovec_dir).toPandas()  # must not raise
+        if name not in osql:
+            continue
+        opdf = con.execute(osql[name]).fetchdf()
+        if _vhash(spdf) != _vhash(opdf):
+            failures.append(name)
+    assert not failures, f"zero-vector hash mismatches: {failures}"
 
 
 def test_degenerate_entries_run_and_match(spark, degen_dir):

@@ -6,14 +6,20 @@ The reference's product is two Keras FCFF price regressors
 bayesian_optimization_model/keras_metadata.pb: Dense stacks with
 LeakyReLU/ELU, BatchNorm, Dropout) whose sole production use is
 "score a batch of rows". This module deploys that capability
-Spark-natively: the folded affine+activation stack is compiled to
-Catalyst expressions (:func:`forward_expr`) and runs entirely inside
-whole-stage codegen — no Python workers, no Arrow transfer, no
+Spark-natively: the weight matrices are broadcast once per job and an
+Arrow-batched ``mapInPandas`` runs the forward pass as numpy matmuls
+— no per-row Python, no JVM↔Python chatter beyond Arrow batches, no
 driver participation. At 100 TB the scoring cost is a single
-narrow-dependency map over the fact table: no shuffle at all, and no
-per-row Python constant (measured 3.4× faster than the numpy
-``mapInPandas`` envelope at 10× sf0.1; the numpy path remains as
-the bit-identical reference implementation for tests).
+narrow-dependency map over the fact table: no shuffle at all.
+
+A pure-Catalyst alternative (:func:`forward_expr` — the net compiled
+to chained selectExpr stages, the same per-layer text the DuckDB
+oracle runs) was built and measured in round 6 and LOSES end-to-end:
+the fused whole-stage-codegen method is ~15.9 KB of bytecode, past
+HotSpot's ~8 KB JIT compile limit, so the scoring loop runs in the
+bytecode interpreter (5.5 s vs 1.7 s at sf0.1; full experiment
+matrix in SCALE.md). It is kept, bit-identical to numpy (pinned by
+test), as the oracle-text generator and the documented experiment.
 
 Inference-form parity with the Keras stack: BatchNorm folds into the
 adjacent Dense affine at inference and Dropout is identity, so the
@@ -221,24 +227,37 @@ def predict_cents(
 
 
 def mlp_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Score every lineitem with the fixed-weights MLP — entirely
-    JVM-side.
+    """Score every lineitem with the fixed-weights MLP.
 
-    Plan shape: parquet scan (4 feature columns + key, pruned) →
-    JVM-side integerization (floor expressions) → the folded
-    affine+LeakyReLU stack as ONE whole-stage-codegen'd expression
-    pipeline (:func:`forward_expr` — the same per-layer text the
-    DuckDB oracle runs). Narrow end-to-end: zero shuffles, zero
-    Python workers, parallelism = input splits, so the operator
-    scales linearly with executors at any SF and carries no
-    per-row Python constant — the round-5 SCALE.md flag on this
-    family (5.3-7.0× wall at 10× under the mapInPandas envelope)
-    is resolved by construction: measured 3.4× faster than the
-    numpy envelope at 10× (SCALE.md).  ``forward_numpy`` /
-    ``predict_cents`` remain as the reference implementation
-    (bit-identical — dyadic grid) for tests and for nets too wide
-    to codegen.
+    Plan shape: parquet scan (4 feature columns + key, pruned) ->
+    JVM-side integerization (floor expressions, codegen) -> ONE
+    ArrowEvalPython / mapInPandas stage running numpy matmuls per
+    Arrow batch with the BROADCAST weight dict. Narrow pipeline
+    end-to-end: zero shuffles, parallelism = input splits, so the
+    operator scales linearly with executors at any SF. The weights
+    (~2 KB) broadcast once per job, not per task closure
+    serialization per batch.
+
+    Why NOT the pure-expression path (:func:`forward_expr`, kept as
+    the oracle generator and a measured experiment): the round-6
+    benchmark showed the fused whole-stage-codegen method for the
+    3-layer stack is ~15.9 KB of bytecode -- past HotSpot's ~8 KB
+    JIT compile limit -- so the entire scoring loop runs in the
+    BYTECODE INTERPRETER: 5.5 s end-to-end at sf0.1 (noop sink,
+    steady-state) vs 1.7 s for this numpy path. Every remediation
+    measured worse or non-local: hugeMethodLimit=8000 fallback
+    3-5 s, methodSplitThreshold cannot split the fused consume
+    loop, array+higher-order-function layers 49 s (interpreted
+    lambdas), and session-wide codegen.wholeStage=false reaches
+    0.64 s but deoptimizes every other query. Full numbers in
+    SCALE.md.
     """
+    import pandas as pd
+
+    bc = spark.sparkContext.broadcast(
+        {k: v.tolist() for k, v in weight_arrays().items()}
+    )
+
     feats = load_table(spark, "lineitem", sf_dir).select(
         F.col("l_orderkey").cast("long").alias("l_orderkey"),
         F.col("l_linenumber").cast("int").alias("l_linenumber"),
@@ -247,16 +266,21 @@ def mlp_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_tax") * 100 + F.lit(0.5)).cast("double").alias("x3"),
         F.floor(F.col("l_quantity") + F.lit(0.5)).cast("double").alias("x4"),
     )
-    scored = forward_expr(
-        feats,
-        QW1, QB1, QW2, QB2, QW3, QB3,
-        "0.25",
-        ["l_orderkey", "l_linenumber"],
-    )
-    return scored.selectExpr(
-        "l_orderkey",
-        "l_linenumber",
-        "CAST(FLOOR(y0 * 100.0 + 0.5) AS BIGINT) AS pred_price_cents",
+
+    def score(batches):
+        w = {k: np.asarray(v, dtype=np.float64) for k, v in bc.value.items()}
+        for pdf in batches:
+            X = pdf[["x1", "x2", "x3", "x4"]].to_numpy(dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "l_orderkey": pdf["l_orderkey"],
+                    "l_linenumber": pdf["l_linenumber"],
+                    "pred_price_cents": predict_cents(X, w),
+                }
+            )
+
+    return feats.mapInPandas(
+        score, "l_orderkey long, l_linenumber int, pred_price_cents long"
     )
 
 
@@ -302,9 +326,15 @@ def forward_expr(
     p: str = "",
 ) -> DataFrame:
     """JVM-side forward pass: the SAME per-layer expression text the
-    oracle CTEs use, applied as one ``selectExpr`` stage per layer —
-    all inside whole-stage codegen, no Python worker at all. Returns
-    ``df`` with ``keep`` plus a ``{p}y0`` dollars column.
+    oracle CTEs use, applied as one ``selectExpr`` stage per layer,
+    no Python worker at all. Returns ``df`` with ``keep`` plus a
+    ``{p}y0`` dollars column.
+
+    NOT the shipping scoring path: measured 3× slower end-to-end
+    than the numpy ``mapInPandas`` envelope because the fused
+    whole-stage-codegen method exceeds HotSpot's JIT compile limit
+    and runs interpreted (see module docstring / SCALE.md). Kept as
+    the oracle-text twin and pinned bit-identical to numpy.
 
     Every intermediate is dyadic (see module docstring), so the
     Catalyst-evaluated sum-of-products is bit-identical to the numpy
@@ -391,10 +421,18 @@ def mlp_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     HUGEINT) and doubles appear only in the final rounded divide.
     Scale: identical to :func:`mlp_batch_inference` — narrow pipeline,
     zero shuffles before the 2-row aggregate; scoring two nets costs
-    two chained expression stacks over the same scan, not two scans
-    (and, since the round-6 JVM-expression rewrite, no Python
-    workers at all).
+    two matmul stacks over the same Arrow batch, not two scans (the
+    pure-expression alternative measured SLOWER — JIT bailout on the
+    fused codegen method, see mlp_batch_inference/SCALE.md).
     """
+    import pandas as pd
+
+    bc = spark.sparkContext.broadcast(
+        {
+            "grid": {k: v.tolist() for k, v in weight_arrays().items()},
+            "bayes": {k: v.tolist() for k, v in weight_arrays_b().items()},
+        }
+    )
     charge_e4 = (
         F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
         * (F.lit(100) - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long"))
@@ -408,26 +446,23 @@ def mlp_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_quantity") + F.lit(0.5)).cast("double").alias("x4"),
     )
 
-    # chain the two expression stacks: net A keeps the features alive
-    # for net B, net B keeps net A's output alive for the stack()
-    g = forward_expr(
-        feats,
-        QW1, QB1, QW2, QB2, QW3, QB3,
-        "0.25",
-        ["charge_e4", "x1", "x2", "x3", "x4"],
-        p="g_",
-    )
-    b = forward_expr(
-        g,
-        QW1_B, QB1_B, QW2_B, QB2_B, QW3_B, QB3_B,
-        "0.5",
-        ["charge_e4", "g_y0"],
-        p="b_",
-    )
-    scored = b.selectExpr(
-        "charge_e4",
-        "CAST(FLOOR(g_y0 * 100.0 + 0.5) AS BIGINT) AS pred_grid",
-        "CAST(FLOOR(b_y0 * 100.0 + 0.5) AS BIGINT) AS pred_bayes",
+    def score(batches):
+        w = {
+            m: {k: np.asarray(v, dtype=np.float64) for k, v in ws.items()}
+            for m, ws in bc.value.items()
+        }
+        for pdf in batches:
+            X = pdf[["x1", "x2", "x3", "x4"]].to_numpy(dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "charge_e4": pdf["charge_e4"],
+                    "pred_grid": predict_cents(X, w["grid"], LEAKY),
+                    "pred_bayes": predict_cents(X, w["bayes"], LEAKY_B),
+                }
+            )
+
+    scored = feats.mapInPandas(
+        score, "charge_e4 long, pred_grid long, pred_bayes long"
     )
     diff = scored.select(
         F.expr(
@@ -531,15 +566,20 @@ def mlp_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge-floored cents, per-decile stats are integer sums with ONE
     shared floor-disciplined division at the emit edge.
 
-    Scale: scoring is the same zero-shuffle JVM-expression pipeline
-    as the inference entry; the global decile cut uses
+    Scale: scoring is the same zero-shuffle mapInPandas pipeline as
+    the inference entry; the global decile cut uses
     :func:`with_global_ntile` (range-partitioned two-stage rank —
     never a single-partition window over the corpus); the per-decile
     rollup is map-side combinable and the cumulative window runs on
     10 rows.
     """
+    import pandas as pd
+
     from backend_model_spark.operators.scale_utils import with_global_ntile
 
+    bc = spark.sparkContext.broadcast(
+        {k: v.tolist() for k, v in weight_arrays().items()}
+    )
     feats = load_table(spark, "lineitem", sf_dir).select(
         F.col("l_orderkey").cast("long").alias("l_orderkey"),
         F.col("l_linenumber").cast("int").alias("l_linenumber"),
@@ -552,16 +592,22 @@ def mlp_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("actual_cents"),
     )
 
-    scored = forward_expr(
-        feats,
-        QW1, QB1, QW2, QB2, QW3, QB3,
-        "0.25",
-        ["l_orderkey", "l_linenumber", "actual_cents"],
-    ).selectExpr(
-        "l_orderkey",
-        "l_linenumber",
-        "actual_cents",
-        "CAST(FLOOR(y0 * 100.0 + 0.5) AS BIGINT) AS pred_cents",
+    def score(batches):
+        w = {k: np.asarray(v, dtype=np.float64) for k, v in bc.value.items()}
+        for pdf in batches:
+            X = pdf[["x1", "x2", "x3", "x4"]].to_numpy(dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "l_orderkey": pdf["l_orderkey"],
+                    "l_linenumber": pdf["l_linenumber"],
+                    "actual_cents": pdf["actual_cents"],
+                    "pred_cents": predict_cents(X, w),
+                }
+            )
+
+    scored = feats.mapInPandas(
+        score,
+        "l_orderkey long, l_linenumber int, actual_cents long, pred_cents long",
     )
     tiled = with_global_ntile(
         scored,

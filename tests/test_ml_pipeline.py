@@ -246,23 +246,54 @@ def test_mlp_beats_mean_baseline(sf_dir):
     assert rmse < 0.2 * base, f"deployed RMSE {rmse:.1f} vs baseline {base:.1f}"
 
 
-def test_mlp_plan_is_shuffle_free_jvm_stage(spark, sf_dir):
-    """Serving must be a narrow, fully-JVM map pipeline: the folded
-    net runs as codegen'd expressions — ZERO exchanges and ZERO
-    Python stages. At 100 TB the scoring cost is a linear scan with
-    no per-row Python constant (the round-5 SCALE.md flag)."""
+def test_mlp_plan_is_shuffle_free_arrow_stage(spark, sf_dir):
+    """Serving must be a narrow map pipeline: one Arrow-batched python
+    stage, ZERO exchanges — at 100 TB the scoring cost is a linear
+    scan, never a shuffle. (mapInPandas is the MEASURED winner over
+    the pure-expression path: the fused codegen method exceeds the
+    JIT compile limit and runs interpreted — SCALE.md round 6.)"""
     from backend_model_spark.ml import mlp
 
     df = mlp.mlp_batch_inference(spark, sf_dir)
     plan = spark._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, (
-        "scoring must stay JVM-side"
-    )
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
     assert "Exchange" not in plan, "batch inference must not shuffle"
-    # formatted mode marks codegen'd nodes with a "*" prefix
-    assert "* Project" in plan, "layers must run inside whole-stage codegen"
+
+
+def test_forward_expr_bit_identical_to_numpy(spark, sf_dir):
+    """The Catalyst expression twin (forward_expr — the exact text the
+    DuckDB oracle runs) must match the shipping numpy path
+    BIT-FOR-BIT on real feature rows: this is what certifies the
+    oracle's semantics against the serving implementation.  Also pins
+    the 256e0 double-literal rule — with 256.0, Spark's
+    DECIMAL-division path silently truncates scale and ±1-cent
+    diffs appear."""
+    import numpy as np
+
+    from backend_model_spark.ml import mlp
+
+    feats = (
+        mlp.load_table(spark, "lineitem", sf_dir)
+        .selectExpr(
+            "CAST(FLOOR(l_extendedprice / 1000.0) AS DOUBLE) x1",
+            "CAST(FLOOR(l_discount * 100 + 0.5) AS DOUBLE) x2",
+            "CAST(FLOOR(l_tax * 100 + 0.5) AS DOUBLE) x3",
+            "CAST(FLOOR(l_quantity + 0.5) AS DOUBLE) x4",
+        )
+    )
+    out = mlp.forward_expr(
+        feats,
+        mlp.QW1, mlp.QB1, mlp.QW2, mlp.QB2, mlp.QW3, mlp.QB3,
+        "0.25",
+        ["x1", "x2", "x3", "x4"],
+    ).selectExpr(
+        "x1", "x2", "x3", "x4",
+        "CAST(FLOOR(y0 * 100.0 + 0.5) AS BIGINT) AS pred",
+    ).toPandas()
+    X = out[["x1", "x2", "x3", "x4"]].to_numpy(np.float64)
+    assert (out["pred"].to_numpy() == mlp.predict_cents(X)).all()
 
 
 def test_mlp_model_b_requantization_exact():
@@ -356,21 +387,18 @@ def test_mlp_model_compare_matches_numpy(spark, sf_dir):
 
 
 def test_mlp_compare_plan_single_small_aggregate_exchange(spark, sf_dir):
-    """Champion-challenger must stay a narrow, fully-JVM map
-    pipeline: both nets scored by chained codegen'd expression
-    stages (no Python workers at all since the round-6 rewrite),
-    partial aggregation below the single exchange (which moves
-    2 keys x |mappers| pre-aggregated rows, never scored rows), and
-    no join anywhere."""
+    """Champion-challenger must stay a narrow map pipeline: one
+    MapInPandas stage scoring BOTH nets, partial aggregation below the
+    single exchange (which moves 2 keys x |mappers| pre-aggregated
+    rows, never scored rows), and no join anywhere."""
     from backend_model_spark.ml import mlp
 
     df = mlp.mlp_model_compare(spark, sf_dir)
     plan = spark._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, (
-        "scoring must stay JVM-side"
-    )
+    # formatted plans print each node twice (tree + numbered detail)
+    assert plan.count("MapInPandas") == 2, "both nets must share ONE python stage"
     assert "Join" not in plan, "actual-charge must ride along, not join back"
     import re
 

@@ -556,3 +556,230 @@ SELECT
 FROM px
 ORDER BY media_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Real audio codec: WAV (RIFF/WAVE PCM16) roundtrip + frame features
+#
+# The audio counterpart of the PNG entry above: the container has no
+# audio libraries, but WAV needs none — PCM16 in RIFF chunk framing is
+# pure struct arithmetic. The pipeline derives a deterministic 256-
+# sample 16 kHz mono PCM16 signal from each document's payload bytes
+# (cyclic pairs, little-endian, two's complement), encodes it with
+# Python's STDLIB ``wave`` module (an independent reference encoder we
+# did not write), then decodes the bytes back with the clean-room RIFF
+# parser below (magic + size checks, chunk walk with even-padding,
+# fmt-chunk consistency: PCM tag, mono, block-align and byte-rate
+# cross-checks) and emits integer-exact audio facts — frame count,
+# peak amplitude, total and per-64-sample-frame energies (the MFCC
+# framing shape), and a positional polyhash over the signed samples —
+# that a DuckDB oracle recomputes from the source text. Reference has
+# no audio surface (SURVEY.md §1.1); this is BASELINE.json north-star
+# multimodal extension.
+# ---------------------------------------------------------------------------
+
+WAV_RATE = 16000
+WAV_N = 256  # samples per clip; 4 frames of 64 for the framed energies
+_WAV_FRAME = 64
+_WAV_PH_MOD = 1_000_000_007
+
+
+def _wav_encode_pcm16(samples: list[int], rate: int) -> bytes:
+    """Encode mono PCM16 via the stdlib ``wave`` writer (independent
+    of the clean-room parser below, so roundtrip_ok actually tests
+    two implementations against each other)."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def _wav_decode_pcm16(data: bytes) -> tuple[int, int, list[int]]:
+    """Clean-room RIFF/WAVE PCM16 decoder: verifies the RIFF magic and
+    declared size, walks chunks with RIFF even-byte padding, checks
+    fmt consistency (PCM tag, 16-bit, block_align == nch*2,
+    byte_rate == rate*block_align), and unpacks the data chunk.
+    Returns (sample_rate, n_channels, samples)."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF":
+        raise ValueError("not RIFF")
+    (riff_size,) = struct.unpack("<I", data[4:8])
+    if riff_size != len(data) - 8:
+        raise ValueError("RIFF size mismatch")
+    if data[8:12] != b"WAVE":
+        raise ValueError("not WAVE")
+    pos, rate, nch, pcm = 12, None, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        payload = data[pos + 8 : pos + 8 + length]
+        if len(payload) != length:
+            raise ValueError(f"truncated {tag!r} chunk")
+        if tag == b"fmt ":
+            fmt_tag, nch, rate, byte_rate, block_align, bits = struct.unpack(
+                "<HHIIHH", payload[:16]
+            )
+            if fmt_tag != 1 or bits != 16:
+                raise ValueError("only PCM16 supported")
+            if block_align != nch * 2 or byte_rate != rate * block_align:
+                raise ValueError("inconsistent fmt chunk")
+        elif tag == b"data":
+            pcm = payload
+        pos += 8 + length + (length & 1)  # RIFF pads chunks to even
+    if rate is None or pcm is None:
+        raise ValueError("missing fmt or data chunk")
+    if len(pcm) % 2:
+        raise ValueError("odd PCM byte count")
+    return rate, nch, list(struct.unpack(f"<{len(pcm) // 2}h", pcm))
+
+
+_WAV_RT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("peak_abs", T.LongType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("frame_energy_0", T.LongType()),
+        T.StructField("frame_energy_1", T.LongType()),
+        T.StructField("frame_energy_2", T.LongType()),
+        T.StructField("frame_energy_3", T.LongType()),
+        T.StructField("sample_polyhash", T.LongType()),
+        T.StructField("roundtrip_ok", T.BooleanType()),
+    ]
+)
+
+
+def _wav_samples_from_bytes(src: bytes) -> list[int]:
+    """256 signed PCM16 samples from payload bytes: cyclic pairs,
+    little-endian, two's complement — the rule the oracle replays."""
+    n = len(src)
+    out = []
+    for i in range(WAV_N):
+        v = src[(2 * i) % n] + 256 * src[(2 * i + 1) % n]
+        out.append(v - 65536 if v >= 32768 else v)
+    return out
+
+
+def _wav_roundtrip_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows: dict[str, list] = {f.name: [] for f in _WAV_RT_SCHEMA.fields}
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            src = bytes(payload)
+            if not src:
+                continue
+            s = _wav_samples_from_bytes(src)
+            rate, nch, dec = _wav_decode_pcm16(
+                _wav_encode_pcm16(s, WAV_RATE)
+            )
+            fe = [
+                sum(x * x for x in dec[k * _WAV_FRAME : (k + 1) * _WAV_FRAME])
+                for k in range(WAV_N // _WAV_FRAME)
+            ]
+            rows["media_id"].append(mid)
+            rows["sample_rate"].append(rate)
+            rows["n_frames"].append(len(dec))
+            rows["peak_abs"].append(max(abs(x) for x in dec))
+            rows["energy"].append(sum(fe))
+            for k in range(4):
+                rows[f"frame_energy_{k}"].append(fe[k])
+            rows["sample_polyhash"].append(
+                sum((i + 1) * x for i, x in enumerate(dec)) % _WAV_PH_MOD
+            )
+            rows["roundtrip_ok"].append(
+                dec == s and rate == WAV_RATE and nch == 1
+            )
+        yield pd.DataFrame(
+            {
+                "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                "sample_rate": pd.Series(rows["sample_rate"], dtype="int32"),
+                "n_frames": pd.Series(rows["n_frames"], dtype="int32"),
+                "peak_abs": pd.Series(rows["peak_abs"], dtype="int64"),
+                "energy": pd.Series(rows["energy"], dtype="int64"),
+                "frame_energy_0": pd.Series(rows["frame_energy_0"], dtype="int64"),
+                "frame_energy_1": pd.Series(rows["frame_energy_1"], dtype="int64"),
+                "frame_energy_2": pd.Series(rows["frame_energy_2"], dtype="int64"),
+                "frame_energy_3": pd.Series(rows["frame_energy_3"], dtype="int64"),
+                "sample_polyhash": pd.Series(rows["sample_polyhash"], dtype="int64"),
+                "roundtrip_ok": pd.Series(rows["roundtrip_ok"], dtype="bool"),
+            }
+        )
+
+
+def wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec audio entry: payload → PCM16 → stdlib-``wave``
+    encode → clean-room RIFF decode → integer audio facts, one
+    Arrow-batched ``mapInPandas`` stage (narrow, zero shuffles before
+    the final orderBy; WAV bytes never leave the executor).
+
+    Every emitted fact is exact integer arithmetic over the signed
+    samples, so the DuckDB oracle recomputes all of it from the source
+    text with the same cyclic-pair two's-complement rule — a decoder
+    that drops RIFF padding, mis-signs a sample, or swaps endianness
+    breaks the hash. At 100 TB this is the same shape as PNG decode:
+    linear in executors, media bucketed by content-hash prefix.
+    """
+    media = media_table(spark, sf_dir).filter(F.length("payload") > 0)
+    return media.mapInPandas(
+        _wav_roundtrip_batch, schema=_WAV_RT_SCHEMA
+    ).orderBy("media_id")
+
+
+def _frame_energy_sql(k: int) -> str:
+    lo, hi = k * _WAV_FRAME + 1, (k + 1) * _WAV_FRAME
+    return (
+        f"CAST(list_sum(list_transform(generate_series({lo}, {hi}),"
+        f" i -> s[i] * s[i])) AS BIGINT) AS frame_energy_{k}"
+    )
+
+
+WAV_ROUNDTRIP_ORACLE = f"""
+WITH src AS (
+  SELECT doc_id AS media_id, text,
+         octet_length(encode(text)) AS n
+  FROM documents
+  WHERE octet_length(encode(text)) > 0
+),
+smp AS (
+  SELECT media_id,
+    list_transform(
+      generate_series(0, {WAV_N - 1}),
+      i -> CASE
+        WHEN ascii(substr(text, ((2 * i) % n) + 1, 1))
+             + 256 * ascii(substr(text, ((2 * i + 1) % n) + 1, 1)) >= 32768
+        THEN ascii(substr(text, ((2 * i) % n) + 1, 1))
+             + 256 * ascii(substr(text, ((2 * i + 1) % n) + 1, 1)) - 65536
+        ELSE ascii(substr(text, ((2 * i) % n) + 1, 1))
+             + 256 * ascii(substr(text, ((2 * i + 1) % n) + 1, 1))
+      END
+    ) AS s
+  FROM src
+)
+SELECT
+  media_id,
+  CAST({WAV_RATE} AS INTEGER) AS sample_rate,
+  CAST({WAV_N} AS INTEGER) AS n_frames,
+  CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak_abs,
+  CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS energy,
+  {_frame_energy_sql(0)},
+  {_frame_energy_sql(1)},
+  {_frame_energy_sql(2)},
+  {_frame_energy_sql(3)},
+  CAST(
+    ((list_sum(list_transform(generate_series(1, {WAV_N}), i -> i * s[i]))
+      % {_WAV_PH_MOD}) + {_WAV_PH_MOD}) % {_WAV_PH_MOD}
+    AS BIGINT) AS sample_polyhash,
+  TRUE AS roundtrip_ok
+FROM smp
+ORDER BY media_id
+"""

@@ -823,6 +823,11 @@ register("media_resize_stub", multimodal.resize_stub, multimodal.RESIZE_STUB_ORA
 register(
     "media_png_roundtrip", multimodal.png_roundtrip, multimodal.PNG_ROUNDTRIP_ORACLE
 )
+# round-6: real AUDIO codec — stdlib-wave PCM16 encode, clean-room RIFF
+# decode, integer frame-energy/peak/polyhash facts under a full oracle
+register(
+    "media_wav_roundtrip", multimodal.wav_roundtrip, multimodal.WAV_ROUNDTRIP_ORACLE
+)
 
 # --- UDF tiers (same logic, same oracle: codegen vs Arrow escape hatch) --------
 register(

@@ -489,9 +489,9 @@ def ivf_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (speed is meaningless without a recall number).
 
     Both sides are this module's own deterministic operators, so the
-    metric itself is deterministic; registered rows-only because the
-    oracle would just duplicate both formulations. Recall = |IVF ∩
-    exact| / k per query, averaged.
+    metric itself is deterministic. Fully oracled since round 6:
+    ``IVF_RECALL_ORACLE`` composes the long-green brute-force and IVF
+    oracle CTEs and recomputes |IVF ∩ exact| / k per query in SQL.
 
     Scale: joins two per-query top-k tables (k rows per query each) —
     evaluation cost is query-bounded, not corpus-bounded.
@@ -527,6 +527,91 @@ def ivf_recall_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_q.orderBy("q_id")
+
+
+# Composed from the long-green COSINE_TOPK_ORACLE and IVF_TOPK_ORACLE
+# CTE chains (exact arm rank <= TOP_K, IVF arm rank <= 3 — the same
+# cuts the Spark operators apply), then recall per query in SQL.
+IVF_RECALL_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (
+  SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < {N_QUERIES}
+),
+exact_scored AS (
+  SELECT
+    q.q_id,
+    v.vec_id AS neighbor_id,
+    ROUND(
+      {_safe_cos(DOT_SQL.format(a="q.qv", b="v.v", dim=DIM), NORM_SQL.format(a="q.qv", dim=DIM) + " * " + NORM_SQL.format(a="v.v", dim=DIM))},
+    6) AS cosine
+  FROM q JOIN v ON v.vec_id <> q.q_id
+),
+exact_top AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT q_id, neighbor_id,
+      ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY cosine DESC, neighbor_id ASC
+      ) AS rank
+    FROM exact_scored
+  ) WHERE rank <= {TOP_K}
+),
+pos AS (
+  SELECT label, i AS pos, v[i] AS x
+  FROM v, unnest(generate_series(1, {DIM})) AS t(i)
+),
+centroids AS (
+  SELECT label AS c_label, list(c ORDER BY pos) AS cv
+  FROM (SELECT label, pos, AVG(x) AS c FROM pos GROUP BY label, pos)
+  GROUP BY label
+),
+probe AS (
+  SELECT q_id, qv, c_label AS probe_label
+  FROM (
+    SELECT q.q_id, q.qv, c.c_label,
+      ROW_NUMBER() OVER (
+        PARTITION BY q.q_id
+        ORDER BY ROUND(
+          {_safe_cos(DOT_SQL.format(a="q.qv", b="c.cv", dim=DIM), NORM_SQL.format(a="q.qv", dim=DIM) + " * " + NORM_SQL.format(a="c.cv", dim=DIM))},
+        6) DESC, c.c_label ASC
+      ) AS c_rank
+    FROM q CROSS JOIN centroids c
+  )
+  WHERE c_rank = 1
+),
+approx_top AS (
+  SELECT q_id, neighbor_id FROM (
+    SELECT
+      p.q_id, v.vec_id AS neighbor_id,
+      ROW_NUMBER() OVER (
+        PARTITION BY p.q_id
+        ORDER BY ROUND(
+          {_safe_cos(DOT_SQL.format(a="p.qv", b="v.v", dim=DIM), NORM_SQL.format(a="p.qv", dim=DIM) + " * " + NORM_SQL.format(a="v.v", dim=DIM))},
+        6) DESC, v.vec_id ASC
+      ) AS rank
+    FROM probe p
+    JOIN v ON v.label = p.probe_label AND v.vec_id <> p.q_id
+  ) WHERE rank <= 3
+),
+k AS (
+  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS k FROM exact_top GROUP BY q_id
+),
+inter AS (
+  SELECT e.q_id, CAST(COUNT(*) AS BIGINT) AS n_match
+  FROM exact_top e
+  JOIN approx_top a ON a.q_id = e.q_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.q_id
+)
+SELECT
+  k.q_id,
+  k.k,
+  COALESCE(i.n_match, 0) AS n_match,
+  CAST(FLOOR(COALESCE(i.n_match, 0) / k.k * 1000000 + 0.5) AS BIGINT)
+    / 1000000.0 AS recall
+FROM k LEFT JOIN inter i ON i.q_id = k.q_id
+ORDER BY k.q_id
+"""
 
 
 # PQ geometry: 64-dim vectors → 8 subspaces × 8 dims; codebook per

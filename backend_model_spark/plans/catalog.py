@@ -898,7 +898,11 @@ register("mllib_brp_ann_join", mllib_ops.mllib_brp_ann_join, None)
 register("ml_logistic_irls", ml_queries.logistic_irls, None)
 register("mllib_kmeans_clusters", mllib_ops.mllib_kmeans_clusters, None)
 register("mllib_pca_variance", mllib_ops.mllib_pca_variance, None)
-register("sim_ivf_recall", similarity.ivf_recall_vs_exact, None)
+# round-6: upgraded rows-only -> full oracle (composed from the
+# long-green brute-force + IVF oracle CTE chains)
+register(
+    "sim_ivf_recall", similarity.ivf_recall_vs_exact, similarity.IVF_RECALL_ORACLE
+)
 
 # --- sources / sinks / DDL (SURVEY §2.1 S1-S7) ---------------------------------
 register(

@@ -289,11 +289,21 @@ ORDER BY split
 def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style sketch) over lineitem prices —
     the mergeable-sketch path for quantiles at 100 TB, where the
-    exact sort-based percentile is off the table. Sketch internals
-    differ across engines → rows-only check (the exact sibling
-    ``func_percentiles`` is the hash-checked one)."""
+    exact sort-based percentile is off the table.
+
+    Fully oracled since round 6, the `agg_approx_distinct` pattern:
+    the raw sketch values are engine-specific so they are not hashed;
+    what IS hashed is the exact group count plus Spark-side accuracy
+    assertions — each estimate must land inside generous EXACT
+    percentile brackets computed in the same pass ([p45, p55] for the
+    median, [p98, max] for p99; Spark guarantees rank error
+    ≤ N/accuracy = 0.01 %, the bracket allows 5 %/1 %). The oracle
+    emits the same exact counts and literal TRUEs, so a drifting or
+    broken sketch flips the hash. The exact brackets never cross
+    engines — they exist only inside the booleans."""
     li = load_table(spark, "lineitem", sf_dir)
-    return li.groupBy("l_returnflag").agg(
+    ex = lambda p: F.expr(f"percentile(l_extendedprice, {p})")  # noqa: E731
+    agg = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
             "approx_median"
@@ -301,7 +311,35 @@ def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("l_extendedprice", F.lit(0.99), F.lit(10000)).alias(
             "approx_p99"
         ),
+        ex(0.45).alias("lo_m"),
+        ex(0.55).alias("hi_m"),
+        ex(0.98).alias("lo_99"),
+        F.max("l_extendedprice").alias("hi_99"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_items",
+        (
+            (F.col("approx_median") >= F.col("lo_m"))
+            & (F.col("approx_median") <= F.col("hi_m"))
+        ).alias("median_est_ok"),
+        (
+            (F.col("approx_p99") >= F.col("lo_99"))
+            & (F.col("approx_p99") <= F.col("hi_99"))
+        ).alias("p99_est_ok"),
     ).orderBy("l_returnflag")
+
+
+APPROX_QUANTILES_ORACLE = """
+SELECT
+  l_returnflag,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  TRUE AS median_est_ok,
+  TRUE AS p99_est_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
 
 
 PACK_BUDGET = 2048  # tokens per packed training sequence

@@ -886,7 +886,13 @@ register(
     sampling.weighted_language_mix,
     sampling.WEIGHTED_MIX_ORACLE,
 )
-register("agg_approx_quantiles", sampling.approx_quantile_sketch, None)
+# round-6: upgraded rows-only -> full oracle (exact counts + accuracy
+# booleans hashed; raw sketch values stay engine-local)
+register(
+    "agg_approx_quantiles",
+    sampling.approx_quantile_sketch,
+    sampling.APPROX_QUANTILES_ORACLE,
+)
 register("sample_cap_per_group", sampling.cap_per_group, sampling.CAP_PER_GROUP_ORACLE)
 register(
     "sample_weighted_topk", sampling.weighted_sample_topk, sampling.WEIGHTED_TOPK_ORACLE

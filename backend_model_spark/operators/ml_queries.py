@@ -245,30 +245,24 @@ def gbt_feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 IRLS_STEPS = 8
 
 
-def logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed logistic regression by IRLS (Newton–Raphson): at
-    each step the executors reduce the 3×3 Hessian ``Xᵀ W X`` and the
-    3-vector gradient as NINE sufficient-statistic aggregates in one
-    map-side pass; the driver solves the tiny system and broadcasts
-    the updated coefficients into the next step's expressions. The
-    driver never sees rows — only the 12 scalars per step — the same
-    contract as the connected-components loop. Model: P(order is
-    high-priority) ~ intercept + scaled price + scaled year.
-
-    Fixed IRLS_STEPS=8 steps (quadratic convergence makes that
-    effectively exact); deterministic given the data, but the nested
-    solve isn't SQL-expressible, so this is a rows-only registry
-    entry verified against a numpy IRLS reference in
-    tests/test_property_based.py.
-    """
-    import numpy as np
-
+def _irls_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(y, x1, x2) design frame shared by the trainer and the
+    certificate entry."""
     orders = load_table(spark, "orders", sf_dir)
-    feats = orders.select(
+    return orders.select(
         F.when(F.col("o_orderpriority") < "3", 1.0).otherwise(0.0).alias("y"),
         (F.col("o_totalprice") / 100000.0).alias("x1"),
         ((F.year("o_orderdate") - 1995) / 4.0).alias("x2"),
     )
+
+
+def _irls_fit(feats: DataFrame):
+    """IRLS/Newton loop: per step ONE map-side-combinable aggregate of
+    the nine sufficient statistics; the driver solves the 3x3 system
+    and broadcasts the next coefficients as literals. Returns the
+    final numpy beta (see :func:`logistic_irls` for the contract)."""
+    import numpy as np
+
     beta = np.zeros(3)
     for _ in range(IRLS_STEPS):
         b0, b1, b2 = (float(v) for v in beta)
@@ -292,6 +286,29 @@ def logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         g = np.array([row["g0"], row["g1"], row["g2"]])
         beta = beta + np.linalg.solve(H + 1e-9 * np.eye(3), g)
+    return beta
+
+
+def logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic regression by IRLS (Newton–Raphson): at
+    each step the executors reduce the 3×3 Hessian ``Xᵀ W X`` and the
+    3-vector gradient as NINE sufficient-statistic aggregates in one
+    map-side pass; the driver solves the tiny system and broadcasts
+    the updated coefficients into the next step's expressions. The
+    driver never sees rows — only the 12 scalars per step — the same
+    contract as the connected-components loop. Model: P(order is
+    high-priority) ~ intercept + scaled price + scaled year.
+
+    Fixed IRLS_STEPS=8 steps (quadratic convergence makes that
+    effectively exact); deterministic given the data. The nested
+    solve isn't SQL-expressible, so the betas themselves are verified
+    against a numpy IRLS reference in tests/test_property_based.py;
+    the REGISTERED entry is :func:`logistic_irls_certified`, which
+    hashes exact counts plus convergence-certificate booleans under a
+    full DuckDB oracle (round-6 upgrade from rows-only).
+    """
+    feats = _irls_feats(spark, sf_dir)
+    beta = _irls_fit(feats)
     b0, b1, b2 = (float(v) for v in beta)
     eta = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
     pred = (F.lit(1.0) / (F.lit(1.0) + F.exp(-eta)) > 0.5).cast("double")
@@ -308,6 +325,58 @@ def logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("accuracy", 6).alias("accuracy"),
         F.round("base_rate", 6).alias("base_rate"),
     )
+
+
+def logistic_irls_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REGISTERED face of :func:`logistic_irls`, fully oracled
+    (round-6 upgrade from rows-only, the `agg_approx_distinct`
+    pattern): the trained betas are driver-solved floats no SQL
+    engine can reproduce, so what is hashed is (a) exact class
+    counts and (b) Spark-side CERTIFICATE booleans the oracle emits
+    as literal TRUE —
+
+    - ``grad_converged``: after the final Newton step the score
+      equations hold: max_i |Σ (y−p)·x_i| ≤ 1e-6·n. A broken solver,
+      a feature drift, or a diverging fit flips it.
+    - ``separation_ok``: mean fitted p over y=1 exceeds mean fitted p
+      over y=0 — the fit actually orders the classes.
+
+    Scale: identical to the trainer (per-step one aggregate row to
+    the driver); the certificate adds ONE more sufficient-stats pass.
+    """
+    feats = _irls_feats(spark, sf_dir)
+    beta = _irls_fit(feats)
+    b0, b1, b2 = (float(v) for v in beta)
+    eta = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+    r = F.col("y") - p
+    cert = feats.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.abs(F.sum(r)).alias("g0"),
+        F.abs(F.sum(r * F.col("x1"))).alias("g1"),
+        F.abs(F.sum(r * F.col("x2"))).alias("g2"),
+        F.avg(F.when(F.col("y") == 1.0, p)).alias("p1"),
+        F.avg(F.when(F.col("y") == 0.0, p)).alias("p0"),
+    )
+    return cert.select(
+        "n",
+        "n_pos",
+        (
+            F.greatest("g0", "g1", "g2") <= F.lit(1e-6) * F.col("n")
+        ).alias("grad_converged"),
+        (F.col("p1") > F.col("p0")).alias("separation_ok"),
+    )
+
+
+LOGISTIC_IRLS_ORACLE = """
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(COUNT(*) FILTER (WHERE o_orderpriority < '3') AS BIGINT) AS n_pos,
+  TRUE AS grad_converged,
+  TRUE AS separation_ok
+FROM orders
+"""
 
 
 def naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -901,7 +901,13 @@ register(
 # --- MLlib approximate variants (rows-only: no SQL-expressible oracle) --------
 register("mllib_minhash_neardup", mllib_ops.mllib_minhash_neardup, None)
 register("mllib_brp_ann_join", mllib_ops.mllib_brp_ann_join, None)
-register("ml_logistic_irls", ml_queries.logistic_irls, None)
+# round-6: upgraded rows-only -> full oracle (exact class counts +
+# convergence-certificate booleans; betas stay numpy-test-verified)
+register(
+    "ml_logistic_irls",
+    ml_queries.logistic_irls_certified,
+    ml_queries.LOGISTIC_IRLS_ORACLE,
+)
 register("mllib_kmeans_clusters", mllib_ops.mllib_kmeans_clusters, None)
 register("mllib_pca_variance", mllib_ops.mllib_pca_variance, None)
 # round-6: upgraded rows-only -> full oracle (composed from the

@@ -50,7 +50,9 @@ ALLOWLIST = {
     ("operators/cleaning.py", "EXP_LOG_ORACLE"): "exact-roundtrip (oracle side)",
     ("operators/events_ops.py", "value_drift_psi"): "bounded-cardinality: PSI terms over a fixed decile grid",
     ("operators/events_ops.py", "ab_survival_km"): "bounded-cardinality: KM curve over the bounded day grid",
-    ("operators/ml_queries.py", "logistic_irls"): "rows-only entry (numpy-verified); sigmoid feeds a > 0.5 decision",
+    ("operators/ml_queries.py", "logistic_irls"): "betas numpy-test-verified, not oracle-hashed; sigmoid feeds a > 0.5 decision",
+    ("operators/ml_queries.py", "_irls_fit"): "trainer sufficient stats: driver-solved, never hashed",
+    ("operators/ml_queries.py", "logistic_irls_certified"): "sigmoid feeds only certificate booleans; hashed columns are exact counts + TRUEs",
     ("operators/ml_queries.py", "naive_bayes_lang"): "log-scores feed rounded argmax; hashed output is the count matrix",
     ("operators/relational.py", "benford_first_digit"): "9 fixed data-independent LOG10 constants",
     ("operators/relational.py", "BENFORD_ORACLE"): "9 fixed data-independent LOG10 constants (oracle side)",

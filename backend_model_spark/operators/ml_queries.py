@@ -129,6 +129,86 @@ def gbt_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gbt_train_eval_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable face of :func:`gbt_train_eval` (round-6
+    certificate pattern): the seeded randomSplit is
+    partitioning-dependent and the trained metrics are engine-local,
+    so the hash covers the exact TOTAL row count (train + test must
+    conserve lineitem) plus certificates — the split fraction lands
+    near 0.8, MAE <= RMSE (Cauchy–Schwarz, any correct evaluator),
+    test R² <= 1, and TRAIN R² > 0 (boosting starts from the mean
+    prediction and strictly reduces training SSE, so a fit failing
+    this is broken). Test R² is deliberately NOT certified positive:
+    measured at sf0.01 it is negative — partkey-as-numeric lets
+    depth-4 trees overfit part-price noise — and generalization is a
+    property of the data, not of pipeline correctness."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+
+    model, train, test = _fitted_gbt(spark, sf_dir)
+    preds = model.transform(test)
+    evaluator = RegressionEvaluator(
+        labelCol="l_extendedprice", predictionCol="prediction"
+    )
+    mae = evaluator.setMetricName("mae").evaluate(preds)
+    rmse = evaluator.setMetricName("rmse").evaluate(preds)
+    r2 = evaluator.setMetricName("r2").evaluate(preds)
+    r2_train = evaluator.setMetricName("r2").evaluate(model.transform(train))
+    n_train, n_test = train.count(), test.count()
+    n_total = n_train + n_test
+    return spark.createDataFrame(
+        [
+            (
+                n_total,
+                bool(abs(n_train / n_total - 0.8) <= 0.05),
+                bool(mae <= rmse + 1e-9),
+                bool(r2 <= 1.0 + 1e-9),
+                bool(r2_train > 0.0),
+            )
+        ],
+        "n_total bigint, split_frac_ok boolean, mae_le_rmse boolean, "
+        "r2_le_one boolean, train_beats_mean boolean",
+    )
+
+
+GBT_TRAIN_CERT_ORACLE = """
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_total,
+  TRUE AS split_frac_ok,
+  TRUE AS mae_le_rmse,
+  TRUE AS r2_le_one,
+  TRUE AS train_beats_mean
+FROM lineitem
+"""
+
+
+def gbt_feature_importance_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable face of :func:`gbt_feature_importance`: the
+    importance VALUES are tree-ensemble floats no SQL engine can
+    reproduce, so the hash covers the fixed feature list plus the
+    axioms any valid importance vector satisfies — every component
+    non-negative and the vector summing to 1 (MLlib normalizes)."""
+    import math
+
+    model, _, _ = _fitted_gbt(spark, sf_dir)
+    imps = [float(v) for v in model.stages[-1].featureImportances.toArray()]
+    sum_ok = bool(math.isclose(sum(imps), 1.0, rel_tol=0, abs_tol=1e-9))
+    rows = [
+        (name, bool(v >= 0.0), sum_ok)
+        for name, v in zip(GBT_FEATURES, imps)
+    ]
+    return spark.createDataFrame(
+        rows, "feature string, nonneg_ok boolean, sum_to_one boolean"
+    ).orderBy("feature")
+
+
+GBT_IMPORTANCE_CERT_ORACLE = """
+SELECT feature, TRUE AS nonneg_ok, TRUE AS sum_to_one
+FROM (VALUES ('l_quantity'), ('l_discount'), ('l_tax'), ('l_partkey'))
+     AS t(feature)
+ORDER BY feature
+"""
+
+
 def group_ols_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(returnflag, linestatus) OLS via grouped-map
     ``applyInPandas`` — the Pandas-UDAF tier of the same math as

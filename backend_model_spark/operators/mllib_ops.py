@@ -1,12 +1,15 @@
-"""MLlib-backed approximate operators (rows-only correctness checks;
-SURVEY.md §7 M4 library-sibling tier of the dedup/similarity surface).
+"""MLlib-backed approximate operators (SURVEY.md §7 M4
+library-sibling tier of the dedup/similarity surface).
 
 These pair with the md5-deterministic implementations in
 :mod:`backend_model_spark.operators.dedup` / ``similarity``: the md5
 versions are cross-engine oracle-checkable; these use MLlib's native
 LSH families (seeded, deterministic within Spark, but not expressible
-in DuckDB SQL) — the production-scale path, registered without
-``oracle_sql`` per the driver contract for approximate ops.
+in DuckDB SQL) — the production-scale path. Since round 6 each entry
+registers its ``*_certified`` face: exact cross-engine facts plus
+contract-certificate booleans are hashed against a full DuckDB
+oracle, while the engine-local outputs (pair lists, cluster sizes,
+variance ratios) remain available on the underlying functions.
 """
 
 from __future__ import annotations
@@ -232,4 +235,258 @@ SELECT
 FROM lvl, n
 WHERE freq >= 0.02 * n_baskets
 ORDER BY itemset
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round-6 certificate upgrades: the LSH/clustering/PCA entries above
+# stay registered as-is conceptually, but their REGISTERED faces now
+# hash exact cross-engine facts + certificate booleans (the
+# `agg_approx_distinct` pattern) instead of being rows-only. The
+# engine-specific outputs (pair lists, cluster sizes, ratios) remain
+# available via the underlying functions.
+# ---------------------------------------------------------------------------
+
+
+def mllib_minhash_neardup_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable face of :func:`mllib_minhash_neardup`.
+
+    Hashed columns: exact corpus facts (docs with >=1 shingle, exact
+    duplicate-text pair count) plus two certificates the oracle emits
+    as TRUE —
+
+    - ``pairs_valid``: every LSH candidate's Jaccard distance is
+      within the 0.9 threshold (the approxSimilarityJoin contract).
+    - ``exact_dups_found``: every identical-text pair (identical
+      shingle sets => identical MinHash signatures => same bucket in
+      ALL hash tables) appears among the candidates — the recall
+      guarantee MinHashLSH makes BY CONSTRUCTION for distance-0
+      pairs; a broken hashing or bucketing stage flips it.
+    """
+    shingled = (
+        tokenized_docs(spark, sf_dir)
+        .select("doc_id", "text", F.expr(SHINGLES).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .persist()
+    )
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(shingled)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=SEED)
+    model = mh.fit(feats)
+    pairs = (
+        model.approxSimilarityJoin(feats, feats, 0.9, distCol="jaccard_dist")
+        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            "jaccard_dist",
+        )
+        .persist()
+    )
+    # identical-text pairs among shingled docs (tiny: dup groups only)
+    dig = shingled.select("doc_id", F.md5(F.col("text")).alias("h"))
+    dups = (
+        dig.alias("a")
+        .join(dig.alias("b"), F.expr("a.h = b.h AND a.doc_id < b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    n_docs = shingled.count()
+    n_dup_pairs = dups.count()
+    n_missing = dups.join(pairs, ["doc_a", "doc_b"], "left_anti").count()
+    max_dist = pairs.agg(F.max("jaccard_dist")).collect()[0][0]
+    shingled.unpersist()
+    pairs.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_docs,
+                n_dup_pairs,
+                bool(n_missing == 0),
+                bool(max_dist is None or max_dist <= 0.9),
+            )
+        ],
+        "n_docs bigint, n_exact_dup_pairs bigint, "
+        "exact_dups_found boolean, pairs_valid boolean",
+    )
+
+
+MINHASH_CERT_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE len(string_split_regex(trim(text), '\s+')) >= 3
+),
+g AS (SELECT md5(text) AS h, COUNT(*) AS c FROM d GROUP BY 1)
+SELECT
+  CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_docs,
+  CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_exact_dup_pairs,
+  TRUE AS exact_dups_found,
+  TRUE AS pairs_valid
+FROM g
+"""
+
+
+def mllib_brp_ann_join_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable face of :func:`mllib_brp_ann_join`: exact
+    corpus facts (vector count, identical-vector pair count — list
+    equality groups, cross-engine exact) + certificates —
+
+    - ``pairs_valid``: every returned pair's Euclidean distance is
+      within the 1.15 threshold.
+    - ``zero_dist_found``: identical vectors hash identically in all
+      BRP tables, so every identical-embedding pair MUST be returned
+      (distance 0); a broken projection/bucketing flips it.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    vecs = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("arr"),
+    ).persist()
+    feat = vecs.select("vec_id", array_to_vector(F.col("arr")).alias("features"))
+    brp = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=0.5,
+        numHashTables=4,
+        seed=SEED,
+    )
+    model = brp.fit(feat)
+    pairs = (
+        model.approxSimilarityJoin(feat, feat, 1.15, distCol="euclidean_dist")
+        .filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            "euclidean_dist",
+        )
+        .persist()
+    )
+    twins = (
+        vecs.alias("a")
+        .join(
+            vecs.alias("b"),
+            F.expr("a.arr = b.arr AND a.vec_id < b.vec_id"),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+    )
+    n_vecs = vecs.count()
+    n_twin_pairs = twins.count()
+    n_missing = twins.join(pairs, ["vec_a", "vec_b"], "left_anti").count()
+    max_dist = pairs.agg(F.max("euclidean_dist")).collect()[0][0]
+    vecs.unpersist()
+    pairs.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_vecs,
+                n_twin_pairs,
+                bool(n_missing == 0),
+                bool(max_dist is None or max_dist <= 1.15),
+            )
+        ],
+        "n_vectors bigint, n_identical_pairs bigint, "
+        "zero_dist_found boolean, pairs_valid boolean",
+    )
+
+
+BRP_CERT_ORACLE = """
+WITH g AS (SELECT embedding, COUNT(*) AS c FROM embeddings GROUP BY embedding)
+SELECT
+  CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vectors,
+  CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_identical_pairs,
+  TRUE AS zero_dist_found,
+  TRUE AS pairs_valid
+FROM g
+"""
+
+
+def mllib_kmeans_clusters_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable face of :func:`mllib_kmeans_clusters`: the
+    exact vector count plus pipeline certificates (cluster count in
+    [1, k], cluster sizes conserve the corpus, silhouette in [-1, 1])
+    — the seeded centroids themselves stay engine-local."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.evaluation import ClusteringEvaluator
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    vecs = emb.select(
+        "vec_id",
+        array_to_vector(
+            F.expr("transform(embedding, x -> cast(x as double))")
+        ).alias("features"),
+    )
+    model = KMeans(k=10, seed=SEED, maxIter=20).fit(vecs)
+    pred = model.transform(vecs)
+    silhouette = float(
+        ClusteringEvaluator(metricName="silhouette").evaluate(pred)
+    )
+    sizes = pred.groupBy("prediction").count().collect()
+    n_vectors = sum(r["count"] for r in sizes)
+    return spark.createDataFrame(
+        [
+            (
+                n_vectors,
+                bool(1 <= len(sizes) <= 10),
+                bool(all(r["count"] > 0 for r in sizes)),
+                bool(-1.0 <= silhouette <= 1.0),
+            )
+        ],
+        "n_vectors bigint, k_ok boolean, sizes_positive boolean, "
+        "silhouette_ok boolean",
+    )
+
+
+KMEANS_CERT_ORACLE = """
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+  TRUE AS k_ok,
+  TRUE AS sizes_positive,
+  TRUE AS silhouette_ok
+FROM embeddings
+"""
+
+
+def mllib_pca_variance_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable face of :func:`mllib_pca_variance`: the
+    explained-variance RATIOS stay engine-local (eigensolver floats);
+    what is hashed are the spectral certificates every correct PCA
+    satisfies — 8 components, ratios non-negative and non-increasing
+    (eigenvalues sorted), summing to <= 1, and the top component
+    carrying at least the uniform 1/64 share (lambda_max >= mean
+    eigenvalue)."""
+    from pyspark.ml.feature import PCA
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        array_to_vector(
+            F.expr("transform(embedding, x -> cast(x as double))")
+        ).alias("features")
+    )
+    model = PCA(k=8, inputCol="features", outputCol="pc").fit(emb)
+    r = [float(v) for v in model.explainedVariance]
+    eps = 1e-12
+    return spark.createDataFrame(
+        [
+            (
+                len(r),
+                bool(all(x >= -eps for x in r)),
+                bool(all(r[i] >= r[i + 1] - eps for i in range(len(r) - 1))),
+                bool(sum(r) <= 1.0 + 1e-9),
+                bool(r[0] >= 1.0 / 64.0 - eps),
+            )
+        ],
+        "n_components int, nonneg_ok boolean, sorted_ok boolean, "
+        "sum_le_one boolean, top1_ge_uniform boolean",
+    )
+
+
+PCA_CERT_ORACLE = """
+SELECT
+  CAST(8 AS INTEGER) AS n_components,
+  TRUE AS nonneg_ok,
+  TRUE AS sorted_ok,
+  TRUE AS sum_le_one,
+  TRUE AS top1_ge_uniform
 """

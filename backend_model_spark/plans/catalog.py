@@ -899,8 +899,18 @@ register(
 )
 
 # --- MLlib approximate variants (rows-only: no SQL-expressible oracle) --------
-register("mllib_minhash_neardup", mllib_ops.mllib_minhash_neardup, None)
-register("mllib_brp_ann_join", mllib_ops.mllib_brp_ann_join, None)
+# round-6: certificate upgrades — exact cross-engine facts + contract
+# booleans hashed; engine-local outputs stay on the underlying fns
+register(
+    "mllib_minhash_neardup",
+    mllib_ops.mllib_minhash_neardup_certified,
+    mllib_ops.MINHASH_CERT_ORACLE,
+)
+register(
+    "mllib_brp_ann_join",
+    mllib_ops.mllib_brp_ann_join_certified,
+    mllib_ops.BRP_CERT_ORACLE,
+)
 # round-6: upgraded rows-only -> full oracle (exact class counts +
 # convergence-certificate booleans; betas stay numpy-test-verified)
 register(
@@ -908,8 +918,16 @@ register(
     ml_queries.logistic_irls_certified,
     ml_queries.LOGISTIC_IRLS_ORACLE,
 )
-register("mllib_kmeans_clusters", mllib_ops.mllib_kmeans_clusters, None)
-register("mllib_pca_variance", mllib_ops.mllib_pca_variance, None)
+register(
+    "mllib_kmeans_clusters",
+    mllib_ops.mllib_kmeans_clusters_certified,
+    mllib_ops.KMEANS_CERT_ORACLE,
+)
+register(
+    "mllib_pca_variance",
+    mllib_ops.mllib_pca_variance_certified,
+    mllib_ops.PCA_CERT_ORACLE,
+)
 # round-6: upgraded rows-only -> full oracle (composed from the
 # long-green brute-force + IVF oracle CTE chains)
 register(
@@ -982,7 +1000,11 @@ register("sql_q12_conditional", sql_api.q12_priority_lines, sql_api.Q12_CONDITIO
 register("sql_q14_promo_share", sql_api.q14_promo_share, sql_api.Q14_PROMO_SHARE_SQL)
 
 # --- ML (SURVEY §2.10) ---------------------------------------------------------
-register("ml_gbt_train_eval", ml_queries.gbt_train_eval, None)
+register(
+    "ml_gbt_train_eval",
+    ml_queries.gbt_train_eval_certified,
+    ml_queries.GBT_TRAIN_CERT_ORACLE,
+)
 register(
     "ml_linear_fit_closed_form",
     ml_queries.linear_fit_closed_form,
@@ -991,7 +1013,11 @@ register(
 register(
     "ml_group_ols_pandas", ml_queries.group_ols_pandas, ml_queries.GROUP_OLS_ORACLE
 )
-register("ml_gbt_feature_importance", ml_queries.gbt_feature_importance, None)
+register(
+    "ml_gbt_feature_importance",
+    ml_queries.gbt_feature_importance_certified,
+    ml_queries.GBT_IMPORTANCE_CERT_ORACLE,
+)
 
 # --- structured streaming (availableNow batch-equivalence) --------------------
 register(

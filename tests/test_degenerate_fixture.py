@@ -71,7 +71,9 @@ VEC_ENTRIES = [
 # MLlib's own contract rejects all-zero inputs (MinHashLSH requires a
 # non-zero entry; KMeans degenerates) — library behavior, not ours:
 # mllib_minhash_neardup / mllib_brp_ann_join / mllib_kmeans_clusters /
-# mllib_pca_variance are rows-only entries and stay exempt here.
+# mllib_pca_variance stay exempt here (since round 6 they are oracled
+# certificate entries, but the zero-vector rejection is still the
+# library's, so the exemption stands).
 
 
 @pytest.fixture(scope="module")

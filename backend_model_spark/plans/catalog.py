@@ -1238,34 +1238,36 @@ TIER1 = [
     "events_alert_hysteresis",
     "events_path_trigrams",
     "events_overlap_join",
-    "events_hourly_rollup",
-    "events_fill_forward",
     # never-driver-checked tail: text battery
     "text_repetition_signals",
     "text_bigram_logprob",
-    "text_language_id",
-    "text_vocab_build",
     # never-driver-checked tail: sampling battery
     "sample_cap_per_group",
     "sample_weighted_topk",
-    "sample_importance_resample",
     # never-driver-checked tail: media + udf plumbing
     "media_frame_sample",
-    # round-6 NEW entry: real PNG codec roundtrip (media_resize_stub
-    # yields its slot, queued for round 7)
+    # round-6 NEW entries: real PNG + WAV codec roundtrips
     "media_png_roundtrip",
+    "media_wav_roundtrip",
     "udf_native_normalize",
-    "udf_arrow_normalize",
+    # round-6 certificate/oracle upgrades (rows-only -> full oracle,
+    # all CHANGED this session — must prove at the driver's DuckDB)
+    "sim_ivf_recall",
+    "agg_approx_quantiles",
+    "ml_logistic_irls",
+    "ml_gbt_train_eval",
+    "ml_gbt_feature_importance",
+    "mllib_minhash_neardup",
+    "mllib_brp_ann_join",
+    "mllib_kmeans_clusters",
+    "mllib_pca_variance",
     # never-driver-checked tail: sql battery remainder
     "sql_filtered_aggs",
-    "sql_subqueries",
     # never-driver-checked tail: tpch remainder
     "tpch_q11_important_parts",
     "tpch_q13_order_dist",
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_cnt",
-    "tpch_q20_excess_supp",
-    "tpch_q22_idle_rich",
     # changed this round (JVM-expression scoring + 256e0 oracle text):
     # must re-prove at the driver
     "ml_mlp_batch_inference",
@@ -1273,16 +1275,23 @@ TIER1 = [
     "ml_mlp_calibration_deciles",
     # never-driver-checked tail: io incremental
     "io_incremental_rollup",
-    # never-driver-checked tail: window + sim + dedup family reps
+    # never-driver-checked tail: window + dedup family reps
     "window_dense_rank",
-    "sim_ivf_topk",
     "dedup_golden_record",
     # (io_json_roundtrip / io_orc_roundtrip / window_range_frame
-    # yield their slots to the three changed ml_mlp_* entries —
-    # queued first for round 7)
+    # yielded to the three changed ml_mlp_* entries;
+    # events_hourly_rollup, events_fill_forward, text_language_id,
+    # text_vocab_build, sample_importance_resample, sql_subqueries,
+    # tpch_q20_excess_supp, tpch_q22_idle_rich, sim_ivf_topk (its IVF
+    # chain now runs INSIDE sim_ivf_recall's composed oracle) and
+    # udf_arrow_normalize yielded to this session's 10 changed
+    # entries — all queued FIRST for round 7)
     #
     # ROUND-7 rotation queue (never-driver-checked entries remaining
-    # after this prefix): sim_pq_adc_recall, sim_ivf_recall,
+    # after this prefix): events_hourly_rollup, events_fill_forward,
+    # text_language_id, text_vocab_build, sample_importance_resample,
+    # sql_subqueries, tpch_q20_excess_supp, tpch_q22_idle_rich,
+    # sim_ivf_topk, udf_arrow_normalize, sim_pq_adc_recall,
     # sim_lsh_hyperplane_buckets, sim_quantize_int8, dq_k_anonymity,
     # dq_drift_psi, agg_weighted_median_rank, agg_log2_histogram,
     # agg_exact_median_rank, agg_approx_quantiles, agg_countmin_topk,
@@ -1300,8 +1309,7 @@ TIER1 = [
     # dedup_minhash_signatures, dedup_simhash, dedup_graph_pagerank,
     # udf_... tier demos already covered this round; sample_kfold_assign,
     # sample_temperature_mix, sample_weighted_lang_mix,
-    # ml_logistic_irls, ml_gbt_train_eval, ml_gbt_feature_importance,
-    # mllib_* (rows-only), io_permissive_json_scan,
+    # io_permissive_json_scan,
     # io_analyze_table_stats, io_provenance_audit,
     # streaming_python_datasource, streaming_dedup_user_types,
     # streaming_click_purchase_join.

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from backend_model_spark.sources.tables import load_table
+from backend_model_spark.sources.tables import load_table, spread
 
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -523,7 +523,13 @@ def png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal TRUE for roundtrip_ok — so a decoder that mis-unfilters a
     single scanline, inflates incorrectly, or silently skips CRC
     breaks the hash."""
-    media = media_table(spark, sf_dir).filter(F.length("payload") > 0)
+    # pure-Python codec work is the most per-row-expensive stage in the
+    # repo — spread() the single-split local scan so all cores decode
+    # (no-op on a many-split production scan); measured 6.8x -> ~1x
+    # wall at 10x data on 32 cores (SCALE.md round 6)
+    media = spread(
+        media_table(spark, sf_dir).filter(F.length("payload") > 0)
+    )
     return media.mapInPandas(
         _png_roundtrip_batch, schema=_PNG_RT_SCHEMA
     ).orderBy("media_id")
@@ -729,7 +735,9 @@ def wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks the hash. At 100 TB this is the same shape as PNG decode:
     linear in executors, media bucketed by content-hash prefix.
     """
-    media = media_table(spark, sf_dir).filter(F.length("payload") > 0)
+    media = spread(
+        media_table(spark, sf_dir).filter(F.length("payload") > 0)
+    )
     return media.mapInPandas(
         _wav_roundtrip_batch, schema=_WAV_RT_SCHEMA
     ).orderBy("media_id")

@@ -294,16 +294,26 @@ def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fully oracled since round 6, the `agg_approx_distinct` pattern:
     the raw sketch values are engine-specific so they are not hashed;
     what IS hashed is the exact group count plus Spark-side accuracy
-    assertions — each estimate must land inside generous EXACT
-    percentile brackets computed in the same pass ([p45, p55] for the
-    median, [p98, max] for p99; Spark guarantees rank error
-    ≤ N/accuracy = 0.01 %, the bracket allows 5 %/1 %). The oracle
-    emits the same exact counts and literal TRUEs, so a drifting or
-    broken sketch flips the hash. The exact brackets never cross
-    engines — they exist only inside the booleans."""
-    li = load_table(spark, "lineitem", sf_dir)
-    ex = lambda p: F.expr(f"percentile(l_extendedprice, {p})")  # noqa: E731
-    agg = li.groupBy("l_returnflag").agg(
+    assertions — the estimate's exact RANK (counted, not sorted) must
+    land in a generous window ([45%, 55%] of n for the median,
+    [98.5%, 99.5%] for p99; Spark guarantees rank error
+    ≤ N/accuracy = 0.01%). The oracle emits the same exact counts and
+    literal TRUEs, so a drifting or broken sketch flips the hash.
+
+    Plan shape (the certificate must not cost what the sketch
+    saves): pass 1 is the sketch aggregate; pass 2 broadcast-joins
+    the 3-row estimate frame back and COUNTS rows strictly below /
+    at-or-below each estimate — both passes are hash aggregates, no
+    value buffering. The first draft bracketed with exact
+    ``percentile()`` instead: a SortAggregate that buffers every
+    group's values — 4.4 s at sf0.1 / 14 s at 10×, the very cost the
+    sketch exists to avoid (measured, SCALE.md round 6). With ties
+    the estimate's feasible rank is the interval [count_lt,
+    count_le], so the check is count_lt ≤ hi AND count_le ≥ lo."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_extendedprice"
+    )
+    est = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
             "approx_median"
@@ -311,21 +321,35 @@ def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("l_extendedprice", F.lit(0.99), F.lit(10000)).alias(
             "approx_p99"
         ),
-        ex(0.45).alias("lo_m"),
-        ex(0.55).alias("hi_m"),
-        ex(0.98).alias("lo_99"),
-        F.max("l_extendedprice").alias("hi_99"),
     )
-    return agg.select(
+    ranked = (
+        li.join(F.broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.first("n_items").alias("n_items"),
+            F.sum(
+                (F.col("l_extendedprice") < F.col("approx_median")).cast("long")
+            ).alias("lt_m"),
+            F.sum(
+                (F.col("l_extendedprice") <= F.col("approx_median")).cast("long")
+            ).alias("le_m"),
+            F.sum(
+                (F.col("l_extendedprice") < F.col("approx_p99")).cast("long")
+            ).alias("lt_99"),
+            F.sum(
+                (F.col("l_extendedprice") <= F.col("approx_p99")).cast("long")
+            ).alias("le_99"),
+        )
+    )
+    n = F.col("n_items").cast("double")
+    return ranked.select(
         "l_returnflag",
         "n_items",
         (
-            (F.col("approx_median") >= F.col("lo_m"))
-            & (F.col("approx_median") <= F.col("hi_m"))
+            (F.col("lt_m") <= 0.55 * n) & (F.col("le_m") >= 0.45 * n)
         ).alias("median_est_ok"),
         (
-            (F.col("approx_p99") >= F.col("lo_99"))
-            & (F.col("approx_p99") <= F.col("hi_99"))
+            (F.col("lt_99") <= 0.995 * n) & (F.col("le_99") >= 0.985 * n)
         ).alias("p99_est_ok"),
     ).orderBy("l_returnflag")
 

@@ -75,6 +75,11 @@ HEADLINE = [
     # tokenize-once / TakeOrderedAndProject-per-arm shape (measured
     # 1.2x wall at 10x data)
     "sim_rrf_hybrid_rank",
+    # round 6: REAL media codec — pure-Python PNG encode/decode per
+    # row inside spread() + mapInPandas; holds the
+    # per-row-expensive-Python-stage parallelism lesson in the bench
+    # (serialized on 1 core before spread: 7.2x wall at 10x)
+    "media_png_roundtrip",
 ]
 
 

@@ -95,3 +95,52 @@ def test_emitted_png_is_structurally_valid():
         tags.append(tag)
         pos += 12 + length
     assert tags == [b"IHDR", b"IDAT", b"IEND"]
+
+
+# --- property-based fuzzing (hypothesis, round-6 second session) -----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    data=st.data(),
+)
+def test_roundtrip_property(w, h, data):
+    """encode → decode is the identity for any gray8 image shape."""
+    pix = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h,
+                max_size=w * h,
+            )
+        )
+    )
+    assert _png_decode_gray8(_png_encode_gray8(pix, w, h)) == (w, h, pix)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    pix=st.binary(min_size=16, max_size=64),
+    flip=st.integers(min_value=8, max_value=10_000),
+)
+def test_idat_corruption_is_always_caught(pix, flip):
+    """Any bit flip past the signature is caught: either a CRC
+    mismatch / structural error, or zlib fails to inflate — a PNG
+    decode can never silently return different pixels (that is the
+    point of per-chunk CRC-32)."""
+    import zlib as _zlib
+
+    side = 4
+    png = bytearray(_png_encode_gray8(pix[: side * side].ljust(side * side, b"\0"), side, side))
+    pos = 8 + (flip % (len(png) - 8))
+    png[pos] ^= 0x01
+    try:
+        _, _, dec = _png_decode_gray8(bytes(png))
+    except (ValueError, _zlib.error, struct.error):
+        return
+    raise AssertionError("corrupted PNG decoded without error")

@@ -97,3 +97,64 @@ def test_stdlib_reader_agrees_with_cleanroom_parser():
             struct.unpack(f"<{r.getnframes()}h", r.readframes(r.getnframes()))
         )
     assert dec == ref == s
+
+
+# --- property-based fuzzing (hypothesis) ----------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=600
+    ),
+    rate=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+)
+def test_roundtrip_property(samples, rate):
+    """stdlib-wave encode → clean-room decode is the identity for any
+    PCM16 signal at any common rate."""
+    r, nch, dec = _wav_decode_pcm16(_wav_encode_pcm16(samples, rate))
+    assert (r, nch, dec) == (rate, 1, samples)
+
+
+@settings(max_examples=200, deadline=None)
+@given(payload=st.binary(min_size=1, max_size=400))
+def test_sample_derivation_matches_direct_computation(payload):
+    """The cyclic-pair two's-complement rule (the oracle's contract)
+    against an independent int.from_bytes formulation."""
+    s = _wav_samples_from_bytes(payload)
+    n = len(payload)
+    for i in (0, 1, WAV_N // 2, WAV_N - 1):
+        pair = bytes([payload[(2 * i) % n], payload[(2 * i + 1) % n]])
+        assert s[i] == int.from_bytes(pair, "little", signed=True)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=4, max_size=64
+    ),
+    flip=st.integers(min_value=0, max_value=10_000),
+)
+def test_structural_corruption_never_passes_silently(samples, flip):
+    """Corrupting any byte of the RIFF STRUCTURE (first 44 header
+    bytes: magic, sizes, fmt fields) either raises or — when it only
+    touches a non-load-bearing field like the rate — still never
+    corrupts the decoded samples silently into a DIFFERENT valid
+    signal of the same shape."""
+    blob = bytearray(_wav_encode_pcm16(samples, WAV_RATE))
+    pos = flip % 44
+    old = blob[pos]
+    blob[pos] ^= 0xFF
+    if blob[pos] == old:  # pragma: no cover - xor always changes
+        return
+    try:
+        r, nch, dec = _wav_decode_pcm16(bytes(blob))
+    except (ValueError, struct.error):
+        return  # rejected: the desired outcome
+    # accepted: the flipped byte must not have silently changed the
+    # payload samples (e.g. a rate-field flip changes metadata only
+    # when byte_rate consistency happens to still hold)
+    assert dec == samples

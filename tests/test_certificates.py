@@ -1,0 +1,162 @@
+"""Non-vacuousness proofs for the round-6 certificate oracles.
+
+The certificate pattern hashes contract booleans (the oracle emits
+literal TRUE). That is only evidence if (a) the booleans EXERCISE a
+non-empty obligation and (b) they actually FLIP when the obligation
+is violated. At sf0.01 — the driver's gate — the synthetic corpus has
+ZERO exact-duplicate texts and ZERO identical embeddings (measured),
+so the recall certificates are vacuous there; these tests run the
+REAL certified entries on planted-duplicate fixtures where the
+obligation is non-empty, and flip each boolean with a poisoned input
+to prove none of them is a tautology.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scratch",
+    "cert_fixtures",
+)
+
+
+@pytest.fixture(scope="module")
+def planted_dir(spark) -> str:
+    """documents with one exact-duplicate text pair (3 & 7) and
+    embeddings with one identical-vector pair (2 & 5)."""
+    sf = os.path.join(SCRATCH, "planted_" + uuid.uuid4().hex[:10])
+    os.makedirs(sf, exist_ok=True)
+    rng = np.random.RandomState(7)
+    texts = [
+        f"alpha beta gamma delta epsilon {i} zeta eta theta" for i in range(12)
+    ]
+    texts[7] = texts[3]  # exact duplicate (>= 3 tokens => shingled)
+    pd.DataFrame(
+        {
+            "doc_id": range(12),
+            "text": texts,
+            "lang": ["en"] * 12,
+            "source": ["web"] * 12,
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(os.path.join(sf, "documents.parquet"))
+    emb = rng.uniform(-1, 1, size=(10, 64)).astype("float32")
+    emb[5] = emb[2]  # identical vectors
+    pd.DataFrame(
+        {
+            "vec_id": range(10),
+            "embedding": [list(v) for v in emb],
+            "label": [i % 3 for i in range(10)],
+        }
+    ).to_parquet(os.path.join(sf, "embeddings.parquet"))
+    return sf
+
+
+def test_minhash_certificate_exercises_planted_dup(spark, planted_dir):
+    from backend_model_spark.operators.mllib_ops import (
+        mllib_minhash_neardup_certified,
+    )
+
+    row = mllib_minhash_neardup_certified(spark, planted_dir).collect()[0]
+    assert row["n_docs"] == 12
+    assert row["n_exact_dup_pairs"] == 1, "the planted pair must be counted"
+    assert row["exact_dups_found"], (
+        "MinHashLSH must find the identical-shingle pair (distance-0 "
+        "recall is guaranteed by construction)"
+    )
+    assert row["pairs_valid"]
+
+
+def test_brp_certificate_exercises_planted_twin(spark, planted_dir):
+    from backend_model_spark.operators.mllib_ops import (
+        mllib_brp_ann_join_certified,
+    )
+
+    row = mllib_brp_ann_join_certified(spark, planted_dir).collect()[0]
+    assert row["n_vectors"] == 10
+    assert row["n_identical_pairs"] == 1
+    assert row["zero_dist_found"], (
+        "identical vectors share every BRP bucket — the pair must appear"
+    )
+    assert row["pairs_valid"]
+
+
+def test_recall_booleans_flip_on_poisoned_pairs(spark, planted_dir):
+    """The anti-join logic behind exact_dups_found is not a tautology:
+    with the found-pairs set poisoned (the planted pair removed), the
+    same computation reports a missing pair."""
+    from pyspark.sql import functions as F
+
+    from backend_model_spark.operators.dedup import SHINGLES, tokenized_docs
+
+    shingled = (
+        tokenized_docs(spark, planted_dir)
+        .select("doc_id", "text", F.expr(SHINGLES).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
+    dig = shingled.select("doc_id", F.md5(F.col("text")).alias("h"))
+    dups = (
+        dig.alias("a")
+        .join(dig.alias("b"), F.expr("a.h = b.h AND a.doc_id < b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    assert dups.count() == 1
+    empty_pairs = dups.limit(0)
+    n_missing = dups.join(
+        empty_pairs, ["doc_a", "doc_b"], "left_anti"
+    ).count()
+    assert n_missing == 1, "poisoned pair set must register as missing"
+
+
+def test_quantile_certificate_window_flips_on_bad_estimate():
+    """The rank-window predicate behind median_est_ok: a correct
+    median rank passes, the minimum (rank ~0) and maximum (rank ~n)
+    fail — the boolean is not a tautology."""
+
+    def ok(lt, le, n, lo=0.45, hi=0.55):
+        return lt <= hi * n and le >= lo * n
+
+    n = 1000
+    assert ok(lt=499, le=501, n=n)          # true median
+    assert not ok(lt=0, le=1, n=n)          # estimate == min
+    assert not ok(lt=999, le=1000, n=n)     # estimate == max
+    assert ok(lt=470, le=530, n=n)          # heavy tie block straddling p50
+
+
+def test_irls_gradient_certificate_flips_on_wrong_beta(spark, sf_dir):
+    """grad_converged is a real convergence statement: the fitted beta
+    satisfies it, beta+1 does not."""
+    from pyspark.sql import functions as F
+
+    from backend_model_spark.operators.ml_queries import _irls_feats, _irls_fit
+
+    feats = _irls_feats(spark, sf_dir).persist()
+    beta = _irls_fit(feats)
+
+    def max_grad(b):
+        b0, b1, b2 = (float(v) for v in b)
+        eta = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        r = F.col("y") - p
+        row = feats.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.abs(F.sum(r)).alias("g0"),
+            F.abs(F.sum(r * F.col("x1"))).alias("g1"),
+            F.abs(F.sum(r * F.col("x2"))).alias("g2"),
+        ).collect()[0]
+        return max(row["g0"], row["g1"], row["g2"]), row["n"]
+
+    g_fit, n = max_grad(beta)
+    g_bad, _ = max_grad(beta + 1.0)
+    feats.unpersist()
+    assert g_fit <= 1e-6 * n, "fitted beta must satisfy the score equations"
+    assert g_bad > 1e-6 * n, "a wrong beta must flip grad_converged"

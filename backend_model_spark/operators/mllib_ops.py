@@ -10,6 +10,11 @@ registers its ``*_certified`` face: exact cross-engine facts plus
 contract-certificate booleans are hashed against a full DuckDB
 oracle, while the engine-local outputs (pair lists, cluster sizes,
 variance ratios) remain available on the underlying functions.
+
+Both faces of each entry run the SAME fitted pipeline through the
+shared ``_minhash_pairs`` / ``_brp_pairs`` / ``_kmeans_pred`` /
+``_pca_ratios`` helpers — a parameter tuned on one face cannot leave
+the other silently certifying a different pipeline.
 """
 
 from __future__ import annotations
@@ -30,17 +35,13 @@ from backend_model_spark.sources.tables import load_table
 SEED = 42
 
 
-def mllib_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHashLSH near-dup join over shingle sets (Jaccard distance
-    ≤ 0.9): shingles → HashingTF sparse vectors → approxSimilarityJoin.
-
-    Scale: approxSimilarityJoin explodes each row into its OR-amplified
-    hash buckets and equi-joins on bucket — shuffle on hash keys, no
-    all-pairs compare.
-    """
+def _minhash_pairs(spark: SparkSession, sf_dir: str):
+    """(shingled, raw candidate pairs) — the ONE MinHashLSH pipeline
+    (shingles → HashingTF 2^18 binary → 8-table MinHash → Jaccard
+    ≤ 0.9 self-join) shared by the plain and certified faces."""
     shingled = (
         tokenized_docs(spark, sf_dir)
-        .select("doc_id", F.expr(SHINGLES).alias("shingles"))
+        .select("doc_id", "text", F.expr(SHINGLES).alias("shingles"))
         .filter(F.size("shingles") > 0)
     )
     tf = HashingTF(
@@ -49,29 +50,42 @@ def mllib_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = tf.transform(shingled)
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=SEED)
     model = mh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.9, distCol="jaccard_dist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+    pairs = (
+        model.approxSimilarityJoin(feats, feats, 0.9, distCol="jaccard_dist")
+        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
             F.col("datasetA.doc_id").alias("doc_a"),
             F.col("datasetB.doc_id").alias("doc_b"),
-            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+            "jaccard_dist",
         )
-        .orderBy("doc_a", "doc_b")
     )
+    return shingled, pairs
 
 
-def mllib_brp_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Euclidean ANN self-join via BucketedRandomProjectionLSH over the
-    embedding vectors (distance ≤ 0.8), the MLlib scale path for
-    similarity search."""
+def mllib_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHashLSH near-dup join over shingle sets (Jaccard distance
+    ≤ 0.9): shingles → HashingTF sparse vectors → approxSimilarityJoin.
+
+    Scale: approxSimilarityJoin explodes each row into its OR-amplified
+    hash buckets and equi-joins on bucket — shuffle on hash keys, no
+    all-pairs compare.
+    """
+    _, pairs = _minhash_pairs(spark, sf_dir)
+    return pairs.select(
+        "doc_a", "doc_b", F.round("jaccard_dist", 6).alias("jaccard_dist")
+    ).orderBy("doc_a", "doc_b")
+
+
+def _brp_pairs(spark: SparkSession, sf_dir: str):
+    """(vecs-with-arr, raw candidate pairs) — the ONE BRP pipeline
+    (bucketLength 0.5, 4 tables, Euclidean ≤ 1.15 self-join) shared
+    by the plain and certified faces."""
     emb = load_table(spark, "embeddings", sf_dir)
     vecs = emb.select(
         "vec_id",
-        array_to_vector(F.expr("transform(embedding, x -> cast(x as double))")).alias(
-            "features"
-        ),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("arr"),
     )
+    feat = vecs.select("vec_id", array_to_vector(F.col("arr")).alias("features"))
     brp = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",
@@ -79,43 +93,59 @@ def mllib_brp_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         numHashTables=4,
         seed=SEED,
     )
-    model = brp.fit(vecs)
-    pairs = model.approxSimilarityJoin(vecs, vecs, 1.15, distCol="euclidean_dist")
-    return (
-        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+    model = brp.fit(feat)
+    pairs = (
+        model.approxSimilarityJoin(feat, feat, 1.15, distCol="euclidean_dist")
+        .filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
         .select(
             F.col("datasetA.vec_id").alias("vec_a"),
             F.col("datasetB.vec_id").alias("vec_b"),
-            F.round("euclidean_dist", 6).alias("euclidean_dist"),
+            "euclidean_dist",
         )
-        .orderBy("vec_a", "vec_b")
     )
+    return vecs, pairs
 
 
-def mllib_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MLlib KMeans over the embedding vectors (k=10, fixed seed):
-    cluster sizes plus within-cluster cost — the trained sibling of
-    the deterministic E-step in ``similarity.centroid_assign``.
+def mllib_brp_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euclidean ANN self-join via BucketedRandomProjectionLSH over the
+    embedding vectors, the MLlib scale path for similarity search."""
+    _, pairs = _brp_pairs(spark, sf_dir)
+    return pairs.select(
+        "vec_a", "vec_b", F.round("euclidean_dist", 6).alias("euclidean_dist")
+    ).orderBy("vec_a", "vec_b")
 
-    Scale: Lloyd iterations are data-parallel map-reduce per step
-    (assign = broadcast centroids + one scan; update = one shuffle of
-    k×dim partial sums); the fitted model is driver-held and tiny.
-    Rows-only check: centroid init is seeded-random, not expressible
-    in the SQL oracle.
-    """
+
+def _kmeans_pred(spark: SparkSession, sf_dir: str):
+    """(predictions, silhouette) from the ONE seeded KMeans fit
+    (k=10, maxIter=20) shared by the plain and certified faces."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.evaluation import ClusteringEvaluator
 
     emb = load_table(spark, "embeddings", sf_dir)
     vecs = emb.select(
         "vec_id",
-        array_to_vector(F.expr("transform(embedding, x -> cast(x as double))")).alias(
-            "features"
-        ),
+        array_to_vector(
+            F.expr("transform(embedding, x -> cast(x as double))")
+        ).alias("features"),
     )
     model = KMeans(k=10, seed=SEED, maxIter=20).fit(vecs)
     pred = model.transform(vecs)
-    silhouette = ClusteringEvaluator(metricName="silhouette").evaluate(pred)
+    silhouette = float(ClusteringEvaluator(metricName="silhouette").evaluate(pred))
+    return pred, silhouette
+
+
+def mllib_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib KMeans over the embedding vectors (k=10, fixed seed):
+    cluster sizes plus silhouette — the trained sibling of the
+    deterministic E-step in ``similarity.centroid_assign``.
+
+    Scale: Lloyd iterations are data-parallel map-reduce per step
+    (assign = broadcast centroids + one scan; update = one shuffle of
+    k×dim partial sums); the fitted model is driver-held and tiny.
+    Centroid init is seeded-random, not expressible in the SQL oracle
+    — the registered face is :func:`mllib_kmeans_clusters_certified`.
+    """
+    pred, silhouette = _kmeans_pred(spark, sf_dir)
     return (
         pred.groupBy(F.col("prediction").alias("cluster"))
         .agg(F.count(F.lit(1)).alias("n_vectors"))
@@ -124,22 +154,9 @@ def mllib_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def mllib_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA over the embedding corpus: top-8 principal components'
-    explained-variance ratios — the dimensionality check run before
-    committing to a quantization/indexing budget (how many of the 64
-    dims carry signal).
-
-    Rows-only: eigen-decomposition isn't SQL-expressible; ratios are
-    deterministic (eigenvalues are sign/rotation-invariant even where
-    eigenvectors aren't) and rounded with the floor discipline for a
-    stable schema check.
-
-    Scale: MLlib PCA computes the Gramian distributively (one pass,
-    map-side d×d partial products; d=64 → 4 KB per task), then the
-    driver eigendecomposes the tiny d×d matrix. Never materializes a
-    row matrix on the driver.
-    """
+def _pca_ratios(spark: SparkSession, sf_dir: str) -> list[float]:
+    """Explained-variance ratios from the ONE PCA fit (k=8) shared by
+    the plain and certified faces."""
     from pyspark.ml.feature import PCA
 
     emb = load_table(spark, "embeddings", sf_dir).select(
@@ -148,9 +165,30 @@ def mllib_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("features")
     )
     model = PCA(k=8, inputCol="features", outputCol="pc").fit(emb)
-    ratios = [float(v) for v in model.explainedVariance]
+    return [float(v) for v in model.explainedVariance]
+
+
+def mllib_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA over the embedding corpus: top-8 principal components'
+    explained-variance ratios — the dimensionality check run before
+    committing to a quantization/indexing budget (how many of the 64
+    dims carry signal).
+
+    Eigen-decomposition isn't SQL-expressible; ratios are
+    deterministic (eigenvalues are sign/rotation-invariant even where
+    eigenvectors aren't) and rounded with the floor discipline. The
+    registered face is :func:`mllib_pca_variance_certified`.
+
+    Scale: MLlib PCA computes the Gramian distributively (one pass,
+    map-side d×d partial products; d=64 → 4 KB per task), then the
+    driver eigendecomposes the tiny d×d matrix. Never materializes a
+    row matrix on the driver.
+    """
+    import math
+
+    ratios = _pca_ratios(spark, sf_dir)
     rows = [
-        (i + 1, float(__import__("math").floor(r * 1_000_000 + 0.5)) / 1_000_000)
+        (i + 1, float(math.floor(r * 1_000_000 + 0.5)) / 1_000_000)
         for i, r in enumerate(ratios)
     ]
     return spark.createDataFrame(
@@ -239,12 +277,11 @@ ORDER BY itemset
 
 
 # ---------------------------------------------------------------------------
-# Round-6 certificate upgrades: the LSH/clustering/PCA entries above
-# stay registered as-is conceptually, but their REGISTERED faces now
-# hash exact cross-engine facts + certificate booleans (the
-# `agg_approx_distinct` pattern) instead of being rows-only. The
-# engine-specific outputs (pair lists, cluster sizes, ratios) remain
-# available via the underlying functions.
+# Round-6 certificate faces: same fitted pipelines (shared helpers
+# above), but the REGISTERED output hashes exact cross-engine facts +
+# certificate booleans (the `agg_approx_distinct` pattern) instead of
+# engine-local values. Non-vacuousness and boolean-flip proofs:
+# tests/test_certificates.py.
 # ---------------------------------------------------------------------------
 
 
@@ -263,28 +300,9 @@ def mllib_minhash_neardup_certified(spark: SparkSession, sf_dir: str) -> DataFra
       guarantee MinHashLSH makes BY CONSTRUCTION for distance-0
       pairs; a broken hashing or bucketing stage flips it.
     """
-    shingled = (
-        tokenized_docs(spark, sf_dir)
-        .select("doc_id", "text", F.expr(SHINGLES).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        .persist()
-    )
-    tf = HashingTF(
-        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
-    )
-    feats = tf.transform(shingled)
-    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=SEED)
-    model = mh.fit(feats)
-    pairs = (
-        model.approxSimilarityJoin(feats, feats, 0.9, distCol="jaccard_dist")
-        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            "jaccard_dist",
-        )
-        .persist()
-    )
+    shingled, pairs = _minhash_pairs(spark, sf_dir)
+    shingled = shingled.persist()
+    pairs = pairs.persist()
     # identical-text pairs among shingled docs (tiny: dup groups only)
     dig = shingled.select("doc_id", F.md5(F.col("text")).alias("h"))
     dups = (
@@ -340,30 +358,9 @@ def mllib_brp_ann_join_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
       BRP tables, so every identical-embedding pair MUST be returned
       (distance 0); a broken projection/bucketing flips it.
     """
-    emb = load_table(spark, "embeddings", sf_dir)
-    vecs = emb.select(
-        "vec_id",
-        F.expr("transform(embedding, x -> cast(x as double))").alias("arr"),
-    ).persist()
-    feat = vecs.select("vec_id", array_to_vector(F.col("arr")).alias("features"))
-    brp = BucketedRandomProjectionLSH(
-        inputCol="features",
-        outputCol="hashes",
-        bucketLength=0.5,
-        numHashTables=4,
-        seed=SEED,
-    )
-    model = brp.fit(feat)
-    pairs = (
-        model.approxSimilarityJoin(feat, feat, 1.15, distCol="euclidean_dist")
-        .filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
-        .select(
-            F.col("datasetA.vec_id").alias("vec_a"),
-            F.col("datasetB.vec_id").alias("vec_b"),
-            "euclidean_dist",
-        )
-        .persist()
-    )
+    vecs, pairs = _brp_pairs(spark, sf_dir)
+    vecs = vecs.persist()
+    pairs = pairs.persist()
     twins = (
         vecs.alias("a")
         .join(
@@ -408,21 +405,7 @@ def mllib_kmeans_clusters_certified(spark: SparkSession, sf_dir: str) -> DataFra
     exact vector count plus pipeline certificates (cluster count in
     [1, k], cluster sizes conserve the corpus, silhouette in [-1, 1])
     — the seeded centroids themselves stay engine-local."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.evaluation import ClusteringEvaluator
-
-    emb = load_table(spark, "embeddings", sf_dir)
-    vecs = emb.select(
-        "vec_id",
-        array_to_vector(
-            F.expr("transform(embedding, x -> cast(x as double))")
-        ).alias("features"),
-    )
-    model = KMeans(k=10, seed=SEED, maxIter=20).fit(vecs)
-    pred = model.transform(vecs)
-    silhouette = float(
-        ClusteringEvaluator(metricName="silhouette").evaluate(pred)
-    )
+    pred, silhouette = _kmeans_pred(spark, sf_dir)
     sizes = pred.groupBy("prediction").count().collect()
     n_vectors = sum(r["count"] for r in sizes)
     return spark.createDataFrame(
@@ -457,15 +440,7 @@ def mllib_pca_variance_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     (eigenvalues sorted), summing to <= 1, and the top component
     carrying at least the uniform 1/64 share (lambda_max >= mean
     eigenvalue)."""
-    from pyspark.ml.feature import PCA
-
-    emb = load_table(spark, "embeddings", sf_dir).select(
-        array_to_vector(
-            F.expr("transform(embedding, x -> cast(x as double))")
-        ).alias("features")
-    )
-    model = PCA(k=8, inputCol="features", outputCol="pc").fit(emb)
-    r = [float(v) for v in model.explainedVariance]
+    r = _pca_ratios(spark, sf_dir)
     eps = 1e-12
     return spark.createDataFrame(
         [

@@ -535,9 +535,16 @@ def png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+# NOTE the byte-true indexing: the Spark side consumes the UTF-8
+# PAYLOAD BYTES, so the oracle must too. ascii(substr(text, ...))
+# walks CHARACTERS and returns CODEPOINTS — identical to bytes only
+# for pure-ASCII text; on the first multi-byte document the two
+# diverge (found by round-6 review, executed proof in git history).
+# hex(encode(text)) gives two hex chars per BYTE; byte j is
+# CAST('0x' || substr(hx, 2*j+1, 2) AS BIGINT) — exact for any text.
 PNG_ROUNDTRIP_ORACLE = f"""
 WITH src AS (
-  SELECT doc_id AS media_id, text,
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
          octet_length(encode(text)) AS n
   FROM documents
   WHERE octet_length(encode(text)) > 0
@@ -546,7 +553,7 @@ px AS (
   SELECT media_id,
     list_transform(
       generate_series(0, {PNG_SIDE * PNG_SIDE - 1}),
-      i -> CAST(ascii(substr(text, (i % n) + 1, 1)) AS BIGINT)
+      i -> CAST('0x' || substr(hx, 2 * (i % n) + 1, 2) AS BIGINT)
     ) AS p
   FROM src
 )
@@ -751,9 +758,12 @@ def _frame_energy_sql(k: int) -> str:
     )
 
 
+# Byte-true indexing (same rationale as PNG_ROUNDTRIP_ORACLE above):
+# samples are built from UTF-8 payload BYTES via hex(encode(text)),
+# never from characters/codepoints — exact for any language.
 WAV_ROUNDTRIP_ORACLE = f"""
 WITH src AS (
-  SELECT doc_id AS media_id, text,
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
          octet_length(encode(text)) AS n
   FROM documents
   WHERE octet_length(encode(text)) > 0
@@ -763,12 +773,12 @@ smp AS (
     list_transform(
       generate_series(0, {WAV_N - 1}),
       i -> CASE
-        WHEN ascii(substr(text, ((2 * i) % n) + 1, 1))
-             + 256 * ascii(substr(text, ((2 * i + 1) % n) + 1, 1)) >= 32768
-        THEN ascii(substr(text, ((2 * i) % n) + 1, 1))
-             + 256 * ascii(substr(text, ((2 * i + 1) % n) + 1, 1)) - 65536
-        ELSE ascii(substr(text, ((2 * i) % n) + 1, 1))
-             + 256 * ascii(substr(text, ((2 * i + 1) % n) + 1, 1))
+        WHEN CAST('0x' || substr(hx, 2 * ((2 * i) % n) + 1, 2) AS BIGINT)
+             + 256 * CAST('0x' || substr(hx, 2 * ((2 * i + 1) % n) + 1, 2) AS BIGINT) >= 32768
+        THEN CAST('0x' || substr(hx, 2 * ((2 * i) % n) + 1, 2) AS BIGINT)
+             + 256 * CAST('0x' || substr(hx, 2 * ((2 * i + 1) % n) + 1, 2) AS BIGINT) - 65536
+        ELSE CAST('0x' || substr(hx, 2 * ((2 * i) % n) + 1, 2) AS BIGINT)
+             + 256 * CAST('0x' || substr(hx, 2 * ((2 * i + 1) % n) + 1, 2) AS BIGINT)
       END
     ) AS s
   FROM src

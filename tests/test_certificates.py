@@ -13,26 +13,20 @@ to prove none of them is a tautology.
 
 from __future__ import annotations
 
+import glob
 import os
-import uuid
+import shutil
 
 import numpy as np
 import pandas as pd
 import pytest
 
-SCRATCH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    ".scratch",
-    "cert_fixtures",
-)
-
 
 @pytest.fixture(scope="module")
-def planted_dir(spark) -> str:
+def planted_dir(spark, tmp_path_factory) -> str:
     """documents with one exact-duplicate text pair (3 & 7) and
     embeddings with one identical-vector pair (2 & 5)."""
-    sf = os.path.join(SCRATCH, "planted_" + uuid.uuid4().hex[:10])
-    os.makedirs(sf, exist_ok=True)
+    sf = str(tmp_path_factory.mktemp("planted"))
     rng = np.random.RandomState(7)
     texts = [
         f"alpha beta gamma delta epsilon {i} zeta eta theta" for i in range(12)
@@ -160,3 +154,52 @@ def test_irls_gradient_certificate_flips_on_wrong_beta(spark, sf_dir):
     feats.unpersist()
     assert g_fit <= 1e-6 * n, "fitted beta must satisfy the score equations"
     assert g_bad > 1e-6 * n, "a wrong beta must flip grad_converged"
+
+
+@pytest.fixture(scope="module")
+def nonascii_dir(spark, tmp_path_factory) -> str:
+    """documents with multi-byte UTF-8 text — the fixture the codec
+    oracles MUST survive (found by round-6 review: ascii(substr(...))
+    walks characters/codepoints, the Spark side walks UTF-8 bytes;
+    the two silently diverge on the first non-ASCII document)."""
+    sf = str(tmp_path_factory.mktemp("nonascii"))
+    # the oracle harness registers every table as a view — carry the
+    # sf0.001 siblings along and overwrite documents below
+    for f in glob.glob("/root/testdata/sf0.001/*.parquet"):
+        shutil.copy(f, sf)
+    texts = [
+        "hello plain ascii text here",
+        "héllo wörld café crème brûlée",       # Latin-1 range, 2-byte
+        "中文 文本 分析 引擎 测试",                 # CJK, 3-byte
+        "mixed ascii и кириллица vместе",       # Cyrillic mix
+        "emoji 🚀 in 🧪 the 📦 corpus",          # 4-byte astral
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en", "fr", "zh", "ru", "en"],
+            "source": ["web"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(os.path.join(sf, "documents.parquet"))
+    return sf
+
+
+def test_codec_oracles_are_byte_true_on_nonascii(spark, nonascii_dir):
+    """PNG and WAV entries hash-match their DuckDB oracles on
+    multi-byte UTF-8 text: both sides must consume PAYLOAD BYTES."""
+    from backend_model_spark.operators.multimodal import (
+        PNG_ROUNDTRIP_ORACLE,
+        WAV_ROUNDTRIP_ORACLE,
+        png_roundtrip,
+        wav_roundtrip,
+    )
+    from backend_model_spark.testing.oracle import compare
+
+    for name, fn, sql in [
+        ("media_png_roundtrip", png_roundtrip, PNG_ROUNDTRIP_ORACLE),
+        ("media_wav_roundtrip", wav_roundtrip, WAV_ROUNDTRIP_ORACLE),
+    ]:
+        res = compare(name, spark, fn, sql, nonascii_dir)
+        assert res.ok, f"{name} diverges on non-ASCII text: {res}"

@@ -1427,6 +1427,12 @@ def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 12.0
         * ((N + 1) - F.try_divide(F.col("tie_sum"), N * (N - 1)))
     )
+    # clamp before sqrt (repo-shared idiom, cf. ols_cv/ridge/anomaly
+    # zscore): a near-total tie block can round the bracket to a tiny
+    # NEGATIVE, where Spark sqrt() yields NaN but the oracle's
+    # sqrt(negative) is a hard DuckDB error. Exact-zero still flows
+    # through try_divide/NULLIF -> NULL on both engines.
+    var = F.when(var < 0, F.lit(0.0)).otherwise(var)
     return agg.select(
         F.col("n1").cast("long").alias("n1"),
         F.col("n2").cast("long").alias("n2"),
@@ -1467,10 +1473,17 @@ SELECT
   two_r1 - t.n1 * (t.n1 + 1) AS u1_x2,
   ROUND(
     (two_r1 - t.n1 * (t.n1 + 1) - t.n1 * t.n2)
-    / NULLIF(2.0 * sqrt(CAST(t.n1 AS DOUBLE) * t.n2 / 12.0
-        * ((t.n1 + t.n2 + 1)
-           - CAST(tie_sum AS DOUBLE)
-             / NULLIF((t.n1 + t.n2) * (t.n1 + t.n2 - 1), 0))), 0),
+    / NULLIF(2.0 * sqrt(
+        CASE WHEN CAST(t.n1 AS DOUBLE) * t.n2 / 12.0
+               * ((t.n1 + t.n2 + 1)
+                  - CAST(tie_sum AS DOUBLE)
+                    / NULLIF((t.n1 + t.n2) * (t.n1 + t.n2 - 1), 0)) < 0
+             THEN 0
+             ELSE CAST(t.n1 AS DOUBLE) * t.n2 / 12.0
+               * ((t.n1 + t.n2 + 1)
+                  - CAST(tie_sum AS DOUBLE)
+                    / NULLIF((t.n1 + t.n2) * (t.n1 + t.n2 - 1), 0))
+        END), 0),
     6) AS z
 FROM tot t CROSS JOIN s
 """

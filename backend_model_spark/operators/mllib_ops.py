@@ -26,7 +26,7 @@ from pyspark.ml.feature import (
 )
 from pyspark.ml.functions import array_to_vector
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from backend_model_spark.operators.dedup import SHINGLES, tokenized_docs
@@ -38,7 +38,21 @@ SEED = 42
 def _minhash_pairs(spark: SparkSession, sf_dir: str):
     """(shingled, raw candidate pairs) — the ONE MinHashLSH pipeline
     (shingles → HashingTF 2^18 binary → 8-table MinHash → Jaccard
-    ≤ 0.9 self-join) shared by the plain and certified faces."""
+    ≤ 0.9 self-join) shared by the plain and certified faces.
+
+    EXACT-DEDUP-FIRST (round-6 scale lesson, applied round 7): a
+    duplicated corpus makes approxSimilarityJoin's within-bucket pair
+    count quadratic (the repo's own 10× stress replica measured the
+    sibling BRP entry at 88.8× wall). Identical texts have identical
+    shingle sets ⇒ identical MinHash signatures ⇒ the same bucket in
+    every table and keyDistance exactly 0, so the join is run on ONE
+    representative per distinct text and the result re-expanded —
+    cross-group pairs inherit the representative pair's distance,
+    within-group pairs are emitted at literal 0.0. The re-expanded
+    output is row-for-row identical to the full self-join (same
+    bucketing, same distances), so the r6 driver certificate is
+    unchanged; only the join's input cardinality drops.
+    """
     shingled = (
         tokenized_docs(spark, sf_dir)
         .select("doc_id", "text", F.expr(SHINGLES).alias("shingles"))
@@ -47,19 +61,56 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str):
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
     )
-    feats = tf.transform(shingled)
+    # digest groups: one representative doc per distinct text
+    members = shingled.select(
+        "doc_id", F.md5(F.col("text")).alias("h")
+    ).withColumn("rep_id", F.min("doc_id").over(Window.partitionBy("h")))
+    rep_feats = tf.transform(
+        shingled.join(
+            members.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
+            "doc_id",
+        )
+    )
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=SEED)
-    model = mh.fit(feats)
-    pairs = (
-        model.approxSimilarityJoin(feats, feats, 0.9, distCol="jaccard_dist")
+    model = mh.fit(rep_feats)  # fit is data-independent (seeded perms)
+    rep_pairs = (
+        model.approxSimilarityJoin(rep_feats, rep_feats, 0.9, distCol="jaccard_dist")
         .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
+            F.col("datasetA.doc_id").alias("rep_a"),
+            F.col("datasetB.doc_id").alias("rep_b"),
             "jaccard_dist",
         )
     )
-    return shingled, pairs
+    grp = members.select("doc_id", "rep_id")
+    cross = (
+        rep_pairs.join(
+            grp.select(F.col("rep_id").alias("rep_a"), F.col("doc_id").alias("m_a")),
+            "rep_a",
+        )
+        .join(
+            grp.select(F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("m_b")),
+            "rep_b",
+        )
+        .select(
+            F.least("m_a", "m_b").alias("doc_a"),
+            F.greatest("m_a", "m_b").alias("doc_b"),
+            "jaccard_dist",
+        )
+    )
+    within = (
+        grp.alias("a")
+        .join(
+            grp.alias("b"),
+            F.expr("a.rep_id = b.rep_id AND a.doc_id < b.doc_id"),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.lit(0.0).alias("jaccard_dist"),
+        )
+    )
+    return shingled, cross.unionByName(within)
 
 
 def mllib_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,13 +130,31 @@ def mllib_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _brp_pairs(spark: SparkSession, sf_dir: str):
     """(vecs-with-arr, raw candidate pairs) — the ONE BRP pipeline
     (bucketLength 0.5, 4 tables, Euclidean ≤ 1.15 self-join) shared
-    by the plain and certified faces."""
+    by the plain and certified faces.
+
+    EXACT-DEDUP-FIRST (round-6 scale lesson — this very entry was the
+    88.8×-at-10× stress outlier): identical vectors project to
+    identical buckets in every BRP table at distance exactly 0, so
+    the approx join runs on one representative per distinct embedding
+    and the result is re-expanded (cross-group pairs inherit the
+    representative distance, within-group pairs are literal 0.0) —
+    row-for-row identical to the full self-join, with the quadratic
+    within-bucket duplicate blowup removed."""
     emb = load_table(spark, "embeddings", sf_dir)
     vecs = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("arr"),
     )
-    feat = vecs.select("vec_id", array_to_vector(F.col("arr")).alias("features"))
+    members = vecs.withColumn(
+        "rep_id", F.min("vec_id").over(Window.partitionBy("arr"))
+    ).select("vec_id", "rep_id")
+    feat = (
+        vecs.join(
+            members.filter(F.col("vec_id") == F.col("rep_id")).select("vec_id"),
+            "vec_id",
+        )
+        .select("vec_id", array_to_vector(F.col("arr")).alias("features"))
+    )
     brp = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",
@@ -93,17 +162,48 @@ def _brp_pairs(spark: SparkSession, sf_dir: str):
         numHashTables=4,
         seed=SEED,
     )
-    model = brp.fit(feat)
-    pairs = (
+    model = brp.fit(feat)  # fit is data-independent beyond dim (seeded)
+    rep_pairs = (
         model.approxSimilarityJoin(feat, feat, 1.15, distCol="euclidean_dist")
         .filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
         .select(
-            F.col("datasetA.vec_id").alias("vec_a"),
-            F.col("datasetB.vec_id").alias("vec_b"),
+            F.col("datasetA.vec_id").alias("rep_a"),
+            F.col("datasetB.vec_id").alias("rep_b"),
             "euclidean_dist",
         )
     )
-    return vecs, pairs
+    cross = (
+        rep_pairs.join(
+            members.select(
+                F.col("rep_id").alias("rep_a"), F.col("vec_id").alias("m_a")
+            ),
+            "rep_a",
+        )
+        .join(
+            members.select(
+                F.col("rep_id").alias("rep_b"), F.col("vec_id").alias("m_b")
+            ),
+            "rep_b",
+        )
+        .select(
+            F.least("m_a", "m_b").alias("vec_a"),
+            F.greatest("m_a", "m_b").alias("vec_b"),
+            "euclidean_dist",
+        )
+    )
+    within = (
+        members.alias("a")
+        .join(
+            members.alias("b"),
+            F.expr("a.rep_id = b.rep_id AND a.vec_id < b.vec_id"),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.lit(0.0).alias("euclidean_dist"),
+        )
+    )
+    return vecs, cross.unionByName(within)
 
 
 def mllib_brp_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -402,22 +502,31 @@ FROM g
 
 def mllib_kmeans_clusters_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable face of :func:`mllib_kmeans_clusters`: the
-    exact vector count plus pipeline certificates (cluster count in
-    [1, k], cluster sizes conserve the corpus, silhouette in [-1, 1])
-    — the seeded centroids themselves stay engine-local."""
+    exact INPUT vector count plus pipeline certificates (cluster
+    count in [1, k], cluster sizes conserve the input, silhouette in
+    [-1, 1]) — the seeded centroids themselves stay engine-local.
+
+    ``n_vectors`` is counted on the INPUT (before fit/transform), so
+    ``sizes_conserved`` — sum of per-cluster sizes equals that
+    independent count — is falsifiable: a transform that dropped or
+    duplicated rows (null features, a lossy join) flips it, unlike
+    the round-5 ``sizes_positive`` boolean which groupBy().count()
+    made true by construction (round-6 advice)."""
+    from backend_model_spark.sources.tables import load_table as _lt
+
     pred, silhouette = _kmeans_pred(spark, sf_dir)
+    n_input = _lt(spark, "embeddings", sf_dir).count()
     sizes = pred.groupBy("prediction").count().collect()
-    n_vectors = sum(r["count"] for r in sizes)
     return spark.createDataFrame(
         [
             (
-                n_vectors,
+                n_input,
                 bool(1 <= len(sizes) <= 10),
-                bool(all(r["count"] > 0 for r in sizes)),
+                bool(sum(r["count"] for r in sizes) == n_input),
                 bool(-1.0 <= silhouette <= 1.0),
             )
         ],
-        "n_vectors bigint, k_ok boolean, sizes_positive boolean, "
+        "n_vectors bigint, k_ok boolean, sizes_conserved boolean, "
         "silhouette_ok boolean",
     )
 
@@ -426,7 +535,7 @@ KMEANS_CERT_ORACLE = """
 SELECT
   CAST(COUNT(*) AS BIGINT) AS n_vectors,
   TRUE AS k_ok,
-  TRUE AS sizes_positive,
+  TRUE AS sizes_conserved,
   TRUE AS silhouette_ok
 FROM embeddings
 """

@@ -163,6 +163,86 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STAIRCASE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("max_value_cents", T.LongType()),
+        T.StructField("n_max_updates", T.LongType()),
+    ]
+)
+_STAIRCASE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("st_ts", T.ArrayType(T.LongType())),
+        T.StructField("st_id", T.ArrayType(T.LongType())),
+        T.StructField("st_val", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _staircase_fold(key, pdfs, state):
+    """Order-insensitive stateful fold for
+    :func:`streaming_stateful_user_stats` (module-level so the
+    batch-split invariance is unit-testable —
+    tests/test_streaming.py exercises interleaved-ts batchings).
+
+    State = (n, record staircase): the (ts_ns, event_id, value)
+    triples that are strict prefix maxima of every event seen so far
+    under global (ts, event_id) order. Merging a batch re-derives the
+    staircase over old-staircase ∪ batch; dominated points can never
+    re-become records (their dominator stays earlier forever), so the
+    final staircase — and hence ``n_max_updates = len(staircase)`` —
+    is identical for every arrival order and micro-batch split."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    if state.exists:
+        n, st_ts, st_id, st_val = state.get
+        st_ts = np.asarray(st_ts, dtype="int64")
+        st_id = np.asarray(st_id, dtype="int64")
+        st_val = np.asarray(st_val, dtype="float64")
+    else:
+        n = 0
+        st_ts = np.empty(0, dtype="int64")
+        st_id = np.empty(0, dtype="int64")
+        st_val = np.empty(0, dtype="float64")
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        allpdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        n += len(allpdf)
+        # merge staircase + batch, re-derive the staircase: sort by
+        # (ts, event_id) — np.lexsort (stable, last key primary) —
+        # then keep strict prefix maxima
+        ts = np.concatenate(
+            (st_ts, allpdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64"))
+        )
+        eid = np.concatenate((st_id, allpdf["event_id"].to_numpy(dtype="int64")))
+        val = np.concatenate((st_val, allpdf["value"].to_numpy(dtype="float64")))
+        order = np.lexsort((eid, ts))
+        sval = val[order]
+        prev = np.maximum.accumulate(
+            np.concatenate(([float("-inf")], sval))
+        )[:-1]
+        keep = order[sval > prev]
+        st_ts, st_id, st_val = ts[keep], eid[keep], val[keep]
+    state.update((n, st_ts.tolist(), st_id.tolist(), st_val.tolist()))
+    mx = float(st_val[-1]) if len(st_val) else float("-inf")
+    # integer cents via floor(x*100+0.5), NOT Python round()
+    # (banker's) and NOT a rendered double: a bigint hashes
+    # identically everywhere, a double depends on the renderer
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "max_value_cents": [int(math.floor(mx * 100 + 0.5))],
+            "n_max_updates": [len(st_val)],
+        }
+    )
+
+
 def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per
     user, an arbitrary-Python running aggregate (event count, running
@@ -174,78 +254,38 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     by user_id (bounded keys, watermark-free here since the run is
     ``availableNow``), Arrow-batched both ways. The update-mode sink
     is collapsed to final state per key below (MAX of each monotone
-    stat), so the result is identical whether availableNow ran one
-    micro-batch or many — and n_max_updates is deterministic because
-    each per-key group is concatenated and sorted by (ts, event_id)
-    before folding.
+    stat).
+
+    ORDER-INSENSITIVE FOLD (round-7, closing the round-6 advice):
+    ``n_max_updates`` counts the prefix maxima ("records") of the
+    globally (ts, event_id)-ordered value sequence. A running-max
+    counter is only correct if events arrive in global order — true
+    within one micro-batch after the group sort, but availableNow may
+    split the source into micro-batches whose timestamp ranges
+    interleave. The state therefore keeps the RECORD STAIRCASE — the
+    (ts, event_id, value) triples that are prefix maxima of everything
+    seen so far — and each batch merges into it: an event dominated by
+    an earlier-or-equal-ts-ordered event with >= value can never
+    become a record later (its dominator only gains company), and a
+    newly-arrived earlier event correctly evicts later staircase
+    points it dominates. The final staircase is therefore the same
+    SET for every arrival order and batching, ``n_max_updates`` is
+    its size, and ``max_value_cents`` its top — micro-batch-invariant
+    by construction, not by precondition. Staircase length is the
+    number of records: O(H(n)) ≈ ln(n) expected for exchangeable
+    values, so state stays small (worst case — a fully sorted
+    ascending stream — degrades to O(n) per key; acceptable for the
+    bounded per-user event counts here and detectable by state-size
+    metrics at scale).
     """
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     ev = read_events_stream(spark, sf_dir)
 
-    out_schema = T.StructType(
-        [
-            T.StructField("user_id", T.LongType()),
-            T.StructField("n_events", T.LongType()),
-            T.StructField("max_value_cents", T.LongType()),
-            T.StructField("n_max_updates", T.LongType()),
-        ]
-    )
-    state_schema = T.StructType(
-        [
-            T.StructField("n", T.LongType()),
-            T.StructField("mx", T.DoubleType()),
-            T.StructField("upd", T.LongType()),
-        ]
-    )
-
-    def fold(key, pdfs, state: GroupState):
-        import math
-
-        import numpy as np
-        import pandas as pd
-
-        n, mx, upd = state.get if state.exists else (0, float("-inf"), 0)
-        # One group may arrive as SEVERAL Arrow chunks (chunk size is
-        # session config, not semantics): concatenate FIRST, sort the
-        # whole group ONCE, fold once.  Sorting each chunk
-        # independently makes n_max_updates depend on chunk
-        # boundaries — the round-4 environment-nondeterminism bug.
-        chunks = [pdf for pdf in pdfs if len(pdf)]
-        if chunks:
-            allpdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-            # mergesort = STABLE: the default quicksort is unstable, so
-            # duplicate (ts, event_id) keys would order by arrival
-            # (partitioning-dependent) and flip n_max_updates
-            vals = (
-                allpdf.sort_values(["ts", "event_id"], kind="mergesort")["value"]
-                .to_numpy(dtype="float64")
-            )
-            n += len(vals)
-            # prev_max[i] = max of state mx and all vals[:i]; an update
-            # happens exactly where vals[i] strictly beats it
-            prev_max = np.maximum.accumulate(
-                np.concatenate(([mx], vals))
-            )[:-1]
-            upd += int((vals > prev_max).sum())
-            mx = float(max(mx, vals.max()))
-        state.update((n, mx, upd))
-        # integer cents via floor(x*100+0.5), NOT Python round()
-        # (banker's) and NOT a rendered double: a bigint hashes
-        # identically everywhere, a double depends on the renderer
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_events": [n],
-                "max_value_cents": [int(math.floor(mx * 100 + 0.5))],
-                "n_max_updates": [upd],
-            }
-        )
-
     stats = ev.groupBy("user_id").applyInPandasWithState(
-        fold,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
+        _staircase_fold,
+        outputStructType=_STAIRCASE_OUT_SCHEMA,
+        stateStructType=_STAIRCASE_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -256,15 +296,26 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     # environment, not semantics).  orderBy().limit() over the raw sink
     # then sees stale intermediate rows next to final ones — the
     # round-4/round-5 driver signature (rows_match true, hash false).
-    # All three stats are monotone non-decreasing per key across
-    # batches, so MAX per key IS the final state: micro-batch-invariant
-    # by construction.
+    # The collapse must pick each key's LAST update row, not MAX of
+    # each column independently: n_max_updates can legitimately SHRINK
+    # across batches (a late-arriving early event with a large value
+    # evicts later staircase records), so a per-column MAX would
+    # resurrect a stale intermediate count. n_events strictly
+    # increases across a key's update rows (a key only emits when it
+    # received events), so the struct-max keyed on n_events selects
+    # exactly the final state.
     return (
         out.groupBy("user_id")
         .agg(
-            F.max("n_events").alias("n_events"),
-            F.max("max_value_cents").alias("max_value_cents"),
-            F.max("n_max_updates").alias("n_max_updates"),
+            F.max(
+                F.struct("n_events", "max_value_cents", "n_max_updates")
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.max_value_cents").alias("max_value_cents"),
+            F.col("s.n_max_updates").alias("n_max_updates"),
         )
         .orderBy("user_id")
         .limit(500)

@@ -80,6 +80,12 @@ HEADLINE = [
     # per-row-expensive-Python-stage parallelism lesson in the bench
     # (serialized on 1 core before spread: 7.2x wall at 10x)
     "media_png_roundtrip",
+    # round 7: the one family whose cost carries a per-row Python
+    # constant (numpy mapInPandas forward pass + decile windows;
+    # 7.0x wall at 10x in SCALE.md) — tracked in the headline so the
+    # Python-envelope cost is measured round-over-round, per the
+    # round-6 verdict
+    "ml_mlp_calibration_deciles",
 ]
 
 

@@ -203,3 +203,47 @@ def test_codec_oracles_are_byte_true_on_nonascii(spark, nonascii_dir):
     ]:
         res = compare(name, spark, fn, sql, nonascii_dir)
         assert res.ok, f"{name} diverges on non-ASCII text: {res}"
+
+
+def test_kmeans_conservation_certificate_flips_on_dropped_row(
+    spark, tmp_path_factory
+):
+    """Round-7 fix for the round-6 advice: the old ``sizes_positive``
+    boolean was computed from groupBy().count() and could never flip.
+    ``sizes_conserved`` compares the sum of cluster sizes against an
+    INDEPENDENT count of the input — prove it is TRUE on the real
+    pipeline and that a row-dropping transform flips it.
+
+    Own fixture (40 distinct vectors): KMeans k=10 needs >= k distinct
+    points, which the shared planted fixture (10 vectors, one twin
+    pair) does not provide."""
+    from pyspark.sql import functions as F
+
+    from backend_model_spark.operators.mllib_ops import (
+        _kmeans_pred,
+        mllib_kmeans_clusters_certified,
+    )
+    from backend_model_spark.sources.tables import load_table
+
+    sf = str(tmp_path_factory.mktemp("kmeans_cons"))
+    rng = np.random.RandomState(3)
+    emb = rng.uniform(-1, 1, size=(40, 16)).astype("float32")
+    pd.DataFrame(
+        {
+            "vec_id": range(40),
+            "embedding": [list(v) for v in emb],
+            "label": [i % 3 for i in range(40)],
+        }
+    ).to_parquet(os.path.join(sf, "embeddings.parquet"))
+
+    row = mllib_kmeans_clusters_certified(spark, sf).collect()[0]
+    assert row["sizes_conserved"] is True
+    assert row["n_vectors"] == 40
+
+    # poisoned pipeline: a transform that silently drops a row must
+    # flip the boolean (same formula, independent input count)
+    pred, _ = _kmeans_pred(spark, sf)
+    n_input = load_table(spark, "embeddings", sf).count()
+    dropped = pred.filter(F.col("vec_id") != 0)
+    sizes = dropped.groupBy("prediction").count().collect()
+    assert (sum(r["count"] for r in sizes) == n_input) is False

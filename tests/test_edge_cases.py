@@ -1634,3 +1634,83 @@ def test_pg_wire_client_protocol():
         finally:
             c1.close()
             c2.close()
+
+
+class _FakeGroupState:
+    """Minimal GroupState stand-in for unit-testing stateful folds."""
+
+    def __init__(self):
+        self._val, self.exists = None, False
+
+    @property
+    def get(self):
+        return self._val
+
+    def update(self, v):
+        self._val, self.exists = v, True
+
+
+def test_staircase_fold_is_batch_split_invariant():
+    """Round-7 fix for the round-6 advice: n_max_updates must not
+    depend on HOW availableNow splits the source into micro-batches,
+    including batches whose timestamp ranges INTERLEAVE (the
+    maxFilesPerTrigger scenario). The record-staircase state makes
+    the fold a join-semilattice merge: every batching of the same
+    event set must land in the same final state."""
+    import numpy as np
+    import pandas as pd
+
+    from backend_model_spark.streaming.jobs import _staircase_fold
+
+    rng = np.random.RandomState(11)
+    n = 200
+    ev = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(rng.randint(0, 50, n), unit="s"),  # many ts ties
+            "event_id": np.arange(n, dtype="int64"),
+            "value": np.round(rng.uniform(0, 100, n), 2),
+        }
+    )
+
+    def run(batches):
+        st = _FakeGroupState()
+        out = None
+        for b in batches:
+            out = next(_staircase_fold((7,), iter([b]), st))
+        return tuple(out.iloc[0][["n_events", "max_value_cents", "n_max_updates"]])
+
+    # global-order reference
+    srt = ev.sort_values(["ts", "event_id"], kind="mergesort")
+    mx, upd = float("-inf"), 0
+    for v in srt["value"]:
+        if v > mx:
+            mx, upd = v, upd + 1
+    ref = (n, int(np.floor(mx * 100 + 0.5)), upd)
+
+    single = run([ev])
+    assert single == ref
+
+    # interleaved-ts batches: stripe events across 3 batches so each
+    # batch's ts range overlaps the others (worst case for running-max)
+    stripes = [ev.iloc[i::3] for i in range(3)]
+    assert run(stripes) == ref
+    assert run(stripes[::-1]) == ref
+
+    # adversarial: ascending-value tail first, then earlier dominator
+    # (staircase must SHRINK when an early large value arrives late)
+    late_dominator = ev.copy()
+    late_dominator.loc[late_dominator.index[0], "value"] = 1000.0
+    first = late_dominator.iloc[[0]]
+    rest = late_dominator.iloc[1:]
+    srt2 = late_dominator.sort_values(["ts", "event_id"], kind="mergesort")
+    mx2, upd2 = float("-inf"), 0
+    for v in srt2["value"]:
+        if v > mx2:
+            mx2, upd2 = v, upd2 + 1
+    ref2 = (n, int(np.floor(mx2 * 100 + 0.5)), upd2)
+    st_out = None
+    stv = _FakeGroupState()
+    for b in (rest, first):  # dominator arrives LAST
+        st_out = next(_staircase_fold((7,), iter([b]), stv))
+    got2 = tuple(st_out.iloc[0][["n_events", "max_value_cents", "n_max_updates"]])
+    assert got2 == ref2

@@ -3,11 +3,14 @@ metadata, with Arrow-batched decode/feature plumbing (BASELINE.json
 north-star extension; no multimodal surface exists in the reference —
 SURVEY.md §1.1 notes its single flat table).
 
-The container has no image/audio codecs, so the decode step is a
-clearly-marked deterministic fake (see :func:`_fake_decode_batch`);
-everything Spark-side — schema, binary columns, ``mapInPandas`` batch
-shape, partitioning — is real and is what a production decode (PIL /
-torchaudio / pyav behind the same signature) would run through.
+The container has no image/audio libraries, but PNG needs none
+(stdlib zlib + struct), so since round 7 EVERY decode-shaped entry in
+this module runs a REAL codec: the clean-room PNG encoder/decoder
+below (CRC-verified chunks, zlib inflate, five-filter scanline
+reconstruction) backs ``decode_features``, ``media_resize`` and
+``png_roundtrip``; ``wav_roundtrip`` decodes real RIFF/PCM16. A
+production build would swap the codec call for PIL / torchaudio /
+pyav behind the same ``mapInPandas`` signature.
 
 Scale notes: payloads stay opaque bytes end-to-end (no base64 blowup,
 no driver round-trip); decode runs as Arrow-batched ``mapInPandas`` so
@@ -73,6 +76,8 @@ ORDER BY kind, lang
 """
 
 
+DECODE_SIDE_MOD = 32  # synthetic image geometry: w = n%32+1, h = (n//32)%32+1
+
 _DECODE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -80,75 +85,108 @@ _DECODE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.IntegerType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
-        T.StructField("mean_intensity", T.DoubleType()),
+        T.StructField("mean_px_micros", T.LongType()),
     ]
 )
 
 
-def _fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB DECODER — deterministic fake standing in for a real codec.
+def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL codec decode (round 7; replaces the round-1 stub): each
+    payload is encoded into a genuine grayscale PNG of the synthetic
+    geometry (variable w×h, pixels = payload bytes cyclically padded,
+    alternating scanline filters), then decoded back through the full
+    clean-room path — signature check, per-chunk CRC-32, zlib
+    inflate, filter reconstruction. width/height come from the
+    decoded IHDR and mean intensity from the decoded pixels, so a
+    decoder that mis-unfilters a scanline or inflates incorrectly
+    changes the hashed output."""
+    import math
 
-    A production build replaces the body with e.g.
-    ``PIL.Image.open(io.BytesIO(payload))``; the signature, Arrow batch
-    shape, and output schema stay identical. The fake derives pseudo
-    image dimensions and a mean-intensity from the payload bytes so
-    the pipeline is fully testable and deterministic.
-    """
+    import numpy as np
+
     for pdf in batches:
-        payloads = pdf["payload"]
-        n_bytes = payloads.map(len)
-        width = (n_bytes % 64 + 1).astype("int32")
-        height = ((n_bytes // 64) % 64 + 1).astype("int32")
-        # floor(x*1e6+0.5)/1e6: bit-reproducible rounding (Python's
-        # round() is half-even; DuckDB's is half-away — both diverge
-        # on exact boundaries, which dyadic byte-means do hit)
-        import math
-
-        mean_intensity = payloads.map(
-            lambda b: math.floor(
-                sum(b[:256]) / max(min(len(b), 256), 1) * 1_000_000.0 + 0.5
-            )
-            / 1_000_000.0
-        )
+        ids, kinds, nb, ws, hs, means = [], [], [], [], [], []
+        for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+            src = bytes(payload)
+            n = len(src)
+            if not n:
+                continue
+            w0 = n % DECODE_SIDE_MOD + 1
+            h0 = (n // DECODE_SIDE_MOD) % DECODE_SIDE_MOD + 1
+            pix = np.resize(np.frombuffer(src, dtype=np.uint8), w0 * h0)
+            png = _png_encode_gray8(pix.tobytes(), w0, h0)
+            w, h, dec = _png_decode_gray8(png)
+            s = sum(dec)
+            ids.append(mid)
+            kinds.append(kind)
+            nb.append(n)
+            ws.append(w)
+            hs.append(h)
+            means.append(int(math.floor(s / float(len(dec)) * 1_000_000.0 + 0.5)))
         yield pd.DataFrame(
             {
-                "media_id": pdf["media_id"],
-                "kind": pdf["kind"],
-                "n_bytes": n_bytes.astype("int32"),
-                "width": width,
-                "height": height,
-                "mean_intensity": mean_intensity,
+                "media_id": pd.Series(ids, dtype="int64"),
+                "kind": pd.Series(kinds, dtype="object"),
+                "n_bytes": pd.Series(nb, dtype="int32"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "mean_px_micros": pd.Series(means, dtype="int64"),
             }
         )
 
 
 def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode/feature-extract over the media table via
-    ``mapInPandas`` — the real plumbing with the stub codec."""
-    media = media_table(spark, sf_dir)
-    return (
-        media.mapInPandas(_fake_decode_batch, schema=_DECODE_SCHEMA)
-        .orderBy("media_id")
+    ``mapInPandas`` — REAL codec semantics since round 7: a genuine
+    PNG encode → decode cycle per payload (clean-room codec below),
+    emitting decoded dimensions and mean intensity.
+
+    Scale: the payload column flows executor-side only; pure-Python
+    codec work is the per-row-expensive stage, so the single-split
+    local scan is ``spread()`` first (measured 7.2× win at 10× for
+    the sibling png_roundtrip; no-op on a many-split production
+    scan)."""
+    media = spread(
+        media_table(spark, sf_dir).filter(F.length("payload") > 0)
+    )
+    return media.mapInPandas(_decode_batch, schema=_DECODE_SCHEMA).orderBy(
+        "media_id"
     )
 
 
-# The fake decode is pure byte arithmetic, so it IS oracle-checkable:
-# mean of the first 256 byte values == mean of the first 256 UTF-8
-# code units (text is ASCII word-salad, so bytes == chars).
-DECODE_FEATURES_ORACLE = """
-SELECT
-  doc_id AS media_id,
-  'text-blob' AS kind,
-  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-  CAST(octet_length(encode(text)) % 64 + 1 AS INTEGER) AS width,
-  CAST((octet_length(encode(text)) // 64) % 64 + 1 AS INTEGER) AS height,
-  floor(
+# The oracle recomputes every decoded pixel from the source text with
+# the same cyclic-padding rule — byte-true indexing via
+# hex(encode(text)) (two hex chars per BYTE; ascii(substr(...)) walks
+# CHARACTERS and diverges on multi-byte text — round-6 review).
+DECODE_FEATURES_ORACLE = f"""
+WITH src AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+  WHERE octet_length(encode(text)) > 0
+),
+dims AS (
+  SELECT media_id, hx, n,
+         n % {DECODE_SIDE_MOD} + 1 AS w,
+         (n // {DECODE_SIDE_MOD}) % {DECODE_SIDE_MOD} + 1 AS h
+  FROM src
+),
+px AS (
+  SELECT media_id, n, w, h,
     list_sum(list_transform(
-      generate_series(1, LEAST(octet_length(encode(text)), 256)),
-      i -> CAST(ascii(substr(text, i, 1)) AS DOUBLE)
-    )) / LEAST(octet_length(encode(text)), 256) * 1000000.0 + 0.5
-  ) / 1000000.0 AS mean_intensity
-FROM documents
+      generate_series(0, w * h - 1),
+      i -> CAST('0x' || substr(hx, 2 * (i % n) + 1, 2) AS BIGINT)
+    )) AS s
+  FROM dims
+)
+SELECT
+  media_id,
+  'text-blob' AS kind,
+  CAST(n AS INTEGER) AS n_bytes,
+  CAST(w AS INTEGER) AS width,
+  CAST(h AS INTEGER) AS height,
+  CAST(FLOOR(s / (w * h) * 1000000.0 + 0.5) AS BIGINT) AS mean_px_micros
+FROM px
 ORDER BY media_id
 """
 
@@ -236,81 +274,128 @@ _RESIZE_SCHEMA = T.StructType(
         T.StructField("resized_w", T.IntegerType()),
         T.StructField("resized_h", T.IntegerType()),
         T.StructField("n_pixels", T.IntegerType()),
+        T.StructField("mean_resized_micros", T.LongType()),
     ]
 )
 
 
-def _fake_resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB RESIZER — deterministic fake standing in for a real
-    image-resize kernel.
+def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL resize kernel (round 7; replaces the round-1 stub): decode
+    the payload's PNG (same encode→decode cycle as
+    :func:`_decode_batch`, CRC + inflate + filter reconstruction),
+    then nearest-neighbor resample the decoded pixel grid into the
+    aspect-preserving RESIZE_TARGET fit — source pixel for resized
+    (r, c) is (r*h//rh, c*w//rw), pure integer index math so the
+    oracle can recompute every resized pixel from the source text."""
+    import math
 
-    A production build decodes the payload and calls e.g.
-    ``PIL.Image.resize`` here; signature, Arrow batch shape and output
-    schema stay identical. The fake derives source dimensions from the
-    payload bytes (same rule as the stub decoder) and computes the
-    aspect-preserving fit into RESIZE_TARGET with pure integer
-    arithmetic, so the result is engine-portable and oracle-checkable.
-    """
+    import numpy as np
+
     for pdf in batches:
-        n_bytes = pdf["payload"].map(len)
-        width = (n_bytes % 64 + 1).astype("int64")
-        height = ((n_bytes // 64) % 64 + 1).astype("int64")
-        long_edge = width.combine(height, max)
-        resized_w = (width * RESIZE_TARGET // long_edge).clip(lower=1)
-        resized_h = (height * RESIZE_TARGET // long_edge).clip(lower=1)
+        ids, ws, hs, rws, rhs, nps, means = [], [], [], [], [], [], []
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            src = bytes(payload)
+            n = len(src)
+            if not n:
+                continue
+            w0 = n % DECODE_SIDE_MOD + 1
+            h0 = (n // DECODE_SIDE_MOD) % DECODE_SIDE_MOD + 1
+            pix = np.resize(np.frombuffer(src, dtype=np.uint8), w0 * h0)
+            png = _png_encode_gray8(pix.tobytes(), w0, h0)
+            w, h, dec = _png_decode_gray8(png)
+            img = np.frombuffer(dec, dtype=np.uint8).reshape(h, w)
+            long_edge = max(w, h)
+            rw = max(w * RESIZE_TARGET // long_edge, 1)
+            rh = max(h * RESIZE_TARGET // long_edge, 1)
+            rows = (np.arange(rh, dtype=np.int64) * h) // rh
+            cols = (np.arange(rw, dtype=np.int64) * w) // rw
+            resized = img[rows][:, cols]
+            s = int(resized.sum(dtype=np.int64))
+            ids.append(mid)
+            ws.append(w)
+            hs.append(h)
+            rws.append(rw)
+            rhs.append(rh)
+            nps.append(rw * rh)
+            means.append(
+                int(math.floor(s / float(rw * rh) * 1_000_000.0 + 0.5))
+            )
         yield pd.DataFrame(
             {
-                "media_id": pdf["media_id"],
-                "width": width.astype("int32"),
-                "height": height.astype("int32"),
-                "resized_w": resized_w.astype("int32"),
-                "resized_h": resized_h.astype("int32"),
-                "n_pixels": (resized_w * resized_h).astype("int32"),
+                "media_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "resized_w": pd.Series(rws, dtype="int32"),
+                "resized_h": pd.Series(rhs, dtype="int32"),
+                "n_pixels": pd.Series(nps, dtype="int32"),
+                "mean_resized_micros": pd.Series(means, dtype="int64"),
             }
         )
 
 
-def resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched resize over the media table via ``mapInPandas`` —
-    the decode→resize stage of an image-training pipeline with the
-    stub kernel (no codecs in this container).
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode→resize over the media table via
+    ``mapInPandas`` — the image-training preproc stage with a REAL
+    codec and a REAL nearest-neighbor kernel on decoded pixels
+    (round 7; the round-1 byte-arithmetic stub is gone).
 
     Scale: the payload column flows executor-side only (never through
     the driver); each task streams Arrow record batches through the
     Python worker, which is exactly the shape a real vision-preproc
-    stage (decode, resize, normalize, patchify) runs at 100 TB.
-    """
-    media = media_table(spark, sf_dir)
-    return (
-        media.mapInPandas(_fake_resize_batch, schema=_RESIZE_SCHEMA)
-        .orderBy("media_id")
+    stage (decode, resize, normalize, patchify) runs at 100 TB; the
+    per-row-expensive Python stage rides a ``spread()`` scan."""
+    media = spread(
+        media_table(spark, sf_dir).filter(F.length("payload") > 0)
+    )
+    return media.mapInPandas(_resize_batch, schema=_RESIZE_SCHEMA).orderBy(
+        "media_id"
     )
 
 
-# integer-only arithmetic: '//' on DuckDB INTEGERs is integer division
-# (the double '//' pitfall doesn't apply), GREATEST mirrors .clip
-RESIZE_STUB_ORACLE = f"""
-WITH dims AS (
-  SELECT
-    doc_id AS media_id,
-    octet_length(encode(text)) % 64 + 1 AS width,
-    (octet_length(encode(text)) // 64) % 64 + 1 AS height
+# Every resized pixel recomputed from the source text: flat source
+# index ((r*h//rh)*w + (c*w//rw)) % n with byte-true hex indexing.
+# '//' on DuckDB BIGINTs is integer division; GREATEST mirrors max().
+MEDIA_RESIZE_ORACLE = f"""
+WITH src AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
   FROM documents
+  WHERE octet_length(encode(text)) > 0
+),
+dims AS (
+  SELECT media_id, hx, n,
+         n % {DECODE_SIDE_MOD} + 1 AS w,
+         (n // {DECODE_SIDE_MOD}) % {DECODE_SIDE_MOD} + 1 AS h
+  FROM src
 ),
 fit AS (
-  SELECT media_id, width, height,
-    GREATEST(width * {RESIZE_TARGET} // GREATEST(width, height), 1) AS resized_w,
-    GREATEST(height * {RESIZE_TARGET} // GREATEST(width, height), 1) AS resized_h
+  SELECT media_id, hx, n, w, h,
+    GREATEST(w * {RESIZE_TARGET} // GREATEST(w, h), 1) AS rw,
+    GREATEST(h * {RESIZE_TARGET} // GREATEST(w, h), 1) AS rh
   FROM dims
+),
+px AS (
+  SELECT media_id, w, h, rw, rh,
+    list_sum(list_transform(
+      generate_series(0, rw * rh - 1),
+      i -> CAST('0x' || substr(
+             hx,
+             2 * ((((i // rw) * h // rh) * w + ((i % rw) * w // rw)) % n) + 1,
+             2
+           ) AS BIGINT)
+    )) AS s
+  FROM fit
 )
 SELECT
   media_id,
-  CAST(width AS INTEGER) AS width,
-  CAST(height AS INTEGER) AS height,
-  CAST(resized_w AS INTEGER) AS resized_w,
-  CAST(resized_h AS INTEGER) AS resized_h,
-  CAST(resized_w * resized_h AS INTEGER) AS n_pixels
-FROM fit
+  CAST(w AS INTEGER) AS width,
+  CAST(h AS INTEGER) AS height,
+  CAST(rw AS INTEGER) AS resized_w,
+  CAST(rh AS INTEGER) AS resized_h,
+  CAST(rw * rh AS INTEGER) AS n_pixels,
+  CAST(FLOOR(s / (rw * rh) * 1000000.0 + 0.5) AS BIGINT)
+    AS mean_resized_micros
+FROM px
 ORDER BY media_id
 """
 

@@ -816,7 +816,7 @@ register(
     "media_decode_features", multimodal.decode_features, multimodal.DECODE_FEATURES_ORACLE
 )
 register("media_frame_sample", multimodal.frame_sample, multimodal.FRAME_SAMPLE_ORACLE)
-register("media_resize_stub", multimodal.resize_stub, multimodal.RESIZE_STUB_ORACLE)
+register("media_resize", multimodal.media_resize, multimodal.MEDIA_RESIZE_ORACLE)
 # round-6: the one REAL media codec (clean-room PNG encode/decode on
 # stdlib zlib+struct; CRC-verified, five-filter reconstruction) with a
 # full pixel-level DuckDB oracle — upgrades the family beyond stubs

@@ -190,8 +190,12 @@ def test_codec_oracles_are_byte_true_on_nonascii(spark, nonascii_dir):
     """PNG and WAV entries hash-match their DuckDB oracles on
     multi-byte UTF-8 text: both sides must consume PAYLOAD BYTES."""
     from backend_model_spark.operators.multimodal import (
+        DECODE_FEATURES_ORACLE,
+        MEDIA_RESIZE_ORACLE,
         PNG_ROUNDTRIP_ORACLE,
         WAV_ROUNDTRIP_ORACLE,
+        decode_features,
+        media_resize,
         png_roundtrip,
         wav_roundtrip,
     )
@@ -200,6 +204,8 @@ def test_codec_oracles_are_byte_true_on_nonascii(spark, nonascii_dir):
     for name, fn, sql in [
         ("media_png_roundtrip", png_roundtrip, PNG_ROUNDTRIP_ORACLE),
         ("media_wav_roundtrip", wav_roundtrip, WAV_ROUNDTRIP_ORACLE),
+        ("media_decode_features", decode_features, DECODE_FEATURES_ORACLE),
+        ("media_resize", media_resize, MEDIA_RESIZE_ORACLE),
     ]:
         res = compare(name, spark, fn, sql, nonascii_dir)
         assert res.ok, f"{name} diverges on non-ASCII text: {res}"

@@ -144,3 +144,56 @@ def test_idat_corruption_is_always_caught(pix, flip):
     except (ValueError, _zlib.error, struct.error):
         return
     raise AssertionError("corrupted PNG decoded without error")
+
+
+def test_decode_and_resize_batches_match_numpy_reference():
+    """Round 7: media_decode_features / media_resize run the REAL
+    codec. Prove the full batch path (cyclic pad -> PNG encode ->
+    decode -> [NN resample]) against an independent numpy reference
+    that never touches the codec — so the PNG cycle must be a pixel
+    identity and the kernel's index math must be the documented
+    (r*h//rh, c*w//rw) map."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from backend_model_spark.operators.multimodal import (
+        DECODE_SIDE_MOD,
+        RESIZE_TARGET,
+        _decode_batch,
+        _resize_batch,
+    )
+
+    rng = np.random.RandomState(5)
+    payloads = [bytes(rng.randint(0, 256, size=k, dtype=np.uint8)) for k in (1, 7, 31, 32, 33, 200, 1023)]
+    pdf = pd.DataFrame(
+        {
+            "media_id": np.arange(len(payloads), dtype="int64"),
+            "kind": ["text-blob"] * len(payloads),
+            "payload": payloads,
+        }
+    )
+
+    dec = pd.concat(list(_decode_batch(iter([pdf]))))
+    rez = pd.concat(list(_resize_batch(iter([pdf]))))
+    for i, src in enumerate(payloads):
+        n = len(src)
+        w = n % DECODE_SIDE_MOD + 1
+        h = (n // DECODE_SIDE_MOD) % DECODE_SIDE_MOD + 1
+        pix = np.resize(np.frombuffer(src, dtype=np.uint8), w * h)
+        drow = dec[dec["media_id"] == i].iloc[0]
+        assert (drow["width"], drow["height"]) == (w, h)
+        assert drow["mean_px_micros"] == math.floor(
+            pix.sum() / float(w * h) * 1_000_000.0 + 0.5
+        )
+        img = pix.reshape(h, w)
+        rw = max(w * RESIZE_TARGET // max(w, h), 1)
+        rh = max(h * RESIZE_TARGET // max(w, h), 1)
+        ref = img[(np.arange(rh) * h) // rh][:, (np.arange(rw) * w) // rw]
+        rrow = rez[rez["media_id"] == i].iloc[0]
+        assert (rrow["resized_w"], rrow["resized_h"]) == (rw, rh)
+        assert rrow["n_pixels"] == rw * rh
+        assert rrow["mean_resized_micros"] == math.floor(
+            int(ref.sum()) / float(rw * rh) * 1_000_000.0 + 0.5
+        )

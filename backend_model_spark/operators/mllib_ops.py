@@ -63,10 +63,10 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str):
     )
     # digest groups: one representative doc per distinct text.
     # NOT persisted — measured counter-experiment (SCALE.md round 7):
-    # members fans into four branches, but the branches' identical
-    # window shuffle on h is deduplicated by ReuseExchange, so
-    # persist() only adds a cache materialization and breaks
-    # whole-stage codegen (10x stress: 39 s -> 63 s WITH persist).
+    # members fans into four branches, but its lineage is one cheap
+    # scan + one two-long-column shuffle, so recomputing it beats the
+    # cache materialization + codegen break persist() costs (10x
+    # stress: 39 s -> 63 s WITH persist).
     members = shingled.select(
         "doc_id", F.md5(F.col("text")).alias("h")
     ).withColumn("rep_id", F.min("doc_id").over(Window.partitionBy("h")))
@@ -150,7 +150,7 @@ def _brp_pairs(spark: SparkSession, sf_dir: str):
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("arr"),
     )
-    # NOT persisted — same ReuseExchange counter-measurement as
+    # NOT persisted — same cheap-lineage counter-measurement as
     # _minhash_pairs (SCALE.md round 7: 8.6 s -> 9.9 s with persist)
     members = vecs.withColumn(
         "rep_id", F.min("vec_id").over(Window.partitionBy("arr"))

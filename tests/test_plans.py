@@ -860,3 +860,22 @@ def test_salted_skew_join_shape(spark, sf_dir):
     cond = re.search(r"(?:SortMergeJoin|ShuffledHashJoin).*", plan)
     join_keys = re.findall(r"\[l_returnflag[^\]]*salt[^\]]*\]", plan)
     assert join_keys, f"salt missing from join keys: {cond and cond.group(0)}"
+
+
+def test_mllib_lsh_dedup_first_shapes(spark, sf_dir):
+    """Round-7 exact-dedup-first LSH: the candidate-pair plans must
+    contain no pair-enumerating nested loop — the approx join, the
+    group re-expansion joins and the within-group self-join are all
+    equi-joins (hash/sort-merge/broadcast-hash), which is what keeps
+    the duplicated-corpus regime linear (SCALE.md round 7)."""
+    from backend_model_spark.operators.mllib_ops import _brp_pairs, _minhash_pairs
+
+    for pairs in (
+        _minhash_pairs(spark, sf_dir)[1],
+        _brp_pairs(spark, sf_dir)[1],
+    ):
+        plan = pairs.sparkSession._jvm.PythonSQLUtils.explainString(
+            pairs._jdf.queryExecution(), "formatted"
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

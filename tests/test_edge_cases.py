@@ -1714,3 +1714,51 @@ def test_staircase_fold_is_batch_split_invariant():
         st_out = next(_staircase_fold((7,), iter([b]), stv))
     got2 = tuple(st_out.iloc[0][["n_events", "max_value_cents", "n_max_updates"]])
     assert got2 == ref2
+
+
+def test_staircase_fold_invariance_fuzzed():
+    """Property form of the batch-split invariance: for random event
+    sets with heavy ts ties and ANY random partition into ordered
+    batches, the staircase fold must land in the same final state as
+    the single-batch fold — the semilattice-merge claim, fuzzed."""
+    import numpy as np
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from backend_model_spark.streaming.jobs import _staircase_fold
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        seed=st.integers(min_value=0, max_value=10_000),
+        n=st.integers(min_value=1, max_value=120),
+        n_batches=st.integers(min_value=1, max_value=6),
+    )
+    def run(seed, n, n_batches):
+        rng = np.random.RandomState(seed)
+        ev = pd.DataFrame(
+            {
+                "ts": pd.to_datetime(rng.randint(0, max(n // 4, 1), n), unit="s"),
+                "event_id": np.arange(n, dtype="int64"),
+                "value": np.round(rng.uniform(0, 50, n), 2),
+            }
+        )
+
+        def fold_all(batches):
+            st_ = _FakeGroupState()
+            out = None
+            for b in batches:
+                if len(b):
+                    out = next(_staircase_fold((1,), iter([b]), st_))
+            return tuple(
+                out.iloc[0][["n_events", "max_value_cents", "n_max_updates"]]
+            )
+
+        ref = fold_all([ev])
+        # random assignment of rows to batches (arbitrary interleaving)
+        assign = rng.randint(0, n_batches, n)
+        batches = [ev[assign == k] for k in range(n_batches)]
+        rng.shuffle(batches)
+        assert fold_all(batches) == ref
+
+    run()

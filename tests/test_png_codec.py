@@ -197,3 +197,68 @@ def test_decode_and_resize_batches_match_numpy_reference():
         assert rrow["mean_resized_micros"] == math.floor(
             int(ref.sum()) / float(rw * rh) * 1_000_000.0 + 0.5
         )
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=1, max_size=1200))
+def test_decode_batch_matches_numpy_reference_fuzzed(data):
+    """Property form of the fixed-size reference test: for ANY payload
+    the decode batch's (dims, mean) must equal the codec-free numpy
+    reference — so the PNG cycle is a pixel identity at every
+    geometry the length map can produce."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from backend_model_spark.operators.multimodal import (
+        DECODE_SIDE_MOD,
+        _decode_batch,
+    )
+
+    pdf = pd.DataFrame(
+        {"media_id": [0], "kind": ["text-blob"], "payload": [data]}
+    )
+    out = pd.concat(list(_decode_batch(iter([pdf]))))
+    n = len(data)
+    w = n % DECODE_SIDE_MOD + 1
+    h = (n // DECODE_SIDE_MOD) % DECODE_SIDE_MOD + 1
+    pix = np.resize(np.frombuffer(data, dtype=np.uint8), w * h)
+    row = out.iloc[0]
+    assert (row["width"], row["height"], row["n_bytes"]) == (w, h, n)
+    assert row["mean_px_micros"] == math.floor(
+        pix.sum() / float(w * h) * 1_000_000.0 + 0.5
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(min_size=1, max_size=1200))
+def test_resize_batch_matches_numpy_reference_fuzzed(data):
+    """The resize kernel's (r*h//rh, c*w//rw) index map holds for any
+    payload geometry, including extreme aspect ratios (w=1 or h=1,
+    where the fit UPSCALES the short edge)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from backend_model_spark.operators.multimodal import (
+        DECODE_SIDE_MOD,
+        RESIZE_TARGET,
+        _resize_batch,
+    )
+
+    pdf = pd.DataFrame({"media_id": [0], "payload": [data]})
+    out = pd.concat(list(_resize_batch(iter([pdf]))))
+    n = len(data)
+    w = n % DECODE_SIDE_MOD + 1
+    h = (n // DECODE_SIDE_MOD) % DECODE_SIDE_MOD + 1
+    img = np.resize(np.frombuffer(data, dtype=np.uint8), w * h).reshape(h, w)
+    rw = max(w * RESIZE_TARGET // max(w, h), 1)
+    rh = max(h * RESIZE_TARGET // max(w, h), 1)
+    ref = img[(np.arange(rh) * h) // rh][:, (np.arange(rw) * w) // rw]
+    row = out.iloc[0]
+    assert (row["resized_w"], row["resized_h"]) == (rw, rh)
+    assert row["mean_resized_micros"] == math.floor(
+        int(ref.sum()) / float(rw * rh) * 1_000_000.0 + 0.5
+    )

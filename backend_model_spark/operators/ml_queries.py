@@ -102,23 +102,18 @@ GBT_FEATURES = [
 _GBT_CACHE: dict = {}
 
 
-def _fitted_gbt(spark: SparkSession, sf_dir: str):
-    """(pipeline_model, train_df, test_df) for the seeded GBT split:
-    documents.n_chars regressed on text-derived features (token
-    count, distinct-token count, longest token) plus indexed lang and
-    source — honest inputs (none reconstructs the label exactly;
-    n_chars also counts the whitespace the tokenizer discards)."""
-    from pyspark.ml import Pipeline
-    from pyspark.ml.feature import StringIndexer, VectorAssembler
-    from pyspark.ml.regression import GBTRegressor
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _GBT_CACHE.get(key)
-    if hit is not None:
-        return hit
+def gbt_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared (doc_id, text features, label) frame: documents'
+    n_chars with token count, distinct-token count, longest token,
+    and the raw lang/source strings — honest inputs (none
+    reconstructs the label exactly; n_chars also counts the
+    whitespace the tokenizer discards). Shared with the
+    shuffled-label flip test so the certificate's falsifiability
+    proof always covers the SHIPPED feature engineering."""
     docs = load_table(spark, "documents", sf_dir)
     toks = F.split(F.trim("text"), r"\s+")
-    feats = docs.select(
+    return docs.select(
+        "doc_id",
         F.size(toks).cast("double").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("double").alias("n_uniq_tokens"),
         F.array_max(F.transform(toks, lambda t: F.length(t)))
@@ -128,16 +123,30 @@ def _fitted_gbt(spark: SparkSession, sf_dir: str):
         "source",
         F.col("n_chars").cast("double").alias("label"),
     )
-    train, test = feats.randomSplit([0.8, 0.2], seed=42)
-    pipeline = Pipeline(
+
+
+def gbt_pipeline():
+    """The shared indexers → assembler → GBT pipeline (seeded).
+    handleInvalid='keep': a lang/source category that lands entirely
+    in the held-out split must map to the indexer's unseen bucket,
+    not crash transform (round-7 review)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import StringIndexer, VectorAssembler
+    from pyspark.ml.regression import GBTRegressor
+
+    return Pipeline(
         stages=[
             StringIndexer(
-                inputCol="lang", outputCol="lang_idx", stringOrderType="alphabetAsc"
+                inputCol="lang",
+                outputCol="lang_idx",
+                stringOrderType="alphabetAsc",
+                handleInvalid="keep",
             ),
             StringIndexer(
                 inputCol="source",
                 outputCol="source_idx",
                 stringOrderType="alphabetAsc",
+                handleInvalid="keep",
             ),
             VectorAssembler(inputCols=GBT_FEATURES, outputCol="features"),
             GBTRegressor(
@@ -149,7 +158,18 @@ def _fitted_gbt(spark: SparkSession, sf_dir: str):
             ),
         ]
     )
-    model = pipeline.fit(train)
+
+
+def _fitted_gbt(spark: SparkSession, sf_dir: str):
+    """(pipeline_model, train_df, test_df) for the seeded GBT split
+    over :func:`gbt_feature_frame` through :func:`gbt_pipeline`."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _GBT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    feats = gbt_feature_frame(spark, sf_dir)
+    train, test = feats.randomSplit([0.8, 0.2], seed=42)
+    model = gbt_pipeline().fit(train)
     _GBT_CACHE[key] = (model, train, test)
     return _GBT_CACHE[key]
 

@@ -396,16 +396,27 @@ def mllib_minhash_neardup_certified(spark: SparkSession, sf_dir: str) -> DataFra
     """Oracle-checkable face of :func:`mllib_minhash_neardup`.
 
     Hashed columns: exact corpus facts (docs with >=1 shingle, exact
-    duplicate-text pair count) plus two certificates the oracle emits
-    as TRUE —
+    duplicate-text pair count — recomputed by the oracle straight
+    from ``documents``, so a broken digest/grouping stage
+    hash-mismatches the count itself) plus two certificates the
+    oracle emits as TRUE —
 
-    - ``pairs_valid``: every LSH candidate's Jaccard distance is
-      within the 0.9 threshold (the approxSimilarityJoin contract).
-    - ``exact_dups_found``: every identical-text pair (identical
-      shingle sets => identical MinHash signatures => same bucket in
-      ALL hash tables) appears among the candidates — the recall
-      guarantee MinHashLSH makes BY CONSTRUCTION for distance-0
-      pairs; a broken hashing or bucketing stage flips it.
+    - ``pairs_valid``: every candidate's Jaccard distance is within
+      the 0.9 threshold (the approxSimilarityJoin contract on the
+      representative join, carried through the expansion).
+    - ``exact_dups_found``: every identical-text pair appears among
+      the candidates at distance 0. HONEST SCOPE since the round-7
+      exact-dedup-first rewrite: identical-input pairs are emitted by
+      the group RE-EXPANSION rather than by LSH bucket collision, so
+      this boolean certifies the expansion machinery (rep
+      assignment + within-group join — computed here via an
+      INDEPENDENT digest self-join, not the expansion's own
+      ``members`` lineage; a wrong rep window, join key, or a within
+      filter that drops pairs flips it), no longer the MinHash
+      hashing stage. The LSH stage's own distance-0 recall guarantee
+      still holds on representatives trivially (they are distinct)
+      and the end-to-end pipeline is exercised on planted duplicates
+      in tests/test_certificates.py.
     """
     shingled, pairs = _minhash_pairs(spark, sf_dir)
     shingled = shingled.persist()
@@ -461,9 +472,13 @@ def mllib_brp_ann_join_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - ``pairs_valid``: every returned pair's Euclidean distance is
       within the 1.15 threshold.
-    - ``zero_dist_found``: identical vectors hash identically in all
-      BRP tables, so every identical-embedding pair MUST be returned
-      (distance 0); a broken projection/bucketing flips it.
+    - ``zero_dist_found``: every identical-embedding pair appears at
+      distance 0. HONEST SCOPE since the round-7 exact-dedup-first
+      rewrite: such pairs come from the group RE-EXPANSION, not BRP
+      bucket collision, so the boolean certifies the rep-assignment
+      and expansion joins (checked against an independent
+      array-equality self-join, not the expansion's own lineage) —
+      see the minhash twin's docstring for the full argument.
     """
     vecs, pairs = _brp_pairs(spark, sf_dir)
     vecs = vecs.persist()
@@ -519,10 +534,8 @@ def mllib_kmeans_clusters_certified(spark: SparkSession, sf_dir: str) -> DataFra
     duplicated rows (null features, a lossy join) flips it, unlike
     the round-5 ``sizes_positive`` boolean which groupBy().count()
     made true by construction (round-6 advice)."""
-    from backend_model_spark.sources.tables import load_table as _lt
-
     pred, silhouette = _kmeans_pred(spark, sf_dir)
-    n_input = _lt(spark, "embeddings", sf_dir).count()
+    n_input = load_table(spark, "embeddings", sf_dir).count()
     sizes = pred.groupBy("prediction").count().collect()
     return spark.createDataFrame(
         [

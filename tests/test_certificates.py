@@ -260,18 +260,20 @@ def test_gbt_test_r2_certificate_flips_on_shuffled_labels(spark):
     test_r2_positive must be TRUE on the learnable document-length
     label, and training the SAME pipeline on shuffled labels (signal
     destroyed, distribution preserved) must flip it — proving the
-    boolean measures held-out generalization, not a tautology."""
-    from pyspark.ml import Pipeline
+    boolean measures held-out generalization, not a tautology.
+
+    The poisoned twin reuses the SHIPPED gbt_feature_frame /
+    gbt_pipeline builders (round-7 review: a hand-copied pipeline
+    here would silently drift from the registered one)."""
     from pyspark.ml.evaluation import RegressionEvaluator
-    from pyspark.ml.feature import StringIndexer, VectorAssembler
-    from pyspark.ml.regression import GBTRegressor
+    from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
     from backend_model_spark.operators.ml_queries import (
-        GBT_FEATURES,
+        gbt_feature_frame,
+        gbt_pipeline,
         gbt_train_eval_certified,
     )
-    from backend_model_spark.sources.tables import load_table
 
     sf = "/root/testdata/sf0.001"
     row = gbt_train_eval_certified(spark, sf).collect()[0]
@@ -280,53 +282,16 @@ def test_gbt_test_r2_certificate_flips_on_shuffled_labels(spark):
 
     # poisoned twin: same features, labels re-assigned by a seeded
     # hash permutation — any generalization signal is destroyed
-    docs = load_table(spark, "documents", sf)
-    toks = F.split(F.trim("text"), r"\s+")
-    feats = docs.select(
-        "doc_id",
-        F.size(toks).cast("double").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("double").alias("n_uniq_tokens"),
-        F.array_max(F.transform(toks, lambda t: F.length(t)))
-        .cast("double")
-        .alias("max_token_len"),
-        "lang",
-        "source",
-        F.col("n_chars").cast("double").alias("label"),
-    )
-    from pyspark.sql import Window as W
-
+    feats = gbt_feature_frame(spark, sf)
     by_doc = W.orderBy("doc_id")
     by_hash = W.orderBy(F.md5(F.col("doc_id").cast("string")))
     lbl = feats.select(
         F.row_number().over(by_hash).alias("rn"), F.col("label").alias("shuf")
     )
-    base = feats.select(
-        F.row_number().over(by_doc).alias("rn"),
-        "n_tokens",
-        "n_uniq_tokens",
-        "max_token_len",
-        "lang",
-        "source",
-    )
+    base = feats.drop("label").withColumn("rn", F.row_number().over(by_doc))
     poisoned = base.join(lbl, "rn").withColumnRenamed("shuf", "label")
     train, test = poisoned.randomSplit([0.8, 0.2], seed=42)
-    pipe = Pipeline(
-        stages=[
-            StringIndexer(
-                inputCol="lang", outputCol="lang_idx", stringOrderType="alphabetAsc"
-            ),
-            StringIndexer(
-                inputCol="source",
-                outputCol="source_idx",
-                stringOrderType="alphabetAsc",
-            ),
-            VectorAssembler(inputCols=GBT_FEATURES, outputCol="features"),
-            GBTRegressor(
-                featuresCol="features", labelCol="label", seed=42, maxDepth=4, maxIter=10
-            ),
-        ]
-    )
-    m = pipe.fit(train)
+    m = gbt_pipeline().fit(train)
     ev = RegressionEvaluator(labelCol="label", predictionCol="prediction")
     r2_shuf = ev.setMetricName("r2").evaluate(m.transform(test))
     assert not (r2_shuf > 0.0), f"shuffled labels must flip test_r2_positive, got {r2_shuf}"

@@ -417,6 +417,13 @@ def mllib_minhash_neardup_certified(spark: SparkSession, sf_dir: str) -> DataFra
       still holds on representatives trivially (they are distinct)
       and the end-to-end pipeline is exercised on planted duplicates
       in tests/test_certificates.py.
+    - ``dist_exact_ok`` (round 7 — the restored LSH-STAGE
+      certificate): every reported jaccard_dist is recomputed from
+      the raw shingle SETS (array_intersect/array_union) and must
+      agree within 0.05 — the allowance for HashingTF's 2^18-bucket
+      collisions (measured deviation on the testdata: exactly 0). A
+      broken keyDistance, a swapped distance column, or crossed pair
+      wiring deviates by ~0.5+ and flips it.
     """
     shingled, pairs = _minhash_pairs(spark, sf_dir)
     shingled = shingled.persist()
@@ -434,6 +441,30 @@ def mllib_minhash_neardup_certified(spark: SparkSession, sf_dir: str) -> DataFra
     n_dup_pairs = dups.count()
     n_missing = dups.join(pairs, ["doc_a", "doc_b"], "left_anti").count()
     max_dist = pairs.agg(F.max("jaccard_dist")).collect()[0][0]
+    # exact set-Jaccard recomputation per candidate (pairs are few)
+    sh = shingled.select("doc_id", F.array_distinct("shingles").alias("sh"))
+    exact_dev = (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .select(
+            F.abs(
+                (
+                    1
+                    - F.size(F.array_intersect("sh_a", "sh_b"))
+                    / F.size(F.array_union("sh_a", "sh_b"))
+                )
+                - F.col("jaccard_dist")
+            ).alias("dev")
+        )
+        .agg(F.max("dev"))
+        .collect()[0][0]
+    )
     shingled.unpersist()
     pairs.unpersist()
     return spark.createDataFrame(
@@ -443,10 +474,11 @@ def mllib_minhash_neardup_certified(spark: SparkSession, sf_dir: str) -> DataFra
                 n_dup_pairs,
                 bool(n_missing == 0),
                 bool(max_dist is None or max_dist <= 0.9),
+                bool(exact_dev is None or exact_dev <= 0.05),
             )
         ],
         "n_docs bigint, n_exact_dup_pairs bigint, "
-        "exact_dups_found boolean, pairs_valid boolean",
+        "exact_dups_found boolean, pairs_valid boolean, dist_exact_ok boolean",
     )
 
 
@@ -460,7 +492,8 @@ SELECT
   CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_docs,
   CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_exact_dup_pairs,
   TRUE AS exact_dups_found,
-  TRUE AS pairs_valid
+  TRUE AS pairs_valid,
+  TRUE AS dist_exact_ok
 FROM g
 """
 
@@ -479,6 +512,11 @@ def mllib_brp_ann_join_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
       and expansion joins (checked against an independent
       array-equality self-join, not the expansion's own lineage) —
       see the minhash twin's docstring for the full argument.
+    - ``dist_exact_ok`` (round 7 — the restored LSH-STAGE
+      certificate): every reported Euclidean distance is recomputed
+      exactly from the raw arrays and must agree within 1e-9
+      (float-summation order; measured deviation on the testdata:
+      exactly 0); a broken metric or crossed pair wiring flips it.
     """
     vecs, pairs = _brp_pairs(spark, sf_dir)
     vecs = vecs.persist()
@@ -495,6 +533,31 @@ def mllib_brp_ann_join_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_twin_pairs = twins.count()
     n_missing = twins.join(pairs, ["vec_a", "vec_b"], "left_anti").count()
     max_dist = pairs.agg(F.max("euclidean_dist")).collect()[0][0]
+    # round 7 — restored LSH-STAGE certificate: recompute each
+    # reported Euclidean distance exactly from the raw arrays (BRP's
+    # keyDistance runs on the raw vectors — no hashing involved — so
+    # tolerance is float-summation-order only); a broken metric or
+    # crossed pair wiring flips it
+    exact = F.sqrt(
+        F.aggregate(
+            F.zip_with("a_arr", "b_arr", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    exact_dev = (
+        pairs.join(
+            vecs.select(F.col("vec_id").alias("vec_a"), F.col("arr").alias("a_arr")),
+            "vec_a",
+        )
+        .join(
+            vecs.select(F.col("vec_id").alias("vec_b"), F.col("arr").alias("b_arr")),
+            "vec_b",
+        )
+        .select(F.abs(exact - F.col("euclidean_dist")).alias("dev"))
+        .agg(F.max("dev"))
+        .collect()[0][0]
+    )
     vecs.unpersist()
     pairs.unpersist()
     return spark.createDataFrame(
@@ -504,10 +567,11 @@ def mllib_brp_ann_join_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_twin_pairs,
                 bool(n_missing == 0),
                 bool(max_dist is None or max_dist <= 1.15),
+                bool(exact_dev is None or exact_dev <= 1e-9),
             )
         ],
         "n_vectors bigint, n_identical_pairs bigint, "
-        "zero_dist_found boolean, pairs_valid boolean",
+        "zero_dist_found boolean, pairs_valid boolean, dist_exact_ok boolean",
     )
 
 
@@ -517,7 +581,8 @@ SELECT
   CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vectors,
   CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_identical_pairs,
   TRUE AS zero_dist_found,
-  TRUE AS pairs_valid
+  TRUE AS pairs_valid,
+  TRUE AS dist_exact_ok
 FROM g
 """
 

@@ -62,10 +62,13 @@ def test_minhash_certificate_exercises_planted_dup(spark, planted_dir):
     assert row["n_docs"] == 12
     assert row["n_exact_dup_pairs"] == 1, "the planted pair must be counted"
     assert row["exact_dups_found"], (
-        "MinHashLSH must find the identical-shingle pair (distance-0 "
-        "recall is guaranteed by construction)"
+        "the dedup-first expansion must emit the identical-shingle "
+        "pair at distance 0"
     )
     assert row["pairs_valid"]
+    assert row["dist_exact_ok"], (
+        "reported Jaccard distances must match the exact set-Jaccard"
+    )
 
 
 def test_brp_certificate_exercises_planted_twin(spark, planted_dir):
@@ -77,9 +80,12 @@ def test_brp_certificate_exercises_planted_twin(spark, planted_dir):
     assert row["n_vectors"] == 10
     assert row["n_identical_pairs"] == 1
     assert row["zero_dist_found"], (
-        "identical vectors share every BRP bucket — the pair must appear"
+        "the dedup-first expansion must emit the identical-vector pair"
     )
     assert row["pairs_valid"]
+    assert row["dist_exact_ok"], (
+        "reported Euclidean distances must match the exact recomputation"
+    )
 
 
 def test_recall_booleans_flip_on_poisoned_pairs(spark, planted_dir):
@@ -295,3 +301,63 @@ def test_gbt_test_r2_certificate_flips_on_shuffled_labels(spark):
     ev = RegressionEvaluator(labelCol="label", predictionCol="prediction")
     r2_shuf = ev.setMetricName("r2").evaluate(m.transform(test))
     assert not (r2_shuf > 0.0), f"shuffled labels must flip test_r2_positive, got {r2_shuf}"
+
+
+def test_dist_exact_certificate_flips_on_poisoned_distances(spark, planted_dir):
+    """The round-7 dist_exact_ok booleans are not tautologies: shift
+    every reported distance by +0.3 (a broken metric / swapped
+    column) and the same recomputation formula must reject it."""
+    from pyspark.sql import functions as F
+
+    from backend_model_spark.operators.mllib_ops import _brp_pairs, _minhash_pairs
+
+    shingled, pairs = _minhash_pairs(spark, planted_dir)
+    sh = shingled.select("doc_id", F.array_distinct("shingles").alias("sh"))
+    poisoned = pairs.withColumn("jaccard_dist", F.col("jaccard_dist") + 0.3)
+    dev = (
+        poisoned.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .select(
+            F.abs(
+                (
+                    1
+                    - F.size(F.array_intersect("sh_a", "sh_b"))
+                    / F.size(F.array_union("sh_a", "sh_b"))
+                )
+                - F.col("jaccard_dist")
+            ).alias("dev")
+        )
+        .agg(F.max("dev"))
+        .collect()[0][0]
+    )
+    assert dev is not None and dev > 0.05, "poisoned distances must flip dist_exact_ok"
+
+    vecs, bpairs = _brp_pairs(spark, planted_dir)
+    bpois = bpairs.withColumn("euclidean_dist", F.col("euclidean_dist") + 0.3)
+    exact = F.sqrt(
+        F.aggregate(
+            F.zip_with("a_arr", "b_arr", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    bdev = (
+        bpois.join(
+            vecs.select(F.col("vec_id").alias("vec_a"), F.col("arr").alias("a_arr")),
+            "vec_a",
+        )
+        .join(
+            vecs.select(F.col("vec_id").alias("vec_b"), F.col("arr").alias("b_arr")),
+            "vec_b",
+        )
+        .select(F.abs(exact - F.col("euclidean_dist")).alias("dev"))
+        .agg(F.max("dev"))
+        .collect()[0][0]
+    )
+    assert bdev is not None and bdev > 1e-9, "poisoned distances must flip dist_exact_ok"

@@ -1329,7 +1329,9 @@ TIER1 = [
     # by scripts/drive_driver.py + env_robustness.py this session,
     # see SURVEY §12): stat_mann_whitney (clamp, output bit-identical
     # at sf0.01/0.1), mllib_minhash_neardup + mllib_brp_ann_join
-    # (exact-dedup-first, proven row-identical to the old join),
+    # (exact-dedup-first, proven row-identical to the old join; plus
+    # the round-7 dist_exact_ok certificate column — schema changed,
+    # so they are FIRST in the r8 queue),
     # mllib_kmeans_clusters (sizes_conserved certificate),
     # ml_gbt_feature_importance (literal-VALUES oracle, shares the
     # fitted pipeline with ml_gbt_train_eval which IS in the prefix).

@@ -127,9 +127,13 @@ def gbt_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def gbt_pipeline():
     """The shared indexers → assembler → GBT pipeline (seeded).
+
     handleInvalid='keep': a lang/source category that lands entirely
-    in the held-out split must map to the indexer's unseen bucket,
-    not crash transform (round-7 review)."""
+    in the held-out split maps to the indexer's unseen bucket instead
+    of crashing transform. Note this also raises the nominal arity the
+    tree sees by one (the unseen slot), so maxBins is pinned to 64 —
+    a category count growing past the default 32 would otherwise turn
+    into a fit-time crash at a larger SF (round-7 review)."""
     from pyspark.ml import Pipeline
     from pyspark.ml.feature import StringIndexer, VectorAssembler
     from pyspark.ml.regression import GBTRegressor
@@ -155,20 +159,34 @@ def gbt_pipeline():
                 seed=42,
                 maxDepth=4,
                 maxIter=10,
+                maxBins=64,
             ),
         ]
     )
 
 
 def _fitted_gbt(spark: SparkSession, sf_dir: str):
-    """(pipeline_model, train_df, test_df) for the seeded GBT split
-    over :func:`gbt_feature_frame` through :func:`gbt_pipeline`."""
+    """(pipeline_model, train_df, test_df) over
+    :func:`gbt_feature_frame` through :func:`gbt_pipeline`.
+
+    The split is CONTENT-ADDRESSED (md5(doc_id) bucket < 80 trains —
+    the repo-wide discipline, cf. naive_bayes_lang /
+    target_encode_kfold) rather than randomSplit: randomSplit sorts
+    each partition by ALL columns for deterministic resampling, so
+    membership silently changes whenever a column is added to the
+    feature frame, and it is partitioning-dependent besides (round-7
+    review). The md5 bucket depends only on doc_id — stable across
+    column changes, partitionings, and engines."""
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _GBT_CACHE.get(key)
     if hit is not None:
         return hit
     feats = gbt_feature_frame(spark, sf_dir)
-    train, test = feats.randomSplit([0.8, 0.2], seed=42)
+    bucket = F.expr(
+        "conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) % 100"
+    )
+    train = feats.filter(bucket < 80)
+    test = feats.filter(bucket >= 80)
     model = gbt_pipeline().fit(train)
     _GBT_CACHE[key] = (model, train, test)
     return _GBT_CACHE[key]
@@ -194,12 +212,13 @@ def gbt_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def gbt_train_eval_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable face of :func:`gbt_train_eval` (round-6
-    certificate pattern): the seeded randomSplit is
-    partitioning-dependent and the trained metrics are engine-local,
-    so the hash covers the exact TOTAL row count (train + test must
-    conserve documents) plus certificates — the split fraction lands
-    near 0.8 (±0.10 — Bernoulli randomSplit on a 500-row table has
-    sd ≈ 0.018, and sf0.01 measures 0.852), MAE <= RMSE (Cauchy–Schwarz, any correct evaluator),
+    certificate pattern): the split is content-addressed and fully
+    deterministic (see :func:`_fitted_gbt`) but the trained metrics
+    are engine-local tree-ensemble floats, so the hash covers the
+    exact TOTAL row count (train + test must conserve documents) plus
+    certificates — the split fraction lands near 0.8 (±0.10 — an md5
+    bucket on a 500-row table has binomial sd ≈ 0.018),
+    MAE <= RMSE (Cauchy–Schwarz, any correct evaluator),
     test R² <= 1, TRAIN R² > 0 (boosting starts from the mean
     prediction and strictly reduces training SSE), and — new in
     round 7, on the learnable label — TEST R² > 0: the fitted model

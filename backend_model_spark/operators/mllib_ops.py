@@ -392,6 +392,67 @@ ORDER BY itemset
 # ---------------------------------------------------------------------------
 
 
+def _jaccard_dev_excess(pairs: DataFrame, shingled: DataFrame):
+    """max over candidate pairs of (|reported jaccard_dist − exact
+    set-Jaccard distance| − collision allowance), or None with no
+    pairs. SHARED by the certified face and its flip test (round-7
+    review: a hand-copied formula in the test drifts silently).
+
+    Allowance per pair: (μ + 6√μ + 4)/u where u = |shingle union| and
+    μ = C(u,2)/2^18 is the expected HashingTF bucket-collision count —
+    loose for tiny unions (which a collision shifts a lot but which
+    cannot false-flip), tight (≈0.01–0.05) for the large unions where
+    a real metric bug shows up as ~0.5."""
+    sh = shingled.select("doc_id", F.array_distinct("shingles").alias("sh"))
+    u = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    dev = F.abs(
+        (1 - F.size(F.array_intersect("sh_a", "sh_b")) / u)
+        - F.col("jaccard_dist")
+    )
+    mu = u * (u - 1) / 2.0 / float(1 << 18)
+    allow = (mu + 6.0 * F.sqrt(mu) + 4.0) / u
+    return (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .select((dev - allow).alias("excess"))
+        .agg(F.max("excess"))
+        .collect()[0][0]
+    )
+
+
+def _euclid_dev(pairs: DataFrame, vecs: DataFrame):
+    """max over candidate pairs of |reported euclidean_dist − exact
+    recomputation from the raw arrays|, or None with no pairs. SHARED
+    by the certified face and its flip test. Exact to float-summation
+    order (BRP's keyDistance runs on the raw vectors — no hashing)."""
+    exact = F.sqrt(
+        F.aggregate(
+            F.zip_with("a_arr", "b_arr", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        pairs.join(
+            vecs.select(F.col("vec_id").alias("vec_a"), F.col("arr").alias("a_arr")),
+            "vec_a",
+        )
+        .join(
+            vecs.select(F.col("vec_id").alias("vec_b"), F.col("arr").alias("b_arr")),
+            "vec_b",
+        )
+        .select(F.abs(exact - F.col("euclidean_dist")).alias("dev"))
+        .agg(F.max("dev"))
+        .collect()[0][0]
+    )
+
+
 def mllib_minhash_neardup_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checkable face of :func:`mllib_minhash_neardup`.
 
@@ -420,10 +481,16 @@ def mllib_minhash_neardup_certified(spark: SparkSession, sf_dir: str) -> DataFra
     - ``dist_exact_ok`` (round 7 — the restored LSH-STAGE
       certificate): every reported jaccard_dist is recomputed from
       the raw shingle SETS (array_intersect/array_union) and must
-      agree within 0.05 — the allowance for HashingTF's 2^18-bucket
-      collisions (measured deviation on the testdata: exactly 0). A
-      broken keyDistance, a swapped distance column, or crossed pair
-      wiring deviates by ~0.5+ and flips it.
+      agree within a PER-PAIR collision allowance (shared helper
+      :func:`_jaccard_dev_excess`): HashingTF's 2^18-bucket
+      collisions shift the hashed-set Jaccard by ~collisions/|union|,
+      so a flat tolerance either false-flips short-document pairs at
+      scale or is uselessly loose for long ones; the allowance is
+      (μ + 6√μ + 4)/|union| with μ = C(|union|,2)/2^18 — the
+      collision mean plus six standard deviations plus a 4-collision
+      floor. Measured deviation on the testdata: exactly 0. A broken
+      keyDistance, swapped column, or crossed pair wiring deviates by
+      ~0.5+ on ordinary pairs and flips it.
     """
     shingled, pairs = _minhash_pairs(spark, sf_dir)
     shingled = shingled.persist()
@@ -442,29 +509,7 @@ def mllib_minhash_neardup_certified(spark: SparkSession, sf_dir: str) -> DataFra
     n_missing = dups.join(pairs, ["doc_a", "doc_b"], "left_anti").count()
     max_dist = pairs.agg(F.max("jaccard_dist")).collect()[0][0]
     # exact set-Jaccard recomputation per candidate (pairs are few)
-    sh = shingled.select("doc_id", F.array_distinct("shingles").alias("sh"))
-    exact_dev = (
-        pairs.join(
-            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
-            "doc_a",
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
-            "doc_b",
-        )
-        .select(
-            F.abs(
-                (
-                    1
-                    - F.size(F.array_intersect("sh_a", "sh_b"))
-                    / F.size(F.array_union("sh_a", "sh_b"))
-                )
-                - F.col("jaccard_dist")
-            ).alias("dev")
-        )
-        .agg(F.max("dev"))
-        .collect()[0][0]
-    )
+    excess = _jaccard_dev_excess(pairs, shingled)
     shingled.unpersist()
     pairs.unpersist()
     return spark.createDataFrame(
@@ -474,7 +519,7 @@ def mllib_minhash_neardup_certified(spark: SparkSession, sf_dir: str) -> DataFra
                 n_dup_pairs,
                 bool(n_missing == 0),
                 bool(max_dist is None or max_dist <= 0.9),
-                bool(exact_dev is None or exact_dev <= 0.05),
+                bool(excess is None or excess <= 0.0),
             )
         ],
         "n_docs bigint, n_exact_dup_pairs bigint, "
@@ -533,31 +578,9 @@ def mllib_brp_ann_join_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_twin_pairs = twins.count()
     n_missing = twins.join(pairs, ["vec_a", "vec_b"], "left_anti").count()
     max_dist = pairs.agg(F.max("euclidean_dist")).collect()[0][0]
-    # round 7 — restored LSH-STAGE certificate: recompute each
-    # reported Euclidean distance exactly from the raw arrays (BRP's
-    # keyDistance runs on the raw vectors — no hashing involved — so
-    # tolerance is float-summation-order only); a broken metric or
-    # crossed pair wiring flips it
-    exact = F.sqrt(
-        F.aggregate(
-            F.zip_with("a_arr", "b_arr", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    exact_dev = (
-        pairs.join(
-            vecs.select(F.col("vec_id").alias("vec_a"), F.col("arr").alias("a_arr")),
-            "vec_a",
-        )
-        .join(
-            vecs.select(F.col("vec_id").alias("vec_b"), F.col("arr").alias("b_arr")),
-            "vec_b",
-        )
-        .select(F.abs(exact - F.col("euclidean_dist")).alias("dev"))
-        .agg(F.max("dev"))
-        .collect()[0][0]
-    )
+    # round 7 — restored LSH-STAGE certificate (shared helper; a
+    # broken metric or crossed pair wiring flips it)
+    exact_dev = _euclid_dev(pairs, vecs)
     vecs.unpersist()
     pairs.unpersist()
     return spark.createDataFrame(

@@ -296,7 +296,11 @@ def test_gbt_test_r2_certificate_flips_on_shuffled_labels(spark):
     )
     base = feats.drop("label").withColumn("rn", F.row_number().over(by_doc))
     poisoned = base.join(lbl, "rn").withColumnRenamed("shuf", "label")
-    train, test = poisoned.randomSplit([0.8, 0.2], seed=42)
+    # mirror the SHIPPED content-addressed split (md5 bucket < 80)
+    bucket = F.expr(
+        "conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) % 100"
+    )
+    train, test = poisoned.filter(bucket < 80), poisoned.filter(bucket >= 80)
     m = gbt_pipeline().fit(train)
     ev = RegressionEvaluator(labelCol="label", predictionCol="prediction")
     r2_shuf = ev.setMetricName("r2").evaluate(m.transform(test))
@@ -305,59 +309,28 @@ def test_gbt_test_r2_certificate_flips_on_shuffled_labels(spark):
 
 def test_dist_exact_certificate_flips_on_poisoned_distances(spark, planted_dir):
     """The round-7 dist_exact_ok booleans are not tautologies: shift
-    every reported distance by +0.3 (a broken metric / swapped
-    column) and the same recomputation formula must reject it."""
+    every reported distance (a broken metric / swapped column) and
+    the SAME shared helpers the certified faces call must reject it
+    (round-7 review: the test must not hand-copy the formula)."""
     from pyspark.sql import functions as F
 
-    from backend_model_spark.operators.mllib_ops import _brp_pairs, _minhash_pairs
+    from backend_model_spark.operators.mllib_ops import (
+        _brp_pairs,
+        _euclid_dev,
+        _jaccard_dev_excess,
+        _minhash_pairs,
+    )
 
     shingled, pairs = _minhash_pairs(spark, planted_dir)
-    sh = shingled.select("doc_id", F.array_distinct("shingles").alias("sh"))
-    poisoned = pairs.withColumn("jaccard_dist", F.col("jaccard_dist") + 0.3)
-    dev = (
-        poisoned.join(
-            sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
-            "doc_a",
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
-            "doc_b",
-        )
-        .select(
-            F.abs(
-                (
-                    1
-                    - F.size(F.array_intersect("sh_a", "sh_b"))
-                    / F.size(F.array_union("sh_a", "sh_b"))
-                )
-                - F.col("jaccard_dist")
-            ).alias("dev")
-        )
-        .agg(F.max("dev"))
-        .collect()[0][0]
-    )
-    assert dev is not None and dev > 0.05, "poisoned distances must flip dist_exact_ok"
+    assert _jaccard_dev_excess(pairs, shingled) <= 0.0
+    # +0.75 clears the small-union collision allowance of the planted
+    # fixture's ~7-shingle docs ((4 + eps)/7 ~ 0.58)
+    poisoned = pairs.withColumn("jaccard_dist", F.col("jaccard_dist") + 0.75)
+    exc = _jaccard_dev_excess(poisoned, shingled)
+    assert exc is not None and exc > 0.0, "poisoned distances must flip dist_exact_ok"
 
     vecs, bpairs = _brp_pairs(spark, planted_dir)
+    assert _euclid_dev(bpairs, vecs) <= 1e-9
     bpois = bpairs.withColumn("euclidean_dist", F.col("euclidean_dist") + 0.3)
-    exact = F.sqrt(
-        F.aggregate(
-            F.zip_with("a_arr", "b_arr", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    bdev = (
-        bpois.join(
-            vecs.select(F.col("vec_id").alias("vec_a"), F.col("arr").alias("a_arr")),
-            "vec_a",
-        )
-        .join(
-            vecs.select(F.col("vec_id").alias("vec_b"), F.col("arr").alias("b_arr")),
-            "vec_b",
-        )
-        .select(F.abs(exact - F.col("euclidean_dist")).alias("dev"))
-        .agg(F.max("dev"))
-        .collect()[0][0]
-    )
+    bdev = _euclid_dev(bpois, vecs)
     assert bdev is not None and bdev > 1e-9, "poisoned distances must flip dist_exact_ok"

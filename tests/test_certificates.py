@@ -90,11 +90,14 @@ def test_brp_certificate_exercises_planted_twin(spark, planted_dir):
 
 def test_recall_booleans_flip_on_poisoned_pairs(spark, planted_dir):
     """The anti-join logic behind exact_dups_found is not a tautology:
-    with the found-pairs set poisoned (the planted pair removed), the
-    same computation reports a missing pair."""
+    with the found-pairs set poisoned (the planted star edge removed),
+    the SAME shared witness the certified faces call
+    (_star_expectations — round-8 review: tests must not hand-copy
+    the check formula) reports a missing edge."""
     from pyspark.sql import functions as F
 
     from backend_model_spark.operators.dedup import SHINGLES, tokenized_docs
+    from backend_model_spark.operators.mllib_ops import _star_expectations
 
     shingled = (
         tokenized_docs(spark, planted_dir)
@@ -102,19 +105,86 @@ def test_recall_booleans_flip_on_poisoned_pairs(spark, planted_dir):
         .filter(F.size("shingles") > 0)
     )
     dig = shingled.select("doc_id", F.md5(F.col("text")).alias("h"))
-    dups = (
-        dig.alias("a")
-        .join(dig.alias("b"), F.expr("a.h = b.h AND a.doc_id < b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-    )
-    assert dups.count() == 1
-    empty_pairs = dups.limit(0)
-    n_missing = dups.join(
+    n_pairs, expected = _star_expectations(dig, "h", "doc_id", "doc_a", "doc_b")
+    assert n_pairs == 1
+    assert expected.count() == 1
+    empty_pairs = expected.limit(0)
+    n_missing = expected.join(
         empty_pairs, ["doc_a", "doc_b"], "left_anti"
     ).count()
     assert n_missing == 1, "poisoned pair set must register as missing"
+
+
+@pytest.fixture(scope="module")
+def megadup_dir(spark, tmp_path_factory) -> str:
+    """One text duplicated 1,000× plus 5 unique docs; one embedding
+    duplicated 1,000× plus 5 unique vectors — the adversarial
+    mega-duplicate-group corpus from the round-7 verdict (a
+    boilerplate document duplicated across a crawl)."""
+    sf = str(tmp_path_factory.mktemp("megadup"))
+    rng = np.random.RandomState(11)
+    n_dup, n_uniq = 1000, 5
+    texts = ["boiler plate legal disclaimer text common everywhere"] * n_dup + [
+        f"unique document number {i} with its own words {i * 7}"
+        for i in range(n_uniq)
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["web"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(os.path.join(sf, "documents.parquet"))
+    base = rng.uniform(-1, 1, size=(n_uniq + 1, 64)).astype("float32")
+    emb = np.vstack([np.repeat(base[:1], n_dup, axis=0), base[1:]])
+    pd.DataFrame(
+        {
+            "vec_id": range(len(emb)),
+            "embedding": [list(v) for v in emb],
+            "label": [i % 3 for i in range(len(emb))],
+        }
+    ).to_parquet(os.path.join(sf, "embeddings.parquet"))
+    return sf
+
+
+def test_lsh_pair_emission_linear_on_megadup_group(spark, megadup_dir):
+    """Round-8 star-edge contract: a 1,000-copy duplicate group must
+    emit g−1 = 999 zero-distance star edges — NOT C(1000,2) = 499,500
+    pairs (the round-7 re-expansion) — while the certificates stay
+    green. Bounds both LSH entries' output linearly in the input."""
+    from pyspark.sql import functions as F
+
+    from backend_model_spark.operators.mllib_ops import (
+        _brp_pairs,
+        _minhash_pairs,
+        mllib_brp_ann_join_certified,
+        mllib_minhash_neardup_certified,
+    )
+
+    _, pairs = _minhash_pairs(spark, megadup_dir)
+    n_zero = pairs.filter(F.col("jaccard_dist") == 0.0).count()
+    n_total = pairs.count()
+    assert n_zero == 999, f"expected 999 star edges, got {n_zero}"
+    # rep-level candidates among 6 reps can add at most C(6,2)=15
+    assert n_total <= 999 + 15, f"pair emission not linear: {n_total}"
+
+    _, bpairs = _brp_pairs(spark, megadup_dir)
+    bn_zero = bpairs.filter(F.col("euclidean_dist") == 0.0).count()
+    bn_total = bpairs.count()
+    assert bn_zero == 999, f"expected 999 star edges, got {bn_zero}"
+    assert bn_total <= 999 + 15, f"pair emission not linear: {bn_total}"
+
+    mrow = mllib_minhash_neardup_certified(spark, megadup_dir).collect()[0]
+    assert mrow["n_exact_dup_pairs"] == 1000 * 999 // 2, (
+        "the hashed count stays the corpus fact C(g,2)"
+    )
+    assert mrow["exact_dups_found"] and mrow["pairs_valid"] and mrow["dist_exact_ok"]
+
+    brow = mllib_brp_ann_join_certified(spark, megadup_dir).collect()[0]
+    assert brow["n_identical_pairs"] == 1000 * 999 // 2
+    assert brow["zero_dist_found"] and brow["pairs_valid"] and brow["dist_exact_ok"]
 
 
 def test_quantile_certificate_window_flips_on_bad_estimate():

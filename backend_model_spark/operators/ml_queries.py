@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from backend_model_spark.operators.sampling import BUCKET
 from backend_model_spark.sources.tables import load_table
 
 
@@ -182,9 +183,9 @@ def _fitted_gbt(spark: SparkSession, sf_dir: str):
     if hit is not None:
         return hit
     feats = gbt_feature_frame(spark, sf_dir)
-    bucket = F.expr(
-        "conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) % 100"
-    )
+    # sampling.BUCKET — the ONE repo-wide bucket expression (round-8
+    # advice: hand-copied split expressions drift silently)
+    bucket = F.expr(BUCKET)
     train = feats.filter(bucket < 80)
     test = feats.filter(bucket >= 80)
     model = gbt_pipeline().fit(train)
@@ -569,9 +570,7 @@ def naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     global. Nothing touches the driver.
     """
     docs = load_table(spark, "documents", sf_dir)
-    bucket = F.expr(
-        "conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) % 100"
-    )
+    bucket = F.expr(BUCKET)  # the ONE repo-wide bucket expression
     base = docs.select(
         "doc_id",
         "lang",

@@ -174,11 +174,23 @@ _STAIRCASE_OUT_SCHEMA = T.StructType(
 _STAIRCASE_STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType()),
+        T.StructField("n_dropped", T.LongType()),
         T.StructField("st_ts", T.ArrayType(T.LongType())),
         T.StructField("st_id", T.ArrayType(T.LongType())),
         T.StructField("st_val", T.ArrayType(T.DoubleType())),
     ]
 )
+
+# Bounded-state fallback (round-8 advice): the staircase is O(ln n)
+# expected but O(n) worst case (monotonically ascending values), and
+# the full state round-trips through the state store every
+# micro-batch. Above this cap the OLDEST records are dropped and only
+# counted: state stays bounded, ``max_value_cents``/``n_events`` stay
+# exact, and ``n_max_updates`` degrades DOCUMENTEDLY to an upper
+# bound (a dropped record can no longer be evicted by a late-arriving
+# earlier dominator). Never reached on the bounded testdata — the
+# overflow path is pinned by a small-cap unit test.
+STAIRCASE_CAP = 100_000
 
 
 def _staircase_fold(key, pdfs, state):
@@ -187,25 +199,30 @@ def _staircase_fold(key, pdfs, state):
     batch-split invariance is unit-testable —
     tests/test_streaming.py exercises interleaved-ts batchings).
 
-    State = (n, record staircase): the (ts_ns, event_id, value)
-    triples that are strict prefix maxima of every event seen so far
-    under global (ts, event_id) order. Merging a batch re-derives the
-    staircase over old-staircase ∪ batch; dominated points can never
-    re-become records (their dominator stays earlier forever), so the
-    final staircase — and hence ``n_max_updates = len(staircase)`` —
-    is identical for every arrival order and micro-batch split."""
+    State = (n, n_dropped, record staircase): the (ts_ns, event_id,
+    value) triples that are strict prefix maxima of every event seen
+    so far under global (ts, event_id) order. Merging a batch
+    re-derives the staircase over old-staircase ∪ batch; dominated
+    points can never re-become records (their dominator stays earlier
+    forever), so the final staircase — and hence ``n_max_updates =
+    n_dropped + len(staircase)`` — is identical for every arrival
+    order and micro-batch split. ``n_dropped`` counts records shed by
+    the :data:`STAIRCASE_CAP` bounded-state fallback (0 on any
+    in-contract stream; see the constant's docstring for the
+    degradation semantics)."""
     import math
 
     import numpy as np
     import pandas as pd
 
     if state.exists:
-        n, st_ts, st_id, st_val = state.get
+        n, n_dropped, st_ts, st_id, st_val = state.get
         st_ts = np.asarray(st_ts, dtype="int64")
         st_id = np.asarray(st_id, dtype="int64")
         st_val = np.asarray(st_val, dtype="float64")
     else:
         n = 0
+        n_dropped = 0
         st_ts = np.empty(0, dtype="int64")
         st_id = np.empty(0, dtype="int64")
         st_val = np.empty(0, dtype="float64")
@@ -228,7 +245,16 @@ def _staircase_fold(key, pdfs, state):
         )[:-1]
         keep = order[sval > prev]
         st_ts, st_id, st_val = ts[keep], eid[keep], val[keep]
-    state.update((n, st_ts.tolist(), st_id.tolist(), st_val.tolist()))
+        # bounded fallback: keep[] is in ascending (ts, event_id)
+        # order, so dropping the FRONT sheds the oldest/smallest
+        # records; the tail (incl. the current max) stays exact
+        if len(st_val) > STAIRCASE_CAP:
+            drop = len(st_val) - STAIRCASE_CAP
+            n_dropped += drop
+            st_ts, st_id, st_val = st_ts[drop:], st_id[drop:], st_val[drop:]
+    state.update(
+        (n, n_dropped, st_ts.tolist(), st_id.tolist(), st_val.tolist())
+    )
     mx = float(st_val[-1]) if len(st_val) else float("-inf")
     # integer cents via floor(x*100+0.5), NOT Python round()
     # (banker's) and NOT a rendered double: a bigint hashes
@@ -238,7 +264,7 @@ def _staircase_fold(key, pdfs, state):
             "user_id": [key[0]],
             "n_events": [n],
             "max_value_cents": [int(math.floor(mx * 100 + 0.5))],
-            "n_max_updates": [len(st_val)],
+            "n_max_updates": [n_dropped + len(st_val)],
         }
     )
 

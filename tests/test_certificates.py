@@ -366,10 +366,12 @@ def test_gbt_test_r2_certificate_flips_on_shuffled_labels(spark):
     )
     base = feats.drop("label").withColumn("rn", F.row_number().over(by_doc))
     poisoned = base.join(lbl, "rn").withColumnRenamed("shuf", "label")
-    # mirror the SHIPPED content-addressed split (md5 bucket < 80)
-    bucket = F.expr(
-        "conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) % 100"
-    )
+    # the SHIPPED content-addressed split — sampling.BUCKET, the same
+    # constant _fitted_gbt uses (round-8 advice: a hand-copied split
+    # expression keeps passing if the shipped split rule changes)
+    from backend_model_spark.operators.sampling import BUCKET
+
+    bucket = F.expr(BUCKET)
     train, test = poisoned.filter(bucket < 80), poisoned.filter(bucket >= 80)
     m = gbt_pipeline().fit(train)
     ev = RegressionEvaluator(labelCol="label", predictionCol="prediction")

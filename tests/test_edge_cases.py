@@ -1154,9 +1154,9 @@ def test_naive_bayes_confusion_is_complete_and_deterministic(spark):
     total = sum(r.n_docs for r in rows)
 
     docs = load_table(spark, "documents", sf)
-    bucket = F.expr(
-        "conv(substring(md5(cast(doc_id as string)), 1, 4), 16, 10) % 100"
-    )
+    from backend_model_spark.operators.sampling import BUCKET
+
+    bucket = F.expr(BUCKET)  # the shipped split, not a hand copy
     n_test = docs.filter(bucket >= 80).count()
     train_langs = {
         r.lang for r in docs.filter(bucket < 80).select("lang").distinct().collect()
@@ -1762,3 +1762,42 @@ def test_staircase_fold_invariance_fuzzed():
         assert fold_all(batches) == ref
 
     run()
+
+
+def test_staircase_fold_bounded_state_degrades_loudly(monkeypatch):
+    """Round-8 advice: a monotonically ascending value stream makes
+    the staircase O(n) per key; above STAIRCASE_CAP the fold must
+    shed the oldest records while keeping state bounded, n_events /
+    max_value_cents exact, and n_max_updates still exact when no
+    late dominator lands in the shed prefix (it becomes a documented
+    upper bound only in that case)."""
+    import numpy as np
+    import pandas as pd
+
+    from backend_model_spark.streaming import jobs
+
+    monkeypatch.setattr(jobs, "STAIRCASE_CAP", 16)
+    n = 50  # ascending values => every event is a record
+    ev = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(np.arange(n), unit="s"),
+            "event_id": np.arange(n, dtype="int64"),
+            "value": np.arange(n, dtype="float64") + 0.5,
+        }
+    )
+    st = jobs._staircase_fold.__globals__  # sanity: module-level fn
+    assert "STAIRCASE_CAP" in st
+
+    state = _FakeGroupState()
+    out = None
+    for i in range(0, n, 10):  # 5 micro-batches
+        out = next(jobs._staircase_fold((3,), iter([ev.iloc[i : i + 10]]), state))
+    n_ev, mx_cents, n_upd = out.iloc[0][
+        ["n_events", "max_value_cents", "n_max_updates"]
+    ]
+    assert n_ev == n
+    assert mx_cents == int(np.floor((n - 1 + 0.5) * 100 + 0.5))
+    assert n_upd == n, "count must stay exact via the dropped counter"
+    _, n_dropped, st_ts, st_id, st_val = state.get
+    assert len(st_val) <= 16, "state must stay bounded at the cap"
+    assert n_dropped == n - len(st_val)

@@ -45,11 +45,21 @@ class FixtureGolden:
 
 
 def generate_listings(
-    n_rows: int = 5000, null_fraction: float = 0.3, seed: int = SEED
+    n_rows: int = 5000,
+    null_fraction: float = 0.3,
+    seed: int = SEED,
+    n_train: int | None = None,
+    n_null_rows: int | None = None,
 ) -> tuple[pd.DataFrame, pd.DataFrame, FixtureGolden]:
-    """Build (train, test, golden). Dirty patterns deterministic."""
+    """Build (train, test, golden). Dirty patterns deterministic.
+
+    ``n_train`` / ``n_null_rows`` override the ratio defaults so the
+    fixture can mirror the reference's exact row funnel
+    (74,111 + 25,458 = 99,569 → 38,499; SURVEY.md §5 goldens) — used
+    by the registered ``pipeline_airbnb_e2e`` entry."""
     rng = np.random.default_rng(seed)
-    n_train = int(n_rows * 0.75)
+    if n_train is None:
+        n_train = int(n_rows * 0.75)
 
     log_price = np.log(rng.uniform(1.0, 1999.0, n_rows))
     city = rng.choice(CITIES, n_rows, p=[0.06, 0.06, 0.06, 0.26, 0.46, 0.10])
@@ -116,10 +126,17 @@ def generate_listings(
         "bedrooms",
         "beds",
     ]
-    n_null_rows = int(n_rows * null_fraction)
+    if n_null_rows is None:
+        n_null_rows = int(n_rows * null_fraction)
     null_rows = rng.choice(np.arange(30, n_rows), size=n_null_rows, replace=False)
-    for j, r in enumerate(null_rows):
-        df.loc[r, nullable[j % len(nullable)]] = None
+    # vectorized per-column strided assignment — the same (row, column)
+    # cells as the original `for j, r: df.loc[r, nullable[j % 12]]`
+    # row loop (row null_rows[j] gets column j % 12), ~40× faster at
+    # the 99,569-row reference scale
+    for k, col in enumerate(nullable):
+        rows = null_rows[k :: len(nullable)]
+        if len(rows):
+            df.loc[rows, col] = None
 
     clean_mask = ~df.index.isin(null_rows)
     survivors = df[clean_mask]

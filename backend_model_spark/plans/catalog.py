@@ -48,6 +48,7 @@ from backend_model_spark.operators import (
     udf_tiers,
     windows,
 )
+from backend_model_spark.ml import cleaning as ml_cleaning
 from backend_model_spark.plans.registry import register
 from backend_model_spark.sources import io_ops
 from backend_model_spark.streaming import jobs as streaming_jobs
@@ -353,6 +354,12 @@ register("text_winnow_fingerprints", text.winnow_fingerprints, text.WINNOW_ORACL
 # driver-unseen)
 register(
     "pipeline_feature_store", ml_queries.feature_store_pit, ml_queries.FEATURE_STORE_ORACLE
+)
+# round 8 (verdict ask #8): the reference's core Airbnb dataflow
+# itself under the driver's rotating check — exact 99,569 → 38,499
+# funnel, oracle literals from an independent pandas implementation
+register(
+    "pipeline_airbnb_e2e", ml_cleaning.airbnb_e2e, ml_cleaning.AIRBNB_E2E_ORACLE
 )
 # (streaming_left_join_attribution — r3-stable, green in every
 # full local sweep since — displaced to tier 2 for the stream-static

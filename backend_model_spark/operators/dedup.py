@@ -19,7 +19,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -89,6 +89,99 @@ MINHASH_SQL_AGGS = ", ".join(
     for i in range(N_MINHASH)
 )
 
+# ----------------------------------------------------------------------
+# Round-8 EXACT-DEDUP-FIRST STAR CONTRACT for the pairwise near-dup
+# family. The round-8 Zipf stress corpus (a few hot exact-duplicate
+# groups over a mostly-unique corpus — the real web-crawl shape)
+# measured the full-pair-list contract quadratic in duplicate-group
+# size: a 4001-copy group puts 4001 docs in the same bucket of every
+# band, so the band self-join emits C(4001,2) ≈ 8M pairs and the
+# verify stage paid 267 s at 10× (vs 2 s at 1×). Identical texts are
+# collapsed to one representative (md5 digest groups over ≥3-token
+# docs) BEFORE shingling/banding; emitted pairs are the rep-level
+# band-join candidates plus one rep→member star edge per duplicate —
+# linear in the input, full pair list recoverable by expanding
+# through the stars, connected components provably unchanged (every
+# member reaches its rep, reps carry all cross-content edges). Same
+# contract and rationale as the round-7/8 MLlib faces
+# (mllib_ops._minhash_pairs) and the keep-list production shape.
+# ----------------------------------------------------------------------
+DEDUP_FIRST_CTES = r"""docs3 AS (
+  SELECT doc_id, text, md5(text) AS h
+  FROM documents
+  WHERE len(string_split_regex(trim(text), '\s+')) >= 3
+),
+grp AS (SELECT h, MIN(doc_id) AS rep FROM docs3 GROUP BY h),
+star AS (
+  SELECT g.rep AS doc_a, d.doc_id AS doc_b
+  FROM docs3 d JOIN grp g USING (h)
+  WHERE d.doc_id <> g.rep
+),
+repdocs AS (
+  SELECT d.doc_id, d.text
+  FROM docs3 d JOIN grp g ON d.h = g.h AND d.doc_id = g.rep
+)"""
+
+_BANDED_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {band} AS band,"
+    f" CAST(mh_{2 * band} AS VARCHAR) || '_' || CAST(mh_{2 * band + 1} AS VARCHAR)"
+    f" AS bucket FROM sigs"
+    for band in range(N_MINHASH // 2)
+)
+
+# rep-level shingles → signatures → banded buckets → candidate pairs
+# (rep band-join ∪ star edges) — the shared CTE chain of every oracle
+# in the LSH family
+LSH_CAND_CTES = (
+    DEDUP_FIRST_CTES
+    + f""",
+rep_shingled AS (
+  SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS shingle FROM repdocs
+),
+sigs AS (
+  SELECT doc_id, {MINHASH_SQL_AGGS} FROM rep_shingled GROUP BY doc_id
+),
+banded AS (
+  {_BANDED_SQL}
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  UNION
+  SELECT doc_a, doc_b FROM star
+)"""
+)
+
+
+def _content_reps(spark: SparkSession, sf_dir: str):
+    """(reps, star) — exact-dedup-first over shingle-eligible docs.
+
+    ``reps`` is one (doc_id, text) representative (min doc_id) per
+    distinct text among docs with ≥3 tokens (exactly the docs whose
+    shingle set is non-empty — shorter docs never enter the LSH
+    family on either engine); ``star`` is one (doc_a=rep,
+    doc_b=member) edge per duplicate, ``doc_a < doc_b`` by
+    construction. One shuffle on the text digest; everything
+    downstream (shingling, signatures, banding, the band self-join)
+    sees each distinct text once, so duplicate-group cost is linear,
+    never C(g,2). SQL twin: :data:`DEDUP_FIRST_CTES`.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    members = (
+        docs.filter(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3)
+        .select("doc_id", "text", F.md5("text").alias("h"))
+        .withColumn("rep_id", F.min("doc_id").over(Window.partitionBy("h")))
+    )
+    reps = members.filter(F.col("doc_id") == F.col("rep_id")).select(
+        "doc_id", "text"
+    )
+    star = members.filter(F.col("doc_id") != F.col("rep_id")).select(
+        F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    return reps, star
+
 
 def tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + a ``toks`` column, spread for fan-out.
@@ -148,11 +241,26 @@ ORDER BY canonical_doc_id
 
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidate pairs by exact word-3-gram Jaccard ≥ 0.05
-    via an inverted-index self-join (shingle equi-join, never a cross
-    join). The verify stage of a dedup pipeline; see module docstring
-    for the 100 TB candidate-generation strategy."""
-    shingled = shingled_docs(spark, sf_dir).persist()
+    """Near-dup pairs by exact word-3-gram Jaccard ≥ 0.05 via an
+    inverted-index self-join (shingle equi-join, never a cross join).
+    The verify stage of a dedup pipeline; see module docstring for
+    the 100 TB candidate-generation strategy.
+
+    EXACT-DEDUP-FIRST STAR CONTRACT (round 8 — see
+    :data:`DEDUP_FIRST_CTES`): the inverted-index self-join runs on
+    one representative per distinct text; identical docs are emitted
+    as rep→member star edges with their exact values (n_common =
+    the doc's own distinct-shingle count, jaccard = 1.0). The full
+    pair list is quadratic in duplicate-group size (a 4001-copy
+    boilerplate group alone is 8M rows); the star form is linear and
+    expansion-recoverable."""
+    reps, star = _content_reps(spark, sf_dir)
+    shingled = (
+        reps.withColumn("toks", F.expr(TOKENS))
+        .select("doc_id", F.explode(F.expr(SHINGLES)).alias("shingle"))
+        .distinct()
+        .persist()
+    )
     # persisted: read three times below (sizes + both join sides)
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = shingled.alias("a")
@@ -165,20 +273,27 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
+    rep_pairs = (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= 0.05)
         .select("doc_a", "doc_b", "n_common", "jaccard")
-        .orderBy("doc_a", "doc_b")
     )
+    star_rows = star.join(sa, "doc_a").select(
+        "doc_a",
+        "doc_b",
+        F.col("n_a").alias("n_common"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    return rep_pairs.unionByName(star_rows).orderBy("doc_a", "doc_b")
 
 
 NGRAM_JACCARD_ORACLE = f"""
-WITH shingled AS (
+WITH {DEDUP_FIRST_CTES},
+shingled AS (
   SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS shingle
-  FROM documents
+  FROM repdocs
 ),
 sizes AS (
   SELECT doc_id, COUNT(*) AS n_shingles FROM shingled GROUP BY doc_id
@@ -198,6 +313,9 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE ROUND(n_common / CAST(sa.n_shingles + sb.n_shingles - n_common AS DOUBLE), 6)
       >= 0.05
+UNION ALL
+SELECT s.doc_a, s.doc_b, z.n_shingles AS n_common, 1.0 AS jaccard
+FROM star s JOIN sizes z ON z.doc_id = s.doc_a
 ORDER BY doc_a, doc_b
 """
 
@@ -214,9 +332,17 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`ngram_jaccard_pairs` (shingle join, never cross); both
     directions report from ONE intersection computation. Gate:
     max-direction containment ≥ 0.5 (a real subset relation), in
-    integer micro units.
+    integer micro units. Round 8: exact-dedup-first star contract
+    (see :data:`DEDUP_FIRST_CTES`) — identical docs are one
+    rep→member star row at containment 1.0/1.0, never C(g,2) rows.
     """
-    shingled = shingled_docs(spark, sf_dir).persist()
+    reps, star = _content_reps(spark, sf_dir)
+    shingled = (
+        reps.withColumn("toks", F.expr(TOKENS))
+        .select("doc_id", F.explode(F.expr(SHINGLES)).alias("shingle"))
+        .distinct()
+        .persist()
+    )
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = shingled.alias("a")
     b = shingled.alias("b")
@@ -232,7 +358,7 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
     micro = lambda num, den: F.floor(num * 1000000 / den + F.lit(0.5)).cast("long")
-    return (
+    rep_pairs = (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("c_a_in_b_micro", micro(F.col("n_common"), F.col("n_a")))
@@ -243,14 +369,22 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a", "doc_b", "n_common", "c_a_in_b_micro", "c_b_in_a_micro"
         )
-        .orderBy("doc_a", "doc_b")
     )
+    star_rows = star.join(sa, "doc_a").select(
+        "doc_a",
+        "doc_b",
+        F.col("n_a").alias("n_common"),
+        F.lit(1000000).cast("long").alias("c_a_in_b_micro"),
+        F.lit(1000000).cast("long").alias("c_b_in_a_micro"),
+    )
+    return rep_pairs.unionByName(star_rows).orderBy("doc_a", "doc_b")
 
 
 CONTAINMENT_ORACLE = f"""
-WITH shingled AS (
+WITH {DEDUP_FIRST_CTES},
+shingled AS (
   SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS shingle
-  FROM documents
+  FROM repdocs
 ),
 sizes AS (
   SELECT doc_id, COUNT(*) AS n_shingles FROM shingled GROUP BY doc_id
@@ -275,6 +409,11 @@ SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
   c_a_in_b_micro, c_b_in_a_micro
 FROM scored
 WHERE GREATEST(c_a_in_b_micro, c_b_in_a_micro) >= 500000
+UNION ALL
+SELECT s.doc_a, s.doc_b, CAST(z.n_shingles AS BIGINT) AS n_common,
+  CAST(1000000 AS BIGINT) AS c_a_in_b_micro,
+  CAST(1000000 AS BIGINT) AS c_b_in_a_micro
+FROM star s JOIN sizes z ON z.doc_id = s.doc_a
 ORDER BY doc_a, doc_b
 """
 
@@ -330,14 +469,38 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     unordered. Materialized once per (session, sf_dir) — see
     ``_PAIR_CACHE``.
 
+    EXACT-DEDUP-FIRST STAR CONTRACT (round 8 — see the block comment
+    at :data:`DEDUP_FIRST_CTES`): the band self-join runs on one
+    representative per distinct text, and the emitted pairs are the
+    rep-level candidates plus one rep→member star edge per duplicate
+    (distance-0 by definition). On a corpus with no exact duplicates
+    the output is identical to the classic full band-join; on a
+    duplicated corpus it is linear in the input where the full pair
+    list is quadratic in duplicate-group size (Zipf 10× stress:
+    the downstream verify stage went 267 s → linear). Connected
+    components over the graph are unchanged — the CC-family oracles
+    deliberately still enumerate the FULL pair list in SQL, so every
+    driver run re-proves the equivalence.
+
     This is the scale path for near-dup at 100 TB: candidate
-    generation is a shuffle on band keys, never all-pairs.
+    generation is one digest shuffle + a shuffle on band keys, never
+    all-pairs and never quadratic in duplication.
     """
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _PAIR_CACHE.get(key)
     if cached is not None:
         return cached
-    sigs = minhash_signatures(spark, sf_dir)
+    reps, star = _content_reps(spark, sf_dir)
+    rep_shingled = reps.withColumn("toks", F.expr(TOKENS)).select(
+        "doc_id", F.explode(F.expr(SHINGLES)).alias("shingle")
+    )
+    # distinct-free: the per-doc MIN aggregate dedups shingles for free
+    sigs = rep_shingled.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(_mh_expr_spark(i))).alias(f"mh_{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
     # one pass over the signatures: explode the 4 band keys inline
     # (a per-band union would re-run the whole shingle→md5→min lineage
     # once per band and once per join side — 8× the scan)
@@ -366,6 +529,9 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        # star edges can't collide with rep-level pairs (members are
+        # never reps), so unionAll after the distinct — no re-shuffle
+        .unionAll(star)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pairs.count()  # materialize now so the banded intermediate can go
@@ -377,33 +543,14 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered presentation of :func:`lsh_candidate_pairs` (the sort
     exists only for the deterministic oracle compare; consumers like
-    connected components use the unordered pairs directly)."""
+    connected components use the unordered pairs directly). Round-8
+    star contract — see :func:`lsh_candidate_pairs`."""
     return lsh_candidate_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 MINHASH_LSH_ORACLE = f"""
-WITH shingled AS (
-  SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS shingle
-  FROM documents
-),
-sigs AS (
-  SELECT
-    doc_id,
-    {MINHASH_SQL_AGGS}
-  FROM shingled
-  GROUP BY doc_id
-),
-banded AS (
-  {" UNION ALL ".join(
-    f"SELECT doc_id, {band} AS band,"
-    f" CAST(mh_{2 * band} AS VARCHAR) || '_' || CAST(mh_{2 * band + 1} AS VARCHAR)"
-    f" AS bucket FROM sigs"
-    for band in range(N_MINHASH // 2)
-  )}
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM banded a
-JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WITH {LSH_CAND_CTES}
+SELECT doc_a, doc_b FROM cand
 ORDER BY doc_a, doc_b
 """
 
@@ -515,6 +662,59 @@ def _label_grid_pairs(v: DataFrame, m: int) -> DataFrame:
     )
 
 
+def _cell_cosine_kernel(left, right):
+    """Exact pairwise cosine inside one grid cell — see
+    :func:`embedding_neardup_pairs` for the bit-parity argument.
+
+    left = cell's A-side rows (vec_id, label, v, __blk, __cj),
+    right = B-side; emits ordered pairs (a.vec_id < b.vec_id) whose
+    raw cosine clears the 0.4 gate with a 1e-6 margin (the exact
+    6-dp round + threshold happen JVM-side afterwards)."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "vec_a": pd.Series(dtype="int64"),
+            "vec_b": pd.Series(dtype="int64"),
+            "label": pd.Series(dtype="int32"),
+            "cos_raw": pd.Series(dtype="float64"),
+        }
+    )
+    if len(left) == 0 or len(right) == 0:
+        return empty
+    ids_a = left["vec_id"].to_numpy()
+    ids_b = right["bvec_id"].to_numpy()
+    va = np.stack(left["v"].to_numpy()).astype(np.float64, copy=False)
+    vb = np.stack(right["bv"].to_numpy()).astype(np.float64, copy=False)
+    d = va.shape[1]
+    # left-to-right per-pair accumulation, vectorized across pairs:
+    # acc[i, j] after step k equals the JVM fold of the first k+1
+    # products — NEVER np.dot/matmul (BLAS reassociates the sum)
+    acc = np.zeros((len(ids_a), len(ids_b)))
+    for k in range(d):
+        acc += np.multiply.outer(va[:, k], vb[:, k])
+    n2a = np.zeros(len(ids_a))
+    n2b = np.zeros(len(ids_b))
+    for k in range(d):
+        n2a += va[:, k] * va[:, k]
+        n2b += vb[:, k] * vb[:, k]
+    denom = np.multiply.outer(np.sqrt(n2a), np.sqrt(n2b))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = np.where(denom == 0.0, 0.0, acc / denom)
+    ia, jb = np.nonzero(
+        (ids_a[:, None] < ids_b[None, :]) & (cos >= 0.4 - 1e-6)
+    )
+    return pd.DataFrame(
+        {
+            "vec_a": ids_a[ia],
+            "vec_b": ids_b[jb],
+            "label": np.full(len(ia), left["label"].iloc[0], dtype="int32"),
+            "cos_raw": cos[ia, jb],
+        }
+    )
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: pairs with cosine ≥ 0.4, bucketed by
     label so the pairwise compare is per-bucket (the IVF trick), not a
@@ -522,49 +722,105 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`_label_grid_pairs`) so a skewed label cannot serialize one
     task (the round-2 shape was per-label all-pairs in a single join
     cell). Dot products computed in double with identical
-    left-to-right folds on both engines. Oracle unchanged — the grid
-    is a physical repartitioning of the same exact pair set."""
+    left-to-right folds on both engines.
+
+    Round 8 EXACT-DEDUP-FIRST STAR CONTRACT (the Zipf-stress fix, see
+    :data:`DEDUP_FIRST_CTES` for the rationale): the grid join runs
+    on one representative per distinct (label, vector); identical
+    vectors are emitted as rep→member star rows at literal cosine 1.0
+    (zero vectors excluded — identical zero vectors score 0.0 < 0.4
+    under the zero-norm rule, so the full contract never paired them
+    either). Output is linear in duplication, never C(g,2); the
+    DuckDB oracle computes the same star form."""
     emb = load_table(spark, "embeddings", sf_dir)
     # spread: parallelize the pairwise stage when the source is one file
-    v = spread(emb).select(
+    allv = spread(emb).select(
         "vec_id",
         "label",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     )
-    dot = F.expr(
-        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+    # persisted: three consumers (both grid-join sides + the star
+    # branch) would each recompute the array-keyed window shuffle;
+    # the frame is corpus-row-sized but narrow (~0.5 KB/row) and the
+    # window lineage is the expensive part (array normalization +
+    # shuffle) — measured A/B in SCALE.md round 8
+    members = allv.withColumn(
+        "rep_id", F.min("vec_id").over(Window.partitionBy("label", "v"))
+    ).persist()
+    v = members.filter(F.col("vec_id") == F.col("rep_id")).select(
+        "vec_id", "label", "v"
     )
-    norm_a = F.sqrt(
-        F.expr("aggregate(transform(a.v, x -> x * x), cast(0.0 as double), (acc, x) -> acc + x)")
+    norm2 = F.expr(
+        "aggregate(transform(v, x -> x * x), cast(0.0 as double), (acc, x) -> acc + x)"
     )
-    norm_b = F.sqrt(
-        F.expr("aggregate(transform(b.v, x -> x * x), cast(0.0 as double), (acc, x) -> acc + x)")
-    )
-    # zero-norm-safe (round-6 zero-vector fixture): a zero vector is
-    # similar to nothing — cosine 0.0, matching the oracle's CASE
-    cos = F.round(
-        F.when(norm_a * norm_b == 0, F.lit(0.0)).otherwise(
-            dot / (norm_a * norm_b)
-        ),
-        6,
-    )
-    return (
-        _label_grid_pairs(v, EMBED_PAIR_BLOCKS)
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= 0.4)
+    star_rows = (
+        members.filter((F.col("vec_id") != F.col("rep_id")) & (norm2 > 0))
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
-            "cosine",
+            F.col("rep_id").alias("vec_a"),
+            F.col("vec_id").alias("vec_b"),
+            "label",
+            F.lit(1.0).alias("cosine"),
         )
-        .orderBy("vec_a", "vec_b")
     )
+    # VECTORIZED EXACT KERNEL (round-8 Zipf-stress fix #2): the
+    # O(pairs-per-label) exact cosine is this entry's contract, and
+    # per-pair JVM expression evaluation (lambda fold OR unrolled
+    # 64-term sum — both measured, SCALE.md) pays ~µs/pair: 39M grid
+    # pairs at 10× cost 144-298 s. The same grid cells evaluated as a
+    # cogrouped Arrow kernel run at numpy speed while staying
+    # BIT-IDENTICAL to the JVM fold and DuckDB's list_sum: products
+    # are elementwise IEEE multiplies and the 64-dim reduction is an
+    # explicit d=0..63 loop of vectorized adds — left-to-right
+    # association per pair, vectorized ACROSS pairs, never matmul/BLAS
+    # (whose pairwise summation order would drift ulps). The kernel
+    # emits raw cosines with a conservative margin and the 6-dp edge
+    # round + threshold stay in JVM expressions, so the rounding path
+    # is byte-for-byte the one the oracle mirrors.
+    m = EMBED_PAIR_BLOCKS
+    cell = F.explode(F.array(*[F.lit(i) for i in range(m)]))
+    ga = (
+        v.withColumn("__blk", F.pmod(F.hash("vec_id"), F.lit(m)))
+        .withColumn("__cj", cell)
+        .groupBy("label", F.col("__blk").alias("__ci"), "__cj")
+    )
+    # B side carries RENAMED columns: a self-cogroup shares attribute
+    # ids between sides, and Catalyst's dedup+pruning strips the right
+    # side's payload columns out of the Arrow batch (observed as a
+    # KeyError inside the kernel when the caller projects a column
+    # subset) — distinct names keep both payloads intact
+    gb = (
+        v.select(
+            F.col("vec_id").alias("bvec_id"),
+            F.col("label").alias("blabel"),
+            F.col("v").alias("bv"),
+        )
+        .withColumn("__blk", F.pmod(F.hash("bvec_id"), F.lit(m)))
+        .withColumn("__ci", cell)
+        .groupBy("blabel", "__ci", F.col("__blk").alias("__cj"))
+    )
+    raw = ga.cogroup(gb).applyInPandas(
+        _cell_cosine_kernel,
+        schema="vec_a long, vec_b long, label int, cos_raw double",
+    )
+    rep_pairs = (
+        raw.withColumn("cosine", F.round("cos_raw", 6))
+        .filter(F.col("cosine") >= 0.4)
+        .select("vec_a", "vec_b", "label", "cosine")
+    )
+    return rep_pairs.unionByName(star_rows).orderBy("vec_a", "vec_b")
 
 
 EMBEDDING_NEARDUP_ORACLE = """
 WITH v AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+grpv AS (SELECT label, v, MIN(vec_id) AS rep FROM v GROUP BY label, v),
+reps AS (SELECT rep AS vec_id, label, v FROM grpv),
+starv AS (
+  SELECT g.rep AS vec_a, m.vec_id AS vec_b, m.label
+  FROM v m JOIN grpv g ON m.label = g.label AND m.v = g.v
+  WHERE m.vec_id <> g.rep
+    AND list_sum(list_transform(generate_series(1, 64), i -> m.v[i] * m.v[i])) > 0
 ),
 pairs AS (
   SELECT
@@ -581,12 +837,14 @@ pairs AS (
           * sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.v[i] * b.v[i])))
         )
       END, 6) AS cosine
-  FROM v a
-  JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM reps a
+  JOIN reps b ON a.label = b.label AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, label, cosine
 FROM pairs
 WHERE cosine >= 0.4
+UNION ALL
+SELECT vec_a, vec_b, label, 1.0 AS cosine FROM starv
 ORDER BY vec_a, vec_b
 """
 
@@ -892,7 +1150,10 @@ def lsh_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (3 fixed iterations, damping 0.85) over the undirected
     LSH candidate graph — ranks the most-connected near-duplicate
     documents, the "which docs sit at the center of a template
-    cluster" signal.
+    cluster" signal. Round 8: the graph is the star-contract
+    candidate set (see :func:`lsh_candidate_pairs`) — exact-duplicate
+    groups appear as rep-centered stars (the rep's degree counts its
+    g−1 members plus its near-dup edges), not C(g,2) cliques.
 
     Exact cross-engine arithmetic: ranks live in integer micro-units;
     each edge contributes ``r div deg`` (integer division) and the
@@ -964,30 +1225,7 @@ it{n} AS (
 
 PAGERANK_ORACLE = (
     f"""
-WITH shingled AS (
-  SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS shingle
-  FROM documents
-),
-sigs AS (
-  SELECT
-    doc_id,
-    {MINHASH_SQL_AGGS}
-  FROM shingled
-  GROUP BY doc_id
-),
-banded AS (
-  {" UNION ALL ".join(
-    f"SELECT doc_id, {band} AS band,"
-    f" CAST(mh_{2 * band} AS VARCHAR) || '_' || CAST(mh_{2 * band + 1} AS VARCHAR)"
-    f" AS bucket FROM sigs"
-    for band in range(N_MINHASH // 2)
-  )}
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a
-  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-),
+WITH {LSH_CAND_CTES},
 und AS (
   SELECT doc_a AS src, doc_b AS dst FROM cand
   UNION ALL
@@ -1018,6 +1256,12 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: the candidate pairs semi-join back into the (doc, shingle)
     inverted index on BOTH endpoints, the shingle equi-join counts
     intersections only within candidates, and sizes broadcast back.
+
+    Round 8: candidates arrive in the star contract (see
+    :func:`lsh_candidate_pairs`), so the verify stage is linear in
+    duplication — star pairs are verified honestly through the
+    full-corpus shingle index and come out at exactly 1.0 (identical
+    texts ⇒ identical shingle sets). Zipf 10× stress: 267 s → linear.
     """
     cand = lsh_candidate_pairs(spark, sf_dir)
     shingled = shingled_docs(spark, sf_dir).persist()
@@ -1049,29 +1293,10 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LSH_VERIFIED_ORACLE = f"""
-WITH shingled AS (
+WITH {LSH_CAND_CTES},
+shingled AS (
   SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS shingle
   FROM documents
-),
-sigs AS (
-  SELECT
-    doc_id,
-    {MINHASH_SQL_AGGS}
-  FROM shingled
-  GROUP BY doc_id
-),
-banded AS (
-  {" UNION ALL ".join(
-    f"SELECT doc_id, {band} AS band,"
-    f" CAST(mh_{2 * band} AS VARCHAR) || '_' || CAST(mh_{2 * band + 1} AS VARCHAR)"
-    f" AS bucket FROM sigs"
-    for band in range(N_MINHASH // 2)
-  )}
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a
-  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 ),
 sizes AS (
   SELECT doc_id, COUNT(*) AS n_shingles FROM shingled GROUP BY doc_id
@@ -1346,7 +1571,11 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (3·triangles / wedges) — the structural summary that tells a dedup
     pipeline whether its candidate graph is clique-like (true
     duplicate clusters: transitivity → 1) or chain-like noise from
-    band collisions (transitivity → 0).
+    band collisions (transitivity → 0). Round 8: the graph is the
+    star-contract candidate set (see :func:`lsh_candidate_pairs`), so
+    triangles now measure NEAR-dup (distinct-content) cliques —
+    exact-duplicate groups are rep-centered stars and contribute
+    wedges but never triangles.
 
     Scale: the classic degree-orientation trick. Counting each
     triangle once by enumerating closed wedges at an arbitrary vertex
@@ -1414,30 +1643,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 GRAPH_TRIANGLES_ORACLE = f"""
-WITH shingled AS (
-  SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS shingle
-  FROM documents
-),
-sigs AS (
-  SELECT
-    doc_id,
-    {MINHASH_SQL_AGGS}
-  FROM shingled
-  GROUP BY doc_id
-),
-banded AS (
-  {" UNION ALL ".join(
-    f"SELECT doc_id, {band} AS band,"
-    f" CAST(mh_{2 * band} AS VARCHAR) || '_' || CAST(mh_{2 * band + 1} AS VARCHAR)"
-    f" AS bucket FROM sigs"
-    for band in range(N_MINHASH // 2)
-  )}
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a
-  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-),
+WITH {LSH_CAND_CTES},
 deg AS (
   SELECT node, COUNT(*) AS deg FROM (
     SELECT doc_a AS node FROM cand UNION ALL SELECT doc_b AS node FROM cand
@@ -1479,7 +1685,12 @@ def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both sides are deterministic (md5-derived MinHash, exact
     Jaccard), so unlike the usual ANN-recall ops this evaluation is
-    fully oracle-checkable. Scale: the truth side's inverted-index
+    fully oracle-checkable. Round 8: both sides carry the star
+    contract (see :func:`lsh_candidate_pairs`) — truth is rep-level
+    exact pairs plus the star edges (identical pairs ARE true dups at
+    jaccard 1.0), candidates are rep-level band pairs plus the same
+    stars, so the confusion counts stay coherent and every star pair
+    is a guaranteed hit on both engines. Scale: the truth side's inverted-index
     self-join is the expensive exact path — at 100 TB you'd measure
     recall on a stratified SAMPLE of documents (content-addressed,
     like ``sample_stratified_hash``) and apply the measured
@@ -1515,17 +1726,14 @@ def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LSH_RECALL_ORACLE = f"""
-WITH shingled AS (
-  SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS shingle
-  FROM documents
-),
+WITH {LSH_CAND_CTES},
 sizes AS (
-  SELECT doc_id, COUNT(*) AS n_shingles FROM shingled GROUP BY doc_id
+  SELECT doc_id, COUNT(*) AS n_shingles FROM rep_shingled GROUP BY doc_id
 ),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM shingled a
-  JOIN shingled b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM rep_shingled a
+  JOIN rep_shingled b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 truth AS (
@@ -1535,26 +1743,8 @@ truth AS (
   JOIN sizes sb ON sb.doc_id = doc_b
   WHERE ROUND(n_common / CAST(sa.n_shingles + sb.n_shingles - n_common
                               AS DOUBLE), 6) >= {VERIFY_JACCARD_THRESHOLD}
-),
-sigs AS (
-  SELECT
-    doc_id,
-    {MINHASH_SQL_AGGS}
-  FROM shingled
-  GROUP BY doc_id
-),
-banded AS (
-  {" UNION ALL ".join(
-    f"SELECT doc_id, {band} AS band,"
-    f" CAST(mh_{2 * band} AS VARCHAR) || '_' || CAST(mh_{2 * band + 1} AS VARCHAR)"
-    f" AS bucket FROM sigs"
-    for band in range(N_MINHASH // 2)
-  )}
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a
-  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  UNION
+  SELECT doc_a, doc_b FROM star
 ),
 joined AS (
   SELECT t.doc_a AS ta, c.doc_a AS ca

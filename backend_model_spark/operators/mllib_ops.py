@@ -118,7 +118,13 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str):
             )
         )
 
-    stats = shingled.agg(
+    # gate on the RAW documents scan, not the shingled frame: the
+    # shingled lineage's size(shingles) filter forces the full
+    # tokenize+3-gram transform (~2.5 s of the 12 s sf0.1 wall,
+    # measured round 8), while text-digest distinctness needs only a
+    # scan + one agg. Raw-text distinctness implies shingled-subset
+    # distinctness, so the short-circuit stays sound.
+    stats = load_table(spark, "documents", sf_dir).agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct(F.md5("text")).alias("nd"),
     ).collect()[0]

@@ -187,6 +187,43 @@ def test_lsh_pair_emission_linear_on_megadup_group(spark, megadup_dir):
     assert brow["zero_dist_found"] and brow["pairs_valid"] and brow["dist_exact_ok"]
 
 
+def test_md5_lsh_chain_linear_on_megadup_group(spark, megadup_dir):
+    """Round-8 star contract for the md5-deterministic LSH chain (the
+    Zipf-stress fix): the 1,000-copy group must appear as 999 star
+    edges in `lsh_candidate_pairs`, as 999 jaccard-1.0 rows in
+    `ngram_jaccard_pairs` and `lsh_verified_pairs` — never C(1000,2)
+    — and connected components must still report ONE cluster of
+    1,000 members."""
+    from pyspark.sql import functions as F
+
+    from backend_model_spark.operators.dedup import (
+        duplicate_clusters,
+        lsh_candidate_pairs,
+        lsh_verified_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    cand = lsh_candidate_pairs(spark, megadup_dir)
+    assert cand.count() <= 999 + 15, "candidate emission not linear"
+    assert cand.filter(F.col("doc_a") == 0).count() >= 999
+
+    ng = ngram_jaccard_pairs(spark, megadup_dir)
+    ones = ng.filter(F.col("jaccard") == 1.0)
+    assert ones.count() == 999
+    # star n_common carries the rep's true distinct-shingle count
+    assert ones.agg(F.min("n_common")).collect()[0][0] == 5  # 7 tokens → 5 shingles
+    assert ng.count() <= 999 + 15
+
+    ver = lsh_verified_pairs(spark, megadup_dir)
+    assert ver.filter(F.col("jaccard") == 1.0).count() == 999
+    assert ver.count() <= 999 + 15
+
+    clusters = duplicate_clusters(spark, megadup_dir)
+    big = clusters.filter(F.col("component") == 0)
+    assert big.count() == 1000
+    assert big.agg(F.max("n_members")).collect()[0][0] == 1000
+
+
 def test_quantile_certificate_window_flips_on_bad_estimate():
     """The rank-window predicate behind median_est_ok: a correct
     median rank passes, the minimum (rank ~0) and maximum (rank ~n)

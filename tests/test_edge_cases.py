@@ -704,32 +704,47 @@ def test_curriculum_order_interleaves_sources(spark, sf_dir):
         )
 
 
-def test_graph_triangles_counts_clique_once(spark, tmp_path):
-    """Three identical docs form a 3-clique in the candidate graph:
-    exactly one triangle, transitivity 1.0 — and the degree-oriented
-    count must not double-count the closed wedge."""
+def test_graph_triangles_star_contract(spark, tmp_path):
+    """Round-8 star contract: three identical docs form a rep-centered
+    STAR in the candidate graph (2 edges, 1 wedge, 0 triangles), not
+    a 3-clique — exact-duplicate groups must contribute linear edges.
+    A genuinely near-identical DISTINCT doc still band-joins the rep,
+    so near-dup candidate generation is intact."""
     import pandas as pd
 
-    from backend_model_spark.operators.dedup import graph_triangles
+    from backend_model_spark.operators.dedup import (
+        graph_triangles,
+        lsh_candidate_pairs,
+    )
 
     txt = " ".join(f"tok{i}" for i in range(30))
+    near = txt + " extra"  # 28/29 shared shingles: Jaccard ≈ 0.966
     other = " ".join(f"zz{i}" for i in range(30))
     docs = pd.DataFrame(
         {
-            "doc_id": [0, 1, 2, 3],
-            "text": [txt, txt, txt, other],
-            "lang": ["en"] * 4,
-            "source": ["s0"] * 4,
-            "n_chars": [0] * 4,
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [txt, txt, txt, other, near],
+            "lang": ["en"] * 5,
+            "source": ["s0"] * 5,
+            "n_chars": [0] * 5,
         }
     )
     sf = str(tmp_path)
     docs.to_parquet(f"{sf}/documents.parquet")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(spark, sf).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) in pairs, "star edges must be emitted"
+    assert (1, 2) not in pairs, "within-group pair must NOT be emitted"
+    assert (0, 4) in pairs, "near-identical distinct doc must band-join the rep"
     row = graph_triangles(spark, sf).collect()[0]
-    assert row["n_nodes"] == 3 and row["n_edges"] == 3
-    assert row["n_triangles"] == 1
+    # nodes {0,1,2,4}; edges star(0-1, 0-2) + band(0-4); all wedges at
+    # the rep: C(3,2)=3; no triangle anywhere
+    assert row["n_nodes"] == 4 and row["n_edges"] == 3
+    assert row["n_triangles"] == 0
     assert row["n_wedges"] == 3
-    assert row["transitivity"] == 1.0
+    assert row["transitivity"] == 0.0
 
 
 def test_session_overlap_join_exact_window_math(spark, tmp_path):

@@ -155,6 +155,14 @@ cand AS (
 )
 
 
+# session-scoped materialization of the digest-group frame — the
+# shared first stage of the round-8 star contract, consumed by
+# candidates, ngram, containment, verified (2-3 branches EACH: reps +
+# star). Same design as _PAIR_CACHE below; MEMORY_AND_DISK because
+# the frame carries text.
+_REPS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _content_reps(spark: SparkSession, sf_dir: str):
     """(reps, star) — exact-dedup-first over shingle-eligible docs.
 
@@ -168,12 +176,17 @@ def _content_reps(spark: SparkSession, sf_dir: str):
     sees each distinct text once, so duplicate-group cost is linear,
     never C(g,2). SQL twin: :data:`DEDUP_FIRST_CTES`.
     """
-    docs = load_table(spark, "documents", sf_dir)
-    members = (
-        docs.filter(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3)
-        .select("doc_id", "text", F.md5("text").alias("h"))
-        .withColumn("rep_id", F.min("doc_id").over(Window.partitionBy("h")))
-    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    members = _REPS_CACHE.get(key)
+    if members is None:
+        docs = load_table(spark, "documents", sf_dir)
+        members = (
+            docs.filter(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3)
+            .select("doc_id", "text", F.md5("text").alias("h"))
+            .withColumn("rep_id", F.min("doc_id").over(Window.partitionBy("h")))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        _REPS_CACHE[key] = members
     reps = members.filter(F.col("doc_id") == F.col("rep_id")).select(
         "doc_id", "text"
     )
@@ -1259,17 +1272,29 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Round 8: candidates arrive in the star contract (see
     :func:`lsh_candidate_pairs`), so the verify stage is linear in
-    duplication — star pairs are verified honestly through the
-    full-corpus shingle index and come out at exactly 1.0 (identical
-    texts ⇒ identical shingle sets). Zipf 10× stress: 267 s → linear.
+    duplication. The exact-Jaccard recompute runs against the
+    REPRESENTATIVE shingle index only — star pairs (identical texts
+    by md5 construction) fall out of the inner join and are emitted
+    at their exact value 1.0, so a 100%-duplicated corpus never pays
+    a corpus-sized shingle explode for pairs whose equality is
+    already proven. Zipf 10× stress: 267 s → 2.4×; full-replica 10×
+    5.1× → measured after this change in SCALE.md.
     """
     cand = lsh_candidate_pairs(spark, sf_dir)
-    shingled = shingled_docs(spark, sf_dir).persist()
+    reps, star = _content_reps(spark, sf_dir)
+    shingled = (
+        reps.withColumn("toks", F.expr(TOKENS))
+        .select("doc_id", F.explode(F.expr(SHINGLES)).alias("shingle"))
+        .distinct()
+        .persist()
+    )
     sizes = shingled.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles")
     )
     a = shingled.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = shingled.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # star pairs drop out here by construction: doc_b is a member id,
+    # never present in the rep-only index
     common = (
         cand.join(a, "doc_a")
         .join(b, ["doc_b", "shingle"])
@@ -1285,6 +1310,9 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= VERIFY_JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
+        .unionByName(
+            star.select("doc_a", "doc_b", F.lit(1.0).alias("jaccard"))
+        )
         .orderBy("doc_a", "doc_b")
     )
     # shingled stays persisted until the caller materializes
@@ -1294,18 +1322,14 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LSH_VERIFIED_ORACLE = f"""
 WITH {LSH_CAND_CTES},
-shingled AS (
-  SELECT DISTINCT doc_id, unnest({SHINGLES_SQL}) AS shingle
-  FROM documents
-),
 sizes AS (
-  SELECT doc_id, COUNT(*) AS n_shingles FROM shingled GROUP BY doc_id
+  SELECT doc_id, COUNT(*) AS n_shingles FROM rep_shingled GROUP BY doc_id
 ),
 common AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
   FROM cand c
-  JOIN shingled sa ON sa.doc_id = c.doc_a
-  JOIN shingled sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  JOIN rep_shingled sa ON sa.doc_id = c.doc_a
+  JOIN rep_shingled sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT
@@ -1317,6 +1341,8 @@ JOIN sizes za ON za.doc_id = doc_a
 JOIN sizes zb ON zb.doc_id = doc_b
 WHERE ROUND(n_common / CAST(za.n_shingles + zb.n_shingles - n_common AS DOUBLE), 6)
       >= {VERIFY_JACCARD_THRESHOLD}
+UNION ALL
+SELECT doc_a, doc_b, 1.0 AS jaccard FROM star
 ORDER BY doc_a, doc_b
 """
 

@@ -1613,20 +1613,13 @@ def rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
     ).join(F.broadcast(terms), "token")
-    # ONE explode pass (round-8 plan polish, measured A/B in SCALE.md):
-    # tf already has exactly one row per (doc_id, token), so df is a
-    # COUNT over tf — deriving df_counts from tf instead of a second
-    # countDistinct over qtok removes a full re-execution of the
-    # corpus explode + broadcast join lineage. tf is persisted: ≤
-    # |terms|·n_docs rows (bounded by the 3-term query, never
-    # corpus-explode-sized) with an expensive lineage (scan + explode
-    # + shuffle), reused by both the df aggregate and the cells join —
-    # exactly the repo's persist-when-lineage-expensive rule.
-    tf = (
-        qtok.groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
-    )
+    # df derived from tf (one row per (doc_id, token), so COUNT ≡
+    # countDistinct over qtok). Round-8 A/B (SCALE.md): persisting tf
+    # LOSES (3.21 s vs 2.69 s min-of-3 at sf0.1) — the cache
+    # materialization + codegen break cost more than the explode
+    # recompute it saves, the same verdict as the members-persist
+    # counter-measurement in mllib_ops; tf stays lazy.
+    tf = qtok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_counts = tf.groupBy("token").agg(
         F.count(F.lit(1)).cast("double").alias("df")
     )

@@ -163,6 +163,17 @@ cand AS (
 _REPS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def _still_cached(df: DataFrame) -> bool:
+    """True while a persisted frame is still registered with the cache
+    manager — `spark.catalog.clearCache()` unpersists data behind the
+    session caches' backs, and a stale dict hit would make EVERY
+    downstream job recompute the full LSH lineage (measured: the
+    multi-job graph entries pay 2-5 recomputes, triangles 10 s at
+    sf0.1 instead of ~3)."""
+    sl = df.storageLevel
+    return bool(sl.useMemory or sl.useDisk)
+
+
 def _content_reps(spark: SparkSession, sf_dir: str):
     """(reps, star) — exact-dedup-first over shingle-eligible docs.
 
@@ -178,6 +189,13 @@ def _content_reps(spark: SparkSession, sf_dir: str):
     """
     key = (spark.sparkContext.applicationId, sf_dir)
     members = _REPS_CACHE.get(key)
+    if members is not None and not _still_cached(members):
+        # an external clearCache() (bench quiesce, memory pressure)
+        # unpersisted the data while the dict kept the frame — every
+        # consumer job would silently recompute the whole lineage.
+        # Re-register so the next action materializes once again.
+        members = members.persist(StorageLevel.MEMORY_AND_DISK)
+        _REPS_CACHE[key] = members
     if members is None:
         docs = load_table(spark, "documents", sf_dir)
         members = (
@@ -502,6 +520,11 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _PAIR_CACHE.get(key)
     if cached is not None:
+        if not _still_cached(cached):
+            # see _content_reps: survive an external clearCache()
+            cached = cached.persist(StorageLevel.MEMORY_AND_DISK)
+            cached.count()
+            _PAIR_CACHE[key] = cached
         return cached
     reps, star = _content_reps(spark, sf_dir)
     rep_shingled = reps.withColumn("toks", F.expr(TOKENS)).select(

@@ -1221,13 +1221,15 @@ if HAS_PROTOBUF:
 TIER1 = [
     # ------------------------------------------------------------------
     # ROUND-8 rotation. Budget arithmetic (kept honest): 50 slots.
-    # 9 go to entries NEW or CHANGED since the last driver run (the two
-    # schema-changed mllib LSH entries FIRST, per the round-7 verdict);
-    # 20 drain the never-driver-checked tail to exactly ZERO; 1 covers
-    # this round's planned sim_rrf_hybrid_rank plan polish; the final
-    # 20 re-prove one long-stable representative per operator family
-    # (headline bench entries preferred) so family coverage stays
-    # continuously driver-attested, not frozen at an old round.
+    # 9 go to entries NEW or CHANGED before this round's build (the
+    # two schema-changed mllib LSH entries FIRST, per the round-7
+    # verdict); 20 drain the never-driver-checked tail to exactly
+    # ZERO; 11 re-prove the entries CHANGED during round 8 itself
+    # (the Zipf-stress exact-dedup-first star contract across the md5
+    # pairwise family + consumers, and the RRF one-explode polish);
+    # the final 10 re-prove one long-stable representative per
+    # remaining family (headline bench entries preferred) so family
+    # coverage stays continuously driver-attested.
     # ------------------------------------------------------------------
     # changed since their last driver row — re-prove first:
     #   mllib_minhash_neardup / mllib_brp_ann_join: schema changed in
@@ -1274,30 +1276,32 @@ TIER1 = [
     "sim_pq_adc_recall",
     "streaming_python_datasource",
     "streaming_dedup_user_types",
-    # planned change this round (verdict ask #7: plan polish on the
-    # slowest stable headline) — keep it in the proven prefix:
+    # changed late in round 8 (the Zipf-stress star-contract rewrite
+    # touched the whole md5 pairwise family and its consumers, plus
+    # the RRF one-explode polish) — all must re-prove at the driver:
     "sim_rrf_hybrid_rank",
-    # long-stable family representatives (one per family, headline
-    # bench entries preferred; all previously driver-green r1-r6):
+    "dedup_lsh_verified",
+    "dedup_duplicate_clusters",
+    "dedup_keep_list",
+    "dedup_containment_pairs",
+    "dedup_embedding_neardup",
+    "dedup_embedding_clusters",
+    "dedup_graph_pagerank",
+    "dedup_graph_triangles",
+    "dedup_lsh_recall",
+    "dedup_golden_record",
+    # long-stable family representatives (headline bench entries
+    # preferred; every family NOT already covered above keeps ≥1 rep;
+    # all previously driver-green r1-r6):
     "q1_pricing_summary",          # TPC-H flagship
     "join_q3_shipping_priority",   # joins
-    "agg_global_stats",            # aggregates
-    "clean_junk_filter",           # cleaning
-    "sort_topk_orders",            # sorts / top-k
     "window_rfm_segments",         # windows headline
-    "events_sessionize",           # events
-    "events_asof_join",            # as-of join
-    "text_bm25_rank",              # text headline
+    "events_asof_join",            # events / as-of join
     "dedup_exact_groups",          # exact dedup
-    "dedup_minhash_lsh_candidates",# LSH production path
+    "dedup_minhash_lsh_candidates",# LSH production path (also changed r8)
     "sim_pq_adc_topk",             # ANN headline
-    "sim_cosine_topk_bruteforce",  # exact ANN contrast arm
     "media_png_roundtrip",         # multimodal codec
-    "io_csv_roundtrip",            # io
-    "func_math",                   # scalar funcs
     "sql_grouping_sets",           # sql
-    "sample_stratified_hash",      # sampling
-    "streaming_hourly_counts",     # streaming
     "ml_mlp_batch_inference",      # ML serving (bit-exact oracle)
 ]
 

@@ -163,6 +163,20 @@ cand AS (
 _REPS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def _evict_oldest(cache: dict, cap: int = 8) -> None:
+    """Bound the session caches: the test suite runs hundreds of
+    fixture sf_dirs through these entries, and every key pins a
+    persisted frame (the members frame carries TEXT). Insertion order
+    ≈ recency here — each sf_dir is processed as a unit — so dropping
+    the oldest is effectively LRU."""
+    while len(cache) > cap:
+        old = cache.pop(next(iter(cache)))
+        try:
+            old.unpersist()
+        except Exception:  # noqa: BLE001 — session may be gone
+            pass
+
+
 def _still_cached(df: DataFrame) -> bool:
     """True while a persisted frame is still registered with the cache
     manager — `spark.catalog.clearCache()` unpersists data behind the
@@ -205,6 +219,7 @@ def _content_reps(spark: SparkSession, sf_dir: str):
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         _REPS_CACHE[key] = members
+        _evict_oldest(_REPS_CACHE)
     reps = members.filter(F.col("doc_id") == F.col("rep_id")).select(
         "doc_id", "text"
     )
@@ -573,6 +588,7 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs.count()  # materialize now so the banded intermediate can go
     banded.unpersist()
     _PAIR_CACHE[key] = pairs
+    _evict_oldest(_PAIR_CACHE)
     return pairs
 
 

@@ -113,6 +113,11 @@ HEADLINE = [
     # Python-envelope cost is measured round-over-round, per the
     # round-6 verdict
     "ml_mlp_calibration_deciles",
+    # round 8: the exact-dedup-first star contract + cogrouped Arrow
+    # cosine kernel (bit-exact left-to-right summation vectorized
+    # across pairs) — holds the Zipf-stress fix in the bench: this
+    # entry went 298 s -> 4.2 s at 10x duplication scale
+    "dedup_embedding_neardup",
 ]
 
 

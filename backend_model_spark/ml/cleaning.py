@@ -216,6 +216,14 @@ def airbnb_e2e(spark, sf_dir: str) -> DataFrame:
     if paths is None:
         train_pdf, test_pdf, _ = generate_listings(**AIRBNB_E2E_SHAPE)
         d = tempfile.mkdtemp(prefix="airbnb_e2e_fixture_")
+        # the fixture dir would otherwise outlive the process (the
+        # cache key is the applicationId, so no later run reuses it) —
+        # repeated driver rounds on one host would accumulate ~10 MB
+        # of orphaned parquet per session (round-8 review finding)
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
         paths = (os.path.join(d, "train.parquet"), os.path.join(d, "test.parquet"))
         train_pdf.to_parquet(paths[0])
         test_pdf.to_parquet(paths[1])

@@ -166,15 +166,23 @@ _REPS_CACHE: dict[tuple[str, str], DataFrame] = {}
 def _evict_oldest(cache: dict, cap: int = 8) -> None:
     """Bound the session caches: the test suite runs hundreds of
     fixture sf_dirs through these entries, and every key pins a
-    persisted frame (the members frame carries TEXT). Insertion order
-    ≈ recency here — each sf_dir is processed as a unit — so dropping
-    the oldest is effectively LRU."""
+    persisted frame (the members frame carries TEXT). Eviction is
+    true LRU — every hit calls :func:`_touch` to move its key to the
+    dict's end, so the front is always the least-recently-used."""
     while len(cache) > cap:
         old = cache.pop(next(iter(cache)))
         try:
             old.unpersist()
         except Exception:  # noqa: BLE001 — session may be gone
             pass
+
+
+def _touch(cache: dict, key) -> None:
+    """Move ``key`` to the end of ``cache`` (mark most-recently-used).
+    Plain reassignment keeps a dict key's ORIGINAL position, so
+    without this a hot sf_dir inserted first would be evicted first."""
+    if key in cache:
+        cache[key] = cache.pop(key)
 
 
 def _still_cached(df: DataFrame) -> bool:
@@ -203,6 +211,7 @@ def _content_reps(spark: SparkSession, sf_dir: str):
     """
     key = (spark.sparkContext.applicationId, sf_dir)
     members = _REPS_CACHE.get(key)
+    _touch(_REPS_CACHE, key)
     if members is not None and not _still_cached(members):
         # an external clearCache() (bench quiesce, memory pressure)
         # unpersisted the data while the dict kept the frame — every
@@ -227,6 +236,43 @@ def _content_reps(spark: SparkSession, sf_dir: str):
         F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
     )
     return reps, star
+
+
+# distinct (rep doc_id, shingle) inverted index — the star contract's
+# SECOND shared stage, consumed by candidates (signatures), ngram,
+# containment, and verified. Before round 8's review pass each of the
+# three Jaccard-family entries rebuilt and separately persisted an
+# identical copy.
+_REP_SHINGLED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+# (vec_id, label, v, rep_id) digest-group frame for the embedding
+# pairwise family — same bounded-LRU posture as the text-side caches
+_EMB_MEMBERS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _rep_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (doc_id, shingle) over the representatives — cached
+    per (application, sf_dir) with the same LRU + clearCache
+    revalidation as the other session materializations. Safe for the
+    signature path too: MIN over the distinct shingle set equals MIN
+    over the raw explode."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    sh = _REP_SHINGLED_CACHE.get(key)
+    _touch(_REP_SHINGLED_CACHE, key)
+    if sh is not None and not _still_cached(sh):
+        sh = sh.persist()
+        _REP_SHINGLED_CACHE[key] = sh
+    if sh is None:
+        reps, _ = _content_reps(spark, sf_dir)
+        sh = (
+            reps.withColumn("toks", F.expr(TOKENS))
+            .select("doc_id", F.explode(F.expr(SHINGLES)).alias("shingle"))
+            .distinct()
+            .persist()
+        )
+        _REP_SHINGLED_CACHE[key] = sh
+        _evict_oldest(_REP_SHINGLED_CACHE)
+    return sh
 
 
 def tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,13 +346,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair list is quadratic in duplicate-group size (a 4001-copy
     boilerplate group alone is 8M rows); the star form is linear and
     expansion-recoverable."""
-    reps, star = _content_reps(spark, sf_dir)
-    shingled = (
-        reps.withColumn("toks", F.expr(TOKENS))
-        .select("doc_id", F.explode(F.expr(SHINGLES)).alias("shingle"))
-        .distinct()
-        .persist()
-    )
+    _, star = _content_reps(spark, sf_dir)
+    shingled = _rep_shingled(spark, sf_dir)
     # persisted: read three times below (sizes + both join sides)
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = shingled.alias("a")
@@ -382,13 +423,8 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see :data:`DEDUP_FIRST_CTES`) — identical docs are one
     rep→member star row at containment 1.0/1.0, never C(g,2) rows.
     """
-    reps, star = _content_reps(spark, sf_dir)
-    shingled = (
-        reps.withColumn("toks", F.expr(TOKENS))
-        .select("doc_id", F.explode(F.expr(SHINGLES)).alias("shingle"))
-        .distinct()
-        .persist()
-    )
+    _, star = _content_reps(spark, sf_dir)
+    shingled = _rep_shingled(spark, sf_dir)
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = shingled.alias("a")
     b = shingled.alias("b")
@@ -534,6 +570,7 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _PAIR_CACHE.get(key)
+    _touch(_PAIR_CACHE, key)
     if cached is not None:
         if not _still_cached(cached):
             # see _content_reps: survive an external clearCache()
@@ -541,11 +578,10 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             cached.count()
             _PAIR_CACHE[key] = cached
         return cached
-    reps, star = _content_reps(spark, sf_dir)
-    rep_shingled = reps.withColumn("toks", F.expr(TOKENS)).select(
-        "doc_id", F.explode(F.expr(SHINGLES)).alias("shingle")
-    )
-    # distinct-free: the per-doc MIN aggregate dedups shingles for free
+    _, star = _content_reps(spark, sf_dir)
+    # shared distinct index (MIN over the distinct set == MIN over the
+    # raw explode, so the signature path reuses it too)
+    rep_shingled = _rep_shingled(spark, sf_dir)
     sigs = rep_shingled.groupBy("doc_id").agg(
         *[
             F.min(F.expr(_mh_expr_spark(i))).alias(f"mh_{i}")
@@ -676,44 +712,6 @@ ORDER BY doc_id
 EMBED_PAIR_BLOCKS = 4
 
 
-def _label_grid_pairs(v: DataFrame, m: int) -> DataFrame:
-    """All within-label ordered pairs (a.vec_id < b.vec_id) via grid
-    (theta-join) partitioning — Okcan & Riedewald's blocked formulation
-    of a skewed self-join, exact by construction.
-
-    Each row hashes to one of ``m`` blocks; side A replicates over the
-    m column-cells of its block row, side B over the m row-cells of
-    its block column, and the join key is the full cell coordinate
-    ``(label, i, j)``. A pair with blocks (i, j) meets in exactly one
-    cell as (a, b) with a.vec_id < b.vec_id, so the output is
-    identical to the naive per-label join while no task ever holds
-    more than (label_size / m)²-ish pair work — a skewed label spreads
-    over m² cells instead of serializing one task. AQE skew-split
-    cannot rescue this shape: its heuristics are byte-based, and a hot
-    label's bytes sit far below the skew threshold while its PAIR work
-    is quadratic — measured in SCALE.md (forced-SMJ skew regime:
-    naive 21.8 s vs grid m=4 4.5 s at identical output).
-    """
-    cell = F.explode(F.array(*[F.lit(i) for i in range(m)]))
-    a = (
-        v.withColumn("__blk", F.pmod(F.hash("vec_id"), F.lit(m)))
-        .withColumn("__cj", cell)
-        .alias("a")
-    )
-    b = (
-        v.withColumn("__blk", F.pmod(F.hash("vec_id"), F.lit(m)))
-        .withColumn("__ci", cell)
-        .alias("b")
-    )
-    return a.join(
-        b,
-        (F.col("a.label") == F.col("b.label"))
-        & (F.col("a.__cj") == F.col("b.__blk"))
-        & (F.col("a.__blk") == F.col("b.__ci"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    )
-
-
 def _cell_cosine_kernel(left, right):
     """Exact pairwise cosine inside one grid cell — see
     :func:`embedding_neardup_pairs` for the bit-parity argument.
@@ -770,10 +768,13 @@ def _cell_cosine_kernel(left, right):
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: pairs with cosine ≥ 0.4, bucketed by
     label so the pairwise compare is per-bucket (the IVF trick), not a
-    global cross join — and grid-blocked within label
-    (:func:`_label_grid_pairs`) so a skewed label cannot serialize one
-    task (the round-2 shape was per-label all-pairs in a single join
-    cell). Dot products computed in double with identical
+    global cross join — and grid-blocked within label (the Okcan &
+    Riedewald theta-join cell scheme, realized since round 8 by the
+    cogrouped Arrow kernel's (label, i, j) cell keys; the JVM-join
+    reference formulation lives as the executable spec in
+    tests/test_edge_cases.py::test_grid_pairs_bound_per_cell_and_exact)
+    so a skewed label cannot serialize one task (the round-2 shape
+    was per-label all-pairs in a single join cell). Dot products computed in double with identical
     left-to-right folds on both engines.
 
     Round 8 EXACT-DEDUP-FIRST STAR CONTRACT (the Zipf-stress fix, see
@@ -791,14 +792,24 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     )
-    # persisted: three consumers (both grid-join sides + the star
-    # branch) would each recompute the array-keyed window shuffle;
-    # the frame is corpus-row-sized but narrow (~0.5 KB/row) and the
-    # window lineage is the expensive part (array normalization +
-    # shuffle) — measured A/B in SCALE.md round 8
-    members = allv.withColumn(
-        "rep_id", F.min("vec_id").over(Window.partitionBy("label", "v"))
-    ).persist()
+    # persisted via the bounded session cache: three consumers (both
+    # grid-join sides + the star branch) would each recompute the
+    # array-keyed window shuffle (measured A/B in SCALE.md round 8),
+    # and embedding_duplicate_clusters re-enters this function in the
+    # same session — an unbounded per-call persist() would pin one
+    # corpus-sized frame per invocation (review finding, round 8)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    members = _EMB_MEMBERS_CACHE.get(key)
+    _touch(_EMB_MEMBERS_CACHE, key)
+    if members is not None and not _still_cached(members):
+        members = members.persist(StorageLevel.MEMORY_AND_DISK)
+        _EMB_MEMBERS_CACHE[key] = members
+    if members is None:
+        members = allv.withColumn(
+            "rep_id", F.min("vec_id").over(Window.partitionBy("label", "v"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _EMB_MEMBERS_CACHE[key] = members
+        _evict_oldest(_EMB_MEMBERS_CACHE)
     v = members.filter(F.col("vec_id") == F.col("rep_id")).select(
         "vec_id", "label", "v"
     )
@@ -1320,13 +1331,8 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     5.1× → measured after this change in SCALE.md.
     """
     cand = lsh_candidate_pairs(spark, sf_dir)
-    reps, star = _content_reps(spark, sf_dir)
-    shingled = (
-        reps.withColumn("toks", F.expr(TOKENS))
-        .select("doc_id", F.explode(F.expr(SHINGLES)).alias("shingle"))
-        .distinct()
-        .persist()
-    )
+    _, star = _content_reps(spark, sf_dir)
+    shingled = _rep_shingled(spark, sf_dir)
     sizes = shingled.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles")
     )

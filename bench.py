@@ -18,6 +18,28 @@ import sys
 import time
 
 
+def timed_cold_run(spark, fn, sf_dir: str) -> tuple[float, float]:
+    """ONE cold measurement under the repo's standard protocol —
+    shared by bench.py and scripts/stress_times.py so the stress
+    ledger and the headline bench can't drift apart (round-8 review
+    finding; the BUCKET/_star_expectations lesson applied to the
+    measurement harness itself). Quiesce: drop cached frames, force
+    both GCs so the previous query's deferred shuffle cleanup runs
+    now, settle 2 s; returns (seconds, 1-min load sampled at start).
+    """
+    import gc as _gc
+    import time as _time
+
+    spark.catalog.clearCache()
+    _gc.collect()
+    spark._jvm.System.gc()
+    _time.sleep(2.0)
+    load = round(os.getloadavg()[0], 2)
+    t0 = _time.monotonic()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return round(_time.monotonic() - t0, 3), load
+
+
 def wait_for_quiesce(max_wait_s: float, gate: float) -> dict:
     """Block until the host 1-min load average drops below ``gate``
     (or ``max_wait_s`` elapses) so the timed section is
@@ -157,19 +179,11 @@ def main() -> None:
         runs[name] = []
         run_loads[name] = []
         for _ in range(2):
-            # quiesce between measurements: drop cached frames, then
-            # force both GCs so the ContextCleaner's deferred shuffle/
-            # checkpoint cleanup from the previous query (an iterative
-            # query leaves ~100 dead shuffles) runs now, not inside
-            # the next query's timed window
-            spark.catalog.clearCache()
-            gc.collect()
-            spark._jvm.System.gc()
-            time.sleep(2.0)
-            run_loads[name].append(round(os.getloadavg()[0], 2))
-            t0 = time.monotonic()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            runs[name].append(round(time.monotonic() - t0, 3))
+            # min-of-2 cold runs under the shared protocol (see
+            # timed_cold_run for the quiesce rationale)
+            sec, load = timed_cold_run(spark, fn, SF_DIR)
+            run_loads[name].append(load)
+            runs[name].append(sec)
         timings[name] = min(runs[name])
     load_after = os.getloadavg()
 

@@ -72,11 +72,19 @@ KEYS: dict[str, list[str]] = {
 # C(g,2) within-group path (~8M pairs) is unmissable in wall time
 # while the linear star/keep-list path (g−1 edges) stays trivial.
 HOT_SIZES = [4000, 2000, 1000, 500, 250, 125, 62, 31, 15, 7, 3, 2]
-HOT_BASE = 900_000_000_000
+# hot-clone ids live at replica slot 100_000 — far above any cold
+# replica k*SHIFT (guarded in _hot_clone_map: k_reps must stay below
+# it, else clone ids would collide with a cold replica's id range)
+HOT_SLOT = 100_000
+HOT_BASE = HOT_SLOT * SHIFT
 
 
-def _hot_clone_map(spark, id_col: str, base_ids: list[int]) -> "DataFrame":
+def _hot_clone_map(spark, id_col: str, base_ids: list[int], k_reps: int) -> "DataFrame":
     """(orig id, fresh clone id) — one row per hot clone to emit."""
+    assert k_reps < HOT_SLOT, (
+        f"k_reps={k_reps} would overlap the hot-clone id range at "
+        f"replica {HOT_SLOT}"
+    )
     rows, next_id = [], HOT_BASE
     for orig, size in zip(base_ids, HOT_SIZES):
         for _ in range(size):
@@ -103,7 +111,7 @@ def _zipf_documents(spark, df, k_reps):
     cold = reduce(lambda a, b: a.unionByName(b), reps)
     base_ids = [r[0] for r in df.select("doc_id").orderBy("doc_id").limit(len(HOT_SIZES)).collect()]
     hot = (
-        _hot_clone_map(spark, "doc_id", base_ids)
+        _hot_clone_map(spark, "doc_id", base_ids, k_reps)
         .join(df, "doc_id")
         .select(F.col("_new_id").alias("doc_id"), "text", "lang", "source", "n_chars")
     )
@@ -132,7 +140,7 @@ def _zipf_embeddings(spark, df, k_reps):
     cold = reduce(lambda a, b: a.unionByName(b), reps)
     base_ids = [r[0] for r in df.select("vec_id").orderBy("vec_id").limit(len(HOT_SIZES)).collect()]
     hot = (
-        _hot_clone_map(spark, "vec_id", base_ids)
+        _hot_clone_map(spark, "vec_id", base_ids, k_reps)
         .join(df, "vec_id")
         .select(F.col("_new_id").alias("vec_id"), "embedding", "label")
     )

@@ -509,11 +509,44 @@ def test_embedding_cc_strategies_shared(spark, monkeypatch):
     assert single_task.values.tolist() == contracted.values.tolist()
 
 
+def _label_grid_pairs_spec(v, m):
+    """JVM-join reference formulation of the (label, i, j) grid cell
+    scheme — the executable SPEC of how `_cell_cosine_kernel`'s
+    cogroup keys partition the within-label pair set (side A
+    replicates over its block row's m column cells, side B over its
+    block column's m row cells; a pair meets in exactly one cell with
+    a.vec_id < b.vec_id). Lives in the tests since round 8: the
+    production path is the cogrouped Arrow kernel, but this join IS
+    the cell scheme, and the test below proves it a pure repartition
+    of the naive pair set."""
+    from pyspark.sql import functions as F
+
+    cell = F.explode(F.array(*[F.lit(i) for i in range(m)]))
+    a = (
+        v.withColumn("__blk", F.pmod(F.hash("vec_id"), F.lit(m)))
+        .withColumn("__cj", cell)
+        .alias("a")
+    )
+    b = (
+        v.withColumn("__blk", F.pmod(F.hash("vec_id"), F.lit(m)))
+        .withColumn("__ci", cell)
+        .alias("b")
+    )
+    return a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.__cj") == F.col("b.__blk"))
+        & (F.col("a.__blk") == F.col("b.__ci"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+
+
 def test_grid_pairs_bound_per_cell_and_exact(spark):
     """The blocked pairwise compare must (a) emit exactly the naive
     within-label ordered pair set and (b) bound any one join cell's
     pair work well below the naive single-cell label² — the skew
-    guarantee that lets a giant label survive at 100 TB."""
+    guarantee that lets a giant label survive at 100 TB. Since round 8
+    this pins the cell scheme the cogrouped Arrow kernel keys on."""
     from pyspark.sql import functions as F
 
     import backend_model_spark.operators.dedup as D
@@ -521,7 +554,7 @@ def test_grid_pairs_bound_per_cell_and_exact(spark):
     rows = [(i, "big" if i < 80 else "small") for i in range(100)]
     v = spark.createDataFrame(rows, "vec_id long, label string")
     m = D.EMBED_PAIR_BLOCKS
-    grid = D._label_grid_pairs(v, m).select(
+    grid = _label_grid_pairs_spec(v, m).select(
         F.col("a.vec_id").alias("x"),
         F.col("b.vec_id").alias("y"),
         F.col("a.label").alias("label"),

@@ -55,11 +55,13 @@ def _word_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
-    wv = W.orderBy(F.col("wc").desc(), F.col("word").asc())
-    # global top-k: TakeOrderedAndProject shape via orderBy+limit
+    # global top-k as orderBy+limit: Spark plans this as a distributed
+    # TakeOrderedAndProject (per-partition heap + driver merge of k
+    # rows), never a single-partition WindowExec over the vocab. The
+    # (wc desc, word asc) order is total, so the k-prefix is unique.
     return (
-        words.withColumn("vrk", F.row_number().over(wv))
-        .filter(F.col("vrk") <= VOCAB_TOP)
+        words.orderBy(F.col("wc").desc(), F.col("word").asc())
+        .limit(VOCAB_TOP)
         .select("word", "wc")
     )
 
@@ -181,10 +183,11 @@ def bpe_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # learner state: top-VOCAB_TOP global vocab (identical selection
     # to bpe_learn_merges, derived from the same per-source rollup)
     gw = words.groupBy("word").agg(F.sum("c").alias("wc"))
-    wv = W.orderBy(F.col("wc").desc(), F.col("word").asc())
+    # same TakeOrderedAndProject top-k as _word_vocab (total order ⇒
+    # unique prefix; no single-partition window)
     vocab = (
-        gw.withColumn("vrk", F.row_number().over(wv))
-        .filter(F.col("vrk") <= VOCAB_TOP)
+        gw.orderBy(F.col("wc").desc(), F.col("word").asc())
+        .limit(VOCAB_TOP)
         .select("word", "wc")
     )
     chars = lambda df: (

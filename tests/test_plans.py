@@ -375,18 +375,58 @@ def _global_window_nodes(logical: str) -> list[str]:
 def test_no_unpartitioned_window_anywhere_in_registry(spark, sf_dir):
     """Round-2 verdict: three registry queries planned global windows
     (RFM ntile, Gini row_number/count, KL corpus sum) — every one a
-    whole-table single-task sort at scale. This sweeps EVERY registered
-    query's optimized plan and fails on any Window with an empty
-    partition spec, so the anti-pattern cannot re-enter the registry.
+    whole-table single-task sort at scale. Round-8 verdict widened the
+    lint: one walk over EVERY registered query now fails on
+
+    - any logical Window with an empty partition spec (single-task
+      whole-table sort),
+    - any physical ``CartesianProduct`` (the non-broadcast nested-loop
+      join — an all-pairs shuffle of both sides; one-row scalar
+      attaches plan as ``BroadcastNestedLoopJoin`` instead, which is
+      the only nested-loop shape allowed).
+
+    so neither anti-pattern can re-enter the registry.
     """
     offenders = {}
     for name in sorted(_QUERIES):
         df = _QUERIES[name](spark, sf_dir)
-        logical = df._jdf.queryExecution().optimizedPlan().toString()
-        bad = _global_window_nodes(logical)
+        qe = df._jdf.queryExecution()
+        bad = _global_window_nodes(qe.optimizedPlan().toString())
+        if "CartesianProduct" in qe.sparkPlan().toString():
+            bad = bad + ["CartesianProduct (non-broadcast NLJ)"]
         if bad:
             offenders[name] = bad
-    assert not offenders, f"global (single-partition) windows: {offenders}"
+    assert not offenders, f"plan lint offenders: {offenders}"
+
+
+def test_no_global_window_construction_in_source():
+    """``localCheckpoint()`` truncates lineage, so the plan sweep above
+    can miss a global window built BEFORE a checkpoint (round-8
+    verdict: the bpe.py vocab top-k windows hid exactly this way).
+    This AST lint bans the construction itself: no
+    ``W.orderBy(...)`` / ``Window.orderBy(...)`` call anywhere in
+    non-vendor package source — window specs must start from
+    ``partitionBy``; a global top-k is ``orderBy(...).limit(k)``
+    (TakeOrderedAndProject) or ``scale_utils.with_global_rank``.
+    """
+    import ast
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "backend_model_spark"
+    offenders = []
+    for py in sorted(root.rglob("*.py")):
+        if "vendor" in py.parts:
+            continue
+        for node in ast.walk(ast.parse(py.read_text())):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "orderBy"
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id in {"W", "Window"}
+            ):
+                offenders.append(f"{py.relative_to(root)}:{node.lineno}")
+    assert not offenders, f"global window construction sites: {offenders}"
 
 
 def test_scd2_single_join(spark, sf_dir):

@@ -181,6 +181,37 @@ AIRBNB_E2E_SHAPE = dict(
 _E2E_FIXTURE_CACHE: dict = {}
 
 
+def _e2e_fixture_frames(spark):
+    """(train, test) DataFrames over the deterministic 29-column dirty
+    fixture, written once per application to temp parquet and SCANNED
+    (see :func:`airbnb_e2e` for why scanning beats embedding). Shared
+    by the cleaning entry and the round-9 train/eval entry so both
+    provably run the reference's exact funnel input."""
+    import os
+    import tempfile
+
+    from backend_model_spark.ml.fixtures import generate_listings
+
+    key = spark.sparkContext.applicationId
+    paths = _E2E_FIXTURE_CACHE.get(key)
+    if paths is None:
+        train_pdf, test_pdf, _ = generate_listings(**AIRBNB_E2E_SHAPE)
+        d = tempfile.mkdtemp(prefix="airbnb_e2e_fixture_")
+        # the fixture dir would otherwise outlive the process (the
+        # cache key is the applicationId, so no later run reuses it) —
+        # repeated driver rounds on one host would accumulate ~10 MB
+        # of orphaned parquet per session (round-8 review finding)
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        paths = (os.path.join(d, "train.parquet"), os.path.join(d, "test.parquet"))
+        train_pdf.to_parquet(paths[0])
+        test_pdf.to_parquet(paths[1])
+        _E2E_FIXTURE_CACHE[key] = paths
+    return spark.read.parquet(paths[0]), spark.read.parquet(paths[1])
+
+
 def airbnb_e2e(spark, sf_dir: str) -> DataFrame:
     """The reference's ENTIRE core dataflow as one registered,
     driver-checked entry: deterministic 29-column dirty fixture at
@@ -206,30 +237,7 @@ def airbnb_e2e(spark, sf_dir: str) -> DataFrame:
     (two counts, five StringIndexer fits, the final agg — measured
     22 s embedded vs ~7 s scanned), and a parquet scan is how the
     real pipeline would ingest the CSVs anyway."""
-    import os
-    import tempfile
-
-    from backend_model_spark.ml.fixtures import generate_listings
-
-    key = spark.sparkContext.applicationId
-    paths = _E2E_FIXTURE_CACHE.get(key)
-    if paths is None:
-        train_pdf, test_pdf, _ = generate_listings(**AIRBNB_E2E_SHAPE)
-        d = tempfile.mkdtemp(prefix="airbnb_e2e_fixture_")
-        # the fixture dir would otherwise outlive the process (the
-        # cache key is the applicationId, so no later run reuses it) —
-        # repeated driver rounds on one host would accumulate ~10 MB
-        # of orphaned parquet per session (round-8 review finding)
-        import atexit
-        import shutil
-
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
-        paths = (os.path.join(d, "train.parquet"), os.path.join(d, "test.parquet"))
-        train_pdf.to_parquet(paths[0])
-        test_pdf.to_parquet(paths[1])
-        _E2E_FIXTURE_CACHE[key] = paths
-    train = spark.read.parquet(paths[0])
-    test = spark.read.parquet(paths[1])
+    train, test = _e2e_fixture_frames(spark)
     unioned = union_train_test(train, test)
     n_union = unioned.count()
     n_dropna = unioned.na.drop("any").count()
@@ -263,19 +271,126 @@ def airbnb_e2e(spark, sf_dir: str) -> DataFrame:
     return row
 
 
+# literal values from the committed independent pandas funnel
+# (scripts/airbnb_golden.py) — regenerated round 9 when the fixture's
+# price model became feature-dependent (learnable, so the train/eval
+# entry's held-out-R² certificate has a satisfiable obligation)
 AIRBNB_E2E_ORACLE = """
 SELECT
   CAST(99569 AS BIGINT) AS n_union,
   CAST(38502 AS BIGINT) AS n_after_dropna,
   CAST(38499 AS BIGINT) AS n_rows,
-  CAST(3841385824 AS BIGINT) AS sum_price_cents,
-  CAST(103 AS BIGINT) AS min_price_cents,
-  CAST(199897 AS BIGINT) AS max_price_cents,
+  CAST(1782276605 AS BIGINT) AS sum_price_cents,
+  CAST(8880 AS BIGINT) AS min_price_cents,
+  CAST(129527 AS BIGINT) AS max_price_cents,
   CAST(6 AS BIGINT) AS n_cities,
-  CAST(127062 AS BIGINT) AS sum_city_code,
+  CAST(126974 AS BIGINT) AS sum_city_code,
   CAST(13941 AS INTEGER) AS host_since_min,
   CAST(17434 AS INTEGER) AS host_since_max,
-  CAST(57488 AS BIGINT) AS sum_bool_flags,
-  CAST(1855187158 AS BIGINT) AS sum_zipcode,
+  CAST(57826 AS BIGINT) AS sum_bool_flags,
+  CAST(1849519970 AS BIGINT) AS sum_zipcode,
   CAST(0 AS BIGINT) AS n_null_zip
+"""
+
+
+# applicationId -> certificate tuple: the fit is deterministic, so one
+# train per application (the registry plan sweep constructs this entry
+# repeatedly; cf. ml_queries._GBT_CACHE)
+_TRAIN_EVAL_CACHE: dict = {}
+
+
+def content_bucket():
+    """The train/eval entry's content-addressed split bucket in
+    [0, 100): md5 over the concatenated 16 ``air_b`` columns (the
+    table has no row id, so content IS the identity). ONE shared
+    expression — the flip test reuses it so a hand-copied split
+    cannot drift (the sampling.BUCKET lesson)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("|", *[F.col(c).cast("string") for c in FINAL_COLS])
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+
+
+def airbnb_train_eval(spark, sf_dir: str) -> DataFrame:
+    """Round-9 closing half-step of the reference's core dataflow
+    (round-8 verdict ask #7): the 38,499×16 cleaned ``air_b`` frame
+    from :func:`airbnb_e2e`'s funnel, chained into the capability-map
+    GBT pipeline (``ml/pipeline.py`` assembler → StandardScaler →
+    GBTRegressor — the reference trains a Keras FCFF net here,
+    pipeline.py:29-87; MLlib has no DNN regressor, SURVEY §2.10) and
+    evaluated on held-out rows.
+
+    The split is CONTENT-ADDRESSED (md5 over the concatenated 16
+    columns, bucket < 80 trains — the repo-wide discipline; ``air_b``
+    has no row id, so content IS the identity) rather than
+    randomSplit, which is partitioning-dependent. Hashed row: the
+    exact conserved total (38,499 — the funnel constant the oracle
+    states literally) plus certificates — split fraction within
+    ±0.05 of 0.8, MAE and RMSE finite, MAE ≤ RMSE (Cauchy–Schwarz),
+    test R² ≤ 1, train R² > 0 (boosting beats the mean predictor on
+    its own data), and held-out R² > 0 (price is learnable from the
+    15 features; the e2e ML test shuffles labels to prove this
+    boolean flips). Metrics themselves are tree-ensemble floats —
+    engine-local by nature, like every ``ml_gbt_*`` certificate.
+
+    Scale: GBT fitting is MLlib's distributed histogram boosting (one
+    shuffle of per-feature bin stats per iteration, model broadcast
+    back); cleaning is the one-pass funnel; the split is a codegen'd
+    md5 filter on the scan.
+    """
+    import math
+
+    from pyspark.ml.evaluation import RegressionEvaluator
+
+    from backend_model_spark.ml.pipeline import train_and_evaluate
+
+    key = spark.sparkContext.applicationId
+    row = _TRAIN_EVAL_CACHE.get(key)
+    if row is None:
+        train_raw, test_raw = _e2e_fixture_frames(spark)
+        cleaned = clean_listings(train_raw, test_raw)
+        bucket = content_bucket()
+        train = cleaned.filter(bucket < 80)
+        test = cleaned.filter(bucket >= 80)
+        res = train_and_evaluate(train, test, model="gbt", maxDepth=4, maxIter=10)
+        evaluator = RegressionEvaluator(labelCol="price", predictionCol="prediction")
+        r2_train = evaluator.setMetricName("r2").evaluate(res.model.transform(train))
+        n_train, n_test = train.count(), test.count()
+        row = (
+            n_train + n_test,
+            bool(abs(n_train / (n_train + n_test) - 0.8) <= 0.05),
+            bool(math.isfinite(res.mae) and math.isfinite(res.rmse)),
+            bool(res.mae <= res.rmse + 1e-9),
+            bool(res.r2 <= 1.0 + 1e-9),
+            bool(r2_train > 0.0),
+            bool(res.r2 > 0.0),
+        )
+        _TRAIN_EVAL_CACHE[key] = row
+    return spark.createDataFrame(
+        [row],
+        "n_total bigint, split_frac_ok boolean, metrics_finite boolean, "
+        "mae_le_rmse boolean, r2_le_one boolean, train_beats_mean boolean, "
+        "test_r2_positive boolean",
+    )
+
+
+AIRBNB_TRAIN_EVAL_ORACLE = """
+SELECT
+  CAST(38499 AS BIGINT) AS n_total,
+  TRUE AS split_frac_ok,
+  TRUE AS metrics_finite,
+  TRUE AS mae_le_rmse,
+  TRUE AS r2_le_one,
+  TRUE AS train_beats_mean,
+  TRUE AS test_r2_positive
 """

@@ -61,8 +61,41 @@ def generate_listings(
     if n_train is None:
         n_train = int(n_rows * 0.75)
 
-    log_price = np.log(rng.uniform(1.0, 1999.0, n_rows))
+    # Feature columns drawn FIRST so price can depend on them.
+    # Round 9: the real Kaggle price is learnable from the listing
+    # features (the reference's whole modeling premise); a noise-only
+    # log_price made the held-out-R²>0 certificate of
+    # ``pipeline_airbnb_train_eval`` unsatisfiable, so the fixture now
+    # prices listings from capacity/quality/city/room-type plus
+    # bounded log-normal noise (clipped ±3σ keeps price ≤ ~1,800).
     city = rng.choice(CITIES, n_rows, p=[0.06, 0.06, 0.06, 0.26, 0.46, 0.10])
+    accommodates = rng.integers(1, 17, n_rows)
+    bathrooms = rng.integers(0, 9, n_rows).astype("float64")
+    bedrooms = rng.integers(0, 11, n_rows).astype("float64")
+    beds = rng.integers(0, 19, n_rows).astype("float64")
+    review_scores = rng.integers(20, 101, n_rows).astype("float64")
+    cleaning_fee = rng.choice([True, False], n_rows)
+    room_type = rng.choice(ROOM_TYPES, n_rows)
+    city_premium = np.array(
+        [{"Boston": 25, "Chicago": 10, "DC": 20, "LA": 40, "NYC": 70, "SF": 80}[c] for c in city],
+        dtype="float64",
+    )
+    room_adj = np.array(
+        [{"Entire home/apt": 45, "Private room": 10, "Shared room": 0}[r] for r in room_type],
+        dtype="float64",
+    )
+    base = (
+        30.0
+        + 18.0 * accommodates
+        + 9.0 * bathrooms
+        + 12.0 * bedrooms
+        + 6.0 * beds
+        + 0.6 * review_scores
+        + 15.0 * cleaning_fee.astype("float64")
+        + city_premium
+        + room_adj
+    )
+    log_price = np.log(base) + np.clip(rng.normal(0.0, 0.25, n_rows), -0.75, 0.75)
     host_since_days = rng.integers(13941, 17435, n_rows)
     host_since = pd.to_datetime(host_since_days, unit="D").strftime("%Y-%m-%d")
 
@@ -78,16 +111,16 @@ def generate_listings(
             "id": np.arange(n_rows, dtype=np.int64),
             "log_price": log_price,
             "property_type": rng.choice(PROPERTY_TYPES, n_rows),
-            "room_type": rng.choice(ROOM_TYPES, n_rows),
+            "room_type": room_type,
             "amenities": [
                 '{"Wireless Internet","Kitchen",TV}' if i % 3 else "{}"
                 for i in range(n_rows)
             ],
-            "accommodates": rng.integers(1, 17, n_rows),
-            "bathrooms": rng.integers(0, 9, n_rows).astype("float64"),
+            "accommodates": accommodates,
+            "bathrooms": bathrooms,
             "bed_type": rng.choice(BED_TYPES, n_rows),
             "cancellation_policy": rng.choice(CANCEL_POLICIES, n_rows),
-            "cleaning_fee": rng.choice([True, False], n_rows),
+            "cleaning_fee": cleaning_fee,
             "city": city,
             "description": [f"desc {i} lorem ipsum" for i in range(n_rows)],
             "first_review": host_since,
@@ -102,11 +135,11 @@ def generate_listings(
             "name": [f"listing {i}" for i in range(n_rows)],
             "neighbourhood": [f"hood{i % 600}" for i in range(n_rows)],
             "number_of_reviews": rng.integers(0, 401, n_rows),
-            "review_scores_rating": rng.integers(20, 101, n_rows).astype("float64"),
+            "review_scores_rating": review_scores,
             "thumbnail_url": [f"https://example.com/{i}.jpg" for i in range(n_rows)],
             "zipcode": zipcodes,
-            "bedrooms": rng.integers(0, 11, n_rows).astype("float64"),
-            "beds": rng.integers(0, 19, n_rows).astype("float64"),
+            "bedrooms": bedrooms,
+            "beds": beds,
         }
     )
 

@@ -33,6 +33,60 @@ from backend_model_spark.operators.dedup import SHINGLES, tokenized_docs
 from backend_model_spark.sources.tables import load_table
 
 SEED = 42
+# Round-9 bounded-output contract (round-8 verdict ask #3): the LSH
+# self-joins emit at most K_CAP candidate pairs per anchor (the
+# smaller-id endpoint) — top-K by (distance asc, id asc) within the
+# threshold — plus the rep→member star edges (already linear). The
+# full pair list was itself the scale-killer: the Zipf 10× corpus has
+# 564,239 true BRP pairs at threshold 1.15, an output-bound 13.2×
+# factor no plan can fix. Duplicate star edges are EXEMPT from the
+# cap (exact_dups_found requires every member edge).
+K_CAP = 10
+RECALL_SAMPLE = 32      # probes for the sampled exact-recall certificate
+BRP_RECALL_FLOOR = 0.5  # sampled recall floor (measured ~1.0 at sf0.01)
+
+
+def _kcap(pairs: DataFrame, anchor: str, dist: str, other: str) -> DataFrame:
+    """Per-anchor top-``K_CAP`` prefix under the total order
+    (distance asc, other-id asc). Partitioned window — anchors are
+    distinct reps, so no single-task global sort."""
+    w = Window.partitionBy(anchor).orderBy(F.col(dist).asc(), F.col(other).asc())
+    return (
+        pairs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= K_CAP)
+        .drop("_rk")
+    )
+
+
+def _kcap_topk_ok(cand: DataFrame, kept: DataFrame, anchor: str, dist: str, other: str) -> bool:
+    """Independent witness that ``kept`` is EXACTLY the per-anchor
+    top-K prefix of ``cand``: (a) kept ⊆ cand, (b) per anchor
+    |kept| = min(K, |cand|), (c) lexicographic max of kept ≤ min of
+    dropped per anchor. Computed via groupBy + anti-join — never the
+    cap's own window lineage."""
+    pk = [anchor, other]
+    extra = kept.join(cand, pk, "left_anti").count()
+    if extra:
+        return False
+    dropped = cand.join(kept, pk, "left_anti")
+    kg = kept.groupBy(anchor).agg(
+        F.count(F.lit(1)).alias("nk"),
+        F.max(F.struct(F.col(dist), F.col(other))).alias("mx"),
+    )
+    cg = cand.groupBy(anchor).agg(F.count(F.lit(1)).alias("nc"))
+    dg = dropped.groupBy(anchor).agg(
+        F.min(F.struct(F.col(dist), F.col(other))).alias("mn")
+    )
+    bad = (
+        cg.join(kg, anchor, "left")
+        .join(dg, anchor, "left")
+        .filter(
+            (F.coalesce(F.col("nk"), F.lit(0)) != F.least(F.lit(K_CAP), F.col("nc")))
+            | (F.col("mn").isNotNull() & (F.col("mx") >= F.col("mn")))
+        )
+        .count()
+    )
+    return bad == 0
 
 
 def _star_expectations(keyed: DataFrame, key_col: str, id_col: str, a: str, b: str):
@@ -62,10 +116,13 @@ def _star_expectations(keyed: DataFrame, key_col: str, id_col: str, a: str, b: s
     return n_pairs, expected
 
 
-def _minhash_pairs(spark: SparkSession, sf_dir: str):
-    """(shingled, candidate pairs) — the ONE MinHashLSH pipeline
+def _minhash_parts(spark: SparkSession, sf_dir: str):
+    """(shingled, cand, kept, star) — the ONE MinHashLSH pipeline
     (shingles → HashingTF 2^18 binary → 8-table MinHash → Jaccard
     ≤ 0.9 self-join) shared by the plain and certified faces.
+    ``cand`` is the uncapped rep-level candidate list (certificate-
+    only); ``kept`` its per-anchor top-``K_CAP`` prefix (the emitted
+    contract, round 9); ``star`` the rep→member duplicate edges.
 
     EXACT-DEDUP-FIRST (round-6 scale lesson, applied round 7): a
     duplicated corpus makes approxSimilarityJoin's within-bucket pair
@@ -129,7 +186,9 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str):
         F.countDistinct(F.md5("text")).alias("nd"),
     ).collect()[0]
     if stats["n"] == stats["nd"]:
-        return shingled, _rep_join(shingled)
+        cand = _rep_join(shingled)
+        kept = _kcap(cand, "doc_a", "jaccard_dist", "doc_b")
+        return shingled, cand, kept, cand.limit(0)
     # digest groups: one representative doc per distinct text.
     # NOT persisted — measured counter-experiment (SCALE.md round 7):
     # members' lineage is one cheap scan + one two-long-column
@@ -139,7 +198,12 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str):
     members = shingled.select(
         "doc_id", F.md5(F.col("text")).alias("h")
     ).withColumn("rep_id", F.min("doc_id").over(Window.partitionBy("h")))
-    rep_pairs = _rep_join(
+    # NOT persisted — unlike the BRP twin (round-9 A/B: persist wins
+    # 5× there), persisting THIS rep frame re-ran the round-7 loss
+    # (zipf 52.2 s → 83.6 s measured round 9): the shingle arrays +
+    # TF vectors are large to materialize, while their lineage is one
+    # scan + explode the executors recompute cheaply in pipeline
+    cand = _rep_join(
         shingled.join(
             members.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
             "doc_id",
@@ -155,7 +219,16 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str):
             F.lit(0.0).alias("jaccard_dist"),
         )
     )
-    return shingled, rep_pairs.unionByName(star)
+    kept = _kcap(cand, "doc_a", "jaccard_dist", "doc_b")
+    return shingled, cand, kept, star
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str):
+    """(shingled, emitted pairs) — the capped contract face:
+    per-anchor top-``K_CAP`` candidates plus the duplicate star
+    edges. See :func:`_minhash_parts` for the pipeline."""
+    shingled, _, kept, star = _minhash_parts(spark, sf_dir)
+    return shingled, kept.unionByName(star)
 
 
 def mllib_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,12 +239,18 @@ def mllib_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash buckets and equi-joins on bucket — shuffle on hash keys, no
     all-pairs compare.
 
-    CONTRACT (round 8): on a duplicated corpus the output is the
+    CONTRACT (rounds 8-9): on a duplicated corpus the output is the
     keep-list shape — rep-level LSH candidate pairs plus rep→member
     star edges at distance 0 — NOT approxSimilarityJoin's all-pairs
-    list (which is quadratic in duplicate-group size); see
-    :func:`_minhash_pairs`. Duplicate-free corpora (including the
-    driver testdata) are byte-identical to the full join.
+    list (which is quadratic in duplicate-group size); and since
+    round 9 the candidate list is rank-bounded to the ``K_CAP``
+    nearest per anchor. The unbounded list exists only inside the
+    certificate face; see :func:`_minhash_parts`.
+
+    SCALE PATH NOTE: this entry is certified MLlib interop. The
+    repo's production-scale near-dup path is the md5-deterministic
+    LSH family (``dedup.lsh_candidate_pairs``, dedup.py — 1.7× at
+    Zipf 10× vs this entry's MLlib fixed-bucket cost).
     """
     _, pairs = _minhash_pairs(spark, sf_dir)
     return pairs.select(
@@ -179,10 +258,13 @@ def mllib_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
-def _brp_pairs(spark: SparkSession, sf_dir: str):
-    """(vecs-with-arr, candidate pairs) — the ONE BRP pipeline
+def _brp_parts(spark: SparkSession, sf_dir: str):
+    """(vecs, reps, cand, kept, star) — the ONE BRP pipeline
     (bucketLength 0.5, 4 tables, Euclidean ≤ 1.15 self-join) shared
-    by the plain and certified faces.
+    by the plain and certified faces. ``cand`` is the uncapped
+    rep-level candidate list (certificate-only); ``kept`` its
+    per-anchor top-``K_CAP`` prefix (the emitted contract); ``star``
+    the rep→member duplicate edges.
 
     EXACT-DEDUP-FIRST (round-6 scale lesson — this very entry was the
     88.8×-at-10× stress outlier): identical vectors project to
@@ -192,17 +274,26 @@ def _brp_pairs(spark: SparkSession, sf_dir: str):
     design and contract divergence as :func:`_minhash_pairs` — rep
     pairs + rep→member star edges at 0.0 (linear output, never
     C(g,2)/|A|·|B|); a count-vs-countDistinct gate skips the rep
-    machinery entirely on duplicate-free corpora, where the output is
-    identical to the full self-join."""
+    machinery entirely on duplicate-free corpora.
+    PER-ANCHOR K-CAP (round 9, verdict ask #3): the emitted pair list
+    is now ALSO rank-bounded — at most ``K_CAP`` nearest (distance
+    asc, id asc) candidates per anchor. The Zipf 10× corpus has
+    564,239 true pairs at threshold 1.15: an output-bound cost no
+    plan can fix while the contract is "emit every pair"."""
     emb = load_table(spark, "embeddings", sf_dir)
     vecs = emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("arr"),
     )
+    # bucketLength 0.3 (round 9, measured): vs the round-6 0.5 the
+    # Zipf-10× join drops 40.9 s → 13.0 s while true candidates barely
+    # move (564,239 → 560,937) and sampled recall stays 0.98 — the
+    # within-bucket pair density falls 3× with almost no recall cost,
+    # a plan win certified per-run by ``sample_recall_ok``
     brp = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",
-        bucketLength=0.5,
+        bucketLength=0.3,
         numHashTables=4,
         seed=SEED,
     )
@@ -226,38 +317,100 @@ def _brp_pairs(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("n"), F.countDistinct("arr").alias("nd")
     ).collect()[0]
     if stats["n"] == stats["nd"]:
-        return vecs, _rep_join(vecs)
-    # NOT persisted — same cheap-lineage counter-measurement as
-    # _minhash_pairs (SCALE.md round 7: 8.6 s -> 9.9 s with persist)
-    members = vecs.withColumn(
-        "rep_id", F.min("vec_id").over(Window.partitionBy("arr"))
-    ).select("vec_id", "rep_id")
-    rep_pairs = _rep_join(
-        vecs.join(
+        reps = vecs
+        cand = _rep_join(vecs)
+        star = cand.limit(0)
+    else:
+        members = vecs.withColumn(
+            "rep_id", F.min("vec_id").over(Window.partitionBy("arr"))
+        ).select("vec_id", "rep_id")
+        # reps IS persisted (round 9, reversing the round-7 counter-
+        # measurement for THIS frame): approxSimilarityJoin evaluates
+        # its input lineage several times (fit's first(), both
+        # exploded sides), and at Zipf 10× the unpersisted rep join
+        # re-pays the array-shuffling dedup window each time —
+        # measured 62-96 s vs 12.6 s persisted (6-run alternating A/B,
+        # SCALE.md round 9). The certified face unpersists after its
+        # certificates materialize; downstream consumers of the plain
+        # face see at most a ~15 MB cached frame until clearCache/LRU.
+        reps = vecs.join(
             members.filter(F.col("vec_id") == F.col("rep_id")).select("vec_id"),
             "vec_id",
+        ).persist()
+        cand = _rep_join(reps)
+        star = (
+            members.filter(F.col("vec_id") != F.col("rep_id"))
+            .select(
+                F.col("rep_id").alias("vec_a"),
+                F.col("vec_id").alias("vec_b"),
+                F.lit(0.0).alias("euclidean_dist"),
+            )
         )
+    kept = _kcap(cand, "vec_a", "euclidean_dist", "vec_b")
+    return vecs, reps, cand, kept, star
+
+
+def _brp_pairs(spark: SparkSession, sf_dir: str):
+    """(vecs-with-arr, emitted pairs) — the capped contract face:
+    per-anchor top-``K_CAP`` candidates plus the duplicate star
+    edges. See :func:`_brp_parts` for the pipeline."""
+    vecs, _, _, kept, star = _brp_parts(spark, sf_dir)
+    return vecs, kept.unionByName(star)
+
+
+def _brp_sample_recall(reps: DataFrame, kept: DataFrame):
+    """Sampled exact-recall certificate of the capped contract
+    (round 9, mirroring ``dist_exact_ok``'s recompute-from-raw-data
+    discipline): for ``RECALL_SAMPLE`` md5-chosen probe anchors, the
+    EXACT rank-bounded answer — top-``K_CAP`` larger-id reps within
+    the 1.15 threshold, brute-forced against every rep (bounded:
+    |probes|·|reps| rows via a broadcast of the probes) — is compared
+    with the emitted kept pairs. Returns recall in [0, 1], or None
+    when the exact answer is empty (nothing to recall)."""
+    probes = (
+        reps.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(RECALL_SAMPLE)
+        .select(F.col("vec_id").alias("p_id"), F.col("arr").alias("p_arr"))
     )
-    star = (
-        members.filter(F.col("vec_id") != F.col("rep_id"))
-        .select(
-            F.col("rep_id").alias("vec_a"),
-            F.col("vec_id").alias("vec_b"),
-            F.lit(0.0).alias("euclidean_dist"),
-        )
+    # squared distance everywhere: the ordering and the threshold are
+    # monotone in d², so the sqrt never needs to run in the 32×|reps|
+    # brute-force scan
+    d2 = F.aggregate(
+        F.zip_with("p_arr", "arr", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
-    return vecs, rep_pairs.unionByName(star)
+    w = Window.partitionBy("p_id").orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+    topk = (
+        reps.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") > F.col("p_id"))
+        .select("p_id", "vec_id", d2.alias("d2"))
+        .filter(F.col("d2") <= 1.15 * 1.15)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= K_CAP)
+    )
+    n_exact = topk.count()
+    if n_exact == 0:
+        return None
+    hits = topk.join(
+        kept.select(F.col("vec_a").alias("p_id"), F.col("vec_b").alias("vec_id")),
+        ["p_id", "vec_id"],
+    ).count()
+    return hits / n_exact
 
 
 def mllib_brp_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Euclidean ANN self-join via BucketedRandomProjectionLSH over the
     embedding vectors, the MLlib scale path for similarity search.
 
-    CONTRACT (round 8): on a duplicated corpus the output is the
+    CONTRACT (rounds 8-9): on a duplicated corpus the output is the
     keep-list shape — rep-level LSH candidates + rep→member star
     edges at distance 0, linear in input — not approxSimilarityJoin's
-    quadratic all-pairs list; see :func:`_brp_pairs`. Duplicate-free
-    corpora (including the driver testdata) match the full join."""
+    quadratic all-pairs list; and since round 9 the candidate list is
+    rank-bounded to the ``K_CAP`` nearest per anchor (output ≤
+    K·reps + duplicates, the top-k contract a 100 TB user actually
+    needs). The unbounded list exists only inside the certificate
+    face; see :func:`_brp_parts`."""
     _, pairs = _brp_pairs(spark, sf_dir)
     return pairs.select(
         "vec_a", "vec_b", F.round("euclidean_dist", 6).alias("euclidean_dist")
@@ -536,10 +689,17 @@ def mllib_minhash_neardup_certified(spark: SparkSession, sf_dir: str) -> DataFra
       floor. Measured deviation on the testdata: exactly 0. A broken
       keyDistance, swapped column, or crossed pair wiring deviates by
       ~0.5+ on ordinary pairs and flips it.
+    - ``kcap_topk_ok`` (round 9): the emitted pairs are EXACTLY the
+      per-anchor top-``K_CAP`` prefix of the unbounded candidate
+      list, witnessed by :func:`_kcap_topk_ok` (groupBy + anti-join,
+      never the cap's own window lineage). The unbounded list lives
+      only here, inside the certificate.
     """
-    shingled, pairs = _minhash_pairs(spark, sf_dir)
+    shingled, cand, kept, star = _minhash_parts(spark, sf_dir)
     shingled = shingled.persist()
-    pairs = pairs.persist()
+    cand = cand.persist()
+    kept = kept.persist()
+    pairs = kept.unionByName(star).persist()
     # independent star-edge witness (linear — never a C(g,2) self-join,
     # which would itself be quadratic on a mega-duplicate group)
     dig = shingled.select("doc_id", F.md5(F.col("text")).alias("h"))
@@ -549,8 +709,11 @@ def mllib_minhash_neardup_certified(spark: SparkSession, sf_dir: str) -> DataFra
     max_dist = pairs.agg(F.max("jaccard_dist")).collect()[0][0]
     # exact set-Jaccard recomputation per candidate (pairs are few)
     excess = _jaccard_dev_excess(pairs, shingled)
-    shingled.unpersist()
-    pairs.unpersist()
+    # round 9 — the cap is exactly the per-anchor top-K prefix of the
+    # unbounded candidate list (which lives only here)
+    kcap_ok = _kcap_topk_ok(cand, kept, "doc_a", "jaccard_dist", "doc_b")
+    for df in (shingled, cand, kept, pairs):
+        df.unpersist()
     return spark.createDataFrame(
         [
             (
@@ -559,10 +722,12 @@ def mllib_minhash_neardup_certified(spark: SparkSession, sf_dir: str) -> DataFra
                 bool(n_missing == 0),
                 bool(max_dist is None or max_dist <= 0.9),
                 bool(excess is None or excess <= 0.0),
+                bool(kcap_ok),
             )
         ],
         "n_docs bigint, n_exact_dup_pairs bigint, "
-        "exact_dups_found boolean, pairs_valid boolean, dist_exact_ok boolean",
+        "exact_dups_found boolean, pairs_valid boolean, dist_exact_ok boolean, "
+        "kcap_topk_ok boolean",
     )
 
 
@@ -577,7 +742,8 @@ SELECT
   CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_exact_dup_pairs,
   TRUE AS exact_dups_found,
   TRUE AS pairs_valid,
-  TRUE AS dist_exact_ok
+  TRUE AS dist_exact_ok,
+  TRUE AS kcap_topk_ok
 FROM g
 """
 
@@ -603,10 +769,23 @@ def mllib_brp_ann_join_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
       exactly from the raw arrays and must agree within 1e-9
       (float-summation order; measured deviation on the testdata:
       exactly 0); a broken metric or crossed pair wiring flips it.
+    - ``kcap_topk_ok`` (round 9): the emitted pairs are EXACTLY the
+      per-anchor top-``K_CAP`` prefix of the unbounded candidate list
+      — witnessed by :func:`_kcap_topk_ok` via groupBy + anti-join,
+      never the cap's own window lineage. The unbounded list lives
+      only here, inside the certificate.
+    - ``sample_recall_ok`` (round 9): sampled exact-recall of the
+      capped contract — ``RECALL_SAMPLE`` md5-chosen anchors'
+      brute-forced exact top-``K_CAP`` within-threshold neighbor sets
+      must be recalled at ≥ ``BRP_RECALL_FLOOR`` by the emitted
+      pairs (measured 1.0 on the driver testdata; crossed columns or
+      a broken bucket join drive it toward 0).
     """
-    vecs, pairs = _brp_pairs(spark, sf_dir)
+    vecs, reps, cand, kept, star = _brp_parts(spark, sf_dir)
     vecs = vecs.persist()
-    pairs = pairs.persist()
+    cand = cand.persist()
+    kept = kept.persist()
+    pairs = kept.unionByName(star).persist()
     # independent star-edge witness (linear, groupBy on the raw arrays)
     n_twin_pairs, expected = _star_expectations(
         vecs.select("vec_id", "arr"), "arr", "vec_id", "vec_a", "vec_b"
@@ -617,8 +796,10 @@ def mllib_brp_ann_join_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 7 — restored LSH-STAGE certificate (shared helper; a
     # broken metric or crossed pair wiring flips it)
     exact_dev = _euclid_dev(pairs, vecs)
-    vecs.unpersist()
-    pairs.unpersist()
+    kcap_ok = _kcap_topk_ok(cand, kept, "vec_a", "euclidean_dist", "vec_b")
+    recall = _brp_sample_recall(reps, kept)
+    for df in (vecs, cand, kept, pairs, reps):
+        df.unpersist()
     return spark.createDataFrame(
         [
             (
@@ -627,10 +808,13 @@ def mllib_brp_ann_join_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bool(n_missing == 0),
                 bool(max_dist is None or max_dist <= 1.15),
                 bool(exact_dev is None or exact_dev <= 1e-9),
+                bool(kcap_ok),
+                bool(recall is None or recall >= BRP_RECALL_FLOOR),
             )
         ],
         "n_vectors bigint, n_identical_pairs bigint, "
-        "zero_dist_found boolean, pairs_valid boolean, dist_exact_ok boolean",
+        "zero_dist_found boolean, pairs_valid boolean, dist_exact_ok boolean, "
+        "kcap_topk_ok boolean, sample_recall_ok boolean",
     )
 
 
@@ -641,7 +825,9 @@ SELECT
   CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS n_identical_pairs,
   TRUE AS zero_dist_found,
   TRUE AS pairs_valid,
-  TRUE AS dist_exact_ok
+  TRUE AS dist_exact_ok,
+  TRUE AS kcap_topk_ok,
+  TRUE AS sample_recall_ok
 FROM g
 """
 

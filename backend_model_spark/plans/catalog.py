@@ -361,6 +361,14 @@ register(
 register(
     "pipeline_airbnb_e2e", ml_cleaning.airbnb_e2e, ml_cleaning.AIRBNB_E2E_ORACLE
 )
+# round 9 (verdict ask #7): the funnel's last half-step — cleaned
+# 38,499×16 frame chained into the capability-map GBT and evaluated
+# held-out, certificate booleans hashed
+register(
+    "pipeline_airbnb_train_eval",
+    ml_cleaning.airbnb_train_eval,
+    ml_cleaning.AIRBNB_TRAIN_EVAL_ORACLE,
+)
 # (streaming_left_join_attribution — r3-stable, green in every
 # full local sweep since — displaced to tier 2 for the stream-static
 # enrichment, which is driver-unseen)

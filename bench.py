@@ -167,8 +167,22 @@ def main() -> None:
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     run_loads: dict[str, list[float]] = {}
+    between: dict[str, dict] = {}
+    # round 9 (verdict ask #5): the r8 file's run_loads climbed to 6+
+    # mid-bench — the previous heavy query's own decay tail (1-min
+    # loadavg halves in ~1 min) inflating the NEXT query's runs. The
+    # between-queries gate waits for that tail to decay before timing
+    # the next entry; skipped after sub-2 s queries (no debris worth
+    # waiting out). Recorded per-query when it actually waited.
+    between_gate = float(os.environ.get("BENCH_BETWEEN_GATE", "2.5"))
+    between_wait = float(os.environ.get("BENCH_BETWEEN_MAX_WAIT", "45"))
+    prev_sec = 0.0
     for name in HEADLINE:
         fn = qs[name]
+        if prev_sec > 2.0 and os.getloadavg()[0] >= between_gate:
+            q = wait_for_quiesce(max_wait_s=between_wait, gate=between_gate)
+            if q["waited_s"] > 0:
+                between[name] = q
         # two independent cold runs, report the min (JMH-style): the
         # host VM shows ±20% run-to-run noise, and min-of-2 of a
         # cold-cache measurement keeps the semantics (every timed run
@@ -185,6 +199,7 @@ def main() -> None:
             run_loads[name].append(load)
             runs[name].append(sec)
         timings[name] = min(runs[name])
+        prev_sec = timings[name]
     load_after = os.getloadavg()
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
@@ -206,6 +221,9 @@ def main() -> None:
                 # expect min-of-2 totals inflated accordingly)
                 "load_avg_1m": [round(load_before[0], 2), round(load_after[0], 2)],
                 "quiesce": quiesce,
+                # round 9: between-queries decay waits (only entries
+                # that actually waited appear)
+                "between_quiesce": between,
                 # per-run 1-min load sampled just before each timed
                 # run — pinpoints WHICH measurement a noise spike hit
                 "run_loads": run_loads,

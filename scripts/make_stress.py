@@ -147,6 +147,43 @@ def _zipf_embeddings(spark, df, k_reps):
     return cold.unionByName(hot)
 
 
+def _zipf_events(spark, df, k_reps):
+    """K× key-shifted replicas + HOT USERS (round 9, verdict ask #8:
+    the events family had never been family-stress-swept): hot user j
+    (fresh id in the HOT range) receives ``HOT_SIZES[j]`` events
+    cloned from a contiguous dense event_id slice of the base table
+    with fresh event ids — the power-user/bot tail (a 4,000-event
+    user against the ~99-event organic per-user max) that stresses
+    per-user windows (sessionize, funnel, as-of, interpolate) the
+    uniform replicas never exercise. Timestamps/types/values are
+    inherited from the cloned slice, so hot users span the full time
+    range like a real bot."""
+    reps = []
+    for k in range(k_reps):
+        reps.append(
+            df.withColumn("event_id", F.col("event_id") + F.lit(k * SHIFT))
+            .withColumn("user_id", F.col("user_id") + F.lit(k * SHIFT))
+        )
+    cold = reduce(lambda a, b: a.unionByName(b), reps)
+    hots = []
+    off = 0
+    for j, size in enumerate(HOT_SIZES):
+        hots.append(
+            df.filter(
+                (F.col("event_id") >= off) & (F.col("event_id") < off + size)
+            ).select(
+                (F.col("event_id") + F.lit(HOT_BASE + j * SHIFT)).alias("event_id"),
+                "ts",
+                F.lit(HOT_BASE + j).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+        off += size
+    return cold.unionByName(reduce(lambda a, b: a.unionByName(b), hots))
+
+
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
@@ -164,6 +201,8 @@ def main() -> None:
             df = _zipf_documents(spark, df, k_reps)
         elif zipf and table == "embeddings":
             df = _zipf_embeddings(spark, df, k_reps)
+        elif zipf and table == "events":
+            df = _zipf_events(spark, df, k_reps)
         elif keys:
             reps = []
             for k in range(k_reps):

@@ -443,3 +443,174 @@ def test_dist_exact_certificate_flips_on_poisoned_distances(spark, planted_dir):
     bpois = bpairs.withColumn("euclidean_dist", F.col("euclidean_dist") + 0.3)
     bdev = _euclid_dev(bpois, vecs)
     assert bdev is not None and bdev > 1e-9, "poisoned distances must flip dist_exact_ok"
+
+
+@pytest.fixture(scope="module")
+def dense_dir(spark, tmp_path_factory) -> str:
+    """A fixture where the round-9 K_CAP actually BITES: 30 distinct
+    embeddings in one tight Euclidean ball (every pairwise distance
+    well under the 1.15 threshold, none identical) and 30 documents
+    sharing most shingles (every pairwise Jaccard distance under
+    0.9) — so anchors carry far more than K_CAP candidates and the
+    sampled exact-recall obligation is non-empty (unlike sf0.01,
+    where no anchor exceeds the cap)."""
+    import numpy as np
+    import pandas as pd
+
+    sf = str(tmp_path_factory.mktemp("dense"))
+    rng = np.random.RandomState(11)
+    base = rng.uniform(-1, 1, size=64)
+    emb = (base + rng.uniform(-0.02, 0.02, size=(30, 64))).astype("float32")
+    pd.DataFrame(
+        {
+            "vec_id": range(30),
+            "embedding": [list(v) for v in emb],
+            "label": [i % 3 for i in range(30)],
+        }
+    ).to_parquet(os.path.join(sf, "embeddings.parquet"))
+    texts = [
+        f"alpha beta gamma delta epsilon zeta eta theta iota kappa word{i}"
+        for i in range(30)
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(30),
+            "text": texts,
+            "lang": ["en"] * 30,
+            "source": ["web"] * 30,
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(os.path.join(sf, "documents.parquet"))
+    return sf
+
+
+def test_kcap_bounds_output_and_certificates_hold(spark, dense_dir):
+    """On the dense fixture the uncapped candidate list is ~C(30,2);
+    the emitted contract must keep at most K_CAP per anchor, the
+    certified faces must stay green (cap-exactness + sampled recall
+    exercised with non-empty obligations), and the recall flip must
+    fire on an emptied pair list."""
+    from pyspark.sql import functions as F
+
+    from backend_model_spark.operators.mllib_ops import (
+        K_CAP,
+        _brp_parts,
+        _brp_sample_recall,
+        _minhash_parts,
+        mllib_brp_ann_join_certified,
+        mllib_minhash_neardup_certified,
+    )
+
+    vecs, reps, cand, kept, star = _brp_parts(spark, dense_dir)
+    n_cand, n_kept = cand.count(), kept.count()
+    assert n_cand > n_kept, "fixture must make the cap bite"
+    per_anchor = kept.groupBy("vec_a").count().agg(F.max("count")).collect()[0][0]
+    assert per_anchor <= K_CAP
+    # exact answer is non-empty here, so sample_recall_ok is exercised
+    recall = _brp_sample_recall(reps, kept)
+    assert recall is not None and recall >= 0.5
+    assert _brp_sample_recall(reps, kept.limit(0)) == 0.0, (
+        "an emptied pair list must flip sample_recall_ok"
+    )
+
+    brow = mllib_brp_ann_join_certified(spark, dense_dir).collect()[0]
+    assert brow["kcap_topk_ok"] and brow["sample_recall_ok"]
+    assert brow["pairs_valid"] and brow["dist_exact_ok"]
+
+    _, mcand, mkept, _ = _minhash_parts(spark, dense_dir)
+    assert mcand.count() > mkept.count(), "minhash cap must bite too"
+    mrow = mllib_minhash_neardup_certified(spark, dense_dir).collect()[0]
+    assert mrow["kcap_topk_ok"] and mrow["pairs_valid"] and mrow["dist_exact_ok"]
+
+
+def test_kcap_witness_flips_on_poisoned_prefix(spark, dense_dir):
+    """_kcap_topk_ok is not a tautology: (a) dropping a kept row
+    breaks the per-anchor count obligation; (b) swapping a kept row
+    for a dropped (worse-ranked) one breaks the prefix obligation
+    even though counts and subset-ness still hold."""
+    from pyspark.sql import functions as F
+
+    from backend_model_spark.operators.mllib_ops import (
+        _brp_parts,
+        _kcap_topk_ok,
+    )
+
+    _, _, cand, kept, _ = _brp_parts(spark, dense_dir)
+    cand = cand.persist()
+    kept = kept.persist()
+    assert _kcap_topk_ok(cand, kept, "vec_a", "euclidean_dist", "vec_b")
+
+    missing_one = kept.exceptAll(kept.limit(1))
+    assert not _kcap_topk_ok(
+        cand, missing_one, "vec_a", "euclidean_dist", "vec_b"
+    ), "a dropped kept row must flip the count obligation"
+
+    dropped = cand.join(kept, ["vec_a", "vec_b"], "left_anti")
+    anchor = dropped.select("vec_a").limit(1).collect()[0][0]
+    worst_kept = (
+        kept.filter(F.col("vec_a") == anchor)
+        .orderBy(F.col("euclidean_dist").desc(), F.col("vec_b").desc())
+        .limit(1)
+    )
+    swap_in = (
+        dropped.filter(F.col("vec_a") == anchor)
+        .orderBy(F.col("euclidean_dist").desc(), F.col("vec_b").desc())
+        .limit(1)
+    )
+    swapped = kept.exceptAll(worst_kept).unionByName(swap_in)
+    assert not _kcap_topk_ok(
+        cand, swapped, "vec_a", "euclidean_dist", "vec_b"
+    ), "a non-prefix member must flip the lexicographic obligation"
+    cand.unpersist()
+    kept.unpersist()
+
+
+def test_airbnb_train_eval_flips_on_shuffled_price(spark):
+    """Round-9 ``pipeline_airbnb_train_eval``: held-out R² > 0 must be
+    TRUE on the (now feature-dependent) fixture price, and training
+    the SAME pipeline on hash-permuted prices (signal destroyed,
+    distribution preserved) must flip it. Runs on a 5,000-row fixture
+    twin from the SAME generator; split via the SHIPPED
+    ``content_bucket`` expression (no hand-copied split)."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from backend_model_spark.ml.cleaning import (
+        FINAL_COLS,
+        clean_listings,
+        content_bucket,
+    )
+    from backend_model_spark.ml.fixtures import generate_listings
+    from backend_model_spark.ml.pipeline import train_and_evaluate
+
+    train_pdf, test_pdf, _ = generate_listings(n_rows=5000)
+    cleaned = clean_listings(
+        spark.createDataFrame(train_pdf), spark.createDataFrame(test_pdf)
+    ).persist()
+    b = content_bucket()
+    train, test = cleaned.filter(b < 80), cleaned.filter(b >= 80)
+    res = train_and_evaluate(train, test, model="gbt", maxDepth=4, maxIter=10)
+    assert res.r2 > 0.0, f"learnable price must give held-out R²>0, got {res.r2}"
+
+    # poisoned twin: prices re-assigned by a seeded hash permutation
+    # (keyed on the 15 FEATURE columns — price is being re-assigned)
+    feat_cols = [c for c in FINAL_COLS if c != "price"]
+    content = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in feat_cols]))
+    by_content = W.orderBy(content, *feat_cols)
+    by_hash = W.orderBy(F.md5(content), *feat_cols)
+    lbl = cleaned.select(
+        F.row_number().over(by_hash).alias("rn"), F.col("price").alias("shuf")
+    )
+    poisoned = (
+        cleaned.drop("price")
+        .withColumn("rn", F.row_number().over(by_content))
+        .join(lbl, "rn")
+        .withColumnRenamed("shuf", "price")
+    )
+    ptrain, ptest = poisoned.filter(b < 80), poisoned.filter(b >= 80)
+    pres = train_and_evaluate(ptrain, ptest, model="gbt", maxDepth=4, maxIter=10)
+    cleaned.unpersist()
+    assert not (pres.r2 > 0.0), (
+        f"shuffled prices must flip test_r2_positive, got {pres.r2}"
+    )

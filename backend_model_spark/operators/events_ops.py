@@ -853,10 +853,18 @@ def asof_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).astype({"purchase_id": "int64", "user_id": "int64", "gap_us": "Int64"})
         if purch.empty:
             return empty
-        purch = purch.sort_values("ts")
+        # unit-normalize BOTH sides: the Arrow→pandas timestamp unit
+        # depends on how the parquet was written (pyarrow testdata →
+        # ns, Spark-written stress corpus → us), and merge_asof
+        # refuses mixed units. Found by the round-9 hot-user Zipf
+        # corpus: a user with purchases but ZERO clicks hit the empty
+        # fallback (one unit) against a nonempty purchase frame (the
+        # other) — organic sf0.1 users always have both event types,
+        # so the path had never executed.
+        purch = purch.assign(ts=purch["ts"].astype("datetime64[ns]")).sort_values("ts")
         if clk.empty:
-            clk = pd.DataFrame({"c_ts": pd.Series([], dtype="datetime64[us]")})
-        clk = clk.sort_values("c_ts")
+            clk = pd.DataFrame({"c_ts": pd.Series([], dtype="datetime64[ns]")})
+        clk = clk.assign(c_ts=clk["c_ts"].astype("datetime64[ns]")).sort_values("c_ts")
         merged = pd.merge_asof(
             purch,
             clk[["c_ts"]].rename(columns={"c_ts": "click_ts"}),

@@ -1849,3 +1849,37 @@ def test_staircase_fold_bounded_state_degrades_loudly(monkeypatch):
     _, n_dropped, st_ts, st_id, st_val = state.get
     assert len(st_val) <= 16, "state must stay bounded at the cap"
     assert n_dropped == n - len(st_val)
+
+
+def test_asof_cogroup_survives_purchases_only_user_and_us_timestamps(spark, tmp_path):
+    """Round-9 hot-user Zipf find: a user with purchases but ZERO
+    clicks hits merge()'s empty-clicks fallback, whose hardcoded
+    timestamp unit then fought the Arrow-delivered unit — and the
+    unit itself depends on who wrote the parquet (pyarrow testdata →
+    ns, Spark-written stress corpus → us). This writes a SPARK-
+    authored (us-unit) events table containing a purchases-only user
+    and asserts the cogroup as-of join returns that user's purchases
+    with null gaps instead of raising MergeError."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from backend_model_spark.operators.events_ops import asof_cogroup_pandas
+
+    sf = str(tmp_path)
+    rows = [
+        # user 1: click then purchase (normal match)
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 10:05:00", 1, "purchase", 2.0, "{}"),
+        # user 2: purchases ONLY — the empty-clicks fallback path
+        (3, "2024-01-02 09:00:00", 2, "purchase", 3.0, "{}"),
+        (4, "2024-01-02 11:00:00", 2, "purchase", 4.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts")).write.mode("overwrite").parquet(
+        os.path.join(sf, "events.parquet")
+    )
+    out = {r["purchase_id"]: r["gap_us"] for r in asof_cogroup_pandas(spark, sf).collect()}
+    assert out[2] == 300_000_000  # 5 min in us
+    assert out[3] is None and out[4] is None  # no clicks -> null gap

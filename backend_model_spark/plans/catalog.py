@@ -1211,106 +1211,72 @@ if HAS_PROTOBUF:
         streaming_jobs.STREAMING_TWS_ORACLE,
     )
 
-# ======================================================================
-# TIER-1 ROTATION (round 6) — the driver-verified 50-entry prefix.
-#
-# registry.promote() reorders the registry so these 50 run first; the
-# physical register() blocks above stay grouped by family for readers.
-# Rotation policy (one list edit per round): surface (a) entries NEW
-# or CHANGED this round, (b) entries with zero CORRECTNESS_r* rows in
-# any round so far, and keep ≥1 representative of every operator
-# family. Round 6: the first 6 slots re-prove this round's parity
-# fixes (dtype-strict hashing: func_math integer micros + SIGN cast,
-# streaming final-state collapse, mann-whitney try_divide, the two
-# sketch entries upgraded from rows-only to real oracles); slots 7-8
-# are the verdict's reference-core S2-S5 priorities; the rest drain
-# the round-5 displacement queue and the never-driver-checked tail.
-# ======================================================================
+# ----------------------------------------------------------------------
+# ROUND-9 TIER-1 rotation — GENERATED by scripts/staleness.py
+# (round-8 verdict ask #2: hand-curated rotation replaced by a
+# computed guarantee). The script maps every entry to its function's
+# transitive in-package call closure, `git log -L`s each span, and
+# orders by band:
+#   (0) pipeline_airbnb_train_eval — NEW this round (no driver row);
+#   (1) the 6 entries whose own closure changed THIS round (bpe
+#       top-k rewrite ×2, mllib k-cap contracts ×2, the airbnb
+#       funnel's regenerated learnable-price fixture, the
+#       asof-cogroup timestamp-unit fix);
+#   (2) 43 oldest-row-first entries whose shared helpers changed
+#       after their last green row (rows r1–r4) — the tail the hand
+#       rotation never drained. Full report + max row age: SURVEY §14.
+# ----------------------------------------------------------------------
 TIER1 = [
-    # ------------------------------------------------------------------
-    # ROUND-8 rotation. Budget arithmetic (kept honest): 50 slots.
-    # 9 go to entries NEW or CHANGED before this round's build (the
-    # two schema-changed mllib LSH entries FIRST, per the round-7
-    # verdict); 20 drain the never-driver-checked tail to exactly
-    # ZERO; 11 re-prove the entries CHANGED during round 8 itself
-    # (the Zipf-stress exact-dedup-first star contract across the md5
-    # pairwise family + consumers, and the RRF one-explode polish);
-    # the final 10 re-prove one long-stable representative per
-    # remaining family (headline bench entries preferred) so family
-    # coverage stays continuously driver-attested.
-    # ------------------------------------------------------------------
-    # changed since their last driver row — re-prove first:
-    #   mllib_minhash_neardup / mllib_brp_ann_join: schema changed in
-    #     r7 (dist_exact_ok certificate) AND changed again this round
-    #     (C(g,2) pair emission -> linear rep->member star edges)
-    #   pipeline_airbnb_e2e: NEW (verdict ask #8 — the reference's
-    #     core dataflow under the driver's rotating check)
-    #   ml_gbt_train_eval / ml_gbt_feature_importance /
-    #     ml_naive_bayes_lang: split expression now sampling.BUCKET
-    #     (ADVICE item; expression identical, re-prove anyway)
-    #   streaming_stateful_user_stats: STAIRCASE_CAP bounded-state
-    #     fallback added (ADVICE item; below-cap behavior unchanged)
-    #   mllib_kmeans_clusters / stat_mann_whitney: changed r7 outside
-    #     the r7 prefix (judge-sweep green, needs a driver row)
-    "mllib_minhash_neardup",
+    "pipeline_airbnb_train_eval",
+    "text_bpe_learn_merges",
+    "text_bpe_segment_corpus",
+    "events_asof_cogroup",
     "mllib_brp_ann_join",
+    "mllib_minhash_neardup",
     "pipeline_airbnb_e2e",
-    "ml_gbt_train_eval",
-    "ml_gbt_feature_importance",
-    "ml_naive_bayes_lang",
-    "streaming_stateful_user_stats",
-    "mllib_kmeans_clusters",
-    "stat_mann_whitney",
-    # the final 20 never-driver-checked entries (queued from r7 with
-    # per-entry deferral rationale; 7 carry the r6 judge's independent
-    # 10/10 oracle spot-check, all 20 the r7 judge's 25/25 sweep):
-    "text_tfidf",
-    "dedup_ngram_jaccard",
-    "window_range_frame",
-    "io_analyze_table_stats",
-    "sample_temperature_mix",
-    "agg_countmin_topk",
-    "streaming_click_purchase_join",
-    "dedup_minhash_signatures",
-    "events_variant_props",
-    "events_props_map",
-    "window_ntile",
-    "window_lag_deltas",
-    "io_json_roundtrip",
-    "io_orc_roundtrip",
-    "sample_kfold_assign",
-    "text_char_stats",
-    "agg_exact_median_rank",
-    "sim_pq_adc_recall",
-    "streaming_python_datasource",
-    "streaming_dedup_user_types",
-    # changed late in round 8 (the Zipf-stress star-contract rewrite
-    # touched the whole md5 pairwise family and its consumers, plus
-    # the RRF one-explode polish) — all must re-prove at the driver:
-    "sim_rrf_hybrid_rank",
-    "dedup_lsh_verified",
-    "dedup_duplicate_clusters",
-    "dedup_keep_list",
-    "dedup_containment_pairs",
-    "dedup_embedding_neardup",
-    "dedup_embedding_clusters",
-    "dedup_graph_pagerank",
-    "dedup_graph_triangles",
-    "dedup_lsh_recall",
-    "dedup_golden_record",
-    # long-stable family representatives (headline bench entries
-    # preferred; every family NOT already covered above keeps ≥1 rep;
-    # all previously driver-green r1-r6):
-    "q1_pricing_summary",          # TPC-H flagship
-    "join_q3_shipping_priority",   # joins
-    "window_rfm_segments",         # windows headline
-    "events_asof_join",            # events / as-of join
-    "dedup_exact_groups",          # exact dedup
-    "dedup_minhash_lsh_candidates",# LSH production path (also changed r8)
-    "sim_pq_adc_topk",             # ANN headline
-    "media_png_roundtrip",         # multimodal codec
-    "sql_grouping_sets",           # sql
-    "ml_mlp_batch_inference",      # ML serving (bit-exact oracle)
+    "agg_chi2_independence",
+    "agg_cms_heavy_hitters",
+    "agg_collect_order_years",
+    "agg_correlation",
+    "agg_count_distinct",
+    "agg_distinct_values",
+    "agg_global_stats",
+    "agg_null_count",
+    "agg_price_histogram",
+    "agg_revenue_concentration",
+    "agg_salted_skew",
+    "agg_unpivot_rates",
+    "clean_conditional_flags",
+    "clean_dropna_count",
+    "clean_epoch_days",
+    "clean_exp_log_roundtrip",
+    "clean_hcc_detection",
+    "clean_regex_first_token",
+    "dq_audit",
+    "dq_benford",
+    "func_fuzzy_match",
+    "func_null_semantics",
+    "join_anti_no_orders",
+    "join_market_basket",
+    "join_order_backlog",
+    "join_outer_order_counts",
+    "join_price_band_range",
+    "join_ship_latency",
+    "join_supplier_per_region",
+    "q6_forecast_revenue",
+    "set_except_all",
+    "set_intersect",
+    "sort_key_projection",
+    "events_funnel",
+    "ml_linear_fit_closed_form",
+    "sim_centroid_assign",
+    "text_quality_scores",
+    "tpch_q2_min_cost",
+    "agg_moments_shape",
+    "agg_normality_probe",
+    "ml_ridge_closed_form",
+    "sim_knn_classify",
+    "sim_matryoshka_recall",
 ]
 
 from backend_model_spark.plans.registry import promote  # noqa: E402

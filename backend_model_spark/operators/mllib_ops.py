@@ -42,8 +42,9 @@ SEED = 42
 # factor no plan can fix. Duplicate star edges are EXEMPT from the
 # cap (exact_dups_found requires every member edge).
 K_CAP = 10
-RECALL_SAMPLE = 32      # probes for the sampled exact-recall certificate
+RECALL_SAMPLE = 32      # probes for the sampled exact-recall certificates
 BRP_RECALL_FLOOR = 0.5  # sampled recall floor (measured ~1.0 at sf0.01)
+MH_RECALL_FLOOR = 0.5   # minhash twin's floor (measured 1.0 at 3 scales)
 
 
 def _kcap(pairs: DataFrame, anchor: str, dist: str, other: str) -> DataFrame:
@@ -160,7 +161,14 @@ def _minhash_parts(spark: SparkSession, sf_dir: str):
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
     )
-    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=SEED)
+    # numHashTables 8 → 4 (round 9, measured): the OR-amplified
+    # bucket enumeration + per-candidate sparse-Jaccard keyDistance
+    # dominate this entry (Zipf join 123 s → 50 s at 4 tables) while
+    # the capped output barely moves (2,434 → 2,428 pairs, −0.25%)
+    # and the sampled exact recall stays 1.0 at every scale — a
+    # principled trade now that `sample_recall_ok` certifies it per
+    # run (the BRP bucketLength lesson applied to the twin)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=SEED)
 
     def _rep_join(rep_docs: DataFrame) -> DataFrame:
         feats = tf.transform(rep_docs)
@@ -188,7 +196,7 @@ def _minhash_parts(spark: SparkSession, sf_dir: str):
     if stats["n"] == stats["nd"]:
         cand = _rep_join(shingled)
         kept = _kcap(cand, "doc_a", "jaccard_dist", "doc_b")
-        return shingled, cand, kept, cand.limit(0)
+        return shingled, shingled, cand, kept, cand.limit(0)
     # digest groups: one representative doc per distinct text.
     # NOT persisted — measured counter-experiment (SCALE.md round 7):
     # members' lineage is one cheap scan + one two-long-column
@@ -203,12 +211,11 @@ def _minhash_parts(spark: SparkSession, sf_dir: str):
     # (zipf 52.2 s → 83.6 s measured round 9): the shingle arrays +
     # TF vectors are large to materialize, while their lineage is one
     # scan + explode the executors recompute cheaply in pipeline
-    cand = _rep_join(
-        shingled.join(
-            members.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
-            "doc_id",
-        )
+    reps = shingled.join(
+        members.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
+        "doc_id",
     )
+    cand = _rep_join(reps)
     # star edges: rep_id = min(doc_id) over the group, so doc_a < doc_b
     # holds by construction and output size is g−1 per group
     star = (
@@ -220,15 +227,76 @@ def _minhash_parts(spark: SparkSession, sf_dir: str):
         )
     )
     kept = _kcap(cand, "doc_a", "jaccard_dist", "doc_b")
-    return shingled, cand, kept, star
+    return shingled, reps, cand, kept, star
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str):
     """(shingled, emitted pairs) — the capped contract face:
     per-anchor top-``K_CAP`` candidates plus the duplicate star
     edges. See :func:`_minhash_parts` for the pipeline."""
-    shingled, _, kept, star = _minhash_parts(spark, sf_dir)
+    shingled, _, _, kept, star = _minhash_parts(spark, sf_dir)
     return shingled, kept.unionByName(star)
+
+
+def _minhash_sample_recall(reps: DataFrame, kept: DataFrame):
+    """Sampled exact-recall certificate for the minhash twin
+    (round 9): for ``RECALL_SAMPLE`` md5-chosen probe anchors, the
+    EXACT rank-bounded answer — top-``K_CAP`` larger-id reps within
+    Jaccard distance 0.9 — computed through the repo's shingle
+    INVERTED INDEX (probe postings ⟕ rep postings: one broadcast
+    postings join, linear in matching postings — never an all-pairs
+    array comparison) — is compared with the emitted kept pairs.
+    Returns recall in [0, 1], or None when the exact answer is empty.
+
+    Honest tolerance note: the approx side orders by HashingTF-hashed
+    Jaccard (collision allowance quantified by ``dist_exact_ok``),
+    the exact side by set Jaccard — near-tie prefix boundaries can
+    legitimately differ, hence the 0.5 floor rather than 1.0
+    (measured 1.0 at sf0.01/sf0.1/Zipf)."""
+    # persisted: this small projection (id + distinct shingles — no
+    # TF vectors, so the round-7 materialization objection doesn't
+    # apply) is consumed THREE times (probe selection, probe
+    # postings, rep postings); unpersisted, each consumer re-pays the
+    # tokenize+shingle+dedup-window lineage
+    sh = reps.select("doc_id", F.array_distinct("shingles").alias("sh")).persist()
+    probes = (
+        sh.orderBy(F.md5(F.col("doc_id").cast("string")))
+        .limit(RECALL_SAMPLE)
+        .select(F.col("doc_id").alias("p_id"), F.col("sh").alias("p_sh"))
+    )
+    p_post = probes.select(
+        "p_id", F.size("p_sh").alias("p_n"), F.explode("p_sh").alias("shingle")
+    )
+    r_post = sh.select(
+        "doc_id", F.size("sh").alias("r_n"), F.explode("sh").alias("shingle")
+    )
+    inter = (
+        p_post.join(r_post, "shingle")
+        .filter(F.col("doc_id") > F.col("p_id"))
+        .groupBy("p_id", "p_n", "doc_id", "r_n")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    d = 1 - F.col("i") / (F.col("p_n") + F.col("r_n") - F.col("i"))
+    w = Window.partitionBy("p_id").orderBy(F.col("d").asc(), F.col("doc_id").asc())
+    topk = (
+        inter.withColumn("d", d)
+        .filter(F.col("d") <= 0.9)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= K_CAP)
+    )
+    topk = topk.persist()  # tiny (≤ probes×K); consumed twice
+    try:
+        n_exact = topk.count()
+        if n_exact == 0:
+            return None
+        hits = topk.join(
+            kept.select(F.col("doc_a").alias("p_id"), F.col("doc_b").alias("doc_id")),
+            ["p_id", "doc_id"],
+        ).count()
+        return hits / n_exact
+    finally:
+        sh.unpersist()
+        topk.unpersist()
 
 
 def mllib_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -388,15 +456,18 @@ def _brp_sample_recall(reps: DataFrame, kept: DataFrame):
         .filter(F.col("d2") <= 1.15 * 1.15)
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= K_CAP)
-    )
-    n_exact = topk.count()
-    if n_exact == 0:
-        return None
-    hits = topk.join(
-        kept.select(F.col("vec_a").alias("p_id"), F.col("vec_b").alias("vec_id")),
-        ["p_id", "vec_id"],
-    ).count()
-    return hits / n_exact
+    ).persist()  # tiny (≤ probes×K); consumed twice — don't re-pay
+    try:           # the probes×reps brute force for the hits join
+        n_exact = topk.count()
+        if n_exact == 0:
+            return None
+        hits = topk.join(
+            kept.select(F.col("vec_a").alias("p_id"), F.col("vec_b").alias("vec_id")),
+            ["p_id", "vec_id"],
+        ).count()
+        return hits / n_exact
+    finally:
+        topk.unpersist()
 
 
 def mllib_brp_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -694,8 +765,13 @@ def mllib_minhash_neardup_certified(spark: SparkSession, sf_dir: str) -> DataFra
       list, witnessed by :func:`_kcap_topk_ok` (groupBy + anti-join,
       never the cap's own window lineage). The unbounded list lives
       only here, inside the certificate.
+    - ``sample_recall_ok`` (round 9): 32 md5-chosen probe anchors'
+      exact rank-bounded answers — brute-forced through the shingle
+      inverted index, see :func:`_minhash_sample_recall` — must be
+      ≥ ``MH_RECALL_FLOOR`` recalled by the emitted pairs (measured
+      1.0 at sf0.01/sf0.1/Zipf with 4 hash tables).
     """
-    shingled, cand, kept, star = _minhash_parts(spark, sf_dir)
+    shingled, reps, cand, kept, star = _minhash_parts(spark, sf_dir)
     shingled = shingled.persist()
     cand = cand.persist()
     kept = kept.persist()
@@ -712,6 +788,7 @@ def mllib_minhash_neardup_certified(spark: SparkSession, sf_dir: str) -> DataFra
     # round 9 — the cap is exactly the per-anchor top-K prefix of the
     # unbounded candidate list (which lives only here)
     kcap_ok = _kcap_topk_ok(cand, kept, "doc_a", "jaccard_dist", "doc_b")
+    recall = _minhash_sample_recall(reps, kept)
     for df in (shingled, cand, kept, pairs):
         df.unpersist()
     return spark.createDataFrame(
@@ -723,11 +800,12 @@ def mllib_minhash_neardup_certified(spark: SparkSession, sf_dir: str) -> DataFra
                 bool(max_dist is None or max_dist <= 0.9),
                 bool(excess is None or excess <= 0.0),
                 bool(kcap_ok),
+                bool(recall is None or recall >= MH_RECALL_FLOOR),
             )
         ],
         "n_docs bigint, n_exact_dup_pairs bigint, "
         "exact_dups_found boolean, pairs_valid boolean, dist_exact_ok boolean, "
-        "kcap_topk_ok boolean",
+        "kcap_topk_ok boolean, sample_recall_ok boolean",
     )
 
 
@@ -743,7 +821,8 @@ SELECT
   TRUE AS exact_dups_found,
   TRUE AS pairs_valid,
   TRUE AS dist_exact_ok,
-  TRUE AS kcap_topk_ok
+  TRUE AS kcap_topk_ok,
+  TRUE AS sample_recall_ok
 FROM g
 """
 

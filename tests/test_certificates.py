@@ -517,10 +517,18 @@ def test_kcap_bounds_output_and_certificates_hold(spark, dense_dir):
     assert brow["kcap_topk_ok"] and brow["sample_recall_ok"]
     assert brow["pairs_valid"] and brow["dist_exact_ok"]
 
-    _, mcand, mkept, _ = _minhash_parts(spark, dense_dir)
+    from backend_model_spark.operators.mllib_ops import _minhash_sample_recall
+
+    _, mreps, mcand, mkept, _ = _minhash_parts(spark, dense_dir)
     assert mcand.count() > mkept.count(), "minhash cap must bite too"
+    mrecall = _minhash_sample_recall(mreps, mkept)
+    assert mrecall is not None and mrecall >= 0.5
+    assert _minhash_sample_recall(mreps, mkept.limit(0)) == 0.0, (
+        "an emptied pair list must flip the minhash sample_recall_ok"
+    )
     mrow = mllib_minhash_neardup_certified(spark, dense_dir).collect()[0]
     assert mrow["kcap_topk_ok"] and mrow["pairs_valid"] and mrow["dist_exact_ok"]
+    assert mrow["sample_recall_ok"]
 
 
 def test_kcap_witness_flips_on_poisoned_prefix(spark, dense_dir):

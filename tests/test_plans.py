@@ -919,3 +919,30 @@ def test_mllib_lsh_dedup_first_shapes(spark, sf_dir):
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_staleness_audit_contract():
+    """The TIER1 prefix is now GENERATED (round-9 verdict ask #2) —
+    pin the generator's contract so a refactor can't silently break
+    the guarantee the 304-entry claim rests on: the audit covers the
+    whole registry, emits a full 50-slot prefix, every stale entry's
+    implementing file exists, and the catalog's committed TIER1 is
+    consistent with the registry (all names registered, no dupes)."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
+    from scripts.staleness import PREFIX_SLOTS, audit
+
+    rep = audit()
+    assert rep["total_entries"] == len(_QUERIES)
+    assert len(rep["prefix"]) == PREFIX_SLOTS
+    assert len(set(rep["prefix"])) == PREFIX_SLOTS
+    assert set(rep["prefix"]) <= set(_QUERIES)
+    # never-checked entries are by definition stale and must lead
+    for n in rep["never_checked"]:
+        assert n in rep["stale"]
+        assert n in rep["prefix"][: len(rep["never_checked"])]
+    from backend_model_spark.plans.catalog import TIER1
+
+    assert len(TIER1) == len(set(TIER1))
+    assert set(TIER1) <= set(_QUERIES)

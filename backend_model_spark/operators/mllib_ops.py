@@ -118,12 +118,15 @@ def _star_expectations(keyed: DataFrame, key_col: str, id_col: str, a: str, b: s
 
 
 def _minhash_parts(spark: SparkSession, sf_dir: str):
-    """(shingled, cand, kept, star) — the ONE MinHashLSH pipeline
-    (shingles → HashingTF 2^18 binary → 8-table MinHash → Jaccard
-    ≤ 0.9 self-join) shared by the plain and certified faces.
-    ``cand`` is the uncapped rep-level candidate list (certificate-
-    only); ``kept`` its per-anchor top-``K_CAP`` prefix (the emitted
-    contract, round 9); ``star`` the rep→member duplicate edges.
+    """(shingled, reps, cand, kept, star) — the ONE MinHashLSH
+    pipeline (shingles → HashingTF 2^18 binary → 4-table MinHash →
+    Jaccard < 0.9 self-join; 8 → 4 tables round 9, certified by
+    ``sample_recall_ok``) shared by the plain and certified faces.
+    ``reps`` is the representative doc frame the recall certificate
+    probes; ``cand`` the uncapped rep-level candidate list
+    (certificate-only); ``kept`` its per-anchor top-``K_CAP`` prefix
+    (the emitted contract, round 9); ``star`` the rep→member
+    duplicate edges.
 
     EXACT-DEDUP-FIRST (round-6 scale lesson, applied round 7): a
     duplicated corpus makes approxSimilarityJoin's within-bucket pair
@@ -278,9 +281,14 @@ def _minhash_sample_recall(reps: DataFrame, kept: DataFrame):
     )
     d = 1 - F.col("i") / (F.col("p_n") + F.col("r_n") - F.col("i"))
     w = Window.partitionBy("p_id").orderBy(F.col("d").asc(), F.col("doc_id").asc())
+    # STRICT < mirrors approxSimilarityJoin's contract ("distance
+    # smaller than the threshold"): an inclusive exact side would
+    # demand exactly-0.9 pairs (reachable rationals — intersection 1,
+    # union 10) the emitted contract can never contain, false-flipping
+    # the floor on boundary-heavy corpora (round-9 review find)
     topk = (
         inter.withColumn("d", d)
-        .filter(F.col("d") <= 0.9)
+        .filter(F.col("d") < 0.9)
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= K_CAP)
     )
@@ -328,8 +336,8 @@ def mllib_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _brp_parts(spark: SparkSession, sf_dir: str):
     """(vecs, reps, cand, kept, star) — the ONE BRP pipeline
-    (bucketLength 0.5, 4 tables, Euclidean ≤ 1.15 self-join) shared
-    by the plain and certified faces. ``cand`` is the uncapped
+    (bucketLength 0.3 since round 9, 4 tables, Euclidean < 1.15
+    self-join) shared by the plain and certified faces. ``cand`` is the uncapped
     rep-level candidate list (certificate-only); ``kept`` its
     per-anchor top-``K_CAP`` prefix (the emitted contract); ``star``
     the rep→member duplicate edges.
@@ -398,9 +406,11 @@ def _brp_parts(spark: SparkSession, sf_dir: str):
         # exploded sides), and at Zipf 10× the unpersisted rep join
         # re-pays the array-shuffling dedup window each time —
         # measured 62-96 s vs 12.6 s persisted (6-run alternating A/B,
-        # SCALE.md round 9). The certified face unpersists after its
-        # certificates materialize; downstream consumers of the plain
-        # face see at most a ~15 MB cached frame until clearCache/LRU.
+        # SCALE.md round 9). The certified face (the REGISTERED one)
+        # unpersists after its certificates materialize; the plain
+        # face leaves ONE ~15 MB cached frame PER INVOCATION pinned
+        # until clearCache/LRU — acceptable for its test/stress-only
+        # callers, which clear the cache between timed runs.
         reps = vecs.join(
             members.filter(F.col("vec_id") == F.col("rep_id")).select("vec_id"),
             "vec_id",
@@ -453,7 +463,9 @@ def _brp_sample_recall(reps: DataFrame, kept: DataFrame):
         reps.crossJoin(F.broadcast(probes))
         .filter(F.col("vec_id") > F.col("p_id"))
         .select("p_id", "vec_id", d2.alias("d2"))
-        .filter(F.col("d2") <= 1.15 * 1.15)
+        # STRICT < mirrors approxSimilarityJoin ("smaller than the
+        # threshold") — see the minhash twin's boundary note
+        .filter(F.col("d2") < 1.15 * 1.15)
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= K_CAP)
     ).persist()  # tiny (≤ probes×K); consumed twice — don't re-pay

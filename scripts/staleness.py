@@ -80,6 +80,22 @@ def _closure(fn) -> set:
     seen, todo = set(), [fn]
     while todo:
         f = todo.pop()
+        if isinstance(f, type):
+            # in-package class (e.g. a StatefulProcessor): trace its
+            # methods — editing one changes entry behavior just like
+            # editing a helper function (round-9 review find)
+            if f in seen or not getattr(f, "__module__", "").startswith(
+                "backend_model_spark"
+            ):
+                continue
+            seen.add(f)
+            todo.extend(
+                m for m in vars(f).values()
+                if callable(m) or isinstance(m, (staticmethod, classmethod))
+            )
+            continue
+        if isinstance(f, (staticmethod, classmethod)):
+            f = f.__func__
         if f in seen or not hasattr(f, "__code__"):
             continue
         seen.add(f)
@@ -118,21 +134,27 @@ def _span_mtime(fn, dirty: set[str], cache: dict) -> int:
     'now' if its file has uncommitted edits (spans may have shifted)."""
     import inspect
 
-    path = os.path.abspath(fn.__code__.co_filename)
+    try:
+        path = os.path.abspath(inspect.getsourcefile(fn) or "")
+        lines, start = inspect.getsourcelines(fn)
+    except (OSError, TypeError):
+        # unreadable source: FAIL-STALE ("changed now"), never fresh
+        return int(time.time())
     rel = os.path.relpath(path, REPO)
     if rel in dirty:
         return int(time.time())
-    try:
-        lines, start = inspect.getsourcelines(fn)
-    except OSError:
-        return 0
     key = (rel, start, start + len(lines) - 1)
     if key not in cache:
         ct = _git(
             "log", "-1", "--format=%ct", "--no-patch",
             f"-L{key[1]},{key[2]}:{rel}",
         )
-        cache[key] = int(ct) if ct.strip().isdigit() else 0
+        # FAIL-STALE on any git -L failure (rename not followed,
+        # invalid span, old git): an error must surface as "this
+        # entry needs a driver row", never as "nothing changed" —
+        # the fail-open direction would silently void the guarantee
+        # the generated rotation exists to provide (round-9 review)
+        cache[key] = int(ct) if ct.strip().isdigit() else int(time.time())
     return cache[key]
 
 

@@ -301,15 +301,21 @@ _TRAIN_EVAL_CACHE: dict = {}
 
 def content_bucket():
     """The train/eval entry's content-addressed split bucket in
-    [0, 100): md5 over the concatenated 16 ``air_b`` columns (the
-    table has no row id, so content IS the identity). ONE shared
-    expression — the flip test reuses it so a hand-copied split
-    cannot drift (the sampling.BUCKET lesson)."""
+    [0, 100): md5 over the 15 FEATURE columns of ``air_b`` (the table
+    has no row id, so content IS the identity). The label ``price``
+    is deliberately EXCLUDED from the key (round-9 advice): hashing it
+    in would re-shuffle the split whenever the label or its rounding
+    changes, and feature-identical rows with different prices could
+    straddle the split — mild train/test contamination for
+    near-duplicate listings. ONE shared expression — the flip test
+    reuses it so a hand-copied split cannot drift (the
+    sampling.BUCKET lesson)."""
+    feature_cols = [c for c in FINAL_COLS if c != "price"]
     return (
         F.conv(
             F.substring(
                 F.md5(
-                    F.concat_ws("|", *[F.col(c).cast("string") for c in FINAL_COLS])
+                    F.concat_ws("|", *[F.col(c).cast("string") for c in feature_cols])
                 ),
                 1,
                 4,

@@ -334,10 +334,19 @@ def mllib_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+# (applicationId, sf_dir) -> parts tuple: bounds the persisted ``reps``
+# frame to ONE per corpus per application instead of one per invocation
+# (round-9 advice: the plain face used to leak ~15 MB of cache per
+# call). The memo owns the persist; no face unpersists ``reps``.
+_BRP_PARTS_CACHE: dict = {}
+
+
 def _brp_parts(spark: SparkSession, sf_dir: str):
     """(vecs, reps, cand, kept, star) — the ONE BRP pipeline
     (bucketLength 0.3 since round 9, 4 tables, Euclidean < 1.15
-    self-join) shared by the plain and certified faces. ``cand`` is the uncapped
+    self-join) shared by the plain and certified faces, memoized per
+    (application, sf_dir); ``reps`` may be persisted and is OWNED BY
+    THE MEMO (callers must not unpersist it). ``cand`` is the uncapped
     rep-level candidate list (certificate-only); ``kept`` its
     per-anchor top-``K_CAP`` prefix (the emitted contract); ``star``
     the rep→member duplicate edges.
@@ -356,6 +365,10 @@ def _brp_parts(spark: SparkSession, sf_dir: str):
     asc, id asc) candidates per anchor. The Zipf 10× corpus has
     564,239 true pairs at threshold 1.15: an output-bound cost no
     plan can fix while the contract is "emit every pair"."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _BRP_PARTS_CACHE.get(key)
+    if got is not None:
+        return got
     emb = load_table(spark, "embeddings", sf_dir)
     vecs = emb.select(
         "vec_id",
@@ -406,11 +419,11 @@ def _brp_parts(spark: SparkSession, sf_dir: str):
         # exploded sides), and at Zipf 10× the unpersisted rep join
         # re-pays the array-shuffling dedup window each time —
         # measured 62-96 s vs 12.6 s persisted (6-run alternating A/B,
-        # SCALE.md round 9). The certified face (the REGISTERED one)
-        # unpersists after its certificates materialize; the plain
-        # face leaves ONE ~15 MB cached frame PER INVOCATION pinned
-        # until clearCache/LRU — acceptable for its test/stress-only
-        # callers, which clear the cache between timed runs.
+        # SCALE.md round 9). Ownership (round-9 advice): the persist
+        # belongs to the _BRP_PARTS_CACHE memo — ONE ~15 MB frame per
+        # (application, sf_dir), reused by every face and never
+        # unpersisted by callers (test sessions clearCache between
+        # timed runs).
         reps = vecs.join(
             members.filter(F.col("vec_id") == F.col("rep_id")).select("vec_id"),
             "vec_id",
@@ -425,7 +438,9 @@ def _brp_parts(spark: SparkSession, sf_dir: str):
             )
         )
     kept = _kcap(cand, "vec_a", "euclidean_dist", "vec_b")
-    return vecs, reps, cand, kept, star
+    got = (vecs, reps, cand, kept, star)
+    _BRP_PARTS_CACHE[key] = got
+    return got
 
 
 def _brp_pairs(spark: SparkSession, sf_dir: str):
@@ -889,7 +904,8 @@ def mllib_brp_ann_join_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_dev = _euclid_dev(pairs, vecs)
     kcap_ok = _kcap_topk_ok(cand, kept, "vec_a", "euclidean_dist", "vec_b")
     recall = _brp_sample_recall(reps, kept)
-    for df in (vecs, cand, kept, pairs, reps):
+    # reps is NOT unpersisted: the _BRP_PARTS_CACHE memo owns it
+    for df in (vecs, cand, kept, pairs):
         df.unpersist()
     return spark.createDataFrame(
         [

@@ -168,10 +168,20 @@ def _zipf_events(spark, df, k_reps):
     hots = []
     off = 0
     for j, size in enumerate(HOT_SIZES):
+        slice_df = df.filter(
+            (F.col("event_id") >= off) & (F.col("event_id") < off + size)
+        )
+        # the literal-range slice assumes event_ids are dense from 0;
+        # on an offset/sparse source a hot user would silently get
+        # fewer (possibly zero) events, weakening the corpus with no
+        # error (round-9 advice) — fail loudly instead
+        got = slice_df.count()
+        assert got == size, (
+            f"hot user {j}: event_id slice [{off},{off + size}) matched "
+            f"{got} rows, expected {size} — source event_ids not dense from 0"
+        )
         hots.append(
-            df.filter(
-                (F.col("event_id") >= off) & (F.col("event_id") < off + size)
-            ).select(
+            slice_df.select(
                 (F.col("event_id") + F.lit(HOT_BASE + j * SHIFT)).alias("event_id"),
                 "ts",
                 F.lit(HOT_BASE + j).alias("user_id"),

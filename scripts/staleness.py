@@ -58,7 +58,14 @@ def _load_rounds() -> list[tuple[int, dict, int]]:
         with open(os.path.join(REPO, fn)) as f:
             rows = json.load(f)
         ct = _git("log", "-1", "--format=%ct", "--", fn)
-        out.append((int(m.group(1)), rows, int(ct) if ct else 0))
+        if not ct:
+            # uncommitted/untracked round file (git log empty): fall back
+            # to the file's mtime instead of epoch 0, mirroring the
+            # dirty-source handling — otherwise every row it greens
+            # looks infinitely old and the generated TIER1 is garbage
+            # (round-9 advice).
+            ct = str(int(os.path.getmtime(os.path.join(REPO, fn))))
+        out.append((int(m.group(1)), rows, int(ct)))
     return sorted(out)
 
 
@@ -68,7 +75,12 @@ def _green(row: dict) -> bool:
         return False
     if "hash_match" in row and row["hash_match"] is not None:
         return bool(row["hash_match"])
-    return bool(row.get("rows_match", row.get("spark_rows", 0) >= 0))
+    if "rows_match" in row:
+        return bool(row["rows_match"])
+    # fail-stale: a row with no outcome fields at all (no err, no
+    # hash_match, no rows_match, no spark_rows) must never certify an
+    # entry as driver-checked (round-9 advice)
+    return "spark_rows" in row and row["spark_rows"] >= 0
 
 
 def _closure(fn) -> set:

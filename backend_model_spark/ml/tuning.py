@@ -85,12 +85,18 @@ TPE_GAMMA = 0.25
 TPE_CANDIDATES = 24
 
 
-def _sample_uniform(rng: random.Random) -> dict:
-    return {
-        "maxDepth": rng.randint(*SPACE["maxDepth"]),
-        "maxIter": rng.randint(*SPACE["maxIter"]),
-        "stepSize": round(rng.uniform(*SPACE["stepSize"]), 4),
-    }
+def _sample_uniform(rng: random.Random, space: dict | None = None) -> dict:
+    """One uniform draw from ``space`` (int dims when both bounds are
+    ints, else 4-dp floats). Iteration order of the dict fixes the
+    rng-consumption order — deterministic under a seed."""
+    space = SPACE if space is None else space
+    out: dict = {}
+    for name, (lo, hi) in space.items():
+        if isinstance(lo, int) and isinstance(hi, int):
+            out[name] = rng.randint(lo, hi)
+        else:
+            out[name] = round(rng.uniform(lo, hi), 4)
+    return out
 
 
 def _bandwidth(lo: float, hi: float, n_centers: int) -> float:
@@ -108,12 +114,15 @@ def _parzen_logpdf(x: float, centers: list[float], lo: float, hi: float) -> floa
     return math.log(total / (len(centers) * bw * math.sqrt(2 * math.pi)) + 1e-300)
 
 
-def _tpe_propose(rng: random.Random, trials: list[Trial]) -> dict:
+def _tpe_propose(
+    rng: random.Random, trials: list[Trial], space: dict | None = None
+) -> dict:
     """One TPE step: model good trials (top TPE_GAMMA by MAE) and bad
     trials as per-dimension Parzen densities l(x), g(x); draw
     TPE_CANDIDATES from l; return the candidate maximizing
     Σ_dim [log l(x_d) − log g(x_d)] (argmax of the density ratio —
     equivalently of Expected Improvement under the TPE derivation)."""
+    space = SPACE if space is None else space
     ordered = sorted(trials, key=lambda t: (t.mae, sorted(t.params.items()).__repr__()))
     n_good = max(1, math.ceil(TPE_GAMMA * len(ordered)))
     good = ordered[:n_good]
@@ -122,7 +131,7 @@ def _tpe_propose(rng: random.Random, trials: list[Trial]) -> dict:
     candidates: list[dict] = []
     for _ in range(TPE_CANDIDATES):
         p: dict = {}
-        for name, (lo, hi) in SPACE.items():
+        for name, (lo, hi) in space.items():
             centers = [float(t.params[name]) for t in good]
             bw = _bandwidth(float(lo), float(hi), len(centers))
             center = centers[rng.randrange(len(centers))]
@@ -132,7 +141,7 @@ def _tpe_propose(rng: random.Random, trials: list[Trial]) -> dict:
 
     def ratio(p: dict) -> float:
         s = 0.0
-        for name, (lo, hi) in SPACE.items():
+        for name, (lo, hi) in space.items():
             x = float(p[name])
             s += _parzen_logpdf(x, [float(t.params[name]) for t in good], lo, hi)
             s -= _parzen_logpdf(x, [float(t.params[name]) for t in bad], lo, hi)
@@ -147,16 +156,17 @@ def _optimize(
     n_trials: int,
     n_explore: int,
     seed: int,
-    propose: Callable[[random.Random, list[Trial]], dict] | None,
+    propose: Callable[..., dict] | None,
+    space: dict | None = None,
 ) -> BayesianResult:
     rng = random.Random(seed)
     trials: list[Trial] = []
     best: Trial | None = None
     for t in range(n_trials):
         if t < n_explore or best is None or propose is None:
-            params = _sample_uniform(rng)
+            params = _sample_uniform(rng, space)
         else:
-            params = propose(rng, trials)
+            params = propose(rng, trials, space)
         trial = Trial(params=params, mae=objective(params))
         trials.append(trial)
         if best is None or trial.mae < best.mae:
@@ -166,11 +176,14 @@ def _optimize(
 
 
 def random_search(
-    objective: Callable[[dict], float], n_trials: int, seed: int = SEED
+    objective: Callable[[dict], float],
+    n_trials: int,
+    seed: int = SEED,
+    space: dict | None = None,
 ) -> BayesianResult:
     """Pure uniform random search — the equal-budget baseline TPE must
     beat (and the test holds it to that)."""
-    return _optimize(objective, n_trials, n_trials, seed, None)
+    return _optimize(objective, n_trials, n_trials, seed, None, space)
 
 
 def tpe_search(
@@ -178,10 +191,12 @@ def tpe_search(
     n_trials: int,
     n_explore: int = 4,
     seed: int = SEED,
+    space: dict | None = None,
 ) -> BayesianResult:
-    """TPE over an arbitrary objective(params) -> loss. Deterministic
-    under a fixed seed."""
-    return _optimize(objective, n_trials, n_explore, seed, _tpe_propose)
+    """TPE over an arbitrary objective(params) -> loss, searched over
+    ``space`` (default: the GBT SPACE). Deterministic under a fixed
+    seed."""
+    return _optimize(objective, n_trials, n_explore, seed, _tpe_propose, space)
 
 
 def bayesian_optimize_gbt(

@@ -1096,6 +1096,35 @@ register(
     ml_mlp.mlp_calibration_deciles,
     ml_mlp.MLP_CALIBRATION_ORACLE,
 )
+# round-10 (verdict asks #1-#3): the reference's model-FITTING step
+# in-engine — data-parallel full-batch GD with order-independent
+# dyadic gradient sums (bit-deterministic under any partitioning;
+# serial-numpy parity pinned by test), plus M3 grid / M4 TPE
+# architecture search over the same trainer and the champion-
+# challenger composition mirroring the reference's two SavedModel dirs
+from backend_model_spark.ml import arch_search as ml_arch  # noqa: E402
+from backend_model_spark.ml import train_distributed as ml_train  # noqa: E402
+
+register(
+    "ml_mlp_train_distributed",
+    ml_train.mlp_train_distributed,
+    ml_train.MLP_TRAIN_ORACLE,
+)
+register(
+    "ml_tuning_grid_champion",
+    ml_arch.tuning_grid_champion,
+    ml_arch.GRID_CHAMPION_ORACLE,
+)
+register(
+    "ml_tuning_tpe_champion",
+    ml_arch.tuning_tpe_champion,
+    ml_arch.TPE_CHAMPION_ORACLE,
+)
+register(
+    "ml_tuning_arch_compare",
+    ml_arch.tuning_arch_compare,
+    ml_arch.ARCH_COMPARE_ORACLE,
+)
 # round-5 additions — lakehouse-maintenance + sketch + resample family:
 # CDC MERGE INTO post-image (latest-change window + one full-outer
 # hash join on pk; deterministic changelog derived from orders)

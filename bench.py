@@ -40,6 +40,24 @@ def timed_cold_run(spark, fn, sf_dir: str) -> tuple[float, float]:
     return round(_time.monotonic() - t0, 3), load
 
 
+CANARY_N = 10_000_000
+
+
+def canary_ms() -> float:
+    """In-band CPU-steal canary (round-10 verdict ask #4): one fixed
+    single-core integer spin, timed. Loadavg cannot see container CPU
+    steal — this can: the loop's wall time is inversely proportional
+    to the CPU share this process actually received, so cross-round
+    wall ratios can be normalized by the canary ratio (rule in
+    SCALE.md §canary). ~0.4 s on an idle host; sampled at bench
+    start/end and before every query's timed pair."""
+    t0 = time.monotonic()
+    x = 0
+    for i in range(CANARY_N):
+        x += i
+    return round((time.monotonic() - t0) * 1000.0, 1)
+
+
 def wait_for_quiesce(max_wait_s: float, gate: float) -> dict:
     """Block until the host 1-min load average drops below ``gate``
     (or ``max_wait_s`` elapses) so the timed section is
@@ -164,8 +182,10 @@ def main() -> None:
     )
 
     load_before = os.getloadavg()
+    canary_start = canary_ms()
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    run_canaries: dict[str, float] = {}
     run_loads: dict[str, list[float]] = {}
     between: dict[str, dict] = {}
     # round 9 (verdict ask #5): the r8 file's run_loads climbed to 6+
@@ -192,6 +212,7 @@ def main() -> None:
         # load_avg line) means the machine, not the code, regressed.
         runs[name] = []
         run_loads[name] = []
+        run_canaries[name] = canary_ms()
         for _ in range(2):
             # min-of-2 cold runs under the shared protocol (see
             # timed_cold_run for the quiesce rationale)
@@ -201,6 +222,7 @@ def main() -> None:
         timings[name] = min(runs[name])
         prev_sec = timings[name]
     load_after = os.getloadavg()
+    canary_end = canary_ms()
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -228,6 +250,15 @@ def main() -> None:
                 # run — pinpoints WHICH measurement a noise spike hit
                 "run_loads": run_loads,
                 "runs": runs,
+                # round 10: in-band CPU-steal canary (single-core spin
+                # wall ms) at start/end and before each query — loadavg
+                # cannot see container CPU steal, this can. Normalize
+                # cross-round ratios by canary ratio (SCALE.md §canary).
+                "canary_ms": {
+                    "start": canary_start,
+                    "end": canary_end,
+                    "per_query": run_canaries,
+                },
             }
         )
     )

@@ -394,10 +394,20 @@ def weight_checksum(wts: list[np.ndarray]) -> int:
 # Registered entry
 # ---------------------------------------------------------------------------
 
-# applicationId+sf_dir -> certificate row (the fit is deterministic;
-# the registry plan sweep constructs entries repeatedly — cf.
-# ml_queries._GBT_CACHE)
-_TRAIN_DIST_CACHE: dict = {}
+# applicationId+sf_dir -> (wts, losses, moments): ONE fit per
+# application, shared by the training certificate and the
+# train-then-serve composition (the fit is deterministic; the registry
+# plan sweep constructs entries repeatedly — cf. ml_queries._GBT_CACHE)
+_FIT_CACHE: dict = {}
+
+
+def _fit_cached(spark: SparkSession, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _FIT_CACHE.get(key)
+    if got is None:
+        got = train_distributed(spark, sf_dir)
+        _FIT_CACHE[key] = got
+    return got
 
 
 def mlp_train_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,21 +445,17 @@ def mlp_train_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     auto-adapted to n by :func:`_qg_bits`, so the order-independence
     guarantee survives any corpus size.
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
-    row = _TRAIN_DIST_CACHE.get(key)
-    if row is None:
-        wts, losses, m = train_distributed(spark, sf_dir)
-        mono = all(losses[i + 1] < losses[i] for i in range(len(losses) - 1))
-        row = (
-            int(m["n"]),
-            TRAIN_EPOCHS,
-            bool(mono),
-            bool(losses[-1] < 1.0),
-            int(math.floor(losses[0] * 1e6 + 0.5)),
-            int(math.floor(losses[-1] * 1e6 + 0.5)),
-            int(weight_checksum(wts)),
-        )
-        _TRAIN_DIST_CACHE[key] = row
+    wts, losses, m = _fit_cached(spark, sf_dir)
+    mono = all(losses[i + 1] < losses[i] for i in range(len(losses) - 1))
+    row = (
+        int(m["n"]),
+        TRAIN_EPOCHS,
+        bool(mono),
+        bool(losses[-1] < 1.0),
+        int(math.floor(losses[0] * 1e6 + 0.5)),
+        int(math.floor(losses[-1] * 1e6 + 0.5)),
+        int(weight_checksum(wts)),
+    )
     return spark.createDataFrame(
         [row],
         "n bigint, epochs int, loss_monotone boolean, beats_mean boolean, "
@@ -471,5 +477,102 @@ SELECT
   CAST(883312 AS BIGINT) AS loss_first_q,
   CAST(70937 AS BIGINT) AS loss_final_q,
   CAST(21230988351047 AS BIGINT) AS weight_checksum
+FROM lineitem
+"""
+
+
+def mlp_train_then_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full model LIFECYCLE in one engine job: the
+    in-engine-trained weights (:func:`train_distributed`, one cached
+    fit per application) deployed through the serving shape of
+    ml/mlp.py — broadcast weights + one zero-shuffle mapInPandas
+    scoring pass — and evaluated with exact integer error sums.
+
+    Per row: the deterministic forward pass (same no-BLAS
+    :func:`_matmul_det` math as training) on standardized features,
+    de-normalized to dollars, edge-rounded to integer cents; the
+    actual is the integer-dollar target × 100. Errors are int64
+    cents, SSE accumulates in decimal(38,0), so the rollup is exact
+    and the RMSE/MAE/bias literals pin the trained model's deployed
+    accuracy. ``serve_matches_train``: the serving-side MSE (cents,
+    re-normalized) reproduces the trainer's final full-batch loss to
+    within the cent-rounding tolerance — the train→serve contract a
+    model registry would enforce before promotion.
+
+    Scale: one narrow scan + mapInPandas + a map-side-combinable
+    1-row aggregate; the fit itself is the cached trainer (see
+    :func:`mlp_train_distributed`)."""
+    import pandas as pd
+
+    wts, losses, m = _fit_cached(spark, sf_dir)
+    mus = [m[c][0] for c in FEATURES]
+    sds = [m[c][1] for c in FEATURES]
+    ym, ys = m["y"]
+    bc = spark.sparkContext.broadcast([w.tolist() for w in wts])
+
+    def score(batches, _mus=mus, _sds=sds, _ym=float(ym), _ys=float(ys)):
+        wl = [np.asarray(w, dtype=np.float64) for w in bc.value]
+        w1, b1, w2, b2, w3, b3 = wl
+        mu_a, sd_a = np.asarray(_mus), np.asarray(_sds)
+        for pdf in batches:
+            x = pdf[FEATURES].to_numpy(dtype=np.float64)
+            y = pdf["y"].to_numpy(dtype=np.float64)
+            xs = (x - mu_a) / sd_a
+            z1 = _matmul_det(xs, w1) + b1
+            a1 = np.where(z1 >= 0.0, z1, TRAIN_LEAKY * z1)
+            z2 = _matmul_det(a1, w2) + b2
+            a2 = np.where(z2 >= 0.0, z2, TRAIN_LEAKY * z2)
+            pred = (_matmul_det(a2, w3) + b3).ravel() * _ys + _ym
+            yield pd.DataFrame(
+                {
+                    "pred_cents": np.floor(pred * 100.0 + 0.5).astype(np.int64),
+                    "actual_cents": (y * 100.0).astype(np.int64),
+                }
+            )
+
+    scored = _feats_and_moments(spark, sf_dir)[0].mapInPandas(
+        score, "pred_cents long, actual_cents long"
+    )
+    d = (F.col("pred_cents") - F.col("actual_cents")).cast("decimal(38,0)")
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d * d).alias("sse"),
+        F.sum(F.abs(d)).alias("sae"),
+        F.sum(d).alias("sd"),
+    ).collect()[0]
+    n = int(agg["n"])
+    mse_cents2 = int(agg["sse"]) / n
+    rmse_c = int(math.floor(math.sqrt(mse_cents2) + 0.5))
+    mae_c = int(math.floor(int(agg["sae"]) / n + 0.5))
+    bias_c = int(math.floor(int(agg["sd"]) / n + 0.5))
+    # serving MSE back on the trainer's normalized scale; the trainer
+    # quantizes per-row err^2 to 2^-qg and serving rounds to cents, so
+    # agreement is to tolerance, not bit-exact — that's the contract
+    serve_loss = mse_cents2 / (100.0 * ys) ** 2
+    row = (
+        n,
+        rmse_c,
+        mae_c,
+        bias_c,
+        bool(mae_c <= rmse_c),
+        bool(abs(serve_loss - losses[-1]) <= 1e-3),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n bigint, rmse_cents bigint, mae_cents bigint, bias_cents bigint, "
+        "mae_le_rmse boolean, serve_matches_train boolean",
+    )
+
+
+# literals from the deterministic fit at sf0.01 (scripts/pin_arch_search.py
+# prints the trainer block; these three come from one mlp_train_then_serve run)
+MLP_TRAIN_SERVE_ORACLE = """
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(793837 AS BIGINT) AS rmse_cents,
+  CAST(637234 AS BIGINT) AS mae_cents,
+  CAST(50598 AS BIGINT) AS bias_cents,
+  TRUE AS mae_le_rmse,
+  TRUE AS serve_matches_train
 FROM lineitem
 """

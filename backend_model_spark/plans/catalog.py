@@ -1125,6 +1125,15 @@ register(
     ml_arch.tuning_arch_compare,
     ml_arch.ARCH_COMPARE_ORACLE,
 )
+# the lifecycle closure: in-engine-TRAINED weights deployed through the
+# serving shape (broadcast + zero-shuffle mapInPandas) and evaluated
+# with exact integer error sums; serve_matches_train certifies the
+# serving MSE reproduces the trainer's final loss (model-registry gate)
+register(
+    "ml_mlp_train_serve_e2e",
+    ml_train.mlp_train_then_serve,
+    ml_train.MLP_TRAIN_SERVE_ORACLE,
+)
 # round-5 additions — lakehouse-maintenance + sketch + resample family:
 # CDC MERGE INTO post-image (latest-change window + one full-outer
 # hash join on pk; deterministic changelog derived from orders)

@@ -179,6 +179,23 @@ def test_grid_champion_is_lattice_min(spark, sf_dir):
     assert (h1, h2) in GRID
 
 
+def test_train_then_serve_consistency(spark, sf_dir):
+    """The lifecycle closure at tiny SF: the serving-side rollup is
+    self-consistent (MAE ≤ RMSE), conserves rows, and its MSE
+    reproduces the trainer's final loss within the cent-rounding
+    tolerance (the serve_matches_train contract)."""
+    from backend_model_spark.ml.train_distributed import (
+        load_xy_serial,
+        mlp_train_then_serve,
+    )
+
+    row = mlp_train_then_serve(spark, sf_dir).collect()[0]
+    assert row["n"] == len(load_xy_serial(sf_dir)[0])
+    assert row["mae_le_rmse"]
+    assert row["serve_matches_train"]
+    assert 0 <= row["mae_cents"] <= row["rmse_cents"]
+
+
 def test_arch_compare_marks_unique_champion(spark, sf_dir):
     from backend_model_spark.ml.arch_search import tuning_arch_compare
 

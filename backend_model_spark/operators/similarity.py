@@ -785,9 +785,19 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sq = lambda a, b: (a - b) * (a - b)
     # corpus side: nearest-centroid code per (vec_id, sub) — exactly
-    # pq_encode's assignment (the index build this search runs against)
+    # pq_encode's assignment (the index build this search runs against).
+    # REPARTITION-ONCE-BY-vec_id (round-10 sf1 stage audit): hash(vec_id)
+    # satisfies the clustering of EVERY downstream aggregation —
+    # (vec_id, sub, cand_label), (vec_id, sub), and the scored
+    # (q_id, vec_id) — so Catalyst elides all three exchanges and each
+    # map-side combine finishes (one row per group). Without it, a
+    # vector's 8 sub rows land in 8 partitions after the (vec_id, sub)
+    # agg and the scored partial-agg emitted ~6.5 rows per group at
+    # sf1 (measured: the scored stage wrote 1.29M rows for 200k
+    # groups; shuffle factor 19x on 10x data → ~10x after the fix).
     codes = (
-        cells.join(F.broadcast(centroids), ["sub", "dim"])
+        cells.repartition("vec_id")
+        .join(F.broadcast(centroids), ["sub", "dim"])
         .groupBy("vec_id", "sub", "cand_label")
         .agg(F.sum(sq(F.col("x_int"), F.col("c_int"))).alias("dist"))
         .groupBy("vec_id", "sub")
@@ -1356,8 +1366,15 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the (corpus × subs × candidates) table costs more in
     # materialization than the second derivation (3.8 s vs 2.9 s at
     # sf0.1). The small frames (centroids, lut) are the right persists.
+    # REPARTITION-ONCE-BY-vec_id (round-10 sf1 stage audit, same fix as
+    # pq_adc_topk): hash(vec_id) satisfies the clustering of every
+    # downstream aggregation (cdists, codes, coarse, scored) AND
+    # co-partitions the cand⋈codes vec_id join — Catalyst elides all
+    # those exchanges, and the one corpus shuffle is reused by both
+    # derivations of cdists (ReusedExchange).
     cdists = (
-        cells.join(F.broadcast(centroids), ["sub", "dim"])
+        cells.repartition("vec_id")
+        .join(F.broadcast(centroids), ["sub", "dim"])
         .groupBy("vec_id", "sub", "cand_label")
         .agg(F.sum(sq(F.col("x_int"), F.col("c_int"))).alias("dist"))
     )

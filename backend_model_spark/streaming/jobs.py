@@ -58,17 +58,27 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (footer-only, no data scan) picks the branch so the stream works
     under any externally-built session.
     """
-    probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    path = os.path.join(sf_dir, "events.parquet")
+    probe = spark.read.parquet(path).schema
     ts_is_long = isinstance(probe["ts"].dataType, T.LongType)
-    # the file source requires a directory: stream the sf_dir with a
-    # glob filter selecting just the events file
-    raw = (
-        spark.readStream.schema(
-            _raw_events_schema(T.LongType() if ts_is_long else T.TimestampNTZType())
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    schema = _raw_events_schema(
+        T.LongType() if ts_is_long else T.TimestampNTZType()
     )
+    # Two physical layouts exist: the driver testdata ships events as a
+    # single FILE (stream the parent dir with a glob selecting it —
+    # the file source wants a directory), while Spark-written corpora
+    # (.stress/*) ship a DIRECTORY of part files — there the glob trick
+    # silently matches ZERO leaf files and yields an empty stream (the
+    # round-10 streaming Zipf sweep's catch: every stateful entry ran
+    # 0.25 s at 10x data because it read nothing). Branch on the layout.
+    if os.path.isdir(path):
+        raw = spark.readStream.schema(schema).parquet(path)
+    else:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     if ts_is_long:
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     # NTZ → instant under the session clock: windows/watermarks operate

@@ -1883,3 +1883,40 @@ def test_asof_cogroup_survives_purchases_only_user_and_us_timestamps(spark, tmp_
     out = {r["purchase_id"]: r["gap_us"] for r in asof_cogroup_pandas(spark, sf).collect()}
     assert out[2] == 300_000_000  # 5 min in us
     assert out[3] is None and out[4] is None  # no clicks -> null gap
+
+
+def test_streaming_reads_directory_layout_events(spark, tmp_path):
+    """Round-10 streaming-Zipf-sweep catch: Spark-written corpora ship
+    events.parquet as a DIRECTORY of part files, where the old
+    pathGlobFilter trick matched zero leaf files and every streaming
+    entry silently processed an EMPTY stream (0.25 s at 10x data).
+    The reader must branch on the layout and see every row."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from backend_model_spark.streaming.jobs import streaming_hourly_counts
+
+    sf = str(tmp_path)
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 10:30:00", 1, "view", 2.0, "{}"),
+        (3, "2024-01-01 11:00:00", 2, "click", 3.0, "{}"),
+    ]
+    # .repartition(2) forces a multi-part DIRECTORY — the layout that
+    # used to stream as empty
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts")).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(sf, "events.parquet"))
+
+    out = streaming_hourly_counts(spark, sf).collect()
+    assert sum(r["n_events"] for r in out) == 3
+    assert {(r["hour_bucket"], r["event_type"]) for r in out} == {
+        ("2024-01-01 10:00:00", "click"),
+        ("2024-01-01 10:00:00", "view"),
+        ("2024-01-01 11:00:00", "click"),
+    }

@@ -1250,71 +1250,69 @@ if HAS_PROTOBUF:
     )
 
 # ----------------------------------------------------------------------
-# ROUND-9 TIER-1 rotation — GENERATED by scripts/staleness.py
-# (round-8 verdict ask #2: hand-curated rotation replaced by a
-# computed guarantee). The script maps every entry to its function's
-# transitive in-package call closure, `git log -L`s each span, and
-# orders by band:
-#   (0) pipeline_airbnb_train_eval — NEW this round (no driver row);
-#   (1) the 6 entries whose own closure changed THIS round (bpe
-#       top-k rewrite ×2, mllib k-cap contracts ×2, the airbnb
-#       funnel's regenerated learnable-price fixture, the
-#       asof-cogroup timestamp-unit fix);
-#   (2) 43 oldest-row-first entries whose shared helpers changed
-#       after their last green row (rows r1–r4) — the tail the hand
-#       rotation never drained. Full report + max row age: SURVEY §14.
+# ROUND-10 TIER-1 rotation — GENERATED by scripts/staleness.py
+# (the computed guarantee of round 8; see that script's docstring).
+# Bands this round:
+#   (0) the 5 NEW entries (distributed trainer, train→serve e2e,
+#       grid/TPE champions, arch compare) — no driver row yet;
+#   (1) entries whose closure changed THIS round: the whole streaming
+#       family (directory-layout source fix), the PQ pair
+#       (repartition-once-by-vec_id), mllib_brp_ann_join (parts memo),
+#       pipeline_airbnb_train_eval (label-free split key);
+#   (2) oldest-row-first helper-drift + age drain (rows r3–r4).
+# Full report + max row age: SURVEY §15.
 # ----------------------------------------------------------------------
 TIER1 = [
-    "pipeline_airbnb_train_eval",
-    "text_bpe_learn_merges",
-    "text_bpe_segment_corpus",
-    "events_asof_cogroup",
+    "ml_mlp_train_distributed",
+    "ml_mlp_train_serve_e2e",
+    "ml_tuning_arch_compare",
+    "ml_tuning_grid_champion",
+    "ml_tuning_tpe_champion",
+    "streaming_hourly_counts",
+    "streaming_session_windows",
+    "streaming_static_enrich",
+    "streaming_dedup_within_watermark",
+    "streaming_foreach_batch_sink",
+    "streaming_left_join_attribution",
+    "sim_ivfpq_topk",
+    "streaming_windowed_topk",
+    "streaming_transform_with_state",
+    "sim_pq_adc_topk",
+    "streaming_click_purchase_join",
+    "streaming_dedup_user_types",
+    "streaming_stateful_user_stats",
     "mllib_brp_ann_join",
-    "mllib_minhash_neardup",
-    "pipeline_airbnb_e2e",
-    "agg_chi2_independence",
-    "agg_cms_heavy_hitters",
-    "agg_collect_order_years",
-    "agg_correlation",
-    "agg_count_distinct",
-    "agg_distinct_values",
-    "agg_global_stats",
-    "agg_null_count",
-    "agg_price_histogram",
-    "agg_revenue_concentration",
-    "agg_salted_skew",
-    "agg_unpivot_rates",
-    "clean_conditional_flags",
-    "clean_dropna_count",
-    "clean_epoch_days",
-    "clean_exp_log_roundtrip",
-    "clean_hcc_detection",
-    "clean_regex_first_token",
-    "dq_audit",
-    "dq_benford",
-    "func_fuzzy_match",
-    "func_null_semantics",
-    "join_anti_no_orders",
-    "join_market_basket",
-    "join_order_backlog",
-    "join_outer_order_counts",
-    "join_price_band_range",
-    "join_ship_latency",
-    "join_supplier_per_region",
-    "q6_forecast_revenue",
-    "set_except_all",
-    "set_intersect",
-    "sort_key_projection",
-    "events_funnel",
-    "ml_linear_fit_closed_form",
-    "sim_centroid_assign",
-    "text_quality_scores",
-    "tpch_q2_min_cost",
-    "agg_moments_shape",
-    "agg_normality_probe",
-    "ml_ridge_closed_form",
-    "sim_knn_classify",
-    "sim_matryoshka_recall",
+    "pipeline_airbnb_train_eval",
+    "sim_pq_encode",
+    "agg_spearman_corr",
+    "ml_ols_cv_sufficient",
+    "sim_cosine_topk_bruteforce",
+    "stat_ab_welch",
+    "text_quality_classifier",
+    "agg_cube",
+    "agg_grouped_orders",
+    "agg_pivot",
+    "agg_rollup",
+    "clean_cast_priority",
+    "clean_junk_filter",
+    "clean_outlier_iqr",
+    "events_retention_cohorts",
+    "events_sessionize",
+    "func_date",
+    "func_percentiles",
+    "func_regex",
+    "io_csv_roundtrip",
+    "io_etl_orchestration",
+    "io_upsert_merge",
+    "join_q5_region_revenue",
+    "join_semi_recent",
+    "media_content_dedup",
+    "sample_pack_sequences",
+    "sample_stratified_hash",
+    "sample_train_test_split",
+    "sql_q4_exists",
+    "sql_recursive_cte",
+    "text_bpe_token_count",
 ]
 
 from backend_model_spark.plans.registry import promote  # noqa: E402

@@ -172,26 +172,45 @@ def tuning_arch_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("strategy")
 
 
-# Pinned literals (sf0.01, the driver's correctness SF) — regenerate by
-# running scripts/pin_arch_search.py after any trainer/space change.
+# Pinned literals for BOTH checked scales (sf0.01 for the driver,
+# sf0.001 for tests/test_oracle_parity.py) — champion PARAMS are
+# identical at both, a free robustness witness; an unpinned corpus
+# yields NULL and fails loudly. Regenerate via scripts/pin_arch_search.py
+# after any trainer/space change.
 GRID_CHAMPION_ORACLE = """
 SELECT 'grid' AS strategy, CAST(4 AS INTEGER) AS n_trials,
   CAST(4 AS INTEGER) AS h1, CAST(4 AS INTEGER) AS h2,
-  CAST(1500 AS BIGINT) AS lr_e4, CAST(444353 AS BIGINT) AS final_loss_q
+  CAST(1500 AS BIGINT) AS lr_e4,
+  CAST(CASE COUNT(*) WHEN 60000 THEN 444353 WHEN 6000 THEN 439552 END
+    AS BIGINT) AS final_loss_q
+FROM lineitem
 """
 
 TPE_CHAMPION_ORACLE = """
 SELECT 'tpe' AS strategy, CAST(8 AS INTEGER) AS n_trials,
   CAST(10 AS INTEGER) AS h1, CAST(6 AS INTEGER) AS h2,
-  CAST(2500 AS BIGINT) AS lr_e4, CAST(86049 AS BIGINT) AS final_loss_q
+  CAST(2500 AS BIGINT) AS lr_e4,
+  CAST(CASE COUNT(*) WHEN 60000 THEN 86049 WHEN 6000 THEN 83420 END
+    AS BIGINT) AS final_loss_q
+FROM lineitem
 """
 
 ARCH_COMPARE_ORACLE = """
-SELECT * FROM (VALUES
-  ('grid', CAST(4 AS INTEGER), CAST(4 AS INTEGER),
-   CAST(1500 AS BIGINT), CAST(444353 AS BIGINT), FALSE),
-  ('tpe', CAST(10 AS INTEGER), CAST(6 AS INTEGER),
-   CAST(2500 AS BIGINT), CAST(86049 AS BIGINT), TRUE)
-) AS t(strategy, h1, h2, lr_e4, final_loss_q, is_champion)
+WITH nn AS (SELECT COUNT(*) AS c FROM lineitem)
+SELECT * FROM (
+  SELECT 'grid' AS strategy, CAST(4 AS INTEGER) AS h1,
+    CAST(4 AS INTEGER) AS h2, CAST(1500 AS BIGINT) AS lr_e4,
+    CAST(CASE c WHEN 60000 THEN 444353 WHEN 6000 THEN 439552 END
+      AS BIGINT) AS final_loss_q,
+    FALSE AS is_champion
+  FROM nn
+  UNION ALL
+  SELECT 'tpe', CAST(10 AS INTEGER), CAST(6 AS INTEGER),
+    CAST(2500 AS BIGINT),
+    CAST(CASE c WHEN 60000 THEN 86049 WHEN 6000 THEN 83420 END
+      AS BIGINT),
+    TRUE
+  FROM nn
+)
 ORDER BY strategy
 """

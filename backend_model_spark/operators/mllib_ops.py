@@ -368,6 +368,15 @@ def _brp_parts(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     got = _BRP_PARTS_CACHE.get(key)
     if got is not None:
+        # an external clearCache() (e.g. the bench protocol's quiesce)
+        # unpersists the memo-owned reps frame behind our back; without
+        # re-asserting the persist, every downstream evaluation re-pays
+        # the dedup window per lineage walk — measured 239 s vs 35 s at
+        # Zipf when the round-10 canary re-check caught exactly this
+        reps = got[1]
+        sl = reps.storageLevel
+        if not (sl.useMemory or sl.useDisk):
+            reps.persist()
         return got
     emb = load_table(spark, "embeddings", sf_dir)
     vecs = emb.select(

@@ -168,12 +168,54 @@ def _unflatten(flat: np.ndarray, h1: int, h2: int) -> list[np.ndarray]:
     return out
 
 
-def _apply_update(
-    wts: list[np.ndarray], grad_flat: np.ndarray, lr2n: float, h1: int, h2: int
-) -> list[np.ndarray]:
-    """W <- round-to-2^-16-grid(W − lr·(2/n)·ΣG)."""
-    grads = _unflatten(grad_flat, h1, h2)
-    return [np.floor((w - lr2n * g) * WG + 0.5) / WG for w, g in zip(wts, grads)]
+ADAM_B1 = 0.9
+ADAM_B2 = 0.999
+ADAM_EPS = 1e-8
+ADAM_LR = 0.1  # measured: beats GD 0.029-vs-0.071 (sf0.01) and 0.032-vs-0.070 (sf0.001)
+
+
+class _Optimizer:
+    """Driver-side update rule on the EXACT summed gradients. ANY rule
+    preserves the determinism guarantee, because it consumes only the
+    order-independent dyadic sums and runs as a fixed sequence of
+    float64 ops on the driver. ``gd`` reproduces the original
+    full-batch descent bit-for-bit (same arithmetic order as the
+    round-10 pinned checksums); ``adam`` is Kingma–Ba Adam with bias
+    correction — the reference's own optimizer (both SavedModels'
+    keras_metadata record ``Adam(lr=1e-3)``). Bias-correction powers
+    are kept as running products (b1t, b2t), not pow()."""
+
+    def __init__(self, opt: str, lr: float):
+        if opt not in ("gd", "adam"):
+            raise ValueError(f"unknown optimizer {opt!r}")
+        self.opt, self.lr = opt, lr
+        self.m: np.ndarray | None = None
+        self.v: np.ndarray | None = None
+        self.b1t = 1.0
+        self.b2t = 1.0
+
+    def step(
+        self, wts: list[np.ndarray], sums: np.ndarray, n: float, h1: int, h2: int
+    ) -> list[np.ndarray]:
+        if self.opt == "gd":
+            # EXACT legacy arithmetic: (lr·2/n) · ΣG, elementwise
+            upd = (self.lr * 2.0 / n) * sums
+        else:
+            g = sums * (2.0 / n)
+            if self.m is None:
+                self.m = np.zeros_like(g)
+                self.v = np.zeros_like(g)
+            self.m = ADAM_B1 * self.m + (1.0 - ADAM_B1) * g
+            self.v = ADAM_B2 * self.v + (1.0 - ADAM_B2) * (g * g)
+            self.b1t *= ADAM_B1
+            self.b2t *= ADAM_B2
+            mh = self.m / (1.0 - self.b1t)
+            vh = self.v / (1.0 - self.b2t)
+            upd = self.lr * mh / (np.sqrt(vh) + ADAM_EPS)
+        flat = np.concatenate([np.ravel(w) for w in wts]) - upd
+        return [
+            np.floor(w * WG + 0.5) / WG for w in _unflatten(flat, h1, h2)
+        ]
 
 
 def _qg_bits(n: int) -> int:
@@ -249,8 +291,11 @@ def train_distributed(
     lr: float = TRAIN_LR,
     epochs: int = TRAIN_EPOCHS,
     init_tag: str = "fcff-v1",
+    opt: str = "gd",
 ) -> tuple[list[np.ndarray], list[float], dict]:
-    """Data-parallel full-batch GD on the standardized regression.
+    """Data-parallel full-batch training on the standardized
+    regression — update rule ``opt`` ('gd' or 'adam', see
+    :class:`_Optimizer`).
 
     Returns (final weights on the 2^-16 grid, normalized-MSE loss per
     epoch with one trailing post-update evaluation — len epochs+1,
@@ -264,6 +309,7 @@ def train_distributed(
     sds = np.array([m[c][1] for c in FEATURES])
     ym, ys = m["y"]
     wts = _init_weights(h1, h2, init_tag)
+    optimizer = _Optimizer(opt, lr)
     losses: list[float] = []
     sc = spark.sparkContext
     for ep in range(epochs + 1):
@@ -297,7 +343,7 @@ def train_distributed(
         losses.append(float(vec[-2] / n_seen))
         bc.destroy()
         if ep < epochs:
-            wts = _apply_update(wts, vec[:-2], lr * 2.0 / n_seen, h1, h2)
+            wts = optimizer.step(wts, vec[:-2], n_seen, h1, h2)
     return wts, losses, m
 
 
@@ -345,6 +391,7 @@ def train_serial(
     lr: float = TRAIN_LR,
     epochs: int = TRAIN_EPOCHS,
     init_tag: str = "fcff-v1",
+    opt: str = "gd",
 ) -> tuple[list[np.ndarray], list[float]]:
     """Single-process twin of :func:`train_distributed` on the same
     rows — identical by construction IF (and only if) the distributed
@@ -372,12 +419,13 @@ def train_serial(
     xs = (x - np.array(mus)) / np.array(sds)
     yn = (y - ym) / ys
     wts = _init_weights(h1, h2, init_tag)
+    optimizer = _Optimizer(opt, lr)
     losses: list[float] = []
     for ep in range(epochs + 1):
         vec = _epoch_sums(xs, yn, wts, leaky, qg)
         losses.append(float(vec[-2] / vec[-1]))
         if ep < epochs:
-            wts = _apply_update(wts, vec[:-2], lr * 2.0 / vec[-1], h1, h2)
+            wts = optimizer.step(wts, vec[:-2], vec[-1], h1, h2)
     return wts, losses
 
 
@@ -401,11 +449,12 @@ def weight_checksum(wts: list[np.ndarray]) -> int:
 _FIT_CACHE: dict = {}
 
 
-def _fit_cached(spark: SparkSession, sf_dir: str):
-    key = (spark.sparkContext.applicationId, sf_dir)
+def _fit_cached(spark: SparkSession, sf_dir: str, opt: str = "gd"):
+    key = (spark.sparkContext.applicationId, sf_dir, opt)
     got = _FIT_CACHE.get(key)
     if got is None:
-        got = train_distributed(spark, sf_dir)
+        lr = ADAM_LR if opt == "adam" else TRAIN_LR
+        got = train_distributed(spark, sf_dir, lr=lr, opt=opt)
         _FIT_CACHE[key] = got
     return got
 
@@ -583,5 +632,56 @@ SELECT
     AS BIGINT) AS bias_cents,
   TRUE AS mae_le_rmse,
   TRUE AS serve_matches_train
+FROM lineitem
+"""
+
+
+def mlp_train_adam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL optimizer in-engine: both SavedModels'
+    keras_metadata record ``Adam(lr=1e-3)`` — this entry trains the
+    same net as :func:`mlp_train_distributed` with Kingma–Ba Adam
+    (driver-side moments over the exact order-independent gradient
+    sums; see :class:`_Optimizer` — adaptivity costs nothing in
+    determinism because the moments consume only the dyadic sums).
+
+    Certificates: ``loss_decreased`` replaces plain GD's strict
+    monotonicity (adaptive steps legitimately overshoot early — the
+    measured trajectories are non-monotone at every stable lr), and
+    ``adam_beats_gd`` pins the head-to-head at equal epoch budget
+    against the cached GD fit (measured 0.029 vs 0.071 normalized MSE
+    at sf0.01 — the reason the reference chose Adam). Final loss and
+    quantized-weight checksum pinned at both checked scales.
+
+    Scale: identical plan to the GD trainer — the optimizer is pure
+    driver arithmetic on P scalars."""
+    wts, losses, m = _fit_cached(spark, sf_dir, opt="adam")
+    _, losses_gd, _ = _fit_cached(spark, sf_dir)
+    row = (
+        int(m["n"]),
+        TRAIN_EPOCHS,
+        bool(losses[-1] < losses[0]),
+        bool(losses[-1] < 1.0),
+        bool(losses[-1] < losses_gd[-1]),
+        int(math.floor(losses[-1] * 1e6 + 0.5)),
+        int(weight_checksum(wts)),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n bigint, epochs int, loss_decreased boolean, beats_mean boolean, "
+        "adam_beats_gd boolean, loss_final_q bigint, weight_checksum bigint",
+    )
+
+
+MLP_TRAIN_ADAM_ORACLE = """
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(16 AS INTEGER) AS epochs,
+  TRUE AS loss_decreased,
+  TRUE AS beats_mean,
+  TRUE AS adam_beats_gd,
+  CAST(CASE COUNT(*) WHEN 60000 THEN 29065 WHEN 6000 THEN 31741 END
+    AS BIGINT) AS loss_final_q,
+  CAST(CASE COUNT(*) WHEN 60000 THEN 52509372518644
+    WHEN 6000 THEN 148131431960992 END AS BIGINT) AS weight_checksum
 FROM lineitem
 """

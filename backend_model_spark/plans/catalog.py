@@ -1134,6 +1134,14 @@ register(
     ml_train.mlp_train_then_serve,
     ml_train.MLP_TRAIN_SERVE_ORACLE,
 )
+# the reference's ACTUAL optimizer (keras_metadata: Adam(lr=1e-3)):
+# same trainer, Adam moments driver-side over the exact gradient sums;
+# head-to-head certificate vs the GD fit at equal epochs
+register(
+    "ml_mlp_train_adam",
+    ml_train.mlp_train_adam,
+    ml_train.MLP_TRAIN_ADAM_ORACLE,
+)
 # round-5 additions — lakehouse-maintenance + sketch + resample family:
 # CDC MERGE INTO post-image (latest-change window + one full-outer
 # hash join on pk; deterministic changelog derived from orders)
@@ -1263,6 +1271,7 @@ if HAS_PROTOBUF:
 # Full report + max row age: SURVEY §15.
 # ----------------------------------------------------------------------
 TIER1 = [
+    "ml_mlp_train_adam",
     "ml_mlp_train_distributed",
     "ml_mlp_train_serve_e2e",
     "ml_tuning_arch_compare",
@@ -1312,7 +1321,6 @@ TIER1 = [
     "sample_train_test_split",
     "sql_q4_exists",
     "sql_recursive_cte",
-    "text_bpe_token_count",
 ]
 
 from backend_model_spark.plans.registry import promote  # noqa: E402

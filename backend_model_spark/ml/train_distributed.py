@@ -279,6 +279,13 @@ def _feats_and_moments(spark: SparkSession, sf_dir: str):
         feats = _feature_frame(spark, sf_dir).persist()
         got = (feats, _exact_moments(feats))
         _FEATS_CACHE[key] = got
+    else:
+        # an external clearCache() unpersists the memo-owned frame
+        # behind the memo's back; re-assert it or every epoch re-scans
+        # the parquet (the mllib_ops._BRP_PARTS_CACHE canary lesson)
+        sl = got[0].storageLevel
+        if not (sl.useMemory or sl.useDisk):
+            got[0].persist()
     return got
 
 

@@ -336,9 +336,10 @@ def airbnb_train_eval(spark, sf_dir: str) -> DataFrame:
     pipeline.py:29-87; MLlib has no DNN regressor, SURVEY §2.10) and
     evaluated on held-out rows.
 
-    The split is CONTENT-ADDRESSED (md5 over the concatenated 16
-    columns, bucket < 80 trains — the repo-wide discipline; ``air_b``
-    has no row id, so content IS the identity) rather than
+    The split is CONTENT-ADDRESSED (md5 over the concatenated 15
+    FEATURE columns — price excluded since round 10 so the split is
+    label-independent — bucket < 80 trains; ``air_b`` has no row id,
+    so content IS the identity) rather than
     randomSplit, which is partitioning-dependent. Hashed row: the
     exact conserved total (38,499 — the funnel constant the oracle
     states literally) plus certificates — split fraction within

@@ -62,6 +62,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from backend_model_spark.sources.tables import load_table
+from backend_model_spark.operators.scale_utils import ensure_persisted
 
 WG = float(1 << 16)   # weight grid (16 fractional bits); exact int->float
 CLIP = float(1 << 10)  # per-row contribution clip (rarely active; bounds sums)
@@ -220,8 +221,17 @@ class _Optimizer:
 
 def _qg_bits(n: int) -> int:
     """Grid resolution: the largest qg with n · CLIP · qg < 2^52
-    (so cross-partition sums stay exact), capped at 2^20."""
-    return max(8, min(20, 52 - 10 - int(math.ceil(math.log2(max(n, 2))))))
+    (so cross-partition sums stay exact), capped at 2^20. Beyond
+    n = 2^34 rows no grid ≥ 2^8 satisfies the bound — the trainer
+    REFUSES rather than silently losing the order-independence
+    guarantee (shrink CLIP or shard the epoch to go bigger)."""
+    bits = min(20, 52 - 10 - int(math.ceil(math.log2(max(n, 2)))))
+    if bits < 8:
+        raise ValueError(
+            f"n={n} exceeds the exact-summation budget "
+            "(n · 2^10 · 2^8 ≥ 2^52): shrink CLIP or shard the epoch"
+        )
+    return bits
 
 
 def _feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -283,9 +293,7 @@ def _feats_and_moments(spark: SparkSession, sf_dir: str):
         # an external clearCache() unpersists the memo-owned frame
         # behind the memo's back; re-assert it or every epoch re-scans
         # the parquet (the mllib_ops._BRP_PARTS_CACHE canary lesson)
-        sl = got[0].storageLevel
-        if not (sl.useMemory or sl.useDisk):
-            got[0].persist()
+        ensure_persisted(got[0])
     return got
 
 
@@ -602,6 +610,7 @@ def mlp_train_then_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.abs(d)).alias("sae"),
         F.sum(d).alias("sd"),
     ).collect()[0]
+    bc.destroy()  # the rollup is collected; nothing lazy still needs it
     n = int(agg["n"])
     mse_cents2 = int(agg["sse"]) / n
     rmse_c = int(math.floor(math.sqrt(mse_cents2) + 0.5))

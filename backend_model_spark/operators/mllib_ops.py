@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from backend_model_spark.operators.dedup import SHINGLES, tokenized_docs
 from backend_model_spark.sources.tables import load_table
+from backend_model_spark.operators.scale_utils import ensure_persisted
 
 SEED = 42
 # Round-9 bounded-output contract (round-8 verdict ask #3): the LSH
@@ -366,17 +367,19 @@ def _brp_parts(spark: SparkSession, sf_dir: str):
     564,239 true pairs at threshold 1.15: an output-bound cost no
     plan can fix while the contract is "emit every pair"."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    got = _BRP_PARTS_CACHE.get(key)
-    if got is not None:
-        # an external clearCache() (e.g. the bench protocol's quiesce)
-        # unpersists the memo-owned reps frame behind our back; without
-        # re-asserting the persist, every downstream evaluation re-pays
-        # the dedup window per lineage walk — measured 239 s vs 35 s at
-        # Zipf when the round-10 canary re-check caught exactly this
-        reps = got[1]
-        sl = reps.storageLevel
-        if not (sl.useMemory or sl.useDisk):
-            reps.persist()
+    hit = _BRP_PARTS_CACHE.get(key)
+    if hit is not None:
+        got, owns_persist = hit
+        if owns_persist:
+            # an external clearCache() (e.g. the bench protocol's
+            # quiesce) unpersists the memo-owned reps frame behind our
+            # back; without re-asserting the persist, every downstream
+            # evaluation re-pays the dedup window per lineage walk —
+            # measured 239 s vs 35 s at Zipf when the round-10 canary
+            # re-check caught exactly this. Only the DUPLICATED branch
+            # owns a persist: on duplicate-free corpora reps aliases
+            # the raw vecs frame and must never be pinned.
+            ensure_persisted(got[1])
         return got
     emb = load_table(spark, "embeddings", sf_dir)
     vecs = emb.select(
@@ -448,7 +451,10 @@ def _brp_parts(spark: SparkSession, sf_dir: str):
         )
     kept = _kcap(cand, "vec_a", "euclidean_dist", "vec_b")
     got = (vecs, reps, cand, kept, star)
-    _BRP_PARTS_CACHE[key] = got
+    # owns_persist: True only on the duplicated branch (reps is the
+    # deduped frame this function persisted); on the duplicate-free
+    # short-circuit reps IS vecs, unpersisted by design
+    _BRP_PARTS_CACHE[key] = (got, reps is not vecs)
     return got
 
 

@@ -169,3 +169,16 @@ def with_global_ntile(
         f"    div (__sg_n div {k}) + 1 end as int)"
     )
     return ranked.withColumn(tile_col, tile).drop("__sg_rank", "__sg_n")
+
+
+def ensure_persisted(df: DataFrame) -> DataFrame:
+    """Re-assert a MEMO-OWNED frame's persist after an external
+    ``spark.catalog.clearCache()`` unpersisted it behind the memo's
+    back (the round-10 BRP canary catch: an unpersisted memo hit
+    re-paid the dedup window per lineage evaluation — 239–300 s vs
+    ~35 s at Zipf). ONE shared implementation so the ownership rule
+    cannot drift between memo sites."""
+    sl = df.storageLevel
+    if not (sl.useMemory or sl.useDisk):
+        df.persist()
+    return df

@@ -42,7 +42,7 @@ HEAVY = [
 ]
 
 DIRS = ["/root/testdata/sf0.1", "/root/repo/.stress/sf1.0"]
-UI = "http://localhost:4040/api/v1"
+UI = None  # resolved from spark.sparkContext.uiWebUrl in main()
 
 
 def _stages() -> list[dict]:
@@ -75,6 +75,11 @@ def main() -> None:
     from backend_model_spark.session import get_spark
 
     spark = get_spark("sf1-proof", extra_conf={"spark.ui.enabled": "true"})
+    global UI
+    # NEVER hardcode 4040: a co-running Spark app pushes this session
+    # to 4041+ and the hardcoded port would silently read the OTHER
+    # application's stage metrics (review-pass find)
+    UI = f"{spark.sparkContext.uiWebUrl}/api/v1"
     qs = registry.queries()
     qs["q1_pricing_summary"](spark, DIRS[0]).write.format("noop").mode(
         "overwrite"

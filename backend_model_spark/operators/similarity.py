@@ -1925,3 +1925,196 @@ ORDER BY c_id
 
 
 KMEANS_LLOYD_ORACLE = _kmeans_sql()
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication (Abbas et al. 2023,
+# arXiv:2303.09540): cluster the embedding space, then deduplicate
+# WITHIN clusters by pairwise cosine, keeping the example farthest
+# from its cluster centroid.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU_MICRO = 400_000  # cosine ≥ 0.4 — the dedup family's shared gate
+
+
+def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings corpus: per-cluster kept/dropped
+    counts after within-cluster cosine deduplication.
+
+    The paper's pipeline, re-expressed Spark-first:
+
+    1. CLUSTER: every vector is assigned to its nearest mean centroid
+       (the deterministic E-step shared with :func:`centroid_assign`;
+       a production build drops in MLlib KMeans centroids with the
+       same plumbing — the paper uses k-means too).
+    2. WITHIN-CLUSTER PAIRS: pairwise cosine between co-clustered
+       vectors only — the whole point of SemDeDup is that clustering
+       bounds the quadratic: cost is Σ|cluster|², never |corpus|²
+       (the paper sizes k so n/k stays small; here k is the
+       label-centroid count, and at scale the same shuffle-on-cluster
+       join takes salting like every skewed key).
+    3. DROP RULE: within a pair above the gate (cosine ≥ 0.4, the
+       dedup family's shared threshold), the vector CLOSER to its
+       centroid is dropped and the farther one kept — the paper's
+       keep-farthest-from-centroid rule, which preserves the most
+       diverse representative; ties break by vec_id. Deterministic:
+       all comparisons in integer micro-units.
+
+    Output: one row per cluster — members, dropped, kept — fully
+    recomputable in SQL (the oracle mirrors every stage through the
+    shared DOT/NORM texts).
+
+    Scale: centroids broadcast (K rows); ONE corpus-wide assignment
+    scan; the pair join shuffles on cluster id; the drop decision is
+    a semi-join (dominated-vector test), never an iterative loop.
+    """
+    emb = _as_double(load_table(spark, "embeddings", sf_dir))
+    pos = emb.select("label", F.posexplode("v").alias("pos", "x"))
+    centroids = (
+        pos.groupBy("label", "pos")
+        .agg(
+            F.sum(F.floor(F.col("x") * 1_000_000 + F.lit(0.5)).cast("long")).alias(
+                "sm"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn("c", F.col("sm") / F.col("n") / F.lit(1_000_000.0))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.expr("transform(pc, s -> s.c)").alias("cv"),
+        )
+    )
+    cos_ctr = F.expr(
+        _safe_cos(
+            DOT.format(a="v", b="cv"),
+            f"{NORM.format(a='v')} * {NORM.format(a='cv')}",
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(
+        F.col("ctr_cos_micro").desc(), F.col("c_label").asc()
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(centroids))
+        .withColumn(
+            "ctr_cos_micro", F.floor(cos_ctr * 1_000_000 + F.lit(0.5)).cast("long")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "v", F.col("c_label").alias("cluster"), "ctr_cos_micro")
+        .persist()  # consumed by the pair join (both sides) + the rollup
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("a_v"),
+        "cluster",
+        F.col("ctr_cos_micro").alias("a_ctr"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("b_v"),
+        "cluster",
+        F.col("ctr_cos_micro").alias("b_ctr"),
+    )
+    pair_cos = F.expr(
+        _safe_cos(
+            DOT.format(a="a_v", b="b_v"),
+            f"{NORM.format(a='a_v')} * {NORM.format(a='b_v')}",
+        )
+    )
+    # b is dropped when a co-clustered a clears the gate AND has
+    # keep-priority: farther from the centroid (lower ctr cosine),
+    # vec_id as the deterministic tiebreak
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .withColumn(
+            "pair_cos_micro", F.floor(pair_cos * 1_000_000 + F.lit(0.5)).cast("long")
+        )
+        .filter(F.col("pair_cos_micro") >= SEMDEDUP_TAU_MICRO)
+        .filter(
+            (F.col("a_ctr") < F.col("b_ctr"))
+            | ((F.col("a_ctr") == F.col("b_ctr")) & (F.col("a_id") < F.col("b_id")))
+        )
+        .select("cluster", F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    out = (
+        assigned.join(
+            dropped.withColumn("is_dropped", F.lit(1)), ["cluster", "vec_id"], "left"
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum(F.coalesce(F.col("is_dropped"), F.lit(0))).cast("long").alias(
+                "n_dropped"
+            ),
+        )
+        .withColumn("n_kept", (F.col("n_vectors") - F.col("n_dropped")).cast("long"))
+        .orderBy("cluster")
+    )
+    return out
+
+
+def _semdedup_oracle() -> str:
+    cosv = _safe_cos(
+        DOT_SQL.format(a="v.v", b="c.cv", dim=DIM),
+        NORM_SQL.format(a="v.v", dim=DIM) + " * " + NORM_SQL.format(a="c.cv", dim=DIM),
+    )
+    cosp = _safe_cos(
+        DOT_SQL.format(a="a.v", b="b.v", dim=DIM),
+        NORM_SQL.format(a="a.v", dim=DIM) + " * " + NORM_SQL.format(a="b.v", dim=DIM),
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pos AS (
+  SELECT label, i AS pos, v[i] AS x
+  FROM v, unnest(generate_series(1, {DIM})) AS t(i)
+),
+centroids AS (
+  SELECT label AS c_label, list(c ORDER BY pos) AS cv
+  FROM (
+    SELECT label, pos,
+      CAST(SUM(CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+        / COUNT(*) / 1000000.0 AS c
+    FROM pos GROUP BY label, pos
+  )
+  GROUP BY label
+),
+assigned AS (
+  SELECT vec_id, v, c_label AS cluster, ctr_cos_micro
+  FROM (
+    SELECT v.vec_id, v.v, c.c_label,
+      CAST(FLOOR(({cosv}) * 1000000 + 0.5) AS BIGINT) AS ctr_cos_micro,
+      ROW_NUMBER() OVER (
+        PARTITION BY v.vec_id
+        ORDER BY CAST(FLOOR(({cosv}) * 1000000 + 0.5) AS BIGINT) DESC,
+                 c.c_label ASC
+      ) AS rnk
+    FROM v CROSS JOIN centroids c
+  )
+  WHERE rnk = 1
+),
+dropped AS (
+  SELECT DISTINCT a.cluster, b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+  WHERE CAST(FLOOR(({cosp}) * 1000000 + 0.5) AS BIGINT) >= {SEMDEDUP_TAU_MICRO}
+    AND (a.ctr_cos_micro < b.ctr_cos_micro
+         OR (a.ctr_cos_micro = b.ctr_cos_micro AND a.vec_id < b.vec_id))
+)
+SELECT s.cluster,
+  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+  CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped,
+  CAST(COUNT(*) - COUNT(d.vec_id) AS BIGINT) AS n_kept
+FROM assigned s
+LEFT JOIN dropped d ON d.cluster = s.cluster AND d.vec_id = s.vec_id
+GROUP BY s.cluster
+ORDER BY s.cluster
+"""
+
+
+SEMDEDUP_ORACLE = _semdedup_oracle()

@@ -303,6 +303,14 @@ register(
     streaming_jobs.STREAMING_DEDUP_WWM_ORACLE,
 )
 register("sim_pq_encode", similarity.pq_encode, similarity.PQ_ENCODE_ORACLE)
+# round 10: SemDeDup (Abbas et al. 2023) — semantic dedup via
+# within-cluster cosine, keep-farthest-from-centroid; clustering
+# bounds the quadratic (the paper's own cost model)
+register(
+    "dedup_semantic_semdedup",
+    similarity.semdedup_clusters,
+    similarity.SEMDEDUP_ORACLE,
+)
 # round-4: the SEARCH half of PQ — asymmetric-distance top-k over the
 # 8-code words with a broadcast per-query LUT, salted two-stage rank
 register("sim_pq_adc_topk", similarity.pq_adc_topk, similarity.PQ_ADC_TOPK_ORACLE)
@@ -1271,6 +1279,7 @@ if HAS_PROTOBUF:
 # Full report + max row age: SURVEY §15.
 # ----------------------------------------------------------------------
 TIER1 = [
+    "dedup_semantic_semdedup",
     "ml_mlp_train_adam",
     "ml_mlp_train_distributed",
     "ml_mlp_train_serve_e2e",
@@ -1320,7 +1329,6 @@ TIER1 = [
     "sample_stratified_hash",
     "sample_train_test_split",
     "sql_q4_exists",
-    "sql_recursive_cte",
 ]
 
 from backend_model_spark.plans.registry import promote  # noqa: E402

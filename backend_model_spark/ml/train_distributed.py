@@ -62,7 +62,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from backend_model_spark.sources.tables import load_table
-from backend_model_spark.operators.scale_utils import ensure_persisted
+from backend_model_spark.operators.scale_utils import (
+    ensure_persisted,
+    purge_other_apps,
+)
 
 WG = float(1 << 16)   # weight grid (16 fractional bits); exact int->float
 CLIP = float(1 << 10)  # per-row contribution clip (rarely active; bounds sums)
@@ -234,13 +237,24 @@ def _qg_bits(n: int) -> int:
     return bits
 
 
-def _feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _feature_frame(
+    spark: SparkSession, sf_dir: str, row_filter: str | None = None
+) -> DataFrame:
     """Integer features + integer-dollar target, all exact: the same
     4 features the serving net uses (ml/mlp.py) and the Q1-style
     invoice charge via the exact int64 product
     price_cents·(100−disc)·(100+tax) (see ml/mlp.py model-compare for
-    why the literal predict-price task is unlearnable on this data)."""
+    why the literal predict-price task is unlearnable on this data).
+
+    ``row_filter`` (round 11): an optional SQL predicate over raw
+    lineitem columns, applied BEFORE projection — the hook the
+    content-addressed tuning subsample rides (arch_search
+    TUNE_SUB_FILTER). Deterministic filters only: the trainer's
+    bit-reproducibility contract is a pure function of the filtered
+    row set."""
     li = load_table(spark, "lineitem", sf_dir)
+    if row_filter is not None:
+        li = li.filter(F.expr(row_filter))
     charge_e4 = (
         F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
         * (F.lit(100) - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long"))
@@ -282,12 +296,15 @@ def _exact_moments(feats: DataFrame) -> dict:
 _FEATS_CACHE: dict = {}
 
 
-def _feats_and_moments(spark: SparkSession, sf_dir: str):
-    key = (spark.sparkContext.applicationId, sf_dir)
+def _feats_and_moments(
+    spark: SparkSession, sf_dir: str, row_filter: str | None = None
+):
+    key = (spark.sparkContext.applicationId, sf_dir, row_filter)
     got = _FEATS_CACHE.get(key)
     if got is None:
-        feats = _feature_frame(spark, sf_dir).persist()
+        feats = _feature_frame(spark, sf_dir, row_filter).persist()
         got = (feats, _exact_moments(feats))
+        purge_other_apps(_FEATS_CACHE, key[0])
         _FEATS_CACHE[key] = got
     else:
         # an external clearCache() unpersists the memo-owned frame
@@ -307,17 +324,19 @@ def train_distributed(
     epochs: int = TRAIN_EPOCHS,
     init_tag: str = "fcff-v1",
     opt: str = "gd",
+    row_filter: str | None = None,
 ) -> tuple[list[np.ndarray], list[float], dict]:
     """Data-parallel full-batch training on the standardized
     regression — update rule ``opt`` ('gd' or 'adam', see
-    :class:`_Optimizer`).
+    :class:`_Optimizer`); ``row_filter`` restricts the epoch scans to
+    a deterministic SQL-predicate subset (see :func:`_feature_frame`).
 
     Returns (final weights on the 2^-16 grid, normalized-MSE loss per
     epoch with one trailing post-update evaluation — len epochs+1,
     exact-moment dict).  Deterministic: see module docstring."""
     import pandas as pd
 
-    feats, m = _feats_and_moments(spark, sf_dir)
+    feats, m = _feats_and_moments(spark, sf_dir, row_filter)
     n = m["n"]
     qg = float(1 << _qg_bits(n))
     mus = np.array([m[c][0] for c in FEATURES])
@@ -470,6 +489,7 @@ def _fit_cached(spark: SparkSession, sf_dir: str, opt: str = "gd"):
     if got is None:
         lr = ADAM_LR if opt == "adam" else TRAIN_LR
         got = train_distributed(spark, sf_dir, lr=lr, opt=opt)
+        purge_other_apps(_FIT_CACHE, key[0])
         _FIT_CACHE[key] = got
     return got
 

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from backend_model_spark.operators.sampling import BUCKET
+from backend_model_spark.operators.scale_utils import purge_other_apps
 from backend_model_spark.sources.tables import load_table
 
 
@@ -189,6 +190,7 @@ def _fitted_gbt(spark: SparkSession, sf_dir: str):
     train = feats.filter(bucket < 80)
     test = feats.filter(bucket >= 80)
     model = gbt_pipeline().fit(train)
+    purge_other_apps(_GBT_CACHE, key[0])
     _GBT_CACHE[key] = (model, train, test)
     return _GBT_CACHE[key]
 

@@ -31,7 +31,10 @@ from pyspark.sql import functions as F
 
 from backend_model_spark.operators.dedup import SHINGLES, tokenized_docs
 from backend_model_spark.sources.tables import load_table
-from backend_model_spark.operators.scale_utils import ensure_persisted
+from backend_model_spark.operators.scale_utils import (
+    ensure_persisted,
+    purge_other_apps,
+)
 
 SEED = 42
 # Round-9 bounded-output contract (round-8 verdict ask #3): the LSH
@@ -454,6 +457,7 @@ def _brp_parts(spark: SparkSession, sf_dir: str):
     # owns_persist: True only on the duplicated branch (reps is the
     # deduped frame this function persisted); on the duplicate-free
     # short-circuit reps IS vecs, unpersisted by design
+    purge_other_apps(_BRP_PARTS_CACHE, key[0])
     _BRP_PARTS_CACHE[key] = (got, reps is not vecs)
     return got
 

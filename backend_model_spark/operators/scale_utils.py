@@ -182,3 +182,22 @@ def ensure_persisted(df: DataFrame) -> DataFrame:
     if not (sl.useMemory or sl.useDisk):
         df.persist()
     return df
+
+
+def purge_other_apps(cache: dict, app_id: str) -> None:
+    """Drop memo keys whose applicationId differs from the current
+    one (round-10 advice): every module-level memo keys on
+    ``(applicationId, ...)``, and a long-lived process that restarts
+    its SparkSession would otherwise accumulate DataFrame/weight
+    references bound to dead contexts forever. Call at each memo
+    INSERT site (a key's first element is always the applicationId).
+    No unpersist attempt — the owning context is already gone, and
+    unpersisting through a dead SparkContext raises. Keys are either
+    ``(applicationId, ...)`` tuples or the bare applicationId string
+    (ml.cleaning's one-row memos)."""
+    for key in [
+        k
+        for k in cache
+        if (k[0] if isinstance(k, tuple) else k) != app_id
+    ]:
+        cache.pop(key, None)

@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
+from backend_model_spark.operators.scale_utils import (
+    ensure_persisted,
+    purge_other_apps,
+)
 from backend_model_spark.sources.tables import load_table, spread
 
 DIM = 64
@@ -1936,38 +1941,38 @@ KMEANS_LLOYD_ORACLE = _kmeans_sql()
 
 SEMDEDUP_TAU_MICRO = 400_000  # cosine ≥ 0.4 — the dedup family's shared gate
 
+# (applicationId, sf_dir) -> (members, assigned) persisted frames —
+# memo OWNS both persists (callers never unpersist); bounded by the
+# same purge-on-insert rule as every other module memo
+_SEMDEDUP_CACHE: dict = {}
 
-def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup over the embeddings corpus: per-cluster kept/dropped
-    counts after within-cluster cosine deduplication.
 
-    The paper's pipeline, re-expressed Spark-first:
+def _semdedup_parts(spark: SparkSession, sf_dir: str):
+    """(members, assigned) — the shared SemDeDup front half.
 
-    1. CLUSTER: every vector is assigned to its nearest mean centroid
-       (the deterministic E-step shared with :func:`centroid_assign`;
-       a production build drops in MLlib KMeans centroids with the
-       same plumbing — the paper uses k-means too).
-    2. WITHIN-CLUSTER PAIRS: pairwise cosine between co-clustered
-       vectors only — the whole point of SemDeDup is that clustering
-       bounds the quadratic: cost is Σ|cluster|², never |corpus|²
-       (the paper sizes k so n/k stays small; here k is the
-       label-centroid count, and at scale the same shuffle-on-cluster
-       join takes salting like every skewed key).
-    3. DROP RULE: within a pair above the gate (cosine ≥ 0.4, the
-       dedup family's shared threshold), the vector CLOSER to its
-       centroid is dropped and the farther one kept — the paper's
-       keep-farthest-from-centroid rule, which preserves the most
-       diverse representative; ties break by vec_id. Deterministic:
-       all comparisons in integer micro-units.
+    ``members``: every vector with its digest-group representative
+    (``rep_id`` = min vec_id over identical ``v``) and a non-zero-norm
+    flag. ``assigned``: ONE row per representative — nearest-centroid
+    cluster + quantized centroid cosine (keep priority).
 
-    Output: one row per cluster — members, dropped, kept — fully
-    recomputable in SQL (the oracle mirrors every stage through the
-    shared DOT/NORM texts).
-
-    Scale: centroids broadcast (K rows); ONE corpus-wide assignment
-    scan; the pair join shuffles on cluster id; the drop decision is
-    a semi-join (dominated-vector test), never an iterative loop.
+    EXACT-DEDUP-FIRST STAR CONTRACT (round-11; the family rule from
+    :func:`backend_model_spark.operators.dedup._content_reps`):
+    identical vectors get identical centroid cosines, hence identical
+    cluster assignments and identical keep priorities — so the
+    within-cluster pair join runs on one representative per distinct
+    vector, and a duplicated group of size g costs g star rows, never
+    C(g, 2) pairs. Centroids stay FULL-CORPUS means (each member
+    contributes), exactly as the direct form computed them.
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _SEMDEDUP_CACHE.get(key)
+    if got is not None:
+        # an external clearCache() (bench quiesce) unpersists behind
+        # the memo's back — re-assert, or the rollup + pair join each
+        # re-pay the full assignment lineage
+        ensure_persisted(got[0])
+        ensure_persisted(got[1])
+        return got[0].select("vec_id", "rep_id", "nz"), got[1]
     emb = _as_double(load_table(spark, "embeddings", sf_dir))
     pos = emb.select("label", F.posexplode("v").alias("pos", "x"))
     centroids = (
@@ -1986,6 +1991,20 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(pc, s -> s.c)").alias("cv"),
         )
     )
+    norm2 = F.expr(
+        "aggregate(transform(v, x -> x * x), cast(0.0 as double),"
+        " (acc, x) -> acc + x)"
+    )
+    # ONE digest-group window, persisted once; both the member view
+    # (rollup side) and the rep view (assignment + pair-join side)
+    # read it — the _EMB_MEMBERS_CACHE shape from the dedup family
+    grouped = (
+        emb.withColumn("rep_id", F.min("vec_id").over(W.partitionBy("v")))
+        .select("vec_id", "rep_id", "v", (norm2 > 0).alias("nz"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    members = grouped.select("vec_id", "rep_id", "nz")
+    reps = grouped.filter(F.col("vec_id") == F.col("rep_id")).select("vec_id", "v")
     cos_ctr = F.expr(
         _safe_cos(
             DOT.format(a="v", b="cv"),
@@ -1996,60 +2015,164 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ctr_cos_micro").desc(), F.col("c_label").asc()
     )
     assigned = (
-        emb.crossJoin(F.broadcast(centroids))
+        reps.crossJoin(F.broadcast(centroids))
         .withColumn(
             "ctr_cos_micro", F.floor(cos_ctr * 1_000_000 + F.lit(0.5)).cast("long")
         )
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") == 1)
         .select("vec_id", "v", F.col("c_label").alias("cluster"), "ctr_cos_micro")
-        .persist()  # consumed by the pair join (both sides) + the rollup
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    a = assigned.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("v").alias("a_v"),
-        "cluster",
-        F.col("ctr_cos_micro").alias("a_ctr"),
+    got = (grouped, assigned)
+    purge_other_apps(_SEMDEDUP_CACHE, key[0])
+    _SEMDEDUP_CACHE[key] = got
+    return members, assigned
+
+
+def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings corpus: per-cluster kept/dropped
+    counts after within-cluster cosine deduplication.
+
+    The paper's pipeline (Abbas et al. 2023), re-expressed Spark-first:
+
+    1. CLUSTER: every distinct vector is assigned to its nearest mean
+       centroid (the deterministic E-step shared with
+       :func:`centroid_assign`; a production build drops in MLlib
+       KMeans centroids with the same plumbing — the paper uses
+       k-means too).
+    2. WITHIN-CLUSTER PAIRS, REPS ONLY: pairwise cosine between
+       co-clustered REPRESENTATIVES — clustering bounds the quadratic
+       in corpus size (cost Σ|cluster reps|², never |corpus|²) and
+       the round-11 star contract bounds it in DUPLICATION: a
+       duplicated group of size g contributes one rep to the pair
+       join and g−1 star drops, never C(g, 2) pairs (the round-10
+       verdict's one remaining quadratic path).
+    3. DROP RULE: within a rep pair above the gate (cosine ≥ 0.4, the
+       dedup family's shared threshold), the rep CLOSER to its
+       centroid is dropped and the farther kept — the paper's
+       keep-farthest-from-centroid rule; ties break by vec_id.
+       Deterministic: all comparisons in integer micro-units.
+
+    STAR EQUIVALENCE (why rep-level decisions reproduce the direct
+    per-vector form exactly):
+
+    * a non-rep member with non-zero norm is ALWAYS dropped — its own
+      rep co-clusters with it at pair cosine exactly 1.0 ≥ τ, equal
+      centroid cosine, and strictly smaller vec_id (the tiebreak);
+    * a zero vector is NEVER dropped — every pair cosine involving it
+      is 0.0 < τ under the family's zero-norm rule (and its identical
+      twins score 0.0 with each other too);
+    * a rep is dropped iff a rep-level dominator exists: any member
+      dominator's own rep has the same vector (same cosine to the
+      target, same centroid cosine) and a smaller-or-equal vec_id, so
+      it dominates whenever the member does.
+
+    The adversarial duplicated-corpus suite
+    (tests/test_star_contract_parity.py) checks this equivalence
+    against the DIRECT-form SQL, and the registered oracle computes
+    the same star form (the ``DEDUP_FIRST_CTES`` discipline).
+
+    Output: one row per cluster — members, dropped, kept — fully
+    recomputable in SQL.
+
+    Scale: centroids broadcast (K rows); ONE corpus-wide digest-group
+    window + ONE rep-level assignment scan (both memoized per
+    application × corpus); the rep pair join shuffles on cluster id;
+    the drop decision is a semi-join shape, never an iterative loop;
+    the member rollup is a rep-sized hash join.
+    """
+    from backend_model_spark.operators.dedup import (
+        EMBED_PAIR_BLOCKS,
+        _cell_cosine_kernel,
     )
-    b = assigned.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("v").alias("b_v"),
-        "cluster",
-        F.col("ctr_cos_micro").alias("b_ctr"),
+
+    # the shared Arrow kernel's conservative emission margin is built
+    # for the family's 0.4 gate — keep the constants locked together
+    assert SEMDEDUP_TAU_MICRO == 400_000
+
+    members, assigned = _semdedup_parts(spark, sf_dir)
+    # VECTORIZED REP-PAIR KERNEL (round 11): the within-cluster pair
+    # cosines run through dedup's cogrouped Arrow kernel — grid-
+    # blocked (cluster, i, j) cells so one big cluster never
+    # serializes a task, numpy left-to-right folds BIT-IDENTICAL to
+    # the JVM/DuckDB expression (see embedding_neardup_pairs for the
+    # parity argument). Per-pair JVM expression evaluation paid
+    # ~13 µs/pair: the Zipf 10× corpus (20 000 distinct vectors in 10
+    # clusters → ~20M rep pairs) measured 49.9 s; the kernel emits
+    # raw cosines above a conservative margin and the EXACT micro-
+    # floor + τ gate + drop rule stay in JVM expressions, byte-for-
+    # byte the path the oracle mirrors.
+    m = EMBED_PAIR_BLOCKS
+    cell = F.explode(F.array(*[F.lit(i) for i in range(m)]))
+    base = assigned.select("vec_id", "v", F.col("cluster").alias("label"))
+    ga = (
+        base.withColumn("__blk", F.pmod(F.hash("vec_id"), F.lit(m)))
+        .withColumn("__cj", cell)
+        .groupBy("label", F.col("__blk").alias("__ci"), "__cj")
     )
-    pair_cos = F.expr(
-        _safe_cos(
-            DOT.format(a="a_v", b="b_v"),
-            f"{NORM.format(a='a_v')} * {NORM.format(a='b_v')}",
+    gb = (
+        base.select(
+            F.col("vec_id").alias("bvec_id"),
+            F.col("label").alias("blabel"),
+            F.col("v").alias("bv"),
         )
+        .withColumn("__blk", F.pmod(F.hash("bvec_id"), F.lit(m)))
+        .withColumn("__ci", cell)
+        .groupBy("blabel", "__ci", F.col("__blk").alias("__cj"))
     )
-    # b is dropped when a co-clustered a clears the gate AND has
-    # keep-priority: farther from the centroid (lower ctr cosine),
-    # vec_id as the deterministic tiebreak
-    dropped = (
-        a.join(b, "cluster")
-        .filter(F.col("a_id") != F.col("b_id"))
-        .withColumn(
-            "pair_cos_micro", F.floor(pair_cos * 1_000_000 + F.lit(0.5)).cast("long")
+    raw = ga.cogroup(gb).applyInPandas(
+        _cell_cosine_kernel,
+        schema="vec_a long, vec_b long, label int, cos_raw double",
+    )
+    # rep b is dropped when a co-clustered rep a clears the gate AND
+    # has keep-priority: farther from the centroid (lower ctr cosine),
+    # vec_id as the deterministic tiebreak. The kernel emits each
+    # unordered pair once with vec_a < vec_b, so the dominated rep is
+    # vec_b iff a_ctr ≤ b_ctr (the tie falls to the lower id = a).
+    gated = raw.withColumn(
+        "pair_cos_micro",
+        F.floor(F.col("cos_raw") * 1_000_000 + F.lit(0.5)).cast("long"),
+    ).filter(F.col("pair_cos_micro") >= SEMDEDUP_TAU_MICRO)
+    dropped_reps = (
+        gated.join(
+            assigned.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("ctr_cos_micro").alias("a_ctr"),
+            ),
+            "vec_a",
         )
-        .filter(F.col("pair_cos_micro") >= SEMDEDUP_TAU_MICRO)
-        .filter(
-            (F.col("a_ctr") < F.col("b_ctr"))
-            | ((F.col("a_ctr") == F.col("b_ctr")) & (F.col("a_id") < F.col("b_id")))
+        .join(
+            assigned.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("ctr_cos_micro").alias("b_ctr"),
+            ),
+            "vec_b",
         )
-        .select("cluster", F.col("b_id").alias("vec_id"))
+        .select(
+            F.col("label").alias("cluster"),
+            F.when(F.col("a_ctr") <= F.col("b_ctr"), F.col("vec_b"))
+            .otherwise(F.col("vec_a"))
+            .alias("rep_id"),
+        )
         .distinct()
     )
+    mem = members.join(
+        assigned.select(F.col("vec_id").alias("rep_id"), "cluster"), "rep_id"
+    )
+    is_dropped = F.when(
+        F.col("vec_id") != F.col("rep_id"), F.col("nz").cast("int")
+    ).otherwise(F.coalesce(F.col("rep_dropped"), F.lit(0)))
     out = (
-        assigned.join(
-            dropped.withColumn("is_dropped", F.lit(1)), ["cluster", "vec_id"], "left"
+        mem.join(
+            dropped_reps.withColumn("rep_dropped", F.lit(1)),
+            ["cluster", "rep_id"],
+            "left",
         )
         .groupBy("cluster")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vectors"),
-            F.sum(F.coalesce(F.col("is_dropped"), F.lit(0))).cast("long").alias(
-                "n_dropped"
-            ),
+            F.sum(is_dropped).cast("long").alias("n_dropped"),
         )
         .withColumn("n_kept", (F.col("n_vectors") - F.col("n_dropped")).cast("long"))
         .orderBy("cluster")
@@ -2057,7 +2180,96 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _semdedup_oracle() -> str:
+def _semdedup_ctes() -> str:
+    """Shared CTE chain through ``dropped_reps`` — the STAR form
+    (exact-dedup-first, mirroring :func:`_semdedup_parts` /
+    :func:`semdedup_clusters` stage for stage). The direct per-vector
+    form lives in :data:`SEMDEDUP_DIRECT_ORACLE` below; the
+    adversarial duplicated-corpus suite proves the two agree."""
+    cosv = _safe_cos(
+        DOT_SQL.format(a="r.v", b="c.cv", dim=DIM),
+        NORM_SQL.format(a="r.v", dim=DIM) + " * " + NORM_SQL.format(a="c.cv", dim=DIM),
+    )
+    cosp = _safe_cos(
+        DOT_SQL.format(a="a.v", b="b.v", dim=DIM),
+        NORM_SQL.format(a="a.v", dim=DIM) + " * " + NORM_SQL.format(a="b.v", dim=DIM),
+    )
+    return f"""
+v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pos AS (
+  SELECT label, i AS pos, v[i] AS x
+  FROM v, unnest(generate_series(1, {DIM})) AS t(i)
+),
+centroids AS (
+  SELECT label AS c_label, list(c ORDER BY pos) AS cv
+  FROM (
+    SELECT label, pos,
+      CAST(SUM(CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+        / COUNT(*) / 1000000.0 AS c
+    FROM pos GROUP BY label, pos
+  )
+  GROUP BY label
+),
+grp AS (SELECT v, MIN(vec_id) AS rep_id FROM v GROUP BY v),
+members AS (
+  SELECT m.vec_id, g.rep_id,
+    CASE WHEN list_sum(list_transform(generate_series(1, {DIM}),
+                                      i -> m.v[i] * m.v[i])) > 0
+         THEN 1 ELSE 0 END AS nz
+  FROM v m JOIN grp g ON m.v = g.v
+),
+assigned AS (
+  SELECT vec_id, v, c_label AS cluster, ctr_cos_micro
+  FROM (
+    SELECT r.vec_id, r.v, c.c_label,
+      CAST(FLOOR(({cosv}) * 1000000 + 0.5) AS BIGINT) AS ctr_cos_micro,
+      ROW_NUMBER() OVER (
+        PARTITION BY r.vec_id
+        ORDER BY CAST(FLOOR(({cosv}) * 1000000 + 0.5) AS BIGINT) DESC,
+                 c.c_label ASC
+      ) AS rnk
+    FROM (SELECT rep_id AS vec_id, v FROM grp) r CROSS JOIN centroids c
+  )
+  WHERE rnk = 1
+),
+dropped_reps AS (
+  SELECT DISTINCT a.cluster, b.vec_id AS rep_id
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+  WHERE CAST(FLOOR(({cosp}) * 1000000 + 0.5) AS BIGINT) >= {SEMDEDUP_TAU_MICRO}
+    AND (a.ctr_cos_micro < b.ctr_cos_micro
+         OR (a.ctr_cos_micro = b.ctr_cos_micro AND a.vec_id < b.vec_id))
+)"""
+
+
+SEMDEDUP_ORACLE = f"""
+WITH {_semdedup_ctes()}
+SELECT cluster, n_vectors, n_dropped,
+  CAST(n_vectors - n_dropped AS BIGINT) AS n_kept
+FROM (
+  SELECT s.cluster,
+    CAST(COUNT(*) AS BIGINT) AS n_vectors,
+    CAST(SUM(CASE WHEN m.vec_id <> m.rep_id THEN m.nz
+                  WHEN d.rep_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_dropped
+  FROM members m
+  JOIN assigned s ON m.rep_id = s.vec_id
+  LEFT JOIN dropped_reps d
+    ON d.cluster = s.cluster AND d.rep_id = m.rep_id
+  GROUP BY s.cluster
+)
+ORDER BY cluster
+"""
+
+
+def _semdedup_direct_oracle() -> str:
+    """The r10 DIRECT form — every vector in the pair join, no rep
+    collapse. Quadratic in duplication (C(g, 2) pairs per duplicated
+    group), so NEVER registered; kept solely as the independent
+    equivalence check the duplicated-corpus parity suite runs against
+    the star form (tests/test_star_contract_parity.py)."""
     cosv = _safe_cos(
         DOT_SQL.format(a="v.v", b="c.cv", dim=DIM),
         NORM_SQL.format(a="v.v", dim=DIM) + " * " + NORM_SQL.format(a="c.cv", dim=DIM),
@@ -2117,4 +2329,4 @@ ORDER BY s.cluster
 """
 
 
-SEMDEDUP_ORACLE = _semdedup_oracle()
+SEMDEDUP_DIRECT_ORACLE = _semdedup_direct_oracle()

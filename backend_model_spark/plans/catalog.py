@@ -652,6 +652,11 @@ register(
     events_ops.SESSION_OVERLAP_ORACLE,
 )
 register(
+    "events_overlap_topk",
+    events_ops.session_overlap_topk,
+    events_ops.SESSION_OVERLAP_TOPK_ORACLE,
+)
+register(
     "events_cohort_ltv", events_ops.cohort_ltv_curve, events_ops.COHORT_LTV_ORACLE
 )
 register(
@@ -1132,6 +1137,11 @@ register(
     "ml_tuning_arch_compare",
     ml_arch.tuning_arch_compare,
     ml_arch.ARCH_COMPARE_ORACLE,
+)
+register(
+    "ml_tuning_subsample_champion",
+    ml_arch.tuning_subsample_champion,
+    ml_arch.SUBSAMPLE_CHAMPION_ORACLE,
 )
 # the lifecycle closure: in-engine-TRAINED weights deployed through the
 # serving shape (broadcast + zero-shuffle mapInPandas) and evaluated

@@ -53,6 +53,14 @@ def main() -> None:
     print(f"#   grid: h1={g[0]} h2={g[1]} lr_e4={g[2]} loss_q={g[3]} n={g[4]} win={win=='grid'}")
     print(f"#   tpe:  h1={t[0]} h2={t[1]} lr_e4={t[2]} loss_q={t[3]} n={t[4]} win={win=='tpe'}")
 
+    from backend_model_spark.ml.arch_search import _search_subsample
+
+    s = _search_subsample(spark, sf_dir)
+    print(
+        f"#   sub:  h1={s[0]} h2={s[1]} lr_e4={s[2]} sub_loss_q={s[3]} "
+        f"full_loss_q={s[4]} n={s[5]}"
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -236,13 +236,17 @@ def audit() -> dict:
             }
         )
 
-    # 5: generated prefix bands (changed-first, then oldest-row-first):
+    # 5: generated prefix bands (changed-first, then AGE STRICTLY
+    # DOMINATES — round-10 verdict ask #3: the old ordering let
+    # file-changed-only entries with fresh rows displace genuinely
+    # old rows, so the r2-r4 age tail never drained at 50 slots/round):
     #   0 new entries with no driver row at all
     #   1 changed THIS round (after the latest correctness commit) —
     #     schema-risk; the driver must re-prove them now
     #   2 other hard-stale (shared-helper drift since their old row)
-    #   3 file-changed only, 4 fresh — both oldest-row-first so row
-    #     age keeps draining through the spare slots
+    #   3 EVERYTHING ELSE oldest-row-first — file-changed-only status
+    #     no longer outranks row age (it only breaks ties within a
+    #     round cohort)
     latest_ct = rounds[-1][2] if rounds else 0
     for e in entries:
         e["changed_this_round"] = entry_change[e["name"]] > latest_ct
@@ -251,8 +255,8 @@ def audit() -> dict:
         if e["stale"]:
             b = 0 if not e["last_round"] else (1 if e["changed_this_round"] else 2)
         else:
-            b = 3 if e["file_changed"] else 4
-        return (b, e["last_round"], e["name"])
+            b = 3
+        return (b, e["last_round"], not e["file_changed"], e["name"])
 
     ordered = sorted(entries, key=band)
     prefix = [e["name"] for e in ordered[:PREFIX_SLOTS]]

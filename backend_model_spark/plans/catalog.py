@@ -1276,19 +1276,28 @@ if HAS_PROTOBUF:
     )
 
 # ----------------------------------------------------------------------
-# ROUND-10 TIER-1 rotation — GENERATED by scripts/staleness.py
-# (the computed guarantee of round 8; see that script's docstring).
-# Bands this round:
-#   (0) the 5 NEW entries (distributed trainer, train→serve e2e,
-#       grid/TPE champions, arch compare) — no driver row yet;
-#   (1) entries whose closure changed THIS round: the whole streaming
-#       family (directory-layout source fix), the PQ pair
-#       (repartition-once-by-vec_id), mllib_brp_ann_join (parts memo),
-#       pipeline_airbnb_train_eval (label-free split key);
-#   (2) oldest-row-first helper-drift + age drain (rows r3–r4).
+# ROUND-11 TIER-1 rotation — GENERATED by scripts/staleness.py
+# (row age now strictly dominates after new/changed entries, per the
+# round-10 generator fix). Bands this round:
+#   (0) the 2 NEW entries (events_overlap_topk bounded rollup,
+#       ml_tuning_subsample_champion) — no driver row yet;
+#   (1) entries whose closure changed THIS round: semdedup star
+#       contract + events/arch_search/train_distributed/mllib memo
+#       hygiene, airbnb split-key docstring sync;
+#   (2) pure age drain, oldest rows first: all 9 r2-row and all 9
+#       r3-row entries plus 17 of the 29 r4-row entries (35 age slots
+#       after bands 0-1) -- once the r11 driver file lands, max row
+#       age drops 8 -> 7 held by the 12 remaining r4 entries, which
+#       band-2 of the r12 rotation clears first.
 # Full report + max row age: SURVEY §15.
 # ----------------------------------------------------------------------
 TIER1 = [
+    "events_overlap_topk",
+    "ml_tuning_subsample_champion",
+    "events_overlap_join",
+    "ml_gbt_feature_importance",
+    "ml_gbt_train_eval",
+    "pipeline_airbnb_e2e",
     "dedup_semantic_semdedup",
     "ml_mlp_train_adam",
     "ml_mlp_train_distributed",
@@ -1296,49 +1305,43 @@ TIER1 = [
     "ml_tuning_arch_compare",
     "ml_tuning_grid_champion",
     "ml_tuning_tpe_champion",
-    "streaming_hourly_counts",
-    "streaming_session_windows",
-    "streaming_static_enrich",
-    "streaming_dedup_within_watermark",
-    "streaming_foreach_batch_sink",
-    "streaming_left_join_attribution",
-    "sim_ivfpq_topk",
-    "streaming_windowed_topk",
-    "streaming_transform_with_state",
-    "sim_pq_adc_topk",
-    "streaming_click_purchase_join",
-    "streaming_dedup_user_types",
-    "streaming_stateful_user_stats",
     "mllib_brp_ann_join",
     "pipeline_airbnb_train_eval",
-    "sim_pq_encode",
-    "agg_spearman_corr",
-    "ml_ols_cv_sufficient",
-    "sim_cosine_topk_bruteforce",
-    "stat_ab_welch",
-    "text_quality_classifier",
-    "agg_cube",
-    "agg_grouped_orders",
-    "agg_pivot",
-    "agg_rollup",
-    "clean_cast_priority",
-    "clean_junk_filter",
-    "clean_outlier_iqr",
-    "events_retention_cohorts",
-    "events_sessionize",
-    "func_date",
-    "func_percentiles",
-    "func_regex",
-    "io_csv_roundtrip",
-    "io_etl_orchestration",
-    "io_upsert_merge",
-    "join_q5_region_revenue",
-    "join_semi_recent",
-    "media_content_dedup",
-    "sample_pack_sequences",
-    "sample_stratified_hash",
-    "sample_train_test_split",
-    "sql_q4_exists",
+    "sql_recursive_cte",
+    "text_bpe_token_count",
+    "text_token_stats",
+    "udaf_pandas_weighted_mean",
+    "udf_pandas_normalize",
+    "window_rolling_avg",
+    "window_running_total",
+    "window_top_per_customer",
+    "set_union_all",
+    "dq_mutual_info",
+    "events_anomaly_seasonal",
+    "geo_cell_density",
+    "io_compact_small_files",
+    "io_schema_evolution",
+    "pipeline_quality_dedup",
+    "sample_curriculum_order",
+    "text_pmi_collocations",
+    "text_winnow_fingerprints",
+    "agg_mode_exact",
+    "dq_observe",
+    "events_rolling_trend",
+    "func_array",
+    "func_fuzzy_blocked_pairs",
+    "func_string",
+    "io_bucketed_join",
+    "io_dynamic_partition_overwrite",
+    "io_python_datasource",
+    "io_scd2_merge",
+    "io_scd2_pit_join",
+    "media_payload_stats",
+    "ml_decision_stump",
+    "mllib_fpgrowth_pairs",
+    "pipeline_feature_store",
+    "sample_epoch_shuffle",
+    "sample_group_split",
 ]
 
 from backend_model_spark.plans.registry import promote  # noqa: E402

@@ -302,7 +302,18 @@ def _feats_and_moments(
     key = (spark.sparkContext.applicationId, sf_dir, row_filter)
     got = _FEATS_CACHE.get(key)
     if got is None:
-        feats = _feature_frame(spark, sf_dir, row_filter).persist()
+        # balance the cached partitions ONCE before the many epoch
+        # scans: a single skewed input split (measured at sf1 — one
+        # 28-task stage ran 27 fast + 1 long straggler EVERY epoch)
+        # otherwise serializes each epoch on one python worker. One
+        # narrow shuffle at persist time; the trajectory is
+        # partition-independent by construction, so this is purely a
+        # wall-clock fix.
+        feats = (
+            _feature_frame(spark, sf_dir, row_filter)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .persist()
+        )
         got = (feats, _exact_moments(feats))
         purge_other_apps(_FEATS_CACHE, key[0])
         _FEATS_CACHE[key] = got
@@ -719,5 +730,302 @@ SELECT
     AS BIGINT) AS loss_final_q,
   CAST(CASE COUNT(*) WHEN 60000 THEN 52509372518644
     WHEN 6000 THEN 148131431960992 END AS BIGINT) AS weight_checksum
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# Mini-batch SGD variant (round 11) — the documented scale answer to
+# "full-batch GD costs one full corpus scan per epoch": with NB
+# content-addressed batches, ONE epoch still reads every row exactly
+# once across its NB reduction jobs, but applies NB weight updates
+# instead of 1 — more optimization progress per unit of scan I/O,
+# which is the quantity that matters at 100 TB. Batch membership is
+# content-addressed (md5 of the exact integer feature/target tuple
+# mod NB), so it is a pure function of the data — no RNG, no
+# partitioning dependence — and the whole trajectory stays
+# bit-deterministic under the same dyadic-sum argument as the
+# full-batch trainer (each batch reduction is an order-independent
+# exact sum; updates happen in the fixed batch order 0..NB-1).
+# ---------------------------------------------------------------------------
+
+MB_NUM_BATCHES = 8
+MB_EPOCHS = 8
+MB_LR = 0.15  # same stable step as full GD; 8x8=64 updates vs GD's 8
+
+
+def _bucket_col(num_batches: int = MB_NUM_BATCHES):
+    """Content-addressed batch id: md5 over the canonical decimal
+    rendering of the exact integer tuple, first 32 bits mod NB —
+    identical arithmetic in Spark SQL and the serial twin."""
+    s = F.concat_ws(
+        ",", *[F.col(c).cast("string") for c in FEATURES + ["y"]]
+    )
+    return (
+        F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        % num_batches
+    ).alias("b")
+
+
+# (applicationId, sf_dir) -> persisted feature frame WITH the batch
+# column. Moments are NOT recomputed — shared with _FEATS_CACHE. At
+# cluster scale this frame would be written clustered by b (sort or
+# partition on the batch id) so each batch job's filter prunes to
+# 1/NB of the files; locally the in-memory columnar scan's batch
+# stats do the skipping.
+_MB_FEATS_CACHE: dict = {}
+
+
+def _mb_feats(spark: SparkSession, sf_dir: str, num_batches: int = MB_NUM_BATCHES):
+    key = (spark.sparkContext.applicationId, sf_dir, num_batches)
+    got = _MB_FEATS_CACHE.get(key)
+    if got is None:
+        base, m = _feats_and_moments(spark, sf_dir)
+        fr = base.select(*FEATURES, "y", _bucket_col(num_batches)).persist()
+        got = (fr, m)
+        purge_other_apps(_MB_FEATS_CACHE, key[0])
+        _MB_FEATS_CACHE[key] = got
+    else:
+        ensure_persisted(got[0])
+    return got
+
+
+def _reduce_sums(
+    df: DataFrame,
+    wts: list[np.ndarray],
+    leaky: float,
+    qg: float,
+    mus: np.ndarray,
+    sds: np.ndarray,
+    ym: float,
+    ys: float,
+) -> np.ndarray:
+    """One exact reduction over ``df``: broadcast weights, mapInPandas
+    per-batch quantized sufficient statistics, posexplode +
+    groupBy(pos).sum — the same P+2-wide shape as the full-batch epoch
+    (reduction width = parameter count, never rows)."""
+    import pandas as pd
+
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast([w.tolist() for w in wts])
+    lk, qg_b = float(leaky), float(qg)
+
+    def part(batches, _bc=bc, _lk=lk, _qg=qg_b, _mus=mus.tolist(),
+             _sds=sds.tolist(), _ym=float(ym), _ys=float(ys)):
+        wl = [np.asarray(w, dtype=np.float64) for w in _bc.value]
+        mu_a, sd_a = np.asarray(_mus), np.asarray(_sds)
+        for pdf in batches:
+            x = pdf[FEATURES].to_numpy(dtype=np.float64)
+            y = pdf["y"].to_numpy(dtype=np.float64)
+            xs = (x - mu_a) / sd_a
+            yn = (y - _ym) / _ys
+            s = _epoch_sums(xs, yn, wl, _lk, _qg)
+            yield pd.DataFrame({"s": [s.tolist()]})
+
+    red = (
+        df.mapInPandas(part, "s array<double>")
+        .select(F.posexplode("s"))
+        .groupBy("pos")
+        .agg(F.sum("col").alias("v"))
+        .collect()
+    )
+    bc.destroy()
+    vec = np.zeros(max(r["pos"] for r in red) + 1)
+    for r in red:
+        vec[r["pos"]] = r["v"]
+    return vec
+
+
+def train_distributed_minibatch(
+    spark: SparkSession,
+    sf_dir: str,
+    h1: int = TRAIN_H1,
+    h2: int = TRAIN_H2,
+    leaky: float = TRAIN_LEAKY,
+    lr: float = MB_LR,
+    epochs: int = MB_EPOCHS,
+    num_batches: int = MB_NUM_BATCHES,
+    init_tag: str = "fcff-v1",
+) -> tuple[list[np.ndarray], list[float], float, dict]:
+    """Deterministic mini-batch SGD: per epoch, ``num_batches``
+    reduction jobs in fixed batch order, each an exact dyadic-sum
+    gradient over its content-addressed batch, each followed by a
+    driver-side GD step scaled by THAT batch's row count.
+
+    Returns (final weights, per-epoch STREAMED losses [epochs entries:
+    Σ batch loss sums / n — every row scored exactly once per epoch,
+    each at the weights current when its batch ran], final FULL-batch
+    loss from one trailing evaluation pass, moments). Scan budget:
+    epochs + 1 full passes over the persisted frame (NB filtered jobs
+    per epoch touch disjoint row subsets) + the init evaluation —
+    identical I/O to full GD at the same epoch count, with NB× the
+    updates."""
+    feats, m = _mb_feats(spark, sf_dir, num_batches)
+    n = m["n"]
+    qg = float(1 << _qg_bits(n))
+    mus = np.array([m[c][0] for c in FEATURES])
+    sds = np.array([m[c][1] for c in FEATURES])
+    ym, ys = m["y"]
+    wts = _init_weights(h1, h2, init_tag)
+    losses: list[float] = []
+    for _ep in range(epochs):
+        ep_loss_sum, ep_n = 0.0, 0.0
+        for b in range(num_batches):
+            vec = _reduce_sums(
+                feats.filter(F.col("b") == b), wts, leaky, qg, mus, sds, ym, ys
+            )
+            n_b = vec[-1]
+            if n_b == 0:
+                continue
+            ep_loss_sum += vec[-2]
+            ep_n += n_b
+            upd = (lr * 2.0 / n_b) * vec[:-2]
+            flat = np.concatenate([np.ravel(w) for w in wts]) - upd
+            wts = [
+                np.floor(w * WG + 0.5) / WG for w in _unflatten(flat, h1, h2)
+            ]
+        losses.append(float(ep_loss_sum / ep_n))
+    final_vec = _reduce_sums(feats, wts, leaky, qg, mus, sds, ym, ys)
+    final_loss = float(final_vec[-2] / final_vec[-1])
+    return wts, losses, final_loss, m
+
+
+def train_serial_minibatch(
+    sf_dir: str,
+    h1: int = TRAIN_H1,
+    h2: int = TRAIN_H2,
+    leaky: float = TRAIN_LEAKY,
+    lr: float = MB_LR,
+    epochs: int = MB_EPOCHS,
+    num_batches: int = MB_NUM_BATCHES,
+    init_tag: str = "fcff-v1",
+) -> tuple[list[np.ndarray], list[float], float]:
+    """Single-process twin of :func:`train_distributed_minibatch` —
+    bit-equal by construction iff the per-batch reductions really are
+    order-independent (the parity test's claim)."""
+    x, y = load_xy_serial(sf_dir)
+    n = len(y)
+    qg = float(1 << _qg_bits(n))
+    xi, yi = x.astype(np.int64), y.astype(np.int64)
+    mus, sds = [], []
+    for col in range(4):
+        s, q = int(xi[:, col].sum()), int((xi[:, col] * xi[:, col]).sum())
+        mu = s / n
+        var = q / n - mu * mu
+        mus.append(mu)
+        sds.append(math.sqrt(var) if var > 0 else 1.0)
+    sy, qy = int(yi.sum()), int((yi * yi).sum())
+    ym = sy / n
+    vy = qy / n - ym * ym
+    ys = math.sqrt(vy) if vy > 0 else 1.0
+    bucket = np.array(
+        [
+            int(
+                hashlib.md5(
+                    ",".join(str(int(v)) for v in row).encode()
+                ).hexdigest()[:8],
+                16,
+            )
+            % num_batches
+            for row in np.concatenate([xi, yi[:, None]], axis=1)
+        ]
+    )
+    xs = (x - np.array(mus)) / np.array(sds)
+    yn = (y - ym) / ys
+    wts = _init_weights(h1, h2, init_tag)
+    losses: list[float] = []
+    for _ep in range(epochs):
+        ep_loss_sum, ep_n = 0.0, 0.0
+        for b in range(num_batches):
+            sel = bucket == b
+            if not sel.any():
+                continue
+            vec = _epoch_sums(xs[sel], yn[sel], wts, leaky, qg)
+            ep_loss_sum += vec[-2]
+            ep_n += vec[-1]
+            upd = (lr * 2.0 / vec[-1]) * vec[:-2]
+            flat = np.concatenate([np.ravel(w) for w in wts]) - upd
+            wts = [
+                np.floor(w * WG + 0.5) / WG for w in _unflatten(flat, h1, h2)
+            ]
+        losses.append(float(ep_loss_sum / ep_n))
+    final_vec = _epoch_sums(xs, yn, wts, leaky, qg)
+    final_loss = float(final_vec[-2] / final_vec[-1])
+    return wts, losses, final_loss
+
+
+_MB_FIT_CACHE: dict = {}
+
+
+def _mb_fit_cached(spark: SparkSession, sf_dir: str):
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _MB_FIT_CACHE.get(key)
+    if got is None:
+        got = train_distributed_minibatch(spark, sf_dir)
+        purge_other_apps(_MB_FIT_CACHE, key[0])
+        _MB_FIT_CACHE[key] = got
+    return got
+
+
+def mlp_train_minibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REGISTERED face of :func:`train_distributed_minibatch`.
+
+    Certificates in the hashed row:
+
+    - ``loss_decreased``: final full-batch loss < the first epoch's
+      streamed loss (SGD is not strictly monotone; direction is).
+    - ``beats_mean``: final normalized MSE < 1.0.
+    - ``beats_gd_equal_passes``: the 100-TB claim, pinned exactly.
+      The minibatch fit costs epochs+2 full passes over the corpus
+      (epochs passes of batch jobs + the init-free streamed losses +
+      1 trailing full evaluation + the moments pass shared with GD);
+      the cached 16-epoch GD trajectory provides the loss GD reached
+      at the SAME pass count (``losses_gd[epochs+1]`` after epochs+2
+      passes) — the certificate holds iff minibatch converged further
+      on an identical scan budget.
+    - ``loss_final_q`` / ``weight_checksum``: pinned literals — the
+      bit-level certificate of the full 64-update trajectory under
+      any partitioning (parity with the serial twin is separately
+      held bit-equal by tests/test_train_distributed.py).
+    """
+    wts, losses, final_loss, m = _mb_fit_cached(spark, sf_dir)
+    _, losses_gd, _ = _fit_cached(spark, sf_dir)
+    row = (
+        int(m["n"]),
+        MB_EPOCHS,
+        MB_NUM_BATCHES,
+        MB_EPOCHS * MB_NUM_BATCHES,
+        bool(final_loss < losses[0]),
+        bool(final_loss < 1.0),
+        bool(final_loss < losses_gd[MB_EPOCHS + 1]),
+        int(math.floor(final_loss * 1e6 + 0.5)),
+        int(weight_checksum(wts)),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n bigint, epochs int, num_batches int, steps int, "
+        "loss_decreased boolean, beats_mean boolean, "
+        "beats_gd_equal_passes boolean, loss_final_q bigint, "
+        "weight_checksum bigint",
+    )
+
+
+# literals from the serial twin (regenerate:
+#   python -c "from backend_model_spark.ml.train_distributed import *; \
+#     w,l,fl = train_serial_minibatch('/root/testdata/sf0.01'); import math; \
+#     print(math.floor(fl*1e6+.5), weight_checksum(w))")
+MLP_TRAIN_MINIBATCH_ORACLE = """
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(8 AS INTEGER) AS epochs,
+  CAST(8 AS INTEGER) AS num_batches,
+  CAST(64 AS INTEGER) AS steps,
+  TRUE AS loss_decreased,
+  TRUE AS beats_mean,
+  TRUE AS beats_gd_equal_passes,
+  CAST(CASE COUNT(*) WHEN 60000 THEN 7933 WHEN 6000 THEN 8025 END
+    AS BIGINT) AS loss_final_q,
+  CAST(CASE COUNT(*) WHEN 60000 THEN 219742335911878
+    WHEN 6000 THEN 180703316634420 END AS BIGINT) AS weight_checksum
 FROM lineitem
 """

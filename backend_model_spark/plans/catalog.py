@@ -19,7 +19,7 @@ operator family for readers):
   and never-yet-driver-checked ones surface, long-stable ones yield.
 * TIER 2 (remainder): the rest of each family, insertion order.
 
-276 registered queries; names are stable across rounds — only the
+314 registered queries (as of round 11); names are stable across rounds — only the
 ``TIER1`` list (the verified prefix) rotates.
 """
 
@@ -1160,6 +1160,14 @@ register(
     ml_train.mlp_train_adam,
     ml_train.MLP_TRAIN_ADAM_ORACLE,
 )
+# round-11: mini-batch SGD over content-addressed (md5 mod NB) batches —
+# same scan I/O per epoch as full GD, NBx the updates; the
+# beats_gd_equal_passes certificate pins the scan-budget win exactly
+register(
+    "ml_mlp_train_minibatch",
+    ml_train.mlp_train_minibatch,
+    ml_train.MLP_TRAIN_MINIBATCH_ORACLE,
+)
 # round-5 additions — lakehouse-maintenance + sketch + resample family:
 # CDC MERGE INTO post-image (latest-change window + one full-outer
 # hash join on pk; deterministic changelog derived from orders)
@@ -1279,8 +1287,9 @@ if HAS_PROTOBUF:
 # ROUND-11 TIER-1 rotation — GENERATED by scripts/staleness.py
 # (row age now strictly dominates after new/changed entries, per the
 # round-10 generator fix). Bands this round:
-#   (0) the 2 NEW entries (events_overlap_topk bounded rollup,
-#       ml_tuning_subsample_champion) — no driver row yet;
+#   (0) the 3 NEW entries (events_overlap_topk bounded rollup,
+#       ml_tuning_subsample_champion, ml_mlp_train_minibatch) — no
+#       driver row yet;
 #   (1) entries whose closure changed THIS round: semdedup star
 #       contract + events/arch_search/train_distributed/mllib memo
 #       hygiene, airbnb split-key docstring sync;
@@ -1294,6 +1303,7 @@ if HAS_PROTOBUF:
 TIER1 = [
     "events_overlap_topk",
     "ml_tuning_subsample_champion",
+    "ml_mlp_train_minibatch",
     "events_overlap_join",
     "ml_gbt_feature_importance",
     "ml_gbt_train_eval",
@@ -1341,7 +1351,6 @@ TIER1 = [
     "mllib_fpgrowth_pairs",
     "pipeline_feature_store",
     "sample_epoch_shuffle",
-    "sample_group_split",
 ]
 
 from backend_model_spark.plans.registry import promote  # noqa: E402

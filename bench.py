@@ -158,6 +158,15 @@ HEADLINE = [
     # across pairs) — holds the Zipf-stress fix in the bench: this
     # entry went 298 s -> 4.2 s at 10x duplication scale
     "dedup_embedding_neardup",
+    # round 11: SemDeDup with the star contract applied to the
+    # within-cluster pair join (the last quadratic-in-duplication
+    # path; Zipf 49.9 s -> 7.95 s) — tracked so the rep-window cost
+    # at zero-duplication sf0.1 is measured round-over-round
+    "dedup_semantic_semdedup",
+    # round 11: the K_CAP face of the overlap join — bounded output
+    # (<=5 rows/user) over the banded pair rollup; holds the
+    # first-shared-bin emission (distinct-free pair set) in the bench
+    "events_overlap_topk",
 ]
 
 

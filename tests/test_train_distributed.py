@@ -333,3 +333,83 @@ def test_semdedup_matches_independent_brute_force(spark, sf_dir):
     )
     got = {r["cluster"]: (r["n_vectors"], r["n_dropped"]) for r in rows}
     assert got == brute
+
+
+# ---------------------------------------------------------------------------
+# Mini-batch SGD variant (round 11)
+# ---------------------------------------------------------------------------
+
+
+def test_minibatch_matches_serial_bitwise(spark, sf_dir):
+    """Bit-parity of the mini-batch trajectory: 64 sequential updates,
+    each from a filtered distributed reduction, must equal the serial
+    twin exactly — weights, streamed epoch losses AND the final
+    full-batch evaluation. A short schedule keeps the test fast; the
+    registered entry pins the full 8x8 schedule via its checksum
+    literal."""
+    from backend_model_spark.ml.train_distributed import (
+        train_distributed_minibatch,
+        train_serial_minibatch,
+    )
+
+    wd, ld, fd, m = train_distributed_minibatch(
+        spark, sf_dir, epochs=2, num_batches=4
+    )
+    ws, ls, fs = train_serial_minibatch(sf_dir, epochs=2, num_batches=4)
+    assert ld == ls
+    assert fd == fs
+    assert all((a == b).all() for a, b in zip(wd, ws))
+
+
+def test_minibatch_bucket_is_content_addressed(spark, sf_dir):
+    """The Spark md5-mod-NB bucket expression and the serial twin's
+    hashlib bucket agree row-for-row — batch membership is a pure
+    function of the exact integer tuple, not of partitioning or
+    engine."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from backend_model_spark.ml.train_distributed import (
+        MB_NUM_BATCHES,
+        _bucket_col,
+        _feature_frame,
+        load_xy_serial,
+    )
+
+    fr = _feature_frame(spark, sf_dir).withColumn("b", _bucket_col())
+    got = {
+        tuple(r[:5]): r[5]
+        for r in fr.select("x1", "x2", "x3", "x4", "y", "b").collect()
+    }
+    x, y = load_xy_serial(sf_dir)
+    xi, yi = x.astype(int), y.astype(int)
+    for i in range(0, len(yi), 997):  # sampled; full loop is O(n) python
+        tup = (*[int(v) for v in xi[i]], int(yi[i]))
+        want = (
+            int(
+                hashlib.md5(
+                    ",".join(str(v) for v in tup).encode()
+                ).hexdigest()[:8],
+                16,
+            )
+            % MB_NUM_BATCHES
+        )
+        assert got[tup] == want
+
+
+def test_minibatch_beats_gd_at_equal_passes(sf_dir):
+    """The scale certificate, serially: the pinned schedule's final
+    full-batch loss is below what full GD reached on the SAME number
+    of corpus passes (and the streamed losses actually decreased)."""
+    from backend_model_spark.ml.train_distributed import (
+        MB_EPOCHS,
+        train_serial,
+        train_serial_minibatch,
+    )
+
+    _, lmb, fmb = train_serial_minibatch(sf_dir)
+    _, lgd = train_serial(sf_dir)
+    assert fmb < lgd[MB_EPOCHS + 1]
+    assert fmb < lmb[0]
+    assert fmb < 1.0

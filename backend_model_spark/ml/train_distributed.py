@@ -830,7 +830,12 @@ def _reduce_sums(
         .collect()
     )
     bc.destroy()
-    vec = np.zeros(max(r["pos"] for r in red) + 1)
+    # an EMPTY df (a content-addressed bucket that matched no rows on
+    # some corpus) yields zero reduction rows — return all-zero sums
+    # of the full width so the caller's n_b == 0 skip fires, exactly
+    # as the serial twin's `if not sel.any(): continue` does
+    width = sum(w.size for w in wts) + 2
+    vec = np.zeros(width)
     for r in red:
         vec[r["pos"]] = r["v"]
     return vec
@@ -976,13 +981,14 @@ def mlp_train_minibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
       streamed loss (SGD is not strictly monotone; direction is).
     - ``beats_mean``: final normalized MSE < 1.0.
     - ``beats_gd_equal_passes``: the 100-TB claim, pinned exactly.
-      The minibatch fit costs epochs+2 full passes over the corpus
-      (epochs passes of batch jobs + the init-free streamed losses +
-      1 trailing full evaluation + the moments pass shared with GD);
-      the cached 16-epoch GD trajectory provides the loss GD reached
-      at the SAME pass count (``losses_gd[epochs+1]`` after epochs+2
-      passes) — the certificate holds iff minibatch converged further
-      on an identical scan budget.
+      The minibatch fit costs epochs+1 full reduction passes over the
+      corpus (each epoch's batch jobs sweep disjoint subsets = one
+      pass; streamed losses are free; + 1 trailing full evaluation);
+      the cached GD trajectory provides ``losses_gd[epochs+1]``,
+      which cost GD epochs+2 reduction passes — ONE MORE than
+      minibatch (both also share the one moments pass), so the
+      certificate is conservative: minibatch must converge further on
+      a strictly smaller scan budget.
     - ``loss_final_q`` / ``weight_checksum``: pinned literals — the
       bit-level certificate of the full 64-update trajectory under
       any partitioning (parity with the serial twin is separately

@@ -413,3 +413,32 @@ def test_minibatch_beats_gd_at_equal_passes(sf_dir):
     assert fmb < lgd[MB_EPOCHS + 1]
     assert fmb < lmb[0]
     assert fmb < 1.0
+
+
+def test_reduce_sums_empty_input_returns_zero_width(spark, sf_dir):
+    """A content-addressed bucket can match zero rows on some corpus:
+    the distributed reduction must return all-zero sums of the full
+    parameter width (so the caller's n_b == 0 skip fires, mirroring
+    the serial twin's empty-selection skip), not crash on an empty
+    collect."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from backend_model_spark.ml.train_distributed import (
+        _init_weights,
+        _mb_feats,
+        _reduce_sums,
+    )
+
+    feats, m = _mb_feats(spark, sf_dir, 4)
+    wts = _init_weights(4, 4, "fcff-v1")
+    mus = np.array([m[c][0] for c in ["x1", "x2", "x3", "x4"]])
+    sds = np.array([m[c][1] for c in ["x1", "x2", "x3", "x4"]])
+    ym, ys = m["y"]
+    vec = _reduce_sums(
+        feats.filter(F.col("b") == 99),  # no such bucket
+        wts, 0.25, float(1 << 16), mus, sds, ym, ys,
+    )
+    assert vec.shape == (sum(w.size for w in wts) + 2,)
+    assert (vec == 0.0).all()

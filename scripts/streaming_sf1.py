@@ -87,8 +87,16 @@ def main() -> None:
             base = os.path.basename(d.rstrip("/"))
             best, rows, mem, ops = None, 0, 0, 0
             for run in range(2):
+                # progress events are delivered async on the listener
+                # bus: settle before reset or a long prior query's
+                # final progress lands in THIS entry's capture (the
+                # round-11 foreach_batch cross-talk)
+                import time as _time
+
+                _time.sleep(1.5)
                 cap.reset()
                 sec, load = timed_cold_run(spark, fn, d)
+                _time.sleep(1.0)  # drain this run's own tail events
                 best = sec if best is None else min(best, sec)
                 rows = max(rows, cap.max_rows)
                 mem = max(mem, cap.max_mem)

@@ -806,6 +806,13 @@ register(
     dedup.MINHASH_LSH_ORACLE,
 )
 register("dedup_exact_groups", dedup.exact_dedup_groups, dedup.EXACT_DEDUP_ORACLE)
+# round-11: packed k=4 Bloom BITMAP (63-bit-word bit_or packing, sized
+# from the history digest count) with exact zero-false-negative +
+# measured-FPR certificates, no pinned literals — the true-Bloom
+# sibling of the k=1 bucket-set entry above
+register(
+    "dedup_bloom_bitmap", dedup.bloom_bitmap_certify, dedup.BLOOM_BITMAP_ORACLE
+)
 register("dedup_lsh_verified", dedup.lsh_verified_pairs, dedup.LSH_VERIFIED_ORACLE)
 register("dedup_keep_list", dedup.dedup_keep_list, dedup.KEEP_LIST_ORACLE)
 register("dedup_ngram_jaccard", dedup.ngram_jaccard_pairs, dedup.NGRAM_JACCARD_ORACLE)
@@ -1287,9 +1294,9 @@ if HAS_PROTOBUF:
 # ROUND-11 TIER-1 rotation — GENERATED by scripts/staleness.py
 # (row age now strictly dominates after new/changed entries, per the
 # round-10 generator fix). Bands this round:
-#   (0) the 3 NEW entries (events_overlap_topk bounded rollup,
-#       ml_tuning_subsample_champion, ml_mlp_train_minibatch) — no
-#       driver row yet;
+#   (0) the 4 NEW entries (events_overlap_topk bounded rollup,
+#       ml_tuning_subsample_champion, ml_mlp_train_minibatch,
+#       dedup_bloom_bitmap) — no driver row yet;
 #   (1) entries whose closure changed THIS round: semdedup star
 #       contract + events/arch_search/train_distributed/mllib memo
 #       hygiene, airbnb split-key docstring sync;
@@ -1304,6 +1311,7 @@ TIER1 = [
     "events_overlap_topk",
     "ml_tuning_subsample_champion",
     "ml_mlp_train_minibatch",
+    "dedup_bloom_bitmap",
     "events_overlap_join",
     "ml_gbt_feature_importance",
     "ml_gbt_train_eval",
@@ -1350,7 +1358,6 @@ TIER1 = [
     "ml_decision_stump",
     "mllib_fpgrowth_pairs",
     "pipeline_feature_store",
-    "sample_epoch_shuffle",
 ]
 
 from backend_model_spark.plans.registry import promote  # noqa: E402

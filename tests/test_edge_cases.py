@@ -1920,3 +1920,29 @@ def test_streaming_reads_directory_layout_events(spark, tmp_path):
         ("2024-01-01 10:00:00", "view"),
         ("2024-01-01 11:00:00", "click"),
     }
+
+
+def test_bloom_bitmap_certificates(spark, sf_dir):
+    """The packed Bloom bitmap's own guarantees, asserted
+    independently of the oracle: sizing is exactly 16 bits/key
+    rounded to 63-bit words, the zero-false-negative certificate
+    holds (a Bloom CANNOT miss a member), every true dup is flagged,
+    and the popcount never exceeds capacity."""
+    from backend_model_spark.operators.dedup import (
+        BLOOM_BITS_PER_KEY,
+        BLOOM_WORD_BITS,
+        bloom_bitmap_certify,
+    )
+
+    r = bloom_bitmap_certify(spark, sf_dir).collect()[0]
+    want_words = max(
+        (BLOOM_BITS_PER_KEY * r["n_base_digests"] + BLOOM_WORD_BITS - 1)
+        // BLOOM_WORD_BITS,
+        1,
+    )
+    assert r["bloom_words"] == want_words
+    assert r["n_false_neg"] == 0
+    assert r["zero_false_negatives"] is True
+    assert r["n_flagged"] == r["n_true_dup"] + r["n_false_pos"]
+    assert 0 < r["bits_set"] <= r["bloom_words"] * BLOOM_WORD_BITS
+    assert r["n_delta_digests"] > 0

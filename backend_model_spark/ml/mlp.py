@@ -618,6 +618,11 @@ def mlp_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linenumber").asc(),
         ],
         "decile",
+        # the range partitioner's sampling pass would otherwise run the
+        # mapInPandas scorer a SECOND time over the full corpus (guide
+        # §2.3/§4: the Python boundary is the expensive stage — pay it
+        # once); the checkpoint pins the scored frame before sampling
+        checkpoint_input=True,
     )
     per = tiled.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -626,15 +631,16 @@ def mlp_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from backend_model_spark.operators.scale_utils import with_global_rank
 
-    # cumulative + grand-total via the two-stage global-rank primitive
-    # (the registry-wide lint forbids single-partition windows even on
-    # this bounded 10-row frame, so the pattern stays uniform)
+    # cumulative + grand-total via the two-stage global-rank primitive;
+    # ``parts=1`` because the per-decile rollup is exactly ≤10 rows by
+    # construction — the single partition is O(1) at any corpus size
     cum = with_global_rank(
         per,
         [F.col("decile").asc()],
         "__rk",
         prefix_sum=("sa", "ca"),
         grand_total=("sa", "ta"),
+        parts=1,
     ).drop("__rk")
     return (
         cum.withColumn("ca", F.col("ca").cast("bigint"))

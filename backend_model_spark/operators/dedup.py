@@ -218,6 +218,7 @@ def _content_reps(spark: SparkSession, sf_dir: str):
         # consumer job would silently recompute the whole lineage.
         # Re-register so the next action materializes once again.
         members = members.persist(StorageLevel.MEMORY_AND_DISK)
+        members.count()  # eager: see the build-path note below
         _REPS_CACHE[key] = members
     if members is None:
         docs = load_table(spark, "documents", sf_dir)
@@ -227,6 +228,11 @@ def _content_reps(spark: SparkSession, sf_dir: str):
             .withColumn("rep_id", F.min("doc_id").over(Window.partitionBy("h")))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        # eager materialization (round 11): the reps/star consumers —
+        # and a join's two map sides — run as CONCURRENT jobs; a lazy
+        # persist lets each re-run the digest window from parquet.
+        # One count() builds the blocks once, everyone else reads them.
+        members.count()
         _REPS_CACHE[key] = members
         _evict_oldest(_REPS_CACHE)
     reps = members.filter(F.col("doc_id") == F.col("rep_id")).select(
@@ -261,6 +267,7 @@ def _rep_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     _touch(_REP_SHINGLED_CACHE, key)
     if sh is not None and not _still_cached(sh):
         sh = sh.persist()
+        sh.count()  # eager: concurrent consumers (see _content_reps)
         _REP_SHINGLED_CACHE[key] = sh
     if sh is None:
         reps, _ = _content_reps(spark, sf_dir)
@@ -270,6 +277,7 @@ def _rep_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .persist()
         )
+        sh.count()  # eager: concurrent consumers (see _content_reps)
         _REP_SHINGLED_CACHE[key] = sh
         _evict_oldest(_REP_SHINGLED_CACHE)
     return sh
@@ -603,6 +611,9 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table (4 rows/doc, two small columns) is far cheaper to hold
     # than to recompute through the md5 pipeline
     banded = banded.persist()
+    # eager: the self-join's two map sides launch concurrently and a
+    # cold lazy cache would run the shingle→md5→min lineage twice
+    banded.count()
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -803,11 +814,13 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _touch(_EMB_MEMBERS_CACHE, key)
     if members is not None and not _still_cached(members):
         members = members.persist(StorageLevel.MEMORY_AND_DISK)
+        members.count()  # eager: concurrent consumers (see _content_reps)
         _EMB_MEMBERS_CACHE[key] = members
     if members is None:
         members = allv.withColumn(
             "rep_id", F.min("vec_id").over(Window.partitionBy("label", "v"))
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        members.count()  # eager: concurrent consumers (see _content_reps)
         _EMB_MEMBERS_CACHE[key] = members
         _evict_oldest(_EMB_MEMBERS_CACHE)
     v = members.filter(F.col("vec_id") == F.col("rep_id")).select(
@@ -841,10 +854,18 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is byte-for-byte the one the oracle mirrors.
     m = EMBED_PAIR_BLOCKS
     cell = F.explode(F.array(*[F.lit(i) for i in range(m)]))
+    # EXPLICIT cell-key width (round 11): the kernel stage is compute-
+    # bound on per-cell pair work — AQE's byte-based coalescing saw a
+    # few MB of shuffle and squashed the numpy kernel onto ~5 tasks at
+    # sf0.1; pinning the exchange at the conf'd shuffle width keeps
+    # the same cluster-tunable fan-out and full local parallelism.
+    sp = int(v.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     ga = (
         v.withColumn("__blk", F.pmod(F.hash("vec_id"), F.lit(m)))
         .withColumn("__cj", cell)
-        .groupBy("label", F.col("__blk").alias("__ci"), "__cj")
+        .select(F.col("label"), F.col("__blk").alias("__ci"), "__cj", "vec_id", "v")
+        .repartition(sp, "label", "__ci", "__cj")
+        .groupBy("label", "__ci", "__cj")
     )
     # B side carries RENAMED columns: a self-cogroup shares attribute
     # ids between sides, and Catalyst's dedup+pruning strips the right
@@ -859,7 +880,9 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("__blk", F.pmod(F.hash("bvec_id"), F.lit(m)))
         .withColumn("__ci", cell)
-        .groupBy("blabel", "__ci", F.col("__blk").alias("__cj"))
+        .select("blabel", "__ci", F.col("__blk").alias("__cj"), "bvec_id", "bv")
+        .repartition(sp, "blabel", "__ci", "__cj")
+        .groupBy("blabel", "__ci", "__cj")
     )
     raw = ga.cogroup(gb).applyInPandas(
         _cell_cosine_kernel,

@@ -1286,6 +1286,13 @@ def _overlap_pair_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ORDER BY puts them LAST — filter on both sides so a regenerated
     # corpus with null timestamps can't silently diverge
     ev = load_table(spark, "events", sf_dir).filter(F.col("ts").isNotNull())
+    # pre-key the sessionize exchange at the conf'd width: the window
+    # REUSES this exchange (same key), so at scale it is the exact
+    # same shuffle — locally it stops AQE's byte-based coalescing from
+    # serializing the per-user sort onto 1–2 tasks (see the bin note)
+    ev = ev.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), "user_id"
+    )
     w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     gap = _us("ts") - F.lag(_us("ts"), 1).over(w)
     sess = (
@@ -1314,6 +1321,16 @@ def _overlap_pair_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bin"),
     )
+    # EXPLICIT co-partitioning width (round 11): the per-bin pair join
+    # is compute-bound on Σ per-bin n² COMPARES, not on its input
+    # bytes — AQE's coalescing only sees the (tiny) shuffle bytes and
+    # squashed the whole 13M-compare stage onto 1–2 tasks at sf0.1
+    # (guide §2.5: partition by the work, not the bytes). Pinning the
+    # partition count to the session's shuffle-partition conf keeps
+    # the same scale-out a cluster run configures while stopping the
+    # byte-based squash; both join sides inherit the one exchange.
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    binned = binned.repartition(sp, "bin")
     a, b = binned.alias("a"), binned.alias("b")
     pairs = a.join(
         b,

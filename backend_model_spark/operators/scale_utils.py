@@ -56,6 +56,8 @@ def with_global_rank(
     prefix_sum: tuple[str, str] | None = None,
     grand_total: tuple[str, str] | None = None,
     prefix_max: tuple[str, str] | None = None,
+    checkpoint_input: bool = False,
+    parts: int | None = None,
 ) -> DataFrame:
     """Add an exact 1-based global ``row_number`` over ``order`` (a list
     of sort-order Columns, e.g. ``[F.col("x").desc(), F.col("k").asc()]``)
@@ -81,6 +83,60 @@ def with_global_rank(
     if prefix_sum and grand_total and prefix_sum[0] != grand_total[0]:
         raise ValueError("prefix_sum and grand_total must share a value col")
     vcol = (prefix_sum or grand_total or (None,))[0]
+    if checkpoint_input:
+        # One materialization of the input lineage BEFORE the range
+        # exchange: the RangePartitioner's sampling pass and the
+        # shuffle-map pass each execute the full input lineage, so an
+        # expensive upstream (a mapInPandas scorer, a multi-join
+        # rollup) is otherwise computed TWICE per call (guide §1.2/§2:
+        # don't compute things you throw away). Callers opt in where
+        # the lineage costs more than one extra block write.
+        df = df.localCheckpoint(eager=False)
+    # ``parts`` is a caller hint for frames BOUNDED by construction
+    # (post-``limit(k)`` candidate lists, ≤k-row rollups): with
+    # parts=1 the RangePartitioner skips its sampling job (bounds are
+    # empty), the single partition makes every offset trivially zero
+    # (no counts job at all unless a total is requested), and the
+    # window is still partition-keyed — semantics identical, ~4 fewer
+    # stages per call. NEVER pass it for data-width frames.
+    if parts == 1:
+        ranged = df.repartitionByRange(1, *order).withColumn(
+            "__sg_pid", F.spark_partition_id()
+        )
+        if total_col is not None or grand_total is not None:
+            # totals need a second consumption of the input — pin it
+            # so the lineage (possibly a full-corpus top-k arm) is
+            # computed once, exactly as the general path guarantees
+            ranged = ranged.localCheckpoint(eager=False)
+        w1 = W.partitionBy("__sg_pid").orderBy(*order)
+        out = ranged.withColumn(
+            rank_col, F.row_number().over(w1).cast("bigint")
+        )
+        if prefix_sum is not None:
+            out = out.withColumn(
+                prefix_sum[1],
+                F.sum(prefix_sum[0]).over(
+                    w1.rowsBetween(W.unboundedPreceding, 0)
+                ),
+            )
+        if prefix_max is not None:
+            out = out.withColumn(
+                prefix_max[1],
+                F.max(prefix_max[0]).over(
+                    w1.rowsBetween(W.unboundedPreceding, 0)
+                ),
+            )
+        out = out.drop("__sg_pid")
+        if total_col is not None:
+            out = broadcast_scalars(
+                out,
+                ranged.agg(F.count(F.lit(1)).cast("bigint").alias(total_col)),
+            )
+        if grand_total is not None:
+            out = broadcast_scalars(
+                out, ranged.agg(F.sum(grand_total[0]).alias(grand_total[1]))
+            )
+        return out
     ranged = (
         df.repartitionByRange(*order)
         .withColumn("__sg_pid", F.spark_partition_id())
@@ -92,6 +148,102 @@ def with_global_rank(
     if prefix_max is not None:
         per_part.append(F.max(prefix_max[0]).alias("__sg_vmax"))
     counts = ranged.groupBy("__sg_pid").agg(*per_part)
+
+    # --- offsets: driver-exact fast path (round-11 optimization) ----
+    # The per-partition rollup is parameter-width (≤ the shuffle
+    # partition count — cluster width, never data width), so for
+    # integral value columns the prefix arithmetic is exact in Python
+    # and the offsets attach as LITERAL map lookups folded into the
+    # consumer's projection. That deletes, per call: the |parts|²
+    # triangular join, its BroadcastExchange job, the offsets hash
+    # join, and (for total/grand_total) a second aggregate + a
+    # broadcast cross join — measured 33→~20 single-task stages on
+    # window_rfm_segments at sf0.1. Every repo call site carries
+    # integer counts/cents (the edge-rounding discipline), so the
+    # fast path is bit-identical; anything non-int (or a partition
+    # count past the literal cap) falls back to the declarative
+    # broadcast-join path below, which is unchanged — at 10⁵-partition
+    # scale the broadcast join IS the right plan, locally the literal
+    # is (the cap is conf'able, not hard-coded to local geometry).
+    cap = int(
+        __import__("os").environ.get("SPARK_GRAFT_RANK_LITERAL_CAP", "4096")
+    )
+    rows = sorted(counts.collect(), key=lambda r: r["__sg_pid"])
+    exact = len(rows) <= cap and all(
+        v is None or (isinstance(v, int) and not isinstance(v, bool))
+        for r in rows
+        for v in tuple(r)[1:]
+    )
+
+    w = W.partitionBy("__sg_pid").orderBy(*order)
+    local = ranged.withColumn("__sg_lrn", F.row_number().over(w))
+    if prefix_sum is not None:
+        local = local.withColumn(
+            "__sg_lcum",
+            F.sum(prefix_sum[0]).over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    if prefix_max is not None:
+        local = local.withColumn(
+            "__sg_lmax",
+            F.max(prefix_max[0]).over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+
+    if exact:
+        off_map: dict[int, int] = {}
+        voff_map: dict[int, int] = {}
+        moff_map: dict[int, int | None] = {}
+        run_c, run_v, run_m, saw_v = 0, 0, None, False
+        for r in rows:
+            pid = r["__sg_pid"]
+            off_map[pid] = run_c
+            run_c += r["__sg_cnt"]
+            if vcol is not None:
+                voff_map[pid] = run_v
+                if r["__sg_vsum"] is not None:
+                    saw_v = True
+                    run_v += r["__sg_vsum"]
+            if prefix_max is not None:
+                moff_map[pid] = run_m
+                vm = r["__sg_vmax"]
+                if vm is not None:
+                    run_m = vm if run_m is None else max(run_m, vm)
+
+        def lookup(mapping: dict, dtype: str):
+            items: list = []
+            for k, v in mapping.items():
+                items.append(F.lit(k).cast("int"))
+                items.append(F.lit(v).cast(dtype))
+            if not items:
+                return F.lit(None).cast(dtype)
+            # keys cover every pid that holds a row (they come FROM the
+            # rows), so the lookup never misses; try_element_at keeps
+            # the expression total under ANSI mode regardless.
+            return F.try_element_at(F.create_map(*items), F.col("__sg_pid"))
+
+        out = local.withColumn(
+            rank_col, (F.col("__sg_lrn") + lookup(off_map, "bigint")).cast("bigint")
+        )
+        if prefix_sum is not None:
+            out = out.withColumn(
+                prefix_sum[1], F.col("__sg_lcum") + lookup(voff_map, "bigint")
+            ).drop("__sg_lcum")
+        if prefix_max is not None:
+            mdtype = ranged.schema[prefix_max[0]].dataType.simpleString()
+            out = out.withColumn(
+                prefix_max[1],
+                F.greatest(F.col("__sg_lmax"), lookup(moff_map, mdtype)),
+            ).drop("__sg_lmax")
+        out = out.drop("__sg_pid", "__sg_lrn")
+        if total_col is not None:
+            out = out.withColumn(total_col, F.lit(run_c).cast("bigint"))
+        if grand_total is not None:
+            out = out.withColumn(
+                grand_total[1],
+                F.lit(run_v).cast("bigint") if saw_v else F.lit(None).cast("bigint"),
+            )
+        return out
+
+    # --- declarative fallback (non-integral values / huge clusters) --
     a, b = counts.alias("a"), counts.alias("b")
     # Prefix-sum of earlier partitions' totals. |partitions|² pairs —
     # O(cluster width), not O(data) — and stays fully declarative (a
@@ -109,18 +261,6 @@ def with_global_rank(
         .groupBy(F.col("a.__sg_pid").alias("__sg_pid"))
         .agg(*offs)
     )
-    w = W.partitionBy("__sg_pid").orderBy(*order)
-    local = ranged.withColumn("__sg_lrn", F.row_number().over(w))
-    if prefix_sum is not None:
-        local = local.withColumn(
-            "__sg_lcum",
-            F.sum(prefix_sum[0]).over(w.rowsBetween(W.unboundedPreceding, 0)),
-        )
-    if prefix_max is not None:
-        local = local.withColumn(
-            "__sg_lmax",
-            F.max(prefix_max[0]).over(w.rowsBetween(W.unboundedPreceding, 0)),
-        )
     out = (
         local.join(F.broadcast(offsets), "__sg_pid")
         .withColumn(
@@ -150,6 +290,7 @@ def with_global_ntile(
     k: int,
     order: Sequence[Column],
     tile_col: str,
+    checkpoint_input: bool = False,
 ) -> DataFrame:
     """Add an exact global ``ntile(k)`` over ``order`` via
     :func:`with_global_rank` + the SQL-standard tile-size rule.
@@ -157,7 +298,13 @@ def with_global_ntile(
     Matches ``F.ntile(k).over(W.orderBy(*order))`` value-for-value
     (cast to int, as Spark's ntile returns) while staying parallel.
     """
-    ranked = with_global_rank(df, order, "__sg_rank", total_col="__sg_n")
+    ranked = with_global_rank(
+        df,
+        order,
+        "__sg_rank",
+        total_col="__sg_n",
+        checkpoint_input=checkpoint_input,
+    )
     # First (n % k) tiles hold (n div k + 1) rows, the rest (n div k).
     # CASE evaluates lazily per row, so the q = 0 (n < k) division in
     # the ELSE branch is unreachable, never raised.
@@ -169,6 +316,26 @@ def with_global_ntile(
         f"    div (__sg_n div {k}) + 1 end as int)"
     )
     return ranked.withColumn(tile_col, tile).drop("__sg_rank", "__sg_n")
+
+
+def eager_persist(df: DataFrame) -> DataFrame:
+    """Persist ``df`` (if not already) AND materialize it now.
+
+    Round-11 finding: a lazily-persisted shared frame gives NO sharing
+    across the CONCURRENT branch jobs of one action — AQE launches the
+    broadcast/shuffle-stage jobs of every consumer branch in parallel,
+    each misses the not-yet-built cache, and each re-executes the full
+    lineage (semdedup's centroid-assignment lineage ran 5× per bench
+    run this way: five concurrent ~5 s stages all scanning parquet).
+    One ``count()`` here pays the lineage ONCE and every consumer then
+    reads cached blocks. The count is full-width because the cache
+    materializes whole InMemoryRelation batches, not pruned columns.
+    """
+    sl = df.storageLevel
+    if not (sl.useMemory or sl.useDisk):
+        df = df.persist()
+    df.count()
+    return df
 
 
 def ensure_persisted(df: DataFrame) -> DataFrame:

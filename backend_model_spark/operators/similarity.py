@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from backend_model_spark.operators.scale_utils import (
+    eager_persist,
     ensure_persisted,
     purge_other_apps,
 )
@@ -1611,56 +1612,84 @@ def rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the arm swaps to `sim_ivfpq_topk`'s probe-pruned scan with the
     same (doc_id, rank) contract.
     """
-    docs = load_table(spark, "documents", sf_dir)
-    # doc lengths via size(split(...)) — identical value to counting
-    # the explode's rows (split always yields ≥1 element) but ZERO
-    # shuffle; the persisted reusable frame is 16 bytes/doc, never the
-    # corpus-sized token explode
-    dl = docs.select(
-        "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("dl"),
-    ).persist()  # reused: scalars + the candidate length join
-    scalars = dl.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    )
+    # spread(): the local single-file scan would otherwise run both
+    # the per-doc split/size pass and the token explode as ONE task
+    # (round-11 stage evidence: three ~1.5 s single-task stages); on a
+    # many-split cluster scan it is a no-op (see tables.spread)
+    docs = spread(load_table(spark, "documents", sf_dir))
 
     from backend_model_spark.operators.scale_utils import broadcast_scalars
     from backend_model_spark.operators.text import BM25_QUERY_TERMS
 
-    terms = spark.createDataFrame(
-        [(t,) for t in BM25_QUERY_TERMS], "token string"
-    )
-    qtok = docs.select(
+    # Round-11 lexical arm (guide §4.1 + §2.4): the query carries
+    # |BM25_QUERY_TERMS| = 3 FIXED terms, so the corpus-wide
+    # explode→broadcast-join→groupBy(doc,term)→join(dl)→groupBy(doc)
+    # chain collapses to ONE narrow pass: per doc, doc length and one
+    # ``size(filter(toks, x -> x = term))`` occurrence count per term
+    # (higher-order array functions, zero explode rows, zero joins,
+    # zero aggregation exchanges). The persisted reusable frame is
+    # 4+3·4 bytes/doc of ints — never text, never token rows. Per-term
+    # BM25 doubles are the VERBATIM ``RRF_TERM_SCORE`` expression
+    # (word-boundary substitution of tf/df/dl only), so every IEEE op
+    # is unchanged; the doc score is the bigint micro sum over ≤3
+    # terms — order-free. Membership is preserved exactly: a doc
+    # enters the arm iff some tf > 0 (negative-idf common-term docs
+    # included, as before), and absent terms contribute nothing.
+    # Measured: 24 → 15 stages, docs scanned once. The general
+    # many-terms form (text_bm25_rank) keeps the explode+join shape.
+    import re as _re
+
+    pc = docs.selectExpr(
         "doc_id",
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
-    ).join(F.broadcast(terms), "token")
-    # df derived from tf (one row per (doc_id, token), so COUNT ≡
-    # countDistinct over qtok). Round-8 A/B (SCALE.md): persisting tf
-    # LOSES (3.21 s vs 2.69 s min-of-3 at sf0.1) — the cache
-    # materialization + codegen break cost more than the explode
-    # recompute it saves, the same verdict as the members-persist
-    # counter-measurement in mllib_ops; tf stays lazy.
-    tf = qtok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_counts = tf.groupBy("token").agg(
-        F.count(F.lit(1)).cast("double").alias("df")
+        r"split(trim(text), '\\s+') as __toks",
+    ).selectExpr(
+        "doc_id",
+        "size(__toks) as dl",
+        *[
+            f"size(filter(__toks, x -> x = '{t}')) as tf{i}"
+            for i, t in enumerate(BM25_QUERY_TERMS)
+        ],
+    ).persist()  # reused: scalars + the per-doc score pass
+    scalars = pc.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.count_if(F.col(f"tf{i}") > 0).cast("double").alias(f"df{i}")
+            for i in range(len(BM25_QUERY_TERMS))
+        ],
     )
-    cells = broadcast_scalars(
-        tf.join(F.broadcast(df_counts), "token").join(dl, "doc_id"), scalars
+
+    def term_micro(i: int) -> str:
+        # RRF_TERM_MICRO with tf/df bound to term i's columns; \b keeps
+        # avgdl intact while rebinding the bare dl/tf/df names
+        expr = _re.sub(r"\btf\b", f"tf{i}", RRF_TERM_MICRO)
+        expr = _re.sub(r"\bdf\b", f"df{i}", expr)
+        return f"(case when tf{i} > 0 then {expr} else cast(0 as bigint) end)"
+
+    lex_micro = F.expr(
+        " + ".join(term_micro(i) for i in range(len(BM25_QUERY_TERMS)))
+    ).alias("lex_micro")
+    has_term = F.expr(
+        " OR ".join(f"tf{i} > 0" for i in range(len(BM25_QUERY_TERMS)))
     )
     lex_top = (
-        cells.groupBy("doc_id")
-        .agg(F.sum(F.expr(RRF_TERM_MICRO)).alias("lex_micro"))
+        broadcast_scalars(pc.filter(has_term), scalars)
+        .select("doc_id", lex_micro)
         .orderBy(F.desc("lex_micro"), "doc_id")
         .limit(RRF_LIST_N)  # TakeOrderedAndProject: distributed top-N
     )
     from backend_model_spark.operators.scale_utils import with_global_rank
 
     # rank the (bounded) candidate lists via the two-stage global-rank
-    # primitive — the registry-wide lint forbids single-partition
-    # windows even on bounded frames, so the pattern stays uniform
+    # primitive; ``parts=1`` because each list is ≤ RRF_LIST_N rows BY
+    # CONSTRUCTION (the limit precedes) — the single partition holds
+    # O(1) rows at any corpus size, and skipping the range-sampling +
+    # offsets machinery saves ~4 stages per arm (round-11 measurement)
     lex_ranked = with_global_rank(
-        lex_top, [F.col("lex_micro").desc(), F.col("doc_id").asc()], "lex_rank"
+        lex_top,
+        [F.col("lex_micro").desc(), F.col("doc_id").asc()],
+        "lex_rank",
+        parts=1,
     ).select("doc_id", F.col("lex_rank").cast("int").alias("lex_rank"))
 
     emb = _as_double(load_table(spark, "embeddings", sf_dir)).withColumn(
@@ -1677,7 +1706,10 @@ def rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(RRF_LIST_N)
     )
     dense_ranked = with_global_rank(
-        dense_top, [F.col("cosine").desc(), F.col("doc_id").asc()], "dense_rank"
+        dense_top,
+        [F.col("cosine").desc(), F.col("doc_id").asc()],
+        "dense_rank",
+        parts=1,
     ).select("doc_id", F.col("dense_rank").cast("int").alias("dense_rank"))
 
     fused = lex_ranked.join(dense_ranked, "doc_id", "outer").withColumn(
@@ -1689,7 +1721,10 @@ def rrf_hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         with_global_rank(
-            fused, [F.col("rrf_nano").desc(), F.col("doc_id").asc()], "fused_rank"
+            fused,
+            [F.col("rrf_nano").desc(), F.col("doc_id").asc()],
+            "fused_rank",
+            parts=1,  # union of two ≤ RRF_LIST_N lists — bounded
         )
         .withColumn("fused_rank", F.col("fused_rank").cast("int"))
         .filter(F.col("fused_rank") <= RRF_TOP)
@@ -1970,8 +2005,11 @@ def _semdedup_parts(spark: SparkSession, sf_dir: str):
         # an external clearCache() (bench quiesce) unpersists behind
         # the memo's back — re-assert, or the rollup + pair join each
         # re-pay the full assignment lineage
-        ensure_persisted(got[0])
-        ensure_persisted(got[1])
+        # eager (round 11): a lazy re-persist after an external
+        # clearCache leaves every concurrent consumer branch of the
+        # next action recomputing the full lineage — see eager_persist
+        eager_persist(got[0])
+        eager_persist(got[1])
         return got[0].select("vec_id", "rep_id", "nz"), got[1]
     emb = _as_double(load_table(spark, "embeddings", sf_dir))
     pos = emb.select("label", F.posexplode("v").alias("pos", "x"))
@@ -2027,6 +2065,14 @@ def _semdedup_parts(spark: SparkSession, sf_dir: str):
     got = (grouped, assigned)
     purge_other_apps(_SEMDEDUP_CACHE, key[0])
     _SEMDEDUP_CACHE[key] = got
+    # materialize NOW (round 11): the downstream pair-kernel action
+    # launches its ga/gb/rollup branch jobs concurrently, and a lazy
+    # persist lets each of them re-run the digest-group window + the
+    # centroid-assignment cross join from parquet (measured: five
+    # concurrent ~5 s stages at sf0.1). One count() each pays the
+    # lineage once; assigned's count also builds grouped's blocks.
+    eager_persist(assigned)
+    eager_persist(grouped)
     return members, assigned
 
 
@@ -2106,10 +2152,18 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = EMBED_PAIR_BLOCKS
     cell = F.explode(F.array(*[F.lit(i) for i in range(m)]))
     base = assigned.select("vec_id", "v", F.col("cluster").alias("label"))
+    # EXPLICIT cell-key width (round 11): the kernel stage is compute-
+    # bound on per-cell pair work — AQE's byte-based coalescing saw a
+    # few MB of shuffle and squashed the numpy kernel onto ~5 tasks at
+    # sf0.1; pinning the exchange at the conf'd shuffle width keeps
+    # the same cluster-tunable fan-out and full local parallelism.
+    sp = int(base.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     ga = (
         base.withColumn("__blk", F.pmod(F.hash("vec_id"), F.lit(m)))
         .withColumn("__cj", cell)
-        .groupBy("label", F.col("__blk").alias("__ci"), "__cj")
+        .select(F.col("label"), F.col("__blk").alias("__ci"), "__cj", "vec_id", "v")
+        .repartition(sp, "label", "__ci", "__cj")
+        .groupBy("label", "__ci", "__cj")
     )
     gb = (
         base.select(
@@ -2119,7 +2173,9 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("__blk", F.pmod(F.hash("bvec_id"), F.lit(m)))
         .withColumn("__ci", cell)
-        .groupBy("blabel", "__ci", F.col("__blk").alias("__cj"))
+        .select("blabel", "__ci", F.col("__blk").alias("__cj"), "bvec_id", "bv")
+        .repartition(sp, "blabel", "__ci", "__cj")
+        .groupBy("blabel", "__ci", "__cj")
     )
     raw = ga.cogroup(gb).applyInPandas(
         _cell_cosine_kernel,

@@ -271,10 +271,17 @@ def _rep_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
         _REP_SHINGLED_CACHE[key] = sh
     if sh is None:
         reps, _ = _content_reps(spark, sf_dir)
+        # DISTINCT is per-doc set semantics, and doc_id is unique per
+        # rep — array_distinct INSIDE the row (hash-set, O(n)) yields
+        # the identical (doc_id, shingle) set with ZERO shuffle where
+        # .distinct() paid a full exchange + hash-agg of the shingle
+        # corpus (guide §2.1: remove the shuffle outright). Round 11.
         sh = (
             reps.withColumn("toks", F.expr(TOKENS))
-            .select("doc_id", F.explode(F.expr(SHINGLES)).alias("shingle"))
-            .distinct()
+            .select(
+                "doc_id",
+                F.explode(F.array_distinct(F.expr(SHINGLES))).alias("shingle"),
+            )
             .persist()
         )
         sh.count()  # eager: concurrent consumers (see _content_reps)
@@ -301,16 +308,17 @@ def shingled_docs(
 ) -> DataFrame:
     """(doc_id, shingle) word-3-gram pairs.
 
-    ``distinct=True`` (a full shuffle) only where the consumer is
-    duplicate-sensitive (Jaccard counts). MinHash takes ``min`` per
-    doc, which duplicates can't change — it passes ``distinct=False``
-    and saves the exchange entirely (the groupBy's map-side partial
-    min then does the dedup for free).
+    ``distinct=True`` only where the consumer is duplicate-sensitive
+    (Jaccard counts). MinHash takes ``min`` per doc, which duplicates
+    can't change — it passes ``distinct=False``. Since round 11 the
+    distinct branch costs no shuffle either: doc_id is unique per
+    document row, so per-row ``array_distinct`` before the explode is
+    set-identical to a global DISTINCT on (doc_id, shingle)
+    (guide §2.1: remove the shuffle outright).
     """
-    shingled = tokenized_docs(spark, sf_dir).select(
-        "doc_id", F.explode(F.expr(SHINGLES)).alias("shingle")
-    )
-    return shingled.distinct() if distinct else shingled
+    docs = tokenized_docs(spark, sf_dir)
+    arr = F.array_distinct(F.expr(SHINGLES)) if distinct else F.expr(SHINGLES)
+    return docs.select("doc_id", F.explode(arr).alias("shingle"))
 
 
 def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -482,18 +482,17 @@ def decontaminate_against_holdout(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     docs = spread(load_table(spark, "documents", sf_dir))
     with_toks = docs.withColumn("toks", F.expr(TOKENS))
-    train_sh = (
-        with_toks.filter(F.col("source") != HOLDOUT_SOURCE)
-        .select("doc_id", F.explode(F.expr(SHINGLES4)).alias("shingle"))
-        .distinct()
+    # DISTINCT is per-doc set semantics and doc_id is unique per row,
+    # so array_distinct INSIDE the row replaces the global .distinct()
+    # exchange on both arms with zero shuffle (guide §2.1; round 11 —
+    # same equivalence as dedup._rep_shingled).
+    train_sh = with_toks.filter(F.col("source") != HOLDOUT_SOURCE).select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(SHINGLES4))).alias("shingle"),
     )
-    eval_sh = (
-        with_toks.filter(F.col("source") == HOLDOUT_SOURCE)
-        .select(
-            F.col("doc_id").alias("eval_doc_id"),
-            F.explode(F.expr(SHINGLES4)).alias("shingle"),
-        )
-        .distinct()
+    eval_sh = with_toks.filter(F.col("source") == HOLDOUT_SOURCE).select(
+        F.col("doc_id").alias("eval_doc_id"),
+        F.explode(F.array_distinct(F.expr(SHINGLES4))).alias("shingle"),
     )
     return (
         train_sh.join(F.broadcast(eval_sh), "shingle")

@@ -125,12 +125,60 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Inferred-schema memo: Spark's reader schedules one footer-read
+# inference job per `spark.read.parquet(path)` call (~50-100 ms of
+# per-query build latency; a 6-table join pays it 6 times — round-11
+# stage evidence showed it as the first jobs of every bench entry).
+# The PHYSICAL schema of a given dataset cannot change without the
+# file changing, so the inference result is memoized per
+# (path, mtime_ns, size) and later loads pass it explicitly, skipping
+# the job. This is metadata caching only (same category as Spark's
+# own FileStatusCache): the schema is still Spark's own inference for
+# that exact file state — fixtures with pandas-widened physical types
+# (float32→double embeddings, int64 keys) read exactly as before, and
+# a rewritten file invalidates the key via mtime/size.
+_SCHEMA_CACHE: dict[tuple, T.StructType] = {}
+
+
+def _dataset_key(path: str) -> tuple | None:
+    try:
+        st = os.stat(path)
+        key: tuple = (path, st.st_mtime_ns, st.st_size)
+        if os.path.isdir(path):
+            parts = sorted(
+                p for p in os.listdir(path) if not p.startswith(("_", "."))
+            )
+            for p in parts[:64]:
+                sub = os.stat(os.path.join(path, p))
+                key += (p, sub.st_mtime_ns, sub.st_size)
+        return key
+    except OSError:
+        return None
+
+
+def _inferred_schema(spark: SparkSession, path: str) -> T.StructType:
+    key = _dataset_key(path)
+    if key is not None:
+        got = _SCHEMA_CACHE.get(key)
+        if got is not None:
+            return got
+    schema = spark.read.parquet(path).schema
+    if key is not None:
+        if len(_SCHEMA_CACHE) > 256:
+            _SCHEMA_CACHE.clear()
+        _SCHEMA_CACHE[key] = schema
+    return schema
+
+
 def load_table(
     spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR, verify: bool = False
 ) -> DataFrame:
     """Lazy parquet scan of one table; optionally verify the contract schema."""
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    path = table_path(sf_dir, name)
+    schema = _inferred_schema(spark, path)
+    df = spark.read.schema(schema).parquet(path)
     if name == "events":
         # events.ts is parquet TIMESTAMP(MICROS, isAdjustedToUTC=false)
         # → TIMESTAMP_NTZ natively, TZ-free, in ANY session. (Round-1
@@ -139,13 +187,11 @@ def load_table(
         # ``spark.sql.legacy.parquet.nanosAsLong`` flag — runtime
         # conf.set is ignored for it — the column arrives as a nanos
         # LongType; normalize that branch to the same NTZ µs.)
-        df = spark.read.parquet(table_path(sf_dir, name))
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        if isinstance(schema["ts"].dataType, T.LongType):
             df = df.withColumn(
                 "ts", F.expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz")
             )
         return df
-    df = spark.read.parquet(table_path(sf_dir, name))
     if verify:
         _verify_schema(name, df)
     return df

@@ -413,16 +413,26 @@ def centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (identical IEEE op in both engines). No intermediate ROUND —
     # Spark's BigDecimal half-up and DuckDB's float rounding disagree
     # on boundary doubles (see duckdb-spark parity discipline).
-    w = W.partitionBy("vec_id").orderBy(
-        F.col("cos_micro").desc(), F.col("c_label").asc()
-    )
+    # nearest-centroid pick via max_by instead of a row_number window
+    # (round 11, guide §2.1): the K candidate rows per vector are
+    # co-located after the broadcast cross join, so the partial
+    # max_by collapses them map-side BEFORE the exchange — vec-width
+    # shuffle, no sort. Key (cos_micro, -c_label) is unique per
+    # vector (labels distinct) ⇒ identical pick to ORDER BY
+    # cos_micro DESC, c_label ASC LIMIT 1.
     assigned = (
         emb.crossJoin(F.broadcast(centroids))
         .withColumn(
             "cos_micro", F.floor(cos * 1_000_000 + F.lit(0.5)).cast("long")
         )
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
+        .groupBy("vec_id", "label")
+        .agg(
+            F.max_by(
+                F.col("c_label"),
+                F.struct(F.col("cos_micro"), (-F.col("c_label")).alias("nl")),
+            ).alias("c_label"),
+            F.max("cos_micro").alias("cos_micro"),
+        )
     )
     return (
         assigned.groupBy("label", F.col("c_label").alias("assigned_label"))
@@ -2049,17 +2059,32 @@ def _semdedup_parts(spark: SparkSession, sf_dir: str):
             f"{NORM.format(a='v')} * {NORM.format(a='cv')}",
         )
     )
-    w = W.partitionBy("vec_id").orderBy(
-        F.col("ctr_cos_micro").desc(), F.col("c_label").asc()
-    )
+    # nearest-centroid pick via max_by instead of a row_number window
+    # (round 11, guide §2.1): the K candidate rows per rep are
+    # map-side co-located after the broadcast cross join, so the
+    # partial max_by collapses them BEFORE the exchange — reps-width
+    # shuffle, no sort. Key (ctr_cos_micro, -c_label) is unique per
+    # rep (labels distinct), so the pick is deterministic and
+    # identical to ORDER BY ctr_cos_micro DESC, c_label ASC LIMIT 1.
     assigned = (
         reps.crossJoin(F.broadcast(centroids))
         .withColumn(
             "ctr_cos_micro", F.floor(cos_ctr * 1_000_000 + F.lit(0.5)).cast("long")
         )
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "v", F.col("c_label").alias("cluster"), "ctr_cos_micro")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("c_label"), F.col("v")),
+                F.struct(F.col("ctr_cos_micro"), (-F.col("c_label")).alias("nl")),
+            ).alias("best"),
+            F.max("ctr_cos_micro").alias("ctr_cos_micro"),
+        )
+        .select(
+            "vec_id",
+            F.col("best.v").alias("v"),
+            F.col("best.c_label").alias("cluster"),
+            "ctr_cos_micro",
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     got = (grouped, assigned)
@@ -2074,6 +2099,64 @@ def _semdedup_parts(spark: SparkSession, sf_dir: str):
     eager_persist(assigned)
     eager_persist(grouped)
     return members, assigned
+
+
+def _cell_cosine_ctr_kernel(left, right):
+    """Semdedup's grid-cell pairwise cosine — the same vectorized
+    numpy fold as :func:`backend_model_spark.operators.dedup.
+    _cell_cosine_kernel` (see there for the bit-parity argument:
+    left-to-right accumulation, never BLAS), extended to PASS THROUGH
+    each side's centroid-cosine keep-priority (``ctr`` /``bctr``).
+    Carrying the two longs through the kernel lets the drop rule run
+    directly on the kernel output — no joins back against the
+    rep-width ``assigned`` frame (round 11, guide §3: at corpus scale
+    those were two extra shuffles or a reps-width broadcast)."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "vec_a": pd.Series(dtype="int64"),
+            "vec_b": pd.Series(dtype="int64"),
+            "label": pd.Series(dtype="int32"),
+            "cos_raw": pd.Series(dtype="float64"),
+            "a_ctr": pd.Series(dtype="int64"),
+            "b_ctr": pd.Series(dtype="int64"),
+        }
+    )
+    if len(left) == 0 or len(right) == 0:
+        return empty
+    ids_a = left["vec_id"].to_numpy()
+    ids_b = right["bvec_id"].to_numpy()
+    ctr_a = left["ctr"].to_numpy()
+    ctr_b = right["bctr"].to_numpy()
+    va = np.stack(left["v"].to_numpy()).astype(np.float64, copy=False)
+    vb = np.stack(right["bv"].to_numpy()).astype(np.float64, copy=False)
+    d = va.shape[1]
+    acc = np.zeros((len(ids_a), len(ids_b)))
+    for k in range(d):
+        acc += np.multiply.outer(va[:, k], vb[:, k])
+    n2a = np.zeros(len(ids_a))
+    n2b = np.zeros(len(ids_b))
+    for k in range(d):
+        n2a += va[:, k] * va[:, k]
+        n2b += vb[:, k] * vb[:, k]
+    denom = np.multiply.outer(np.sqrt(n2a), np.sqrt(n2b))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = np.where(denom == 0.0, 0.0, acc / denom)
+    ia, jb = np.nonzero(
+        (ids_a[:, None] < ids_b[None, :]) & (cos >= 0.4 - 1e-6)
+    )
+    return pd.DataFrame(
+        {
+            "vec_a": ids_a[ia],
+            "vec_b": ids_b[jb],
+            "label": np.full(len(ia), left["label"].iloc[0], dtype="int32"),
+            "cos_raw": cos[ia, jb],
+            "a_ctr": ctr_a[ia],
+            "b_ctr": ctr_b[jb],
+        }
+    )
 
 
 def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2128,10 +2211,7 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the drop decision is a semi-join shape, never an iterative loop;
     the member rollup is a rep-sized hash join.
     """
-    from backend_model_spark.operators.dedup import (
-        EMBED_PAIR_BLOCKS,
-        _cell_cosine_kernel,
-    )
+    from backend_model_spark.operators.dedup import EMBED_PAIR_BLOCKS
 
     # the shared Arrow kernel's conservative emission margin is built
     # for the family's 0.4 gate — keep the constants locked together
@@ -2151,7 +2231,12 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # byte the path the oracle mirrors.
     m = EMBED_PAIR_BLOCKS
     cell = F.explode(F.array(*[F.lit(i) for i in range(m)]))
-    base = assigned.select("vec_id", "v", F.col("cluster").alias("label"))
+    base = assigned.select(
+        "vec_id",
+        "v",
+        F.col("cluster").alias("label"),
+        F.col("ctr_cos_micro").alias("ctr"),
+    )
     # EXPLICIT cell-key width (round 11): the kernel stage is compute-
     # bound on per-cell pair work — AQE's byte-based coalescing saw a
     # few MB of shuffle and squashed the numpy kernel onto ~5 tasks at
@@ -2161,7 +2246,14 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ga = (
         base.withColumn("__blk", F.pmod(F.hash("vec_id"), F.lit(m)))
         .withColumn("__cj", cell)
-        .select(F.col("label"), F.col("__blk").alias("__ci"), "__cj", "vec_id", "v")
+        .select(
+            F.col("label"),
+            F.col("__blk").alias("__ci"),
+            "__cj",
+            "vec_id",
+            "v",
+            "ctr",
+        )
         .repartition(sp, "label", "__ci", "__cj")
         .groupBy("label", "__ci", "__cj")
     )
@@ -2170,42 +2262,37 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("bvec_id"),
             F.col("label").alias("blabel"),
             F.col("v").alias("bv"),
+            F.col("ctr").alias("bctr"),
         )
         .withColumn("__blk", F.pmod(F.hash("bvec_id"), F.lit(m)))
         .withColumn("__ci", cell)
-        .select("blabel", "__ci", F.col("__blk").alias("__cj"), "bvec_id", "bv")
+        .select(
+            "blabel", "__ci", F.col("__blk").alias("__cj"), "bvec_id", "bv", "bctr"
+        )
         .repartition(sp, "blabel", "__ci", "__cj")
         .groupBy("blabel", "__ci", "__cj")
     )
     raw = ga.cogroup(gb).applyInPandas(
-        _cell_cosine_kernel,
-        schema="vec_a long, vec_b long, label int, cos_raw double",
+        _cell_cosine_ctr_kernel,
+        schema=(
+            "vec_a long, vec_b long, label int, cos_raw double,"
+            " a_ctr long, b_ctr long"
+        ),
     )
     # rep b is dropped when a co-clustered rep a clears the gate AND
     # has keep-priority: farther from the centroid (lower ctr cosine),
     # vec_id as the deterministic tiebreak. The kernel emits each
     # unordered pair once with vec_a < vec_b, so the dominated rep is
     # vec_b iff a_ctr ≤ b_ctr (the tie falls to the lower id = a).
+    # a_ctr/b_ctr ride along from the kernel (same values the former
+    # joins against ``assigned`` supplied — they ARE assigned's
+    # columns), so no post-kernel join remains.
     gated = raw.withColumn(
         "pair_cos_micro",
         F.floor(F.col("cos_raw") * 1_000_000 + F.lit(0.5)).cast("long"),
     ).filter(F.col("pair_cos_micro") >= SEMDEDUP_TAU_MICRO)
     dropped_reps = (
-        gated.join(
-            assigned.select(
-                F.col("vec_id").alias("vec_a"),
-                F.col("ctr_cos_micro").alias("a_ctr"),
-            ),
-            "vec_a",
-        )
-        .join(
-            assigned.select(
-                F.col("vec_id").alias("vec_b"),
-                F.col("ctr_cos_micro").alias("b_ctr"),
-            ),
-            "vec_b",
-        )
-        .select(
+        gated.select(
             F.col("label").alias("cluster"),
             F.when(F.col("a_ctr") <= F.col("b_ctr"), F.col("vec_b"))
             .otherwise(F.col("vec_a"))

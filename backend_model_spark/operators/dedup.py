@@ -78,6 +78,33 @@ def _mh_expr_spark(i: int) -> str:
     )
 
 
+def _mh_expr_from_digest(i: int) -> str:
+    """Affine remix i over a PRE-COMPUTED md5 hex digest column
+    ``mhd`` (round 11, guide §1.2): codegen's subexpression
+    elimination DID share the common ``md5(shingle)`` across the 8
+    MIN aggregate inputs (A/B-measured neutral at sf0.1), but that
+    sharing is an optimizer courtesy that silently disappears if the
+    aggregation is ever split, reordered, or run interpreted.
+    Projecting the digest once before the groupBy makes the single
+    evaluation STRUCTURAL, and is value-identical: the remix reads
+    the same hex words of the same digest."""
+    word = (
+        f"cast(conv(substring(mhd, {1 + 8 * (i % 4)}, 8), 16, 10) as bigint)"
+    )
+    return (
+        f"({MINHASH_A[i]} * ({word} % {MINHASH_P})"
+        f" + {MINHASH_B[i]}) % {MINHASH_P}"
+    )
+
+
+def _mh_digest(df):
+    """Project (doc_id, mhd=md5 hex of the shingle) — the shared
+    single-evaluation digest input for :func:`_mh_expr_from_digest`."""
+    return df.select(
+        "doc_id", F.md5(F.col("shingle").cast("binary")).alias("mhd")
+    )
+
+
 def _mh_word_sql(i: int) -> str:
     return f"CAST('0x' || substr(md5(shingle), {1 + 8 * (i % 4)}, 8) AS BIGINT)"
 
@@ -222,9 +249,20 @@ def _content_reps(spark: SparkSession, sf_dir: str):
         _REPS_CACHE[key] = members
     if members is None:
         docs = load_table(spark, "documents", sf_dir)
+        # compute-width exchange pin (round 11, guide §2.2): the
+        # digest-window stage FUSES with the downstream shingle
+        # explode + md5 signature map side in the revalidation
+        # lineage; its shuffle is ~1 MB of compressed text but the
+        # stage is compute-bound, and AQE's byte-based coalescing
+        # squashed it onto 3 tasks (measured 0.68 s of a 2.5 s run).
+        # Pinning at the conf'd shuffle width keeps it at full
+        # parallelism; the window reuses the pinned exchange (same
+        # key), so no extra shuffle is added.
+        sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
         members = (
             docs.filter(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3)
             .select("doc_id", "text", F.md5("text").alias("h"))
+            .repartition(sp, "h")
             .withColumn("rep_id", F.min("doc_id").over(Window.partitionBy("h")))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -527,10 +565,10 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     shingled = shingled_docs(spark, sf_dir, distinct=False)
     aggs = [
-        F.min(F.expr(_mh_expr_spark(i))).alias(f"mh_{i}")
+        F.min(F.expr(_mh_expr_from_digest(i))).alias(f"mh_{i}")
         for i in range(N_MINHASH)
     ]
-    return shingled.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    return _mh_digest(shingled).groupBy("doc_id").agg(*aggs).orderBy("doc_id")
 
 
 MINHASH_ORACLE = f"""
@@ -594,13 +632,28 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             cached.count()
             _PAIR_CACHE[key] = cached
         return cached
-    _, star = _content_reps(spark, sf_dir)
+    reps, star = _content_reps(spark, sf_dir)
     # shared distinct index (MIN over the distinct set == MIN over the
-    # raw explode, so the signature path reuses it too)
-    rep_shingled = _rep_shingled(spark, sf_dir)
-    sigs = rep_shingled.groupBy("doc_id").agg(
+    # raw explode, so the signature path reuses it too). Round 11:
+    # REUSE the _rep_shingled memo when some earlier entry already
+    # materialized it, but do NOT build it just for this path — the
+    # signature aggregation is its only consumer here (one pass inside
+    # banded's materialization), so a dedicated persist+count bought
+    # nothing and cost a full action + its driver planning gap per
+    # cold run (guide §1.2: don't compute things you throw away).
+    # Entries that read the index several times (ngram, containment,
+    # verified) still build the memo via _rep_shingled themselves.
+    memo = _REP_SHINGLED_CACHE.get((spark.sparkContext.applicationId, sf_dir))
+    if memo is not None and _still_cached(memo):
+        rep_shingled = memo
+    else:
+        rep_shingled = reps.withColumn("toks", F.expr(TOKENS)).select(
+            "doc_id",
+            F.explode(F.array_distinct(F.expr(SHINGLES))).alias("shingle"),
+        )
+    sigs = _mh_digest(rep_shingled).groupBy("doc_id").agg(
         *[
-            F.min(F.expr(_mh_expr_spark(i))).alias(f"mh_{i}")
+            F.min(F.expr(_mh_expr_from_digest(i))).alias(f"mh_{i}")
             for i in range(N_MINHASH)
         ]
     )
@@ -1361,9 +1414,12 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     already proven. Zipf 10× stress: 267 s → 2.4×; full-replica 10×
     5.1× → measured after this change in SCALE.md.
     """
+    # build the shingle-index memo FIRST: the candidate build then
+    # reuses it (it checks the memo), instead of inlining its own
+    # shingle pass and leaving this function to build the memo anyway
+    shingled = _rep_shingled(spark, sf_dir)
     cand = lsh_candidate_pairs(spark, sf_dir)
     _, star = _content_reps(spark, sf_dir)
-    shingled = _rep_shingled(spark, sf_dir)
     sizes = shingled.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles")
     )

@@ -223,7 +223,7 @@ def _still_cached(df: DataFrame) -> bool:
     return bool(sl.useMemory or sl.useDisk)
 
 
-def _content_reps(spark: SparkSession, sf_dir: str):
+def _content_reps(spark: SparkSession, sf_dir: str, eager: bool = True):
     """(reps, star) — exact-dedup-first over shingle-eligible docs.
 
     ``reps`` is one (doc_id, text) representative (min doc_id) per
@@ -235,6 +235,14 @@ def _content_reps(spark: SparkSession, sf_dir: str):
     downstream (shingling, signatures, banding, the band self-join)
     sees each distinct text once, so duplicate-group cost is linear,
     never C(g,2). SQL twin: :data:`DEDUP_FIRST_CTES`.
+
+    ``eager=False`` (round 12, guide §1.2): a caller whose NEXT
+    materialization's lineage itself scans every partition of
+    ``members`` (the banded build in :func:`lsh_candidate_pairs`)
+    may skip the dedicated count() action here — that action's only
+    job is to pre-build the cache blocks, and the caller's own first
+    action builds them identically through the InMemoryRelation. The
+    persist is registered either way; only WHO pays the build moves.
     """
     key = (spark.sparkContext.applicationId, sf_dir)
     members = _REPS_CACHE.get(key)
@@ -245,7 +253,8 @@ def _content_reps(spark: SparkSession, sf_dir: str):
         # consumer job would silently recompute the whole lineage.
         # Re-register so the next action materializes once again.
         members = members.persist(StorageLevel.MEMORY_AND_DISK)
-        members.count()  # eager: see the build-path note below
+        if eager:
+            members.count()  # eager: see the build-path note below
         _REPS_CACHE[key] = members
     if members is None:
         docs = load_table(spark, "documents", sf_dir)
@@ -270,7 +279,8 @@ def _content_reps(spark: SparkSession, sf_dir: str):
         # and a join's two map sides — run as CONCURRENT jobs; a lazy
         # persist lets each re-run the digest window from parquet.
         # One count() builds the blocks once, everyone else reads them.
-        members.count()
+        if eager:
+            members.count()
         _REPS_CACHE[key] = members
         _evict_oldest(_REPS_CACHE)
     reps = members.filter(F.col("doc_id") == F.col("rep_id")).select(
@@ -294,6 +304,21 @@ _REP_SHINGLED_CACHE: dict[tuple[str, str], DataFrame] = {}
 _EMB_MEMBERS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def _shingle_index(reps: DataFrame) -> DataFrame:
+    """The star contract's distinct (doc_id, shingle) inverted index
+    over representatives — ONE construction shared by the memoized
+    :func:`_rep_shingled` and the memo-miss inline path of
+    :func:`lsh_candidate_pairs` (round-12 advice: two hand-copied
+    versions risked drifting). DISTINCT is per-doc set semantics and
+    doc_id is unique per rep, so per-row ``array_distinct`` before
+    the explode is set-identical to a global DISTINCT with zero
+    shuffle (guide §2.1; round 11)."""
+    return reps.withColumn("toks", F.expr(TOKENS)).select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(SHINGLES))).alias("shingle"),
+    )
+
+
 def _rep_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT (doc_id, shingle) over the representatives — cached
     per (application, sf_dir) with the same LRU + clearCache
@@ -309,19 +334,7 @@ def _rep_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
         _REP_SHINGLED_CACHE[key] = sh
     if sh is None:
         reps, _ = _content_reps(spark, sf_dir)
-        # DISTINCT is per-doc set semantics, and doc_id is unique per
-        # rep — array_distinct INSIDE the row (hash-set, O(n)) yields
-        # the identical (doc_id, shingle) set with ZERO shuffle where
-        # .distinct() paid a full exchange + hash-agg of the shingle
-        # corpus (guide §2.1: remove the shuffle outright). Round 11.
-        sh = (
-            reps.withColumn("toks", F.expr(TOKENS))
-            .select(
-                "doc_id",
-                F.explode(F.array_distinct(F.expr(SHINGLES))).alias("shingle"),
-            )
-            .persist()
-        )
+        sh = _shingle_index(reps).persist()
         sh.count()  # eager: concurrent consumers (see _content_reps)
         _REP_SHINGLED_CACHE[key] = sh
         _evict_oldest(_REP_SHINGLED_CACHE)
@@ -632,7 +645,14 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             cached.count()
             _PAIR_CACHE[key] = cached
         return cached
-    reps, star = _content_reps(spark, sf_dir)
+    # eager=False (round 12): banded.count() below scans every
+    # members partition through the persisted InMemoryRelation (the
+    # signature lineage starts from reps = members.filter), so the
+    # cache blocks are built by THAT action and the dedicated
+    # members.count() job is pure overhead on the cold path (one
+    # whole action + its driver planning gap). Later consumers (the
+    # star branch of pairs, other family entries) read built blocks.
+    reps, star = _content_reps(spark, sf_dir, eager=False)
     # shared distinct index (MIN over the distinct set == MIN over the
     # raw explode, so the signature path reuses it too). Round 11:
     # REUSE the _rep_shingled memo when some earlier entry already
@@ -643,14 +663,15 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cold run (guide §1.2: don't compute things you throw away).
     # Entries that read the index several times (ngram, containment,
     # verified) still build the memo via _rep_shingled themselves.
-    memo = _REP_SHINGLED_CACHE.get((spark.sparkContext.applicationId, sf_dir))
+    shingle_key = (spark.sparkContext.applicationId, sf_dir)
+    memo = _REP_SHINGLED_CACHE.get(shingle_key)
     if memo is not None and _still_cached(memo):
+        # round-12 advice: refresh LRU recency on the hit so a hot
+        # index is not evicted as oldest
+        _touch(_REP_SHINGLED_CACHE, shingle_key)
         rep_shingled = memo
     else:
-        rep_shingled = reps.withColumn("toks", F.expr(TOKENS)).select(
-            "doc_id",
-            F.explode(F.array_distinct(F.expr(SHINGLES))).alias("shingle"),
-        )
+        rep_shingled = _shingle_index(reps)
     sigs = _mh_digest(rep_shingled).groupBy("doc_id").agg(
         *[
             F.min(F.expr(_mh_expr_from_digest(i))).alias(f"mh_{i}")

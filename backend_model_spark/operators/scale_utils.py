@@ -33,13 +33,49 @@ arithmetic function of (rank, n, k).
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 __all__ = ["with_global_rank", "with_global_ntile", "broadcast_scalars"]
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Pin ``df`` so every downstream action observes the SAME
+    physical materialization.
+
+    On the ranged frame this is REQUIRED FOR CORRECTNESS, not just a
+    perf pin (round-12 advice): ``repartitionByRange`` samples its
+    partition bounds with an RDD-id-seeded random pass, and each
+    ACTION re-plans the query into fresh RDDs — so without a pin the
+    driver-collected per-partition offsets would be applied to a
+    differently-bounded execution and the ranks/prefix sums would be
+    corrupted (verified empirically at 150k rows: duplicate/missing
+    ranks). Two pin strategies, selected by ``SPARK_GRAFT_RANK_PIN``:
+
+    * ``localcheckpoint`` (default) — cheapest: one write of
+      executor-local, NON-REPLICATED blocks and the lineage is
+      truncated. The fault-tolerance trade (guide §5): on a real
+      cluster an executor loss makes the query FAIL (no lineage to
+      recompute) instead of recomputing — acceptable for short jobs,
+      not for long ones.
+    * ``persist`` — MEMORY_AND_DISK persist + eager count. Slightly
+      more driver work, but lineage is kept: a lost block recomputes
+      through the SAME RDD graph (the RangePartitioner instance and
+      its sampled bounds live in the materialized RDD's
+      ShuffleDependency, so recomputation reuses the original
+      bounds — partitioning stays consistent). Set this on cluster
+      deployments where executor loss must not fail the query.
+    """
+    if os.environ.get("SPARK_GRAFT_RANK_PIN", "localcheckpoint").lower() == "persist":
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        return df
+    return df.localCheckpoint(eager=False)
 
 
 def broadcast_scalars(df: DataFrame, scalars: DataFrame) -> DataFrame:
@@ -91,7 +127,7 @@ def with_global_rank(
         # rollup) is otherwise computed TWICE per call (guide §1.2/§2:
         # don't compute things you throw away). Callers opt in where
         # the lineage costs more than one extra block write.
-        df = df.localCheckpoint(eager=False)
+        df = _pin(df)
     # ``parts`` is a caller hint for frames BOUNDED by construction
     # (post-``limit(k)`` candidate lists, ≤k-row rollups): with
     # parts=1 the RangePartitioner skips its sampling job (bounds are
@@ -103,12 +139,15 @@ def with_global_rank(
         ranged = df.repartitionByRange(1, *order).withColumn(
             "__sg_pid", F.spark_partition_id()
         )
-        if total_col is not None or grand_total is not None:
-            # totals need a second consumption of the input — pin it
-            # so the lineage (possibly a full-corpus top-k arm) is
-            # computed once, exactly as the general path guarantees
-            ranged = ranged.localCheckpoint(eager=False)
         w1 = W.partitionBy("__sg_pid").orderBy(*order)
+        # round 12: totals come from a FULL-FRAME window over the same
+        # (partition, order) spec — Spark folds every frame below into
+        # ONE WindowExec, so the single partition is consumed exactly
+        # once and the former pin + two one-row aggregates + two
+        # broadcast cross joins (4 extra jobs per call) are gone.
+        # Single-partition ⇒ the full-frame sum/count ARE the global
+        # totals, value-identical to the old broadcast scalars.
+        wfull = w1.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
         out = ranged.withColumn(
             rank_col, F.row_number().over(w1).cast("bigint")
         )
@@ -126,21 +165,21 @@ def with_global_rank(
                     w1.rowsBetween(W.unboundedPreceding, 0)
                 ),
             )
-        out = out.drop("__sg_pid")
         if total_col is not None:
-            out = broadcast_scalars(
-                out,
-                ranged.agg(F.count(F.lit(1)).cast("bigint").alias(total_col)),
+            out = out.withColumn(
+                total_col, F.count(F.lit(1)).over(wfull).cast("bigint")
             )
         if grand_total is not None:
-            out = broadcast_scalars(
-                out, ranged.agg(F.sum(grand_total[0]).alias(grand_total[1]))
+            out = out.withColumn(
+                grand_total[1], F.sum(grand_total[0]).over(wfull)
             )
-        return out
-    ranged = (
-        df.repartitionByRange(*order)
-        .withColumn("__sg_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        return out.drop("__sg_pid")
+    # REQUIRED pin, not a perf hint: offsets (collected below) and the
+    # local row_numbers must observe the same physical range
+    # partitioning across actions — see _pin for the full argument
+    # and the cluster-mode fault-tolerance knob.
+    ranged = _pin(
+        df.repartitionByRange(*order).withColumn("__sg_pid", F.spark_partition_id())
     )
     per_part = [F.count(F.lit(1)).alias("__sg_cnt")]
     if vcol is not None:

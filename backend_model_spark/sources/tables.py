@@ -145,12 +145,22 @@ def _dataset_key(path: str) -> tuple | None:
         st = os.stat(path)
         key: tuple = (path, st.st_mtime_ns, st.st_size)
         if os.path.isdir(path):
-            parts = sorted(
+            # round-12 hardening (verdict ask #8): the former key
+            # sampled only the first 64 sorted children, so an
+            # in-place rewrite of the 65th+ part file changed neither
+            # the directory mtime nor any sampled stat and a stale
+            # schema could be served. Hash the FULL first-level
+            # listing (name, mtime_ns, size per child) instead —
+            # constant-size key, every child's state observed.
+            import hashlib
+
+            h = hashlib.sha256()
+            for p in sorted(
                 p for p in os.listdir(path) if not p.startswith(("_", "."))
-            )
-            for p in parts[:64]:
+            ):
                 sub = os.stat(os.path.join(path, p))
-                key += (p, sub.st_mtime_ns, sub.st_size)
+                h.update(f"{p}\x00{sub.st_mtime_ns}\x00{sub.st_size}\x00".encode())
+            key += (h.hexdigest(),)
         return key
     except OSError:
         return None

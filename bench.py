@@ -230,6 +230,37 @@ def main() -> None:
             runs[name].append(sec)
         timings[name] = min(runs[name])
         prev_sec = timings[name]
+
+    # Round 12 (r11 verdict ask #9): canary-gated re-runs. The r11
+    # driver bench was judged through a CPU-steal episode — per-query
+    # canaries 410-594 ms vs ~400 idle — and three regressions turned
+    # out to be measurement artifacts. Measurement hygiene, not
+    # harness semantics: any query whose pre-pair canary exceeded
+    # 1.25x the run median gets ONE more cold pair after the sweep,
+    # gated on the canary having recovered, and min() folds it into
+    # the same per-query minimum. Additions-only: no entry removed or
+    # renamed, raw extra runs recorded under "reruns".
+    rerun_info: dict[str, dict] = {}
+    med_canary = sorted(run_canaries.values())[len(run_canaries) // 2]
+    for name in HEADLINE:
+        if run_canaries[name] <= 1.25 * med_canary:
+            continue
+        c2 = canary_ms()
+        if c2 > 1.25 * med_canary:
+            wait_for_quiesce(max_wait_s=between_wait, gate=between_gate)
+            c2 = canary_ms()
+            if c2 > 1.25 * med_canary:
+                rerun_info[name] = {"skipped_still_noisy": c2}
+                continue
+        sec, load = timed_cold_run(spark, qs[name], SF_DIR)
+        rerun_info[name] = {
+            "canary_ms": c2,
+            "sec": sec,
+            "noisy_canary_ms": run_canaries[name],
+        }
+        runs[name].append(sec)
+        run_loads[name].append(load)
+        timings[name] = min(timings[name], sec)
     load_after = os.getloadavg()
     canary_end = canary_ms()
 
@@ -268,6 +299,11 @@ def main() -> None:
                     "end": canary_end,
                     "per_query": run_canaries,
                 },
+                # round 12: canary-gated re-run bookkeeping (verdict
+                # ask #9) — which queries were re-measured after the
+                # sweep because their canary showed steal, and the
+                # quiet-window number that was folded into the min
+                "reruns": rerun_info,
             }
         )
     )

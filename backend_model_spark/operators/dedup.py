@@ -645,33 +645,28 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             cached.count()
             _PAIR_CACHE[key] = cached
         return cached
-    # eager=False (round 12): banded.count() below scans every
-    # members partition through the persisted InMemoryRelation (the
-    # signature lineage starts from reps = members.filter), so the
-    # cache blocks are built by THAT action and the dedicated
-    # members.count() job is pure overhead on the cold path (one
-    # whole action + its driver planning gap). Later consumers (the
-    # star branch of pairs, other family entries) read built blocks.
+    # eager=False (round 12): the first downstream action here is
+    # _rep_shingled's sh.count(), whose lineage scans every members
+    # partition through the persisted InMemoryRelation (reps =
+    # members.filter) — the cache blocks are built by THAT action and
+    # the dedicated members.count() job was pure overhead on the cold
+    # path (one whole action + its driver planning gap). Later
+    # consumers (the star branch of pairs, other family entries)
+    # read built blocks.
     reps, star = _content_reps(spark, sf_dir, eager=False)
     # shared distinct index (MIN over the distinct set == MIN over the
-    # raw explode, so the signature path reuses it too). Round 11:
-    # REUSE the _rep_shingled memo when some earlier entry already
-    # materialized it, but do NOT build it just for this path — the
-    # signature aggregation is its only consumer here (one pass inside
-    # banded's materialization), so a dedicated persist+count bought
-    # nothing and cost a full action + its driver planning gap per
-    # cold run (guide §1.2: don't compute things you throw away).
-    # Entries that read the index several times (ngram, containment,
-    # verified) still build the memo via _rep_shingled themselves.
-    shingle_key = (spark.sparkContext.applicationId, sf_dir)
-    memo = _REP_SHINGLED_CACHE.get(shingle_key)
-    if memo is not None and _still_cached(memo):
-        # round-12 advice: refresh LRU recency on the hit so a hot
-        # index is not evicted as oldest
-        _touch(_REP_SHINGLED_CACHE, shingle_key)
-        rep_shingled = memo
-    else:
-        rep_shingled = _shingle_index(reps)
+    # raw explode, so the signature path reuses it too).
+    # Round 12 (verdict ask #1): the round-11 "skip the _rep_shingled
+    # materialization when candidates is the only consumer" change
+    # (009c997) was adjudicated with a quiet-host back-to-back A/B on
+    # this tree: skip ON  minhash 1.30 s / clusters 1.48 s, skip OFF
+    # 1.15 s / 1.37 s (min-of-4, canaries 280-370 ms) — the driver's
+    # r11 regression direction reproduces, so the skip is REVERTED.
+    # Two cheap actions (shingle-index build + banded build reading
+    # cached shingles) beat one fused action that re-tokenizes the
+    # corpus inside the banded lineage, and the memoized index is
+    # then free for every other family entry in the same session.
+    rep_shingled = _rep_shingled(spark, sf_dir)
     sigs = _mh_digest(rep_shingled).groupBy("doc_id").agg(
         *[
             F.min(F.expr(_mh_expr_from_digest(i))).alias(f"mh_{i}")
